@@ -1,0 +1,51 @@
+"""datarepo_spark — a PySpark-native declarative data catalog + query engine.
+
+Capability parity with neuralinkcorp/datarepo (catalog, filter algebra,
+partition-pruned parquet/Delta/JDBC sources, exports), re-expressed
+Spark-first: every table call returns a lazy ``pyspark.sql.DataFrame`` and
+Catalyst/Tungsten provide optimization + distributed execution. Extensions
+for LLM-scale data pipelines live in :mod:`datarepo_spark.functions`.
+"""
+
+from .catalog.catalog import (
+    Catalog,
+    Database,
+    DatabaseWithGlobalArgs,
+    DictDatabase,
+    ModuleDatabase,
+)
+from .core.filters import Filter, FilterOperator, normalize_filters
+from .session import get_spark
+from .tables.function_table import FunctionTable, table
+from .tables.metadata import (
+    Partition,
+    PartitioningScheme,
+    TableColumn,
+    TableMetadata,
+    TablePartition,
+    TableSchema,
+)
+from .tables.parquet_table import ParquetTable
+
+__all__ = [
+    "Catalog",
+    "Database",
+    "DatabaseWithGlobalArgs",
+    "DictDatabase",
+    "Filter",
+    "FilterOperator",
+    "FunctionTable",
+    "ModuleDatabase",
+    "ParquetTable",
+    "Partition",
+    "PartitioningScheme",
+    "TableColumn",
+    "TableMetadata",
+    "TablePartition",
+    "TableSchema",
+    "get_spark",
+    "normalize_filters",
+    "table",
+]
+
+__version__ = "0.1.0"
