@@ -1,0 +1,231 @@
+"""Minimal Delta Lake transaction-log reader (public Delta protocol).
+
+Replays ``_delta_log/`` (checkpoint parquet + JSON commits) to resolve the
+active file set, table schema, and partition values at a version — the same
+job delta-rs does for the reference (deltalake_table.py:286-300) and the
+Delta PROTOCOL.md documents publicly.
+
+Why it exists: this environment ships no delta-spark jars, so
+``spark.read.format("delta")`` is unavailable. The log is small, driver-side
+metadata (one record per data file — the same thing delta-spark's Snapshot
+holds on the driver); the *data* path stays fully distributed:
+``spark.read.parquet(<active files>)`` with partition values joined back in.
+On a cluster with delta-spark present, `DeltalakeTable` uses the native
+reader instead (see delta_table.py).
+
+Supported: JSON commits, ``.checkpoint.parquet`` (single-part), add/remove
+reconciliation, partitionValues, schemaString, time travel (versionAsOf).
+Refused loudly: column mapping, deletion vectors (reader features beyond
+protocol v1 semantics we can honor).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import types as T
+
+
+@dataclass
+class AddFile:
+    path: str
+    partition_values: dict[str, Optional[str]]
+    size: int = 0
+
+
+@dataclass
+class DeltaSnapshot:
+    version: int
+    schema: T.StructType
+    partition_columns: list[str]
+    files: list[AddFile] = field(default_factory=list)
+    configuration: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def data_schema(self) -> T.StructType:
+        part = set(self.partition_columns)
+        return T.StructType(
+            [f for f in self.schema.fields if f.name not in part]
+        )
+
+    def partition_field(self, name: str) -> T.StructField:
+        for f in self.schema.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+
+_UNSUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
+
+
+class DeltaLog:
+    """Reads the transaction log of one Delta table rooted at ``uri``."""
+
+    def __init__(self, uri: str) -> None:
+        self.uri = uri.rstrip("/")
+        self.log_dir = os.path.join(self.uri, "_delta_log")
+        if not os.path.isdir(self.log_dir):
+            raise FileNotFoundError(
+                f"Not a Delta table (no _delta_log): {self.uri}"
+            )
+
+    # -- log file discovery ------------------------------------------------
+
+    def _commit_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and len(name) == 25:
+                try:
+                    out.append(int(name[:20]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _checkpoint_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".checkpoint.parquet"):
+                try:
+                    out.append(int(name.split(".")[0]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        versions = self._commit_versions()
+        checkpoints = self._checkpoint_versions()
+        if not versions and not checkpoints:
+            raise FileNotFoundError(f"Empty _delta_log in {self.uri}")
+        return max(versions + checkpoints)
+
+    # -- action iteration ---------------------------------------------------
+
+    def _commit_actions(self, version: int) -> list[dict[str, Any]]:
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        actions = []
+        with open(path, "r", encoding="utf-8") as handle:
+            for line in handle:
+                line = line.strip()
+                if line:
+                    actions.append(json.loads(line))
+        return actions
+
+    def _checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+        table = pq.read_table(path)
+        actions: list[dict[str, Any]] = []
+        for row in table.to_pylist():
+            for key in ("add", "remove", "metaData", "protocol"):
+                value = row.get(key)
+                if value is not None:
+                    actions.append({key: value})
+        return actions
+
+    # -- snapshot resolution -------------------------------------------------
+
+    def snapshot(self, version: Optional[int] = None) -> DeltaSnapshot:
+        """Replay the log to ``version`` (default: latest)."""
+        target = self.latest_version() if version is None else version
+        if version is not None and version not in self._commit_versions() and (
+            version not in self._checkpoint_versions()
+        ):
+            available = self._commit_versions()
+            raise ValueError(
+                f"Version {version} not in Delta log (available: "
+                f"{available[:5]}..{available[-1:] if available else []})"
+            )
+
+        checkpoints = [v for v in self._checkpoint_versions() if v <= target]
+        start_actions: list[dict[str, Any]] = []
+        replay_from = 0
+        if checkpoints:
+            cp = max(checkpoints)
+            start_actions = self._checkpoint_actions(cp)
+            replay_from = cp + 1
+
+        adds: dict[str, AddFile] = {}
+        schema: Optional[T.StructType] = None
+        partition_columns: list[str] = []
+        configuration: dict[str, str] = {}
+
+        def apply(action: dict[str, Any]) -> None:
+            nonlocal schema, partition_columns, configuration
+            if "protocol" in action:
+                proto = action["protocol"]
+                features = set(proto.get("readerFeatures") or [])
+                bad = features & _UNSUPPORTED_READER_FEATURES
+                if bad:
+                    raise NotImplementedError(
+                        f"Delta reader features not supported: {sorted(bad)}"
+                    )
+                if proto.get("minReaderVersion", 1) > 3:
+                    raise NotImplementedError(
+                        f"minReaderVersion {proto['minReaderVersion']} > 3"
+                    )
+            elif "metaData" in action:
+                meta = action["metaData"]
+                schema = T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                )
+                partition_columns = list(meta.get("partitionColumns") or [])
+                configuration = dict(meta.get("configuration") or {})
+            elif "add" in action:
+                add = action["add"]
+                if add.get("deletionVector"):
+                    raise NotImplementedError(
+                        "Deletion vectors are not supported"
+                    )
+                adds[add["path"]] = AddFile(
+                    path=add["path"],
+                    partition_values=dict(add.get("partitionValues") or {}),
+                    size=int(add.get("size") or 0),
+                )
+            elif "remove" in action:
+                adds.pop(action["remove"]["path"], None)
+
+        for action in start_actions:
+            apply(action)
+        for v in range(replay_from, target + 1):
+            commit_path = os.path.join(self.log_dir, f"{v:020d}.json")
+            if not os.path.exists(commit_path):
+                continue
+            for action in self._commit_actions(v):
+                apply(action)
+
+        if schema is None:
+            raise ValueError(f"No metaData action found in {self.log_dir}")
+        return DeltaSnapshot(
+            version=target,
+            schema=schema,
+            partition_columns=partition_columns,
+            files=list(adds.values()),
+            configuration=configuration,
+        )
+
+
+def cast_partition_value(raw: Optional[str], dtype: T.DataType) -> Any:
+    """Delta stores partition values as strings; cast per declared type
+    (protocol's 'Partition Value Serialization' rules)."""
+    import datetime as dt
+    import decimal
+
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return int(raw)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    if isinstance(dtype, T.DecimalType):
+        return decimal.Decimal(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw == "true"
+    if isinstance(dtype, T.DateType):
+        return dt.date.fromisoformat(raw)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return dt.datetime.fromisoformat(raw)
+    return raw
