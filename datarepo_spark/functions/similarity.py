@@ -1,0 +1,123 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers:
+  knn_brute_force    exact cosine top-k — the correctness baseline. One
+                     scan, per-row fold for the dot product, TakeOrdered
+                     for the top-k. O(n·d) work, no shuffle of vectors.
+  RandomHyperplaneLSH
+                     sign-random-projection buckets (SimHash-for-vectors,
+                     Charikar 2002). At 100 TB the bucket id becomes the
+                     shuffle/join key: candidate generation is an
+                     equi-join on a few-byte key; exact cosine re-ranks
+                     only the candidates. Multi-probe = flip one bit.
+
+Hyperplanes are generated driver-side from a seeded RNG and embedded as
+plan literals — no state, no fitted model to ship; every executor codegens
+the same projection arithmetic. (An IVF variant would swap the bucketer
+for k-means cell ids; the plan shape downstream is identical.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine_similarity
+
+
+def knn_brute_force(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+    orderBy+limit plans as TakeOrderedAndProject — each partition keeps a
+    k-heap, driver merges; no global sort even at 10^9 rows."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection LSH bucketer for cosine similarity."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 42) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.dim = dim
+        self.n_planes = n_planes
+
+    def bucket(self, vec: Column) -> Column:
+        """Bucket id = bit-packed signs of the ``n_planes`` projections.
+        Pure fold arithmetic — codegen'd per row, no UDF, no shuffle."""
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(self.planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(p)) for p in plane]),
+                    lambda x, y: (x * y).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(
+                dot >= 0, F.lit(1 << i).cast("long")
+            ).otherwise(0)
+        return bucket
+
+    def with_buckets(
+        self, df: DataFrame, vec_col: str = "embedding"
+    ) -> DataFrame:
+        return df.withColumn("__bucket", self.bucket(F.col(vec_col)))
+
+    def probe_buckets(self, query_vec: list[float], multi_probe: int = 0) -> list[int]:
+        """Query's bucket plus the ``multi_probe`` most-promising perturbed
+        buckets (1- and 2-bit flips), ordered by the summed |projection| of
+        the flipped planes — the standard multi-probe LSH schedule (a plane
+        the query sits close to is the one most likely to have split true
+        neighbors away)."""
+        q = np.asarray(query_vec, dtype=float)
+        projections = self.planes @ q
+        base = 0
+        for i, p in enumerate(projections):
+            if p >= 0:
+                base |= 1 << i
+        costs = np.abs(projections)
+        flips: list[tuple[float, int]] = [
+            (costs[i], 1 << i) for i in range(self.n_planes)
+        ]
+        flips += [
+            (costs[i] + costs[j], (1 << i) | (1 << j))
+            for i in range(self.n_planes)
+            for j in range(i + 1, self.n_planes)
+        ]
+        flips.sort(key=lambda t: t[0])
+        return [base] + [base ^ mask for _, mask in flips[:multi_probe]]
+
+    def knn(
+        self,
+        df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        multi_probe: int = 4,
+    ) -> DataFrame:
+        """ANN top-k: filter to the probe buckets (partition-prunable if
+        the table is written bucketed/partitioned by __bucket), then exact
+        cosine re-rank of the survivors only."""
+        buckets = self.probe_buckets(query_vec, multi_probe)
+        candidates = self.with_buckets(df, vec_col).filter(
+            F.col("__bucket").isin(buckets)
+        )
+        return knn_brute_force(candidates, query_vec, k, vec_col, id_col)

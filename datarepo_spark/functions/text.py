@@ -1,0 +1,176 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All operators are pure Catalyst column expressions (no Python UDFs) — they
+run JVM-side inside whole-stage codegen and scale linearly with executors;
+at 100 TB the cost is one scan, no shuffle. Each has a deterministic,
+SQL-expressible definition so the DuckDB oracle can verify it bit-exactly.
+
+Operators:
+  - token statistics (whitespace + BPE-ish regex token counts)
+  - quality scoring (length / punctuation / stopword / alpha ratios)
+  - language identification (stopword-profile n-gram heuristic)
+  - document fingerprinting (polynomial rolling hash over tokens)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer regex (GPT-2 style, simplified to the alternation
+# subset shared by Java regex and RE2 so engine and oracle agree).
+BPE_TOKEN_RE = r"'[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+WS_TOKEN_RE = r"\S+"
+PUNCT_RE = r"[^\w\s]"
+
+# Per-language stopword profiles for the n-gram/stopword heuristic.
+# Word-boundary matches; tiny on purpose — a profile is a signature, not a
+# dictionary. Order = tie-break precedence.
+LANG_PROFILES: list[tuple[str, str]] = [
+    ("en", r"\b(the|and|of|to|in|is|that|for|it|with)\b"),
+    ("es", r"\b(el|la|de|que|y|los|en|un|una|por)\b"),
+    ("de", r"\b(der|die|und|das|ist|von|mit|ein|zu|den)\b"),
+    ("fr", r"\b(le|la|les|de|et|un|une|est|pour|dans)\b"),
+]
+CJK_RE = r"[一-鿿]"
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def token_count(col: Column | str, pattern: str = WS_TOKEN_RE) -> Column:
+    """Number of regex-token matches (JVM regexp_count — no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append token/length statistics columns."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        F.length(c).alias("n_chars_actual"),
+        token_count(c, WS_TOKEN_RE).alias("n_tokens_ws"),
+        token_count(c, BPE_TOKEN_RE).alias("n_tokens_bpe"),
+        token_count(c, PUNCT_RE).alias("n_punct"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality score in [0, 1]: penalize extreme length,
+    high punctuation density, low stopword density, low alpha ratio.
+    Mirrors the standard Gopher/C4-style heuristic filters, expressed as
+    pure SQL arithmetic so it is cross-engine reproducible."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = token_count(text, WS_TOKEN_RE).cast("double")
+    n_punct = token_count(text, PUNCT_RE).cast("double")
+    n_alpha = token_count(text, r"[a-zA-Z]").cast("double")
+    n_stop = F.regexp_count(text, F.lit(LANG_PROFILES[0][1])).cast("double")
+
+    mean_tok_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(1.0)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+
+    len_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    tok_ok = F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), 1.0).otherwise(0.0)
+    score = (
+        0.25 * len_ok
+        + 0.25 * tok_ok
+        + 0.2 * F.least(F.lit(1.0), stop_ratio * 4)
+        + 0.2 * alpha_ratio
+        + 0.1 * (1 - F.least(F.lit(1.0), punct_ratio * 5))
+    )
+    return F.round(score, 6)
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-profile language heuristic: count per-language profile hits
+    (normalized by token count), CJK characters trump, ties break in
+    profile order. Pure regexp_count arithmetic — codegen'd, no UDF."""
+    lowered = F.lower(text)
+    scores = {
+        lang: F.regexp_count(lowered, F.lit(pat))
+        for lang, pat in LANG_PROFILES
+    }
+    cjk = F.regexp_count(text, F.lit(CJK_RE))
+    result = F.lit("unknown")
+    # Build from lowest precedence up so earlier profiles win ties.
+    for lang, _ in reversed(LANG_PROFILES):
+        score = scores[lang]
+        better = F.lit(True)
+        for other, _ in LANG_PROFILES:
+            if other == lang:
+                continue
+            # Earlier profile wins ties: against later profiles a tie is
+            # enough (<=); against earlier ones we must be strictly ahead.
+            cmp = (
+                scores[other] <= score
+                if _precedes(lang, other)
+                else scores[other] < score
+            )
+            better = better & cmp
+        result = F.when((score > 0) & better, F.lit(lang)).otherwise(result)
+    # CJK dominates when present in any volume.
+    return F.when(cjk > 0, F.lit("zh")).otherwise(result)
+
+
+def _precedes(lang: str, other: str) -> bool:
+    order = [l for l, _ in LANG_PROFILES]
+    return order.index(lang) < order.index(other)
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over whitespace tokens:
+    ``h = (h*31 + len(tok)*ascii(tok[0])) mod 1e9+7``.
+    Unlike xxhash64/sha2 this is engine-portable (the oracle reproduces it
+    with LIST_REDUCE), yet order-sensitive like a real rolling hash.
+    Left-fold over the token array — sequential, deterministic."""
+    tokens = F.filter(
+        F.split(text, r"\s+"), lambda t: F.length(t) > 0
+    )
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.length(t) * F.ascii(t))
+        % FINGERPRINT_MOD,
+    )
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: stats + quality + language + fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c, WS_TOKEN_RE).alias("n_tokens_ws"),
+        token_count(c, BPE_TOKEN_RE).alias("n_tokens_bpe"),
+        quality_score(c).alias("quality"),
+        detect_language(c).alias("lang_detected"),
+        fingerprint(c).alias("fingerprint"),
+    )
+
+
+# --- SQL oracle builders (shared text so engine and oracle can't drift) ---
+
+
+def sql_token_count(expr: str, pattern: str) -> str:
+    """DuckDB equivalent of token_count."""
+    escaped = pattern.replace("'", "''")
+    return f"LEN(regexp_extract_all({expr}, '{escaped}'))"
+
+
+def sql_fingerprint(expr: str) -> str:
+    """DuckDB equivalent of :func:`fingerprint`.
+
+    DuckDB's LIST_REDUCE needs a uniform element type and seeds the
+    accumulator with the first element; Spark's AGGREGATE seeds with 0.
+    They compute the same sequence: Spark's first step is 0*31+x1 = x1,
+    which is exactly DuckDB's seed."""
+    tokens = (
+        f"LIST_TRANSFORM(LIST_FILTER(regexp_split_to_array({expr}, '\\s+'), "
+        f"t -> LEN(t) > 0), t -> CAST(LEN(t) AS BIGINT) * ascii(t))"
+    )
+    return (
+        f"CASE WHEN LEN({tokens}) = 0 THEN 0 ELSE "
+        f"LIST_REDUCE({tokens}, (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+        f" END"
+    )

@@ -1,9 +1,338 @@
-"""LLM-pipeline extension queries (dedup, similarity, text, multimodal).
+"""LLM-pipeline extension queries: dedup, similarity, text, multimodal.
 
-Populated by datarepo_spark.functions.* modules registering into the shared
-REGISTRY. Importing this module pulls them all in.
+Registered into the shared REGISTRY next to the relational surface.
+Where an operator's arithmetic is engine-portable (sha256, regexp counts,
+sequential double folds) it gets a full DuckDB oracle; operators built on
+Spark-specific hashes (xxhash64) or Python batch UDFs get the rows-only
+check plus dedicated pytest coverage (tests/test_functions.py) that
+verifies them against brute-force ground truth.
 """
 
-# Extension modules register queries on import; they are added as they are
-# implemented. (Kept separate from registry.py so the core relational
-# surface and the LLM-pipeline surface stay independently readable.)
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import multimodal as M
+from ..functions import similarity as S
+from ..functions import text as X
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(LEN(text) AS INT) AS n_chars_actual,
+           CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS INT) AS n_tokens_ws,
+           CAST({X.sql_token_count('text', X.BPE_TOKEN_RE)} AS INT) AS n_tokens_bpe,
+           CAST({X.sql_token_count('text', X.PUNCT_RE)} AS INT) AS n_punct
+    FROM documents
+    """,
+    description="token counting: whitespace + BPE-ish regex + punctuation",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.text_stats(docs).select(
+        "doc_id", "n_chars_actual", "n_tokens_ws", "n_tokens_bpe", "n_punct"
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(LEN(text) AS DOUBLE) AS nc,
+             CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS DOUBLE) AS nt,
+             CAST({X.sql_token_count('text', X.PUNCT_RE)} AS DOUBLE) AS np,
+             CAST({X.sql_token_count('text', '[a-zA-Z]')} AS DOUBLE) AS na,
+             CAST({X.sql_token_count('text', X.LANG_PROFILES[0][1])} AS DOUBLE) AS ns
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             0.25 * (CASE WHEN nt >= 5 AND nt <= 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * (CASE WHEN nt > 0 AND nc/nt >= 2 AND nc/nt <= 12
+                          THEN 1.0 ELSE 0.0 END)
+           + 0.2 * LEAST(1.0, (CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4)
+           + 0.2 * (CASE WHEN nc > 0 THEN na/nc ELSE 0.0 END)
+           + 0.1 * (1 - LEAST(1.0,
+                 (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) * 5)),
+           6) AS quality
+    FROM m
+    """,
+    description="heuristic quality score (Gopher/C4-style ratio filters)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    profiles = {
+        lang: X.sql_token_count("lower(text)", pat)
+        for lang, pat in X.LANG_PROFILES
+    }
+    cjk = X.sql_token_count("text", X.CJK_RE)
+    return rf"""
+    WITH s AS (
+      SELECT doc_id,
+             {profiles['en']} AS s_en, {profiles['es']} AS s_es,
+             {profiles['de']} AS s_de, {profiles['fr']} AS s_fr,
+             {cjk} AS c_cjk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN c_cjk > 0 THEN 'zh'
+             WHEN s_en > 0 AND s_es <= s_en AND s_de <= s_en AND s_fr <= s_en
+               THEN 'en'
+             WHEN s_es > 0 AND s_en < s_es AND s_de <= s_es AND s_fr <= s_es
+               THEN 'es'
+             WHEN s_de > 0 AND s_en < s_de AND s_es < s_de AND s_fr <= s_de
+               THEN 'de'
+             WHEN s_fr > 0 AND s_en < s_fr AND s_es < s_fr AND s_de < s_fr
+               THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_detected
+    FROM s
+    """
+
+
+@register(
+    "text_language_id",
+    oracle=_lang_oracle(),
+    description="language-ID via stopword-profile heuristic (CJK trump)",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.detect_language(F.col("text")).alias("lang_detected")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {X.sql_fingerprint('text')} AS fingerprint
+    FROM documents
+    """,
+    description="document fingerprint: polynomial rolling hash over tokens",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_sha256",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY sha256(lower(trim(text)))
+    """,
+    description="exact dedup on sha256(normalized text), min-id survivor",
+)
+def dedup_exact_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(toks) - 2, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             )) AS grams
+      FROM (
+        SELECT doc_id,
+               LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                           t -> LEN(t) > 0) AS toks
+        FROM documents WHERE doc_id < 40
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.grams, b.grams))) >= 0.1
+    """,
+    description="exact 3-gram Jaccard similarity over candidate pairs",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = docs.select(
+        "doc_id", D.shingles(F.col("text"), 3).alias("grams")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    sim = D.jaccard(F.col("ga"), F.col("gb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.1)
+        .select("id_a", "id_b", F.round(sim, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based; verified vs brute force in pytest
+    description="MinHash-LSH near-dup pairs (shingle→sig→band→bucket-join)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based; verified vs brute force in pytest
+    description="SimHash near-dup pairs via banded hamming join",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_dedup_pairs(docs, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, e,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS nrm
+      FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                        i -> a.e[i] * b.e[i]),
+                         (acc, x) -> acc + x) / (a.nrm * b.nrm),
+             6) AS cosine
+    FROM n a JOIN n b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                           i -> a.e[i] * b.e[i]),
+                            (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) >= 0.9
+    """,
+    description="embedding cosine near-dup pairs, label-blocked join",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(
+        emb, threshold=0.9, block_col="label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_knn_brute_force",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS qn
+      FROM v WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), i -> e[i] * qe[i]),
+                         (acc, x) -> acc + x)
+             / (SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                                 (a, x) -> a + x)) * qn),
+             6) AS cosine
+    FROM v, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    description="exact cosine top-k ANN baseline (TakeOrdered plan)",
+)
+def similarity_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return S.knn_brute_force(emb, [float(x) for x in query], k=10)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # seeded-numpy hyperplanes; recall tested in pytest
+    description="LSH-bucketed ANN top-k (random hyperplanes, multi-probe)",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    # 6 planes → 64 cells; home cell + 14 best 1/2-bit-flip probes scans
+    # ~23% of the space. Plane count scales with corpus size (log n).
+    lsh = S.RandomHyperplaneLSH(dim=64, n_planes=6, seed=7)
+    return lsh.knn(emb, [float(x) for x in query], k=10, multi_probe=14)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas batch UDF; shape/value-tested in pytest
+    description="binary media → feature vectors via Arrow-batched mapInPandas",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.documents_as_media(docs)
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(UNNEST(RANGE(0, LEAST(8, LEN(text) // 256 + 1))) AS INT)
+             AS frame_no
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    description="frame sampling plumbing: one media row → N typed slices",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = M.documents_as_media(docs)
+    return M.frame_sample(media, every_n_bytes=256).select(
+        "media_id", "frame_no"
+    )

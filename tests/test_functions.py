@@ -1,0 +1,252 @@
+"""Ground-truth tests for the LLM-pipeline operators that the DuckDB oracle
+can't verify (Spark-specific hashes, Python batch UDFs, probabilistic LSH):
+brute-force recomputation in Python/numpy is the oracle here."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datarepo_spark.functions import dedup as D
+from datarepo_spark.functions import multimodal as M
+from datarepo_spark.functions import similarity as S
+from datarepo_spark.functions import text as X
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "a completely different document about spark query engines and joins"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "spark query engines execute joins aggregations and window functions"),
+    (5, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def py_shingles(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard(a, b):
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+class TestExactDedup:
+    def test_min_id_survivor(self, spark, docs_df):
+        out = D.exact_dedup(docs_df).select("doc_id").collect()
+        ids = sorted(r.doc_id for r in out)
+        assert ids == [0, 1, 2, 4, 5]  # 3 collapses into 0
+
+    def test_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello World"), (1, "  hello world  ")], ["doc_id", "text"]
+        )
+        assert D.exact_dedup(df).count() == 1
+
+
+class TestMinHashLSH:
+    def test_candidates_contain_true_near_dups(self, spark, docs_df):
+        cands = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_candidates(docs_df).collect()
+        }
+        # exact dup pair and the 1-token-edit pair must be candidates
+        assert (0, 3) in cands
+        assert (0, 1) in cands or (1, 3) in cands
+
+    def test_verified_pairs_match_bruteforce(self, spark, docs_df):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.minhash_lsh_dedup_pairs(docs_df, threshold=0.5).collect()
+        }
+        for (ia, ib), j in pairs.items():
+            truth = py_jaccard(
+                py_shingles(DOCS[ia][1]), py_shingles(DOCS[ib][1])
+            )
+            assert j == pytest.approx(truth, abs=1e-6)
+            assert truth >= 0.5
+        assert (0, 3) in pairs  # identical docs always survive
+
+    def test_shingles_match_python(self, spark, docs_df):
+        rows = D.with_shingles(docs_df, "text", "doc_id").collect()
+        for r in rows:
+            assert set(r.grams) == py_shingles(DOCS[r.doc_id][1])
+
+
+class TestSimHash:
+    def test_identical_docs_hamming_zero(self, spark, docs_df):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in D.simhash_dedup_pairs(docs_df, max_hamming=3).collect()
+        }
+        assert pairs.get((0, 3)) == 0
+
+    def test_banding_is_complete_for_k3(self, spark, docs_df):
+        # any pair within hamming ≤ 3 MUST be found (pigeonhole over 4 bands)
+        sh = {r.doc_id: r.sh for r in D.simhash_df(docs_df).collect()}
+        found = {
+            (r.id_a, r.id_b)
+            for r in D.simhash_dedup_pairs(docs_df, max_hamming=3).collect()
+        }
+        for ia in sh:
+            for ib in sh:
+                if ia < ib:
+                    ham = bin((sh[ia] ^ sh[ib]) & ((1 << 64) - 1)).count("1")
+                    if ham <= 3:
+                        assert (ia, ib) in found
+
+
+class TestBucketPairs:
+    def test_pairs_and_oversize_cap(self, spark):
+        rows = [(i, "b1") for i in range(4)] + [(i, "huge") for i in range(100)]
+        df = spark.createDataFrame(rows, ["id", "bucket"])
+        pairs = D.bucket_pairs(df, ["bucket"], "id", max_bucket_size=50)
+        got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+        # bucket b1 → C(4,2)=6 pairs; 'huge' dropped by the cap...
+        assert len(got) == 6
+        assert got[0] == (0, 1)
+
+    def test_duplicate_bucket_rows_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b"), (1, "b"), (2, "b")], ["id", "bucket"]
+        )
+        pairs = D.bucket_pairs(df, ["bucket"], "id")
+        assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(1, 2)]
+
+
+class TestCosine:
+    def test_matches_numpy(self, spark):
+        rng = np.random.default_rng(0)
+        vecs = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(5)]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        a = df.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        )
+        b = df.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        )
+        out = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                D.cosine_similarity(F.col("va"), F.col("vb")).alias("c"),
+            )
+            .collect()
+        )
+        for r in out:
+            va = np.array(vecs[r.id_a][1], dtype=np.float64)
+            vb = np.array(vecs[r.id_b][1], dtype=np.float64)
+            truth = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            assert r.c == pytest.approx(truth, rel=1e-9)
+
+
+class TestANN:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_brute_force_matches_numpy_topk(self, spark, emb):
+        rows = emb.collect()
+        q = [float(x) for x in rows[0].embedding]
+        got = [r.vec_id for r in S.knn_brute_force(emb, q, k=5).collect()]
+        mat = np.array([[float(x) for x in r.embedding] for r in rows])
+        qv = np.array(q)
+        cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = sorted(
+            range(len(rows)),
+            key=lambda i: (-round(cos[i], 6), rows[i].vec_id),
+        )[:5]
+        assert got == [rows[i].vec_id for i in order]
+
+    def test_lsh_finds_self_and_has_recall(self, spark, emb):
+        rows = emb.limit(1).collect()
+        q = [float(x) for x in rows[0].embedding]
+        lsh = S.RandomHyperplaneLSH(dim=64, n_planes=6, seed=7)
+        ann = [r.vec_id for r in lsh.knn(emb, q, k=10, multi_probe=14).collect()]
+        assert rows[0].vec_id in ann  # the query's own vector is findable
+        brute = [r.vec_id for r in S.knn_brute_force(emb, q, k=10).collect()]
+        recall = len(set(ann) & set(brute)) / 10
+        assert recall >= 0.4, f"ANN recall@10 too low: {recall}"
+
+
+class TestText:
+    def test_fingerprint_matches_python(self, spark, docs_df):
+        out = {
+            r.doc_id: r.fp
+            for r in docs_df.select(
+                "doc_id", X.fingerprint(F.col("text")).alias("fp")
+            ).collect()
+        }
+        for doc_id, text in DOCS:
+            h = 0
+            for tok in [t for t in text.split() if t]:
+                h = (h * 31 + len(tok) * ord(tok[0])) % X.FINGERPRINT_MOD
+            assert out[doc_id] == h
+
+    def test_language_id_english(self, spark, docs_df):
+        out = docs_df.select(
+            X.detect_language(F.col("text")).alias("lang")
+        ).collect()
+        assert out[0].lang == "en"
+
+    def test_language_id_profiles(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "el perro corre por la calle y los gatos duermen"),
+                (1, "der hund läuft und die katze schläft mit dem kind"),
+                (2, "le chien court dans la rue et les chats dorment"),
+                (3, "这是一个中文文档 spark 引擎"),
+                (4, "zzz qqq xxx"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = [r.lang for r in df.select(
+            X.detect_language(F.col("text")).alias("lang")
+        ).collect()]
+        assert out == ["es", "de", "fr", "zh", "unknown"]
+
+    def test_quality_score_range(self, spark, docs_df):
+        out = docs_df.select(X.quality_score(F.col("text")).alias("q")).collect()
+        assert all(0.0 <= r.q <= 1.0 for r in out)
+        # real sentence scores above junk
+        scores = {r[0]: r[1] for r in zip([d[0] for d in DOCS], [r.q for r in out])}
+        assert scores[0] > scores[5]
+
+
+class TestMultimodal:
+    def test_feature_extraction_deterministic(self, spark, docs_df):
+        media = M.documents_as_media(docs_df)
+        feats = {r.media_id: r for r in M.extract_features(media).collect()}
+        for doc_id, text in DOCS:
+            expected = M.fake_feature_decoder(text.encode("utf-8"))
+            got = feats[doc_id]
+            assert got.n_bytes == len(text.encode("utf-8"))
+            assert len(got.features) == M.FEATURE_DIM
+            assert got.features == pytest.approx(expected, rel=1e-12)
+
+    def test_decode_image_stub_raises(self):
+        with pytest.raises(NotImplementedError, match="decoder"):
+            M.decode_image(b"\x00")
+
+    def test_frame_sample_counts(self, spark, docs_df):
+        media = M.documents_as_media(docs_df)
+        frames = M.frame_sample(media, every_n_bytes=16, max_frames=4)
+        counts = (
+            frames.groupBy("media_id").count().collect()
+        )
+        by_id = {r.media_id: r["count"] for r in counts}
+        for doc_id, text in DOCS:
+            nb = len(text.encode("utf-8"))
+            assert by_id[doc_id] == min(4, nb // 16 + 1)
+        row = frames.filter(
+            (F.col("media_id") == 0) & (F.col("frame_no") == 0)
+        ).head()
+        assert bytes(row.frame_bytes) == DOCS[0][1].encode("utf-8")[:16]
