@@ -16,7 +16,9 @@ from .catalog.catalog import (
 )
 from .core.filters import Filter, FilterOperator, normalize_filters
 from .session import get_spark
+from .tables.delta_table import DeltalakeTable
 from .tables.function_table import FunctionTable, table
+from .tables.jdbc_table import ClickHouseTable, JdbcConfig, JdbcTable
 from .tables.metadata import (
     Partition,
     PartitioningScheme,
@@ -29,12 +31,16 @@ from .tables.parquet_table import ParquetTable
 
 __all__ = [
     "Catalog",
+    "ClickHouseTable",
     "Database",
     "DatabaseWithGlobalArgs",
+    "DeltalakeTable",
     "DictDatabase",
     "Filter",
     "FilterOperator",
     "FunctionTable",
+    "JdbcConfig",
+    "JdbcTable",
     "ModuleDatabase",
     "ParquetTable",
     "Partition",

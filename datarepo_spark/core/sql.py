@@ -140,7 +140,9 @@ def build_select_query(
     select_list = (
         ", ".join(dialect.quote_ident(c) for c in columns) if columns else "*"
     )
-    query = f"SELECT {select_list} FROM {dialect.quote_ident(table)}"
+    # "db.table" quotes as `db`.`table` — each path segment separately.
+    table_sql = ".".join(dialect.quote_ident(p) for p in table.split("."))
+    query = f"SELECT {select_list} FROM {table_sql}"
     pred = filters_to_sql_predicate(filters or [], dialect)
     if pred:
         query += f" WHERE {pred}"

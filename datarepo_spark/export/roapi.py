@@ -1,0 +1,85 @@
+"""ROAPI export: generate read-only-API table configs from a catalog.
+
+Parity target: reference export/roapi.py:14-221 — each catalog table
+becomes one ROAPI table entry (name, uri, format-specific io options,
+reload interval for delta), so a ROAPI server can serve the same tables
+over HTTP/SQL without running Python. Golden-dict tested like the
+reference (test/roapi/test_roapi.py:53-87).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from ..catalog.catalog import Catalog
+from ..tables.metadata import TableType
+
+DEFAULT_DELTA_RELOAD_SECONDS = 60  # reference util.py:24-26
+
+
+@dataclass
+class RoapiOptions:
+    """Per-table overrides (reference util.py:17-26)."""
+
+    disabled: bool = False
+    override_name: Optional[str] = None
+    reload_interval_seconds: Optional[int] = None
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+def table_to_roapi(name: str, table: Any) -> Optional[dict[str, Any]]:
+    meta = getattr(table, "table_metadata", None)
+    opts: Optional[RoapiOptions] = getattr(meta, "roapi_opts", None)
+    if opts is not None and opts.disabled:
+        return None
+    table_type = getattr(meta, "table_type", None)
+    out_name = (opts.override_name if opts else None) or name
+
+    if table_type == TableType.PARQUET.value:
+        entry: dict[str, Any] = {
+            "name": out_name,
+            "uri": table.uri,
+            "option": {"format": "parquet", "use_memory_table": False},
+        }
+        partitions = [
+            {"name": p.column, "data_type": p.col_type.simpleString()}
+            for p in getattr(table, "partitioning", [])
+        ]
+        if partitions:
+            entry["partition_columns"] = partitions
+    elif table_type == TableType.DELTA.value:
+        reload_s = (
+            opts.reload_interval_seconds
+            if opts and opts.reload_interval_seconds is not None
+            else DEFAULT_DELTA_RELOAD_SECONDS
+        )
+        entry = {
+            "name": out_name,
+            "uri": table.uri,
+            "option": {"format": "delta", "use_memory_table": False},
+            "reload_interval": {"secs": reload_s, "nanos": 0},
+        }
+    elif table_type in (TableType.CLICKHOUSE.value, TableType.JDBC.value):
+        entry = {
+            "name": out_name,
+            "uri": table.config.url,
+            "option": {"format": "jdbc"},
+        }
+    else:
+        # Function tables have no storage URI → not servable read-only.
+        return None
+    if opts and opts.extra:
+        entry.update(opts.extra)
+    return entry
+
+
+def export_to_roapi_tables(catalog: Catalog) -> list[dict[str, Any]]:
+    out = []
+    for db_name in catalog.dbs():
+        db = catalog.db(db_name)
+        for t_name, table in db.tables().items():
+            entry = table_to_roapi(t_name, table)
+            if entry is not None:
+                out.append(entry)
+    return out

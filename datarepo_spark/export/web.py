@@ -1,0 +1,99 @@
+"""Web-catalog export: serialize a Catalog to the reference's data.json
+shape (export/web.py:19-150; site types static_site/src/lib/types.ts:1-46).
+
+The JSON is the contract — the reference's precompiled React site renders
+whatever matches it, so this exporter emits the same structure: catalogs →
+databases → tables, each table with schema columns/partitions, description,
+and selected metadata. (The static site itself is an asset copy in the
+reference, not engine behavior; any UI consuming the JSON works.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+from ..catalog.catalog import Catalog
+
+
+def table_to_dict(name: str, table: Any) -> dict[str, Any]:
+    meta = getattr(table, "table_metadata", None)
+    entry: dict[str, Any] = {
+        "name": name,
+        "table_type": getattr(meta, "table_type", "function"),
+        "description": getattr(meta, "description", ""),
+        "is_deprecated": bool(getattr(meta, "is_deprecated", False)),
+        "latency_info": getattr(meta, "latency_info", None),
+        "example_notebook": getattr(meta, "example_notebook", None),
+        "data_input": getattr(meta, "data_input", None),
+    }
+    try:
+        schema = table.get_schema()
+        entry["columns"] = [
+            {
+                "column": c.column,
+                "type": c.type,
+                "readonly": c.readonly,
+                "filter_only": c.filter_only,
+                "has_stats": c.has_stats,
+            }
+            for c in schema.columns
+        ]
+        entry["partitions"] = [
+            {
+                "column_name": p.column_name,
+                "type_annotation": p.type_annotation,
+            }
+            for p in schema.partitions
+        ]
+    except Exception as exc:  # schema introspection is best-effort
+        entry["columns"] = []
+        entry["partitions"] = []
+        entry["schema_error"] = str(exc)
+    return entry
+
+
+def catalog_to_dict(
+    catalog: Catalog, catalog_name: str = "default"
+) -> dict[str, Any]:
+    databases = {}
+    for db_name in catalog.dbs():
+        db = catalog.db(db_name)
+        tables = {
+            t_name: table_to_dict(t_name, table)
+            for t_name, table in db.tables().items()
+        }
+        databases[db_name] = {"name": db_name, "tables": tables}
+    return {
+        "name": catalog_name,
+        "metadata": catalog.metadata,
+        "databases": databases,
+    }
+
+
+def export_catalogs(
+    catalogs: dict[str, Catalog],
+    output_dir: str,
+    filename: str = "data.json",
+) -> str:
+    """Write the full multi-catalog data.json; returns the path."""
+    payload = {
+        "catalogs": {
+            name: catalog_to_dict(cat, name) for name, cat in catalogs.items()
+        }
+    }
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, filename)
+    with open(path, "w", encoding="utf-8") as handle:
+        json.dump(payload, handle, indent=2, sort_keys=True, default=str)
+    return path
+
+
+def export_and_generate_site(
+    catalogs: dict[str, Catalog], output_dir: str
+) -> str:
+    """Reference-named entry point (web.py:119-150). Emits data.json; the
+    reference additionally copies a precompiled React bundle next to it —
+    an asset copy, intentionally out of scope for the engine."""
+    return export_catalogs(catalogs, output_dir)

@@ -1,0 +1,202 @@
+"""JDBC SQL-generation goldens (mirroring test_clickhouse_table.py:53-115),
+mocked round trip (:117-195), and export golden dicts
+(test/roapi/test_roapi.py:53-87; web data.json)."""
+
+import json
+import warnings
+
+import pytest
+from pyspark.sql import types as T
+
+from datarepo_spark import Catalog, DictDatabase
+from datarepo_spark.core.filters import Filter
+from datarepo_spark.core.sql import SPARK
+from datarepo_spark.export.roapi import (
+    RoapiOptions,
+    export_to_roapi_tables,
+)
+from datarepo_spark.export.web import catalog_to_dict, export_catalogs
+from datarepo_spark.tables.jdbc_table import ClickHouseTable, JdbcConfig
+from datarepo_spark.tables.metadata import (
+    Partition,
+    TableMetadata,
+    TableType,
+)
+from datarepo_spark.tables.parquet_table import ParquetTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("implant_id", T.LongType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("str_value", T.StringType()),
+        T.StructField("arr_value", T.ArrayType(T.LongType())),
+    ]
+)
+
+CONFIG = JdbcConfig(url="jdbc:clickhouse://ch:8123/default", user="u")
+
+
+def tbl(**kw):
+    return ClickHouseTable("events", SCHEMA, CONFIG, database="db", **kw)
+
+
+class TestSqlGeneration:
+    @pytest.mark.parametrize(
+        "filters,expected_where",
+        [
+            ([Filter("implant_id", "=", 3)], "`implant_id` = 3"),
+            ([Filter("str_value", "=", "x")], "`str_value` = 'x'"),
+            ([Filter("implant_id", "in", [1, 2])], "`implant_id` IN (1, 2)"),
+            (
+                [Filter("str_value", "contains", "ab")],
+                "`str_value` LIKE '%ab%'",
+            ),
+            (
+                [Filter("arr_value", "includes", 5)],
+                "has(`arr_value`, 5)",
+            ),
+            (
+                [Filter("arr_value", "includes any", [1, 2])],
+                "(has(`arr_value`, 1) OR has(`arr_value`, 2))",
+            ),
+        ],
+    )
+    def test_operator_goldens(self, filters, expected_where):
+        q = tbl().build_query(filters=filters)
+        assert q == f"SELECT * FROM `db`.`events` WHERE {expected_where}"
+
+    def test_projection_and_dnf(self):
+        q = tbl().build_query(
+            filters=[
+                [Filter("implant_id", "=", 1), Filter("value", ">", 10)],
+                [Filter("str_value", "=", "y")],
+            ],
+            columns=["implant_id", "value"],
+        )
+        assert q == (
+            "SELECT `implant_id`, `value` FROM `db`.`events` WHERE "
+            "(`implant_id` = 1 AND `value` > 10) OR `str_value` = 'y'"
+        )
+
+    def test_unknown_projection_warns_and_drops(self):
+        with pytest.warns(UserWarning, match="Ignoring unknown columns"):
+            q = tbl().build_query(columns=["value", "bogus"])
+        assert q == "SELECT `value` FROM `db`.`events`"
+
+    def test_unknown_filter_raises(self):
+        with pytest.raises(ValueError, match="Unknown filter column"):
+            tbl().build_query(filters=[Filter("bogus", "=", 1)])
+
+    def test_string_filter_passthrough(self):
+        q = tbl().build_query(filters="value > 5")
+        assert q == "SELECT * FROM `db`.`events` WHERE value > 5"
+
+    def test_dialect_swap(self):
+        q = ClickHouseTable(
+            "t", SCHEMA, CONFIG, dialect=SPARK
+        ).build_query(filters=[Filter("arr_value", "includes", 1)])
+        assert q == "SELECT * FROM `t` WHERE array_contains(`arr_value`, 1)"
+
+
+class TestMockedRoundTrip:
+    def test_reader_receives_generated_sql(self, spark):
+        captured = {}
+
+        def fake_reader(query, config):
+            captured["query"] = query
+            captured["config"] = config
+            return spark.createDataFrame([(1, 10)], ["implant_id", "value"])
+
+        t = ClickHouseTable(
+            "events", SCHEMA, CONFIG, database="db", reader=fake_reader
+        )
+        df = t(
+            filters=[Filter("implant_id", "=", 1)],
+            columns=["implant_id", "value"],
+        )
+        assert df.collect()[0][1] == 10
+        assert captured["query"] == (
+            "SELECT `implant_id`, `value` FROM `db`.`events` "
+            "WHERE `implant_id` = 1"
+        )
+        assert captured["config"].url.startswith("jdbc:clickhouse")
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    pq_table = ParquetTable(
+        "spikes",
+        str(tmp_path / "spikes"),
+        partitioning=[Partition("implant_id", T.IntegerType())],
+        schema=T.StructType([T.StructField("value", T.LongType())]),
+        description="spike bins",
+    )
+    ch = ClickHouseTable("events", SCHEMA, CONFIG, database="db")
+    disabled = ParquetTable(
+        "hidden",
+        str(tmp_path / "hidden"),
+        schema=T.StructType([T.StructField("x", T.LongType())]),
+        table_metadata=TableMetadata(
+            table_type=TableType.PARQUET.value,
+            roapi_opts=RoapiOptions(disabled=True),
+        ),
+    )
+    renamed = ParquetTable(
+        "internal_name",
+        str(tmp_path / "renamed"),
+        schema=T.StructType([T.StructField("x", T.LongType())]),
+        table_metadata=TableMetadata(
+            table_type=TableType.PARQUET.value,
+            roapi_opts=RoapiOptions(override_name="public_name"),
+        ),
+    )
+    return Catalog(
+        {
+            "neuro": DictDatabase(
+                {
+                    "spikes": pq_table,
+                    "events": ch,
+                    "hidden": disabled,
+                    "internal_name": renamed,
+                }
+            )
+        },
+        metadata={"owner": "team-data"},
+    )
+
+
+class TestRoapiExport:
+    def test_golden(self, catalog, tmp_path):
+        entries = export_to_roapi_tables(catalog)
+        by_name = {e["name"]: e for e in entries}
+        assert "hidden" not in by_name  # disabled
+        assert by_name["public_name"]["option"]["format"] == "parquet"
+        spikes = by_name["spikes"]
+        assert spikes == {
+            "name": "spikes",
+            "uri": str(tmp_path / "spikes"),
+            "option": {"format": "parquet", "use_memory_table": False},
+            "partition_columns": [
+                {"name": "implant_id", "data_type": "int"}
+            ],
+        }
+        assert by_name["events"]["option"]["format"] == "jdbc"
+
+
+class TestWebExport:
+    def test_data_json_structure(self, catalog, tmp_path):
+        path = export_catalogs({"main": catalog}, str(tmp_path / "site"))
+        with open(path) as handle:
+            data = json.load(handle)
+        cat = data["catalogs"]["main"]
+        assert cat["metadata"] == {"owner": "team-data"}
+        spikes = cat["databases"]["neuro"]["tables"]["spikes"]
+        assert spikes["description"] == "spike bins"
+        assert spikes["partitions"] == [
+            {"column_name": "implant_id", "type_annotation": "IntegerType()"}
+        ]
+        assert {c["column"] for c in spikes["columns"]} == {"value"}
+        events = cat["databases"]["neuro"]["tables"]["events"]
+        assert events["table_type"] == "clickhouse"
+        assert len(events["columns"]) == len(SCHEMA.fields)
