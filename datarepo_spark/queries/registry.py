@@ -1144,3 +1144,363 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 2: remaining §2B families (left/as-of joins, rank variants,
+# frame windows, union-with-drift, normalization, posexplode, struct/map,
+# date parsing, heavier TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT n.n_name, s.s_suppkey, s.s_acctbal
+    FROM nation n
+    LEFT JOIN supplier s
+      ON n.n_nationkey = s.s_nationkey AND s.s_acctbal > 9000.0
+    """,
+    description="left outer join with pushed-down right-side predicate",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000.0)
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left").select(
+        "n_name", "s_suppkey", "s_acctbal"
+    )
+
+
+@register(
+    "join_asof_backward",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    description="as-of join (backward): latest order at-or-before each event",
+)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    return asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        payload=F.col("o_orderdate"),
+        payload_name="last_order_date",
+    ).select("event_id", "user_id", "last_order_date")
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT s_suppkey,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           NTILE(4)       OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    description="rank / dense_rank / percent_rank / ntile window variants",
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    description="first_value / last_value / nth_value over full-frame window",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "window_range_7d",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_7d
+    FROM events
+    WHERE user_id <= 30
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+    )
+    """,
+    description="rangeBetween interval frame: trailing-7-day per-user stats",
+)
+def window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    # rangeBetween needs a numeric ordering column: epoch µs, exact.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(F.col("value").cast(T.DecimalType(38, 6)))
+        .over(w)
+        .cast("double")
+        .alias("sum_7d"),
+    )
+
+
+@register(
+    "set_union_all_drift",
+    oracle="""
+    SELECT c_custkey AS id, c_acctbal AS balance, NULL AS nation FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, NULL AS balance,
+           CAST(s_nationkey AS INT) AS nation FROM supplier
+    """,
+    description="union-all with missing-column tolerance (A5 + A16)",
+)
+def set_union_all_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("balance")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").cast("int").alias("nation"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "normalize_missing_column",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS bonus, s_acctbal
+    FROM supplier
+    """,
+    description="schema normalization: declared column absent from files → "
+    "typed NULL, declared order preserved (A16)",
+)
+def normalize_missing_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.normalize import normalize_df
+
+    declared = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("bonus", T.DoubleType()),  # not in the files
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    s = load(spark, sf_dir, "supplier")
+    return normalize_df(s, declared)
+
+
+@register(
+    "reshape_posexplode",
+    oracle="""
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+           CAST(embedding[i] AS DOUBLE) AS val
+    FROM embeddings, RANGE(1, 65) r(i)
+    WHERE vec_id <= 10
+    """,
+    description="posexplode: array → (position, value) rows",
+)
+def reshape_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 10)
+    return e.select("vec_id", F.posexplode("embedding")).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").cast("double").alias("val"),
+    )
+
+
+@register(
+    "fn_struct_map",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal AS profile_balance,
+           CAST(c_nationkey AS INT) AS profile_nation,
+           c_mktsegment AS tag_segment
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+    description="struct construction + field access, map literal + element_at",
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    built = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_nationkey").cast("int").alias("nation"),
+        ).alias("profile"),
+        F.create_map(
+            F.lit("segment"), F.col("c_mktsegment")
+        ).alias("tags"),
+    )
+    return built.select(
+        "c_custkey",
+        F.col("profile.balance").alias("profile_balance"),
+        F.col("profile.nation").alias("profile_nation"),
+        F.element_at("tags", "segment").alias("tag_segment"),
+    )
+
+
+@register(
+    "fn_date_parse_format",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS date_str,
+           CAST(STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+                AS TIMESTAMP) AS reparsed,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    WHERE o_orderkey <= 300
+    """,
+    description="date formatting / parsing round trip + epoch seconds",
+)
+def fn_date_parse_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.to_timestamp(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd"
+        ).alias("reparsed"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS semi-join + grouped count",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    matched = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+           {SQL_DSUM('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 180
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    description="TPC-H Q18 shape: HAVING subquery via semi-join, re-agg, top-k",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(T.DecimalType(38, 6))).alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT c_nationkey, {SQL_DAVG('c_acctbal')} AS avg_bal,
+           COUNT(*) AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING {SQL_DAVG('c_acctbal')} > 4400.0
+    """,
+    description="grouped aggregate with HAVING filter on the aggregate",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            davg("c_acctbal").alias("avg_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .filter(F.col("avg_bal") > 4400.0)
+    )
