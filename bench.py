@@ -4,9 +4,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + fetch row count); the
-session is warmed once with a trivial job so JVM startup isn't billed to
-the first query.
+Methodology: one warmup pass of every headline query at sf0.001 first —
+same plan shapes on tiny data — so Janino/JIT compilation of the generated
+code is amortized (measured ~2× of cold time) and the timed pass measures
+execution, not compiler startup. Each query is then timed end-to-end
+(plan + execute + row count) at the target scale factor.
 """
 
 from __future__ import annotations
@@ -28,28 +30,43 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_volume",
     "window_rank_topk_per_group",
     "dedup_distinct_subset",
     "events_tumbling_window",
     "events_sessionize",
     "agg_rollup",
+    "join_asof_backward",
+    "dedup_exact_sha256",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "similarity_knn_brute_force",
 ]
+
+WARMUP_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="datarepo-spark-bench")
+    spark = get_spark(
+        app_name="datarepo-spark-bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    names = [n for n in HEADLINE if n in REGISTRY]
+    if os.path.isdir(WARMUP_DIR) and os.path.realpath(WARMUP_DIR) != (
+        os.path.realpath(sf_dir)
+    ):
+        for name in names:  # compile all generated code paths
+            REGISTRY[name].spark_fn(spark, WARMUP_DIR).count()
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY.get(name)
-        if q is None:
-            continue
+    for name in names:
         start = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        n = df.count()
+        n = REGISTRY[name].spark_fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 4)
         assert n >= 0
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -101,6 +102,49 @@ def with_shingles(
     )
 
 
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, gram) ROWS — the high-throughput shingle path.
+
+    Higher-order array functions (transform/filter) are CodegenFallback in
+    Spark — interpreted per row — which made the array-of-grams expression
+    the pipeline bottleneck (~2.4 ms/doc measured). This formulation is
+    all codegen-able relational ops: posexplode tokens → window lead(n-1)
+    → concat. One shuffle on the id (the window); downstream consumers
+    that need per-shingle rows (MinHash) were going to explode anyway, so
+    this also deletes their Generate."""
+    toks = df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__toks"))
+    pos = toks.select(
+        id_col, F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", j).over(w) for j in range(1, n)
+    ]
+    grams = pos.select(
+        id_col,
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("gram"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__ntok"),
+        F.col("__pos"),
+    )
+    # Docs with fewer than n tokens fall back to the whole-doc gram
+    # (matching shingles_from_tokens semantics).
+    short = (
+        grams.filter((F.col("__ntok") < n) & (F.col("__pos") == 0))
+        .join(toks, id_col)
+        .select(
+            id_col, F.concat_ws(" ", F.col("__toks")).alias("gram")
+        )
+    )
+    full = grams.filter(
+        (F.col("__ntok") >= n) & F.col("gram").isNotNull()
+    ).select(id_col, "gram")
+    return full.unionByName(short).distinct()
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
     64 independent 64-bit hash mins ≈ permutation mins (Broder)."""
@@ -157,11 +201,18 @@ def minhash_lsh_candidates(
     # sf0.001). Here every stage's generated code is small, and the hash
     # partial-aggregate (map-side combine) shrinks the shuffle to
     # O(docs × num_hashes × 8 B) regardless of shingle count.
-    sh = with_shingles(df, text_col, id_col, n, out="__sh")
-    exploded = sh.select(id_col, F.explode("__sh").alias("__g"))
-    sig = exploded.groupBy(id_col).agg(
+    exploded = shingle_rows(df, text_col, id_col, n)
+    # One strong string hash per shingle; the 64 minhash lanes re-hash the
+    # fixed-width base (xxhash64 over two longs) instead of hashing the
+    # shingle string 64× — ~10× cheaper per row. (A multiply-add universal
+    # family would be cheaper still, but ANSI mode makes wrapping 64-bit
+    # multiplication an overflow error.)
+    hashed = exploded.select(
+        id_col, F.xxhash64(F.col("gram")).alias("__h")
+    )
+    sig = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("__g"), F.lit(i))).alias(f"__m{i}")
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -182,6 +233,12 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     return bucket_pairs(buckets, ["band", "bucket"], id_col)
+
+
+def _wrap64(v: int) -> int:
+    """Two's-complement wrap into signed 64-bit (JVM long literals)."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def bucket_pairs(
@@ -255,7 +312,17 @@ def minhash_lsh_dedup_pairs(
     cands = minhash_lsh_candidates(
         df, text_col, id_col, n, num_hashes, bands
     )
-    sh = with_shingles(df, text_col, id_col, n, out="sh")
+    # Shingle sets are only needed for CANDIDATE docs — semi-join first.
+    # (LSH typically leaves <<1% of the corpus as candidates; computing
+    # arrays for everything would redo the dominant cost.)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = with_shingles(
+        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n, out="sh"
+    )
     return (
         cands.join(
             sh.select(

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the executed plan — filter/projection pushdown into the
+parquet scan, broadcast joins for dims, TakeOrderedAndProject for top-k,
+partial aggregation, and no quadratic join shapes in the dedup family."""
+
+import pytest
+
+from datarepo_spark.queries import extensions  # noqa: F401
+from datarepo_spark.queries.registry import REGISTRY
+
+
+def plan_of(spark, sf_dir, name):
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPushdown:
+    def test_q6_filter_and_projection_pushdown(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+        assert "PushedFilters: [" in plan
+        assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+        # projection pruning: the scan must not read unneeded columns
+        read_schema = plan.split("ReadSchema")[1][:400]
+        assert "l_orderkey" not in read_schema
+        assert "l_extendedprice" in read_schema
+
+    def test_filter_compile_pushes_to_scan(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "filter_comparisons")
+        assert "PushedFilters: [" in plan
+        pushed = plan.split("PushedFilters")[1][:500]
+        assert "p_size" in pushed and "p_retailprice" in pushed
+
+
+class TestJoinStrategies:
+    def test_q3_broadcasts_dimension(self, spark, sf_dir):
+        assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "q3_shipping_priority")
+
+    def test_q5_star_join_broadcasts(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_no_quadratic_joins_in_dedup(self, spark, sf_dir):
+        for name in ("dedup_minhash_lsh", "dedup_simhash"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    def test_semi_join_for_exists(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q4_order_priority")
+        assert "LeftSemi" in plan
+
+
+class TestAggAndSort:
+    def test_topk_plans_take_ordered(self, spark, sf_dir):
+        assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "sort_topk")
+
+    def test_q1_partial_aggregation(self, spark, sf_dir):
+        # partial (map-side) agg before the exchange, final after
+        plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+        assert plan.count("HashAggregate") >= 2
+        assert "Exchange" in plan
+
+    def test_exact_dedup_shuffles_hash_not_text(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "dedup_exact_sha256")
+        # the exchange key is the sha hash, and full text is not carried
+        # through the aggregate exchange
+        agg_section = plan.split("Exchange hashpartitioning")[1][:200]
+        assert "__ck" in agg_section or "sha2" in agg_section
+
+
+class TestWholeStageCodegen:
+    @pytest.mark.parametrize(
+        "name", ["q1_pricing_summary", "fn_math_suite", "text_quality_score"]
+    )
+    def test_hot_path_is_codegened(self, spark, sf_dir, name):
+        # whole-stage codegen stages print as "*(n) Operator". Plans with
+        # exchanges are AQE-wrapped and only show codegen in the FINAL
+        # plan, so execute first.
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        df.collect()  # count() would build a different QueryExecution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan
