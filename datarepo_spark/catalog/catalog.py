@@ -155,6 +155,29 @@ class Catalog:
     def dbs(self) -> list[str]:
         return sorted(self._databases)
 
+    def register_temp_views(
+        self,
+        spark: Any,
+        database: Optional[str] = None,
+        name_format: str = "{db}_{table}",
+        **table_kwargs: Any,
+    ) -> list[str]:
+        """Register every table as a Spark temp view so the whole catalog
+        is queryable with ``spark.sql`` (``SELECT … FROM db_table``).
+        Views are lazy DataFrames — scans/pushdown still apply. Returns the
+        registered view names."""
+        names = []
+        for db_name in self.dbs():
+            if database is not None and db_name != database:
+                continue
+            db = self.db(db_name)
+            for t_name in db.get_tables():
+                view = name_format.format(db=db_name, table=t_name)
+                df = db.table(t_name, spark=spark, **table_kwargs)
+                df.createOrReplaceTempView(view)
+                names.append(view)
+        return names
+
     def db(self, name: str) -> Any:
         if name not in self._databases:
             raise KeyError(

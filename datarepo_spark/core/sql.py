@@ -36,8 +36,11 @@ class SqlDialect:
     array_contains: Callable[[str, str], str] = field(
         default=lambda col, val: f"array_contains({col}, {val})"
     )
-    # LIKE is universal for substring match
     typed_date_literals: bool = True  # DATE '...' / TIMESTAMP '...'
+    # 'contains' compiles to LIKE '%...%'; %/_ in the VALUE must be escaped
+    # or they act as wildcards. ANSI engines need an explicit ESCAPE
+    # clause; ClickHouse treats backslash as the escape char by default.
+    like_escape_clause: bool = True
 
     def quote_ident(self, name: str) -> str:
         q = self.identifier_quote
@@ -73,6 +76,7 @@ CLICKHOUSE = SqlDialect(
     bool_false="0",
     array_contains=lambda col, val: f"has({col}, {val})",
     typed_date_literals=False,
+    like_escape_clause=False,  # backslash is CH's default LIKE escape
 )
 DUCKDB = SqlDialect(name="duckdb")
 
@@ -92,8 +96,17 @@ def filter_to_sql_expr(f: Filter, dialect: SqlDialect = ANSI) -> str:
     if op == "not in":
         return f"{col} NOT IN {dialect.format_value(tuple(f.value))}"
     if op == "contains":
-        escaped = escape_str_for_sql(str(f.value))
-        return f"{col} LIKE '%{escaped}%'"
+        # Literal-substring semantics (Column.contains parity): escape the
+        # LIKE metacharacters inside the value.
+        raw = str(f.value)
+        pattern = (
+            raw.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
+        escaped = escape_str_for_sql(pattern)
+        like = f"{col} LIKE '%{escaped}%'"
+        if dialect.like_escape_clause:
+            like += " ESCAPE '\\'"
+        return like
     if op == "includes":
         return dialect.array_contains(col, dialect.format_value(f.value))
     if op == "includes any":

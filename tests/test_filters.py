@@ -105,7 +105,10 @@ class TestSqlGeneration:
             (Filter("str_col", "=", "x"), "\"str_col\" = 'x'"),
             (Filter("int_col", "in", [1, 2]), '"int_col" IN (1, 2)'),
             (Filter("int_col", "not in", [1, 2]), '"int_col" NOT IN (1, 2)'),
-            (Filter("str_col", "contains", "x"), "\"str_col\" LIKE '%x%'"),
+            (
+                Filter("str_col", "contains", "x"),
+                "\"str_col\" LIKE '%x%' ESCAPE '\\'",
+            ),
             (
                 Filter("list_col", "includes", 1),
                 'array_contains("list_col", 1)',
@@ -127,9 +130,11 @@ class TestSqlGeneration:
         assert (
             filter_to_sql_expr(Filter("s", "=", "it's"), ANSI) == "\"s\" = 'it''s'"
         )
+        # %/_ in the value are escaped so they match literally, not as
+        # wildcards (Column.contains parity)
         assert (
             filter_to_sql_expr(Filter("s", "contains", "x'%"), ANSI)
-            == "\"s\" LIKE '%x''%%'"
+            == "\"s\" LIKE '%x''\\%%' ESCAPE '\\'"
         )
 
     def test_null_handling(self):

@@ -1,0 +1,68 @@
+"""Skew utilities: salted two-phase aggregation and salted joins must give
+the same answers as their plain counterparts, with the salt spreading the
+hot key across reducers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datarepo_spark.functions.skew import salted_agg, salted_broadcast_left
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one giant key + a long tail
+    hot = [("hot", i) for i in range(5000)]
+    tail = [(f"k{i % 50}", i) for i in range(1000)]
+    return spark.createDataFrame(hot + tail, ["k", "v"])
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark, skewed):
+        plain = {
+            (r.k): (r.sum_v, r.count_v, r.min_v, r.max_v)
+            for r in skewed.groupBy("k")
+            .agg(
+                F.sum("v").alias("sum_v"),
+                F.count("v").alias("count_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        }
+        salted = {
+            (r.k): (r.sum_v, r.count_v, r.min_v, r.max_v)
+            for r in salted_agg(
+                skewed,
+                ["k"],
+                {
+                    "sum_v": F.sum("v"),
+                    "count_v": F.count("v"),
+                    "min_v": F.min("v"),
+                    "max_v": F.max("v"),
+                },
+                salt=8,
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_rejects_unmergeable_alias(self, spark, skewed):
+        with pytest.raises(ValueError, match="sum_/count_/min_/max_"):
+            salted_agg(skewed, ["k"], {"avg_v": F.avg("v")}).collect()
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark, skewed):
+        dim = spark.createDataFrame(
+            [("hot", "HOT"), ("k1", "K1"), ("k2", "K2")], ["dk", "label"]
+        )
+        plain = sorted(
+            (r.k, r.v, r.label)
+            for r in skewed.join(dim, skewed.k == dim.dk).collect()
+        )
+        salted = sorted(
+            (r.k, r.v, r.label)
+            for r in salted_broadcast_left(
+                skewed, dim, "k", "dk", salt=4
+            ).collect()
+        )
+        assert salted == plain
