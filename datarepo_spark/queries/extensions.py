@@ -336,3 +336,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample(media, every_n_bytes=256).select(
         "media_id", "frame_no"
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite pipeline: the operators chained the way a curation job uses them
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_curate_documents",
+    oracle=rf"""
+    WITH q AS (
+      SELECT doc_id, text,
+             ROUND(
+               0.25 * (CASE WHEN nt >= 5 AND nt <= 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN nt > 0 AND nc/nt >= 2 AND nc/nt <= 12
+                            THEN 1.0 ELSE 0.0 END)
+             + 0.2 * LEAST(1.0, (CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4)
+             + 0.2 * (CASE WHEN nc > 0 THEN na/nc ELSE 0.0 END)
+             + 0.1 * (1 - LEAST(1.0,
+                   (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) * 5)),
+             6) AS quality
+      FROM (
+        SELECT doc_id, text,
+               CAST(LEN(text) AS DOUBLE) AS nc,
+               CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS DOUBLE) AS nt,
+               CAST({X.sql_token_count('text', X.PUNCT_RE)} AS DOUBLE) AS np,
+               CAST({X.sql_token_count('text', '[a-zA-Z]')} AS DOUBLE) AS na,
+               CAST({X.sql_token_count('text', X.LANG_PROFILES[0][1])} AS DOUBLE) AS ns
+        FROM documents
+      )
+    ), filtered AS (
+      SELECT * FROM q WHERE quality >= 0.5
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM filtered
+      GROUP BY sha256(lower(trim(text)))
+    )
+    SELECT f.doc_id, f.quality
+    FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id
+    """,
+    description="curation pipeline: quality filter → exact dedup → survivors",
+)
+def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", X.quality_score(F.col("text")).alias("quality")
+    )
+    filtered = scored.filter(F.col("quality") >= 0.5)
+    survivors = D.exact_dedup(filtered)
+    return survivors.select("doc_id", "quality")

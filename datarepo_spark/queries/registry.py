@@ -1504,3 +1504,222 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("avg_bal") > 4400.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 3: classic TPC-H query shapes adapted to the testdata star
+# schema (no partsupp/shipmode columns — predicates adapted, shapes kept)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+    description="TPC-H Q7 shape: bidirectional nation pair volume by year",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .filter(
+            (
+                (F.col("cust_nation") == "NATION_1")
+                & (F.col("supp_nation") == "NATION_2")
+            )
+            | (
+                (F.col("cust_nation") == "NATION_2")
+                & (F.col("supp_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@register(
+    "q12_priority_counting",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    GROUP BY YEAR(o_orderdate)
+    """,
+    description="TPC-H Q12 shape: conditional counting with CASE aggregates",
+)
+def q12_priority_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return o.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.00 * {SQL_DSUM("CASE WHEN p.p_type = 'PROMO' "
+                              "THEN l.l_extendedprice * (1 - l.l_discount) "
+                              "ELSE 0 END")}
+           / {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)')}
+           AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    description="TPC-H Q14 shape: promo revenue share (conditional / total)",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg((100.00 * dsum(promo) / dsum(rev)).alias("promo_revenue"))
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    description="TPC-H Q16 shape: distinct supplier count with NOT IN",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    description="TPC-H Q19 shape: OR-of-conjunctions join predicate (DNF)",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    pred = (
+        branch("Brand#1", 15, 1, 21)
+        | branch("Brand#2", 25, 10, 30)
+        | branch("Brand#3", 35, 20, 40)
+    )
+    return joined.filter(pred).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {SQL_DAVG('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           {SQL_DSUM('c.c_acctbal')} AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY c.c_nationkey
+    """,
+    description="TPC-H Q22 shape: scalar-subquery threshold + anti join",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    # Scalar aggregate as a 1-row broadcast cross join — no collect(), the
+    # threshold stays inside the plan.
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -1,0 +1,159 @@
+"""Delta Lake write path: append/overwrite a DataFrame as a Delta commit.
+
+The reference library is read-only (SURVEY.md §2A: "no write paths") — but
+an engine that reads Delta should also land data transactionally. With
+delta-spark jars present, ``df.write.format("delta")`` is the native path;
+this module provides the jar-less fallback that mirrors
+:mod:`datarepo_spark.tables.delta_log`: write partitioned parquet with
+Spark's distributed writer, then append one atomic JSON commit describing
+the files (public Delta protocol actions).
+
+Concurrency note: commit atomicity relies on the object store's
+put-if-absent for the next ``NNN.json`` (same contract delta-rs uses);
+this local-FS implementation uses O_EXCL create and retries the version
+number on collision — serializable appends, last-writer-wins overwrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from .delta_log import DeltaLog
+
+
+def _schema_string(df: DataFrame) -> str:
+    return json.dumps(df.schema.jsonValue())
+
+
+def write_delta(
+    df: DataFrame,
+    uri: str,
+    mode: str = "append",
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Write ``df`` to the Delta table at ``uri``; returns the committed
+    version. ``mode``: 'append' or 'overwrite'. New tables are created with
+    protocol v1 + metaData from the DataFrame schema."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    uri = uri.rstrip("/")
+    log_dir = os.path.join(uri, "_delta_log")
+    exists = os.path.isdir(log_dir)
+
+    previous_files: list[str] = []
+    partition_cols = list(partition_by)
+    if exists:
+        snapshot = DeltaLog(uri).snapshot()
+        if partition_by and list(partition_by) != snapshot.partition_columns:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table partitioning "
+                f"{snapshot.partition_columns}"
+            )
+        partition_cols = snapshot.partition_columns
+        previous_files = [f.path for f in snapshot.files]
+
+    # Stage data with Spark's distributed parquet writer, then move files
+    # into the table and reference them from the commit. (Distributed
+    # compute, driver-side metadata-only commit — the Delta model.)
+    staging = tempfile.mkdtemp(prefix="delta_stage_", dir=os.path.dirname(uri))
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+
+        adds = []
+        for root, _dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
+                dst = os.path.join(uri, rel_path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                partition_values = {}
+                for seg in rel_dir.split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        partition_values[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        )
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel_path.replace(os.sep, "/"),
+                            "partitionValues": partition_values,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    actions: list[dict] = []
+    if not exists:
+        os.makedirs(log_dir, exist_ok=True)
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_string(df),
+                    "partitionColumns": partition_cols,
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    if mode == "overwrite":
+        actions.extend(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+            for path in previous_files
+        )
+    actions.extend(adds)
+
+    return _commit_atomically(log_dir, actions)
+
+
+def _commit_atomically(log_dir: str, actions: list[dict]) -> int:
+    """Write the next NNN.json with O_EXCL; on collision re-read the log
+    head and retry (optimistic concurrency, as the protocol prescribes)."""
+    payload = "".join(json.dumps(a) + "\n" for a in actions)
+    for _ in range(50):
+        versions = [
+            int(n[:20])
+            for n in os.listdir(log_dir)
+            if n.endswith(".json") and len(n) == 25
+        ]
+        version = (max(versions) + 1) if versions else 0
+        path = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w", encoding="utf-8") as handle:
+            handle.write(payload)
+        return version
+    raise RuntimeError(f"Could not commit to {log_dir} after 50 attempts")

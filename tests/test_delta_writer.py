@@ -1,0 +1,137 @@
+"""Delta write path: Spark-written commits must round-trip through both the
+log reader and DeltalakeTable, including partitioning, append/overwrite,
+time travel, and streaming foreachBatch ingestion."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from datarepo_spark.tables.delta_log import DeltaLog
+from datarepo_spark.tables.delta_table import DeltalakeTable
+from datarepo_spark.tables.delta_writer import write_delta
+
+
+def vals(df):
+    return sorted(r.v for r in df.select("v").collect())
+
+
+class TestWriteDelta:
+    def test_create_and_append(self, spark, tmp_path):
+        uri = str(tmp_path / "t1")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["v", "k"])
+        assert write_delta(df1, uri) == 0
+        df2 = spark.createDataFrame([(3, "a")], ["v", "k"])
+        assert write_delta(df2, uri) == 1
+        t = DeltalakeTable("t1", uri)
+        assert vals(t(spark=spark)) == [1, 2, 3]
+        assert vals(t(version=0, spark=spark)) == [1, 2]
+
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        uri = str(tmp_path / "t2")
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x")], ["v", "part"]
+        )
+        write_delta(df, uri, partition_by=["part"])
+        snap = DeltaLog(uri).snapshot()
+        assert snap.partition_columns == ["part"]
+        assert all(f.partition_values.get("part") for f in snap.files)
+        from datarepo_spark.core.filters import Filter
+
+        t = DeltalakeTable("t2", uri)
+        assert vals(t(filters=[Filter("part", "=", "x")], spark=spark)) == [1, 3]
+
+    def test_overwrite(self, spark, tmp_path):
+        uri = str(tmp_path / "t3")
+        write_delta(spark.createDataFrame([(1,)], ["v"]), uri)
+        write_delta(
+            spark.createDataFrame([(9,)], ["v"]), uri, mode="overwrite"
+        )
+        t = DeltalakeTable("t3", uri)
+        assert vals(t(spark=spark)) == [9]
+        assert vals(t(version=0, spark=spark)) == [1]
+
+    def test_partitioning_mismatch_raises(self, spark, tmp_path):
+        uri = str(tmp_path / "t4")
+        write_delta(
+            spark.createDataFrame([(1, "x")], ["v", "p"]), uri,
+            partition_by=["p"],
+        )
+        with pytest.raises(ValueError, match="partitioning"):
+            write_delta(
+                spark.createDataFrame([(2, "y")], ["v", "p"]), uri,
+                partition_by=["v"],  # conflicts with table partitioning
+            )
+        # empty partition_by adopts the table's existing partitioning
+        write_delta(
+            spark.createDataFrame([(2, "y")], ["v", "p"]), uri,
+            partition_by=[],
+        )
+        t = DeltalakeTable("t4", uri)
+        assert vals(t(spark=spark)) == [1, 2]
+
+    def test_concurrent_appends_all_land(self, spark, tmp_path):
+        uri = str(tmp_path / "t5")
+        write_delta(spark.createDataFrame([(0,)], ["v"]), uri)
+        errors = []
+
+        def appender(v):
+            try:
+                write_delta(spark.createDataFrame([(v,)], ["v"]), uri)
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=appender, args=(i,)) for i in (1, 2, 3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        tbl = DeltalakeTable("t5", uri)
+        assert vals(tbl(spark=spark)) == [0, 1, 2, 3]
+        assert DeltaLog(uri).snapshot().version == 3
+
+
+class TestStreamingIntoDelta:
+    def test_foreach_batch_sink(self, spark, tmp_path, sf_dir):
+        """Streaming → Delta: foreachBatch lands each micro-batch as one
+        commit; the table is then queryable (and time-travelable) by the
+        batch reader — the classic bronze-ingestion shape."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        half = table.num_rows // 2
+        pq.write_table(table.slice(0, half), str(src / "a.parquet"))
+        pq.write_table(table.slice(half), str(src / "b.parquet"))
+
+        uri = str(tmp_path / "bronze")
+        from datarepo_spark.streaming.events import read_events_stream
+
+        stream = read_events_stream(
+            spark, str(src), max_files_per_trigger=1
+        )
+        query = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(
+                lambda batch_df, _epoch: write_delta(batch_df, uri)
+            )
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        t = DeltalakeTable("bronze", uri)
+        total = t(spark=spark).count()
+        assert total == table.num_rows
+        assert DeltaLog(uri).snapshot().version >= 1  # ≥2 commits landed
+        shutil.rmtree(str(src), ignore_errors=True)
