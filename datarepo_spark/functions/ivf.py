@@ -1,0 +1,155 @@
+"""IVF (inverted-file) ANN index: spherical k-means coarse quantizer.
+
+The scale path for similarity search when hyperplane LSH's recall/probe
+tradeoff isn't enough: cluster vectors into k cells (spherical k-means —
+cosine argmax against L2-normalized centroids), store the cell id with each
+row (ideally as a partition/bucket column), and search only the ``nprobe``
+cells nearest the query.
+
+Distributed shape:
+  - fit: Lloyd iterations where ASSIGNMENT is an Arrow-batched
+    ``mapInPandas`` (numpy matmul per batch — the legitimate Pandas-UDF
+    slow path: 64×k flops/row is real math, not expressible as a few
+    Catalyst ops) and the UPDATE is relational: posexplode(vector) →
+    groupBy(cell, dim) → sum/count. Only k×d aggregated floats ever reach
+    the driver per iteration.
+  - search: centroid scan is driver-side (k×d is tiny), the data-side
+    filter is an ``isin`` on the cell id — partition-prunable when the
+    table is laid out by cell — then exact cosine re-rank of survivors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import knn_brute_force
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class IVFIndex:
+    def __init__(self, centroids: np.ndarray) -> None:
+        self.centroids = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[0]
+
+    # -- fitting -----------------------------------------------------------
+
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        k: int = 16,
+        iterations: int = 8,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        # Deterministic init: k rows by hash order (seeded, data-dependent,
+        # reproducible across runs/cluster sizes — unlike df.sample).
+        init_rows = (
+            df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(k)
+            .collect()
+        )
+        index = cls(np.array([list(r[0]) for r in init_rows]))
+        for _ in range(iterations):
+            assigned = index.assign(df, vec_col, id_col)
+            # Relational centroid update: k×d partial sums, no vectors
+            # collected. posexplode is per-dimension rows; the groupBy's
+            # map-side combine keeps the shuffle at k×d per partition.
+            stats = (
+                assigned.select(
+                    "cell", F.posexplode(vec_col).alias("dim", "val")
+                )
+                .groupBy("cell", "dim")
+                .agg(
+                    F.sum(F.col("val").cast("double")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            new = np.array(index.centroids)
+            sums = np.zeros_like(new)
+            counts = np.zeros(index.k)
+            for row in stats:
+                sums[row.cell, row.dim] = row.s
+                counts[row.cell] = row.n
+            mask = counts > 0
+            new[mask] = sums[mask] / counts[mask, None]
+            index = cls(new)
+        return index
+
+    # -- assignment --------------------------------------------------------
+
+    def assign(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Append the nearest-centroid ``cell`` id (cosine argmax), keeping
+        id + vector columns. numpy matmul per Arrow batch."""
+        centroids = self.centroids  # closure-shipped; k×d×8B is tiny
+
+        def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                mat = _normalize(
+                    np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                )
+                cells = np.argmax(mat @ centroids.T, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "cell": cells.astype("int32"),
+                    }
+                )
+
+        from pyspark.sql import types as T
+
+        out_schema = df.select(id_col, vec_col).schema.add(
+            "cell", T.IntegerType(), False
+        )
+        return df.select(id_col, vec_col).mapInPandas(
+            per_batch, schema=out_schema
+        )
+
+    # -- search ------------------------------------------------------------
+
+    def probe_cells(self, query_vec: list[float], nprobe: int = 4) -> list[int]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / (np.linalg.norm(q) or 1.0)
+        sims = self.centroids @ q
+        return [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+    def search(
+        self,
+        df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        assigned: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """ANN top-k: probe the ``nprobe`` nearest cells, exact re-rank.
+        Pass ``assigned`` (a persisted output of :meth:`assign`, e.g. a
+        table partitioned by cell) to skip re-assignment — that is the
+        production layout where the isin() prunes whole partitions."""
+        cells = self.probe_cells(query_vec, nprobe)
+        base = assigned if assigned is not None else self.assign(df, vec_col, id_col)
+        candidates = base.filter(F.col("cell").isin(cells))
+        return knn_brute_force(candidates, query_vec, k, vec_col, id_col)

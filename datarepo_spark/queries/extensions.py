@@ -386,3 +386,17 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = scored.filter(F.col("quality") >= 0.5)
     survivors = D.exact_dedup(filtered)
     return survivors.select("doc_id", "quality")
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # iterative k-means fit; recall vs brute force in pytest
+    description="IVF ANN: spherical k-means cells + nprobe search",
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ivf import IVFIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    index = IVFIndex.fit(emb, k=8, iterations=4)
+    return index.search(emb, [float(x) for x in query], k=10, nprobe=3)

@@ -23,6 +23,7 @@ Unlike the reference's eager fetchall-then-re-lazy flow (deltalake_table.py
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Union
 from urllib.parse import unquote
 
@@ -50,6 +51,21 @@ from .normalize import empty_normalized_df, normalize_df
 from .parquet_table import _active_spark
 
 ExtraCol = tuple[str, Union[Column, str]]
+
+
+@dataclass
+class DeltaCacheOptions:
+    """API-parity shim for the reference's scan cache/retry/timeout knobs
+    (deltalake_table.py:34-65 DeltaCacheOptions, READ_PARQUET_RETRY_COUNT,
+    DEFAULT_TIMEOUT). On Spark these concerns are cluster configuration,
+    not per-call code: delta-spark caches snapshots natively
+    (spark.databricks.delta.snapshotCache settings) and object-store
+    retry/timeout live in the hadoop-aws confs
+    (fs.s3a.attempts.maximum / fs.s3a.connection.timeout). Accepted so
+    reference call sites port unchanged; recorded, not acted on locally."""
+
+    file_cache_path: Optional[str] = None
+    file_cache_last_checkpoint_valid_duration: Optional[str] = None
 
 
 def _partition_prune(
@@ -158,8 +174,12 @@ class DeltalakeTable:
         columns: Optional[Sequence[str]] = None,
         version: Optional[int] = None,
         spark: Optional[SparkSession] = None,
+        timeout: Optional[str] = None,
+        cache_options: Optional[DeltaCacheOptions] = None,
         **kwargs: Any,
     ) -> DataFrame:
+        # timeout/cache_options: accepted for reference API parity (A20);
+        # see DeltaCacheOptions for where those concerns live on Spark.
         session = _active_spark(spark)
         sql_filter: Optional[str] = None
         if isinstance(filters, str):

@@ -67,7 +67,7 @@ class ParquetTable:
     def __init__(
         self,
         name: str,
-        uri: str,
+        uri: str | Sequence[str],
         partitioning: Sequence[Partition] = (),
         partitioning_scheme: PartitioningScheme = PartitioningScheme.HIVE,
         schema: Optional[T.StructType] = None,
@@ -77,7 +77,16 @@ class ParquetTable:
         table_metadata: Optional[TableMetadata] = None,
     ) -> None:
         self.name = name
-        self.uri = uri.rstrip("/")
+        # A list of URIs = explicit multi-file fetch + union (reference
+        # fetch_dfs_by_paths, deltalake_table.py:343-374): Spark reads the
+        # file list in parallel natively — one task per split — and
+        # normalization handles schema drift across the files.
+        if isinstance(uri, str):
+            self.uri = uri.rstrip("/")
+            self.uris: Optional[list[str]] = None
+        else:
+            self.uris = [u.rstrip("/") for u in uri]
+            self.uri = self.uris[0]
         self.partitioning = list(partitioning)
         self.partitioning_scheme = partitioning_scheme
         self.schema = schema
@@ -144,6 +153,22 @@ class ParquetTable:
         known = self._known_columns()
         if known:
             validate_filters(dnf, known)
+
+        if self.uris is not None:
+            # Explicit file list: no path pruning; a declared schema gives
+            # missing-column tolerance + declared order, else mergeSchema.
+            if self.schema is not None:
+                df = session.read.schema(self.schema).parquet(*self.uris)
+            else:
+                df = session.read.option("mergeSchema", "true").parquet(
+                    *self.uris
+                )
+            predicate = filters_to_column(dnf)
+            if predicate is not None:
+                df = df.filter(predicate)
+            if columns is not None:
+                df = df.select(*columns)
+            return df
 
         uri, remaining_parts, residual, applied = self.build_uri_from_filters(dnf)
 

@@ -250,3 +250,37 @@ class TestMultimodal:
             (F.col("media_id") == 0) & (F.col("frame_no") == 0)
         ).head()
         assert bytes(row.frame_bytes) == DOCS[0][1].encode("utf-8")[:16]
+
+
+class TestIVF:
+    def test_fit_search_recall(self, spark, sf_dir):
+        from datarepo_spark.functions.ivf import IVFIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.limit(1).collect()
+        q = [float(x) for x in rows[0].embedding]
+        index = IVFIndex.fit(emb, k=8, iterations=4)
+        assert index.centroids.shape == (8, 64)
+        ann = [r.vec_id for r in index.search(emb, q, k=10, nprobe=3).collect()]
+        assert rows[0].vec_id in ann
+        brute = [r.vec_id for r in S.knn_brute_force(emb, q, k=10).collect()]
+        recall = len(set(ann) & set(brute)) / 10
+        assert recall >= 0.4, f"IVF recall@10 too low: {recall}"
+
+    def test_assignment_is_total_partition(self, spark, sf_dir):
+        from datarepo_spark.functions.ivf import IVFIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        index = IVFIndex.fit(emb, k=4, iterations=2)
+        assigned = index.assign(emb)
+        assert assigned.count() == emb.count()
+        cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+        assert cells <= set(range(4))
+
+    def test_fit_deterministic(self, spark, sf_dir):
+        from datarepo_spark.functions.ivf import IVFIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        i1 = IVFIndex.fit(emb, k=4, iterations=2, seed=7)
+        i2 = IVFIndex.fit(emb, k=4, iterations=2, seed=7)
+        assert (i1.centroids == i2.centroids).all()
