@@ -120,12 +120,12 @@ class IVFIndex:
 
         from pyspark.sql import types as T
 
-        out_schema = df.select(id_col, vec_col).schema.add(
-            "cell", T.IntegerType(), False
+        projected = df.select(id_col, vec_col)
+        out_schema = T.StructType(
+            list(projected.schema.fields)
+            + [T.StructField("cell", T.IntegerType(), False)]
         )
-        return df.select(id_col, vec_col).mapInPandas(
-            per_batch, schema=out_schema
-        )
+        return projected.mapInPandas(per_batch, schema=out_schema)
 
     # -- search ------------------------------------------------------------
 

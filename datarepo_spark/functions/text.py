@@ -149,6 +149,29 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+POSITIVE_RE = (
+    r"\b(good|great|fast|best|excellent|love|happy|win|easy|clean)\b"
+)
+NEGATIVE_RE = (
+    r"\b(bad|slow|worst|terrible|hate|sad|fail|hard|dirty|broken)\b"
+)
+
+
+def sentiment_score(text: Column) -> Column:
+    """Lexicon-based sentiment in [-1, 1]: (pos − neg) / tokens, the
+    classic distributed-lexicon approach (cf. 'Large Scale Sentiment
+    Analysis on Twitter with Spark', EDBT 2016 — lexicon scoring is the
+    embarrassingly parallel stage that scales linearly). Deterministic
+    regexp counts → cross-engine reproducible."""
+    lowered = F.lower(text)
+    pos = F.regexp_count(lowered, F.lit(POSITIVE_RE)).cast("double")
+    neg = F.regexp_count(lowered, F.lit(NEGATIVE_RE)).cast("double")
+    n_tokens = token_count(text, WS_TOKEN_RE).cast("double")
+    return F.round(
+        F.when(n_tokens > 0, (pos - neg) / n_tokens).otherwise(0.0), 6
+    )
+
+
 # --- SQL oracle builders (shared text so engine and oracle can't drift) ---
 
 

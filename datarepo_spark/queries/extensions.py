@@ -400,3 +400,58 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     index = IVFIndex.fit(emb, k=8, iterations=4)
     return index.search(emb, [float(x) for x in query], k=10, nprobe=3)
+
+
+@register(
+    "text_sentiment",
+    oracle=rf"""
+    SELECT doc_id,
+           ROUND(CASE WHEN CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS DOUBLE) > 0
+                 THEN (CAST({X.sql_token_count('lower(text)', X.POSITIVE_RE)} AS DOUBLE)
+                       - CAST({X.sql_token_count('lower(text)', X.NEGATIVE_RE)} AS DOUBLE))
+                      / CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS DOUBLE)
+                 ELSE 0.0 END, 6) AS sentiment
+    FROM documents
+    """,
+    description="lexicon sentiment scoring (EDBT'16 Spark pattern)",
+)
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.sentiment_score(F.col("text")).alias("sentiment")
+    )
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE p_partkey <= 400 AND NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_partkey <= 400
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    description="skyline (Pareto front): min price, max size — dominance "
+    "anti-join (cf. 'Integration of Skyline Queries into Spark SQL')",
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    q = p.select(
+        F.col("p_retailprice").alias("q_price"),
+        F.col("p_size").alias("q_size"),
+    )
+    dominated_by = (
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") > F.col("p_size"))
+        )
+    )
+    return p.join(q, dominated_by, "left_anti").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
