@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datarepo_spark.queries import registry as _registry  # noqa: E402
 from datarepo_spark.queries import extensions as _extensions  # noqa: E402,F401
+from datarepo_spark.queries import tpch_extra as _tpch_extra  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

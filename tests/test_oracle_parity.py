@@ -13,6 +13,7 @@ import duckdb
 import pytest
 
 from datarepo_spark.queries import extensions  # noqa: F401  (registers)
+from datarepo_spark.queries import tpch_extra  # noqa: F401  (registers)
 from datarepo_spark.queries.registry import REGISTRY
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
