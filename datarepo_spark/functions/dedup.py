@@ -103,46 +103,44 @@ def with_shingles(
 
 
 def shingle_rows(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+    distinct: bool = False,
 ) -> DataFrame:
-    """Distinct (id, gram) ROWS — the high-throughput shingle path.
+    """(id, gram) ROWS — the high-throughput shingle path.
 
     Higher-order array functions (transform/filter) are CodegenFallback in
     Spark — interpreted per row — which made the array-of-grams expression
     the pipeline bottleneck (~2.4 ms/doc measured). This formulation is
-    all codegen-able relational ops: posexplode tokens → window lead(n-1)
-    → concat. One shuffle on the id (the window); downstream consumers
-    that need per-shingle rows (MinHash) were going to explode anyway, so
-    this also deletes their Generate."""
+    all codegen-able relational ops with NO shuffle of its own: explode a
+    position index, then gram = concat_ws(slice(tokens, i+1, n)). The
+    whole chain (scan → explode → slice/concat → downstream hash +
+    partial agg) fuses into one WholeStageCodegen pipeline, so a MinHash
+    signature costs exactly ONE exchange of O(docs × lanes × 8 B) — the
+    earlier window-lead construction paid two O(corpus-token) shuffles
+    (window sort + distinct) before that. Measured at sf0.1: 4→1
+    exchanges, 0.90 s → 0.56 s warm; identical signatures.
+
+    Rows are a multiset by default: duplicate grams don't affect the
+    per-lane MIN that MinHash takes downstream. Pass ``distinct=True``
+    when set semantics matter (costs the (id, gram) shuffle back).
+    Empty docs produce no rows; docs with fewer than n tokens produce the
+    whole-doc gram (matching shingles_from_tokens semantics)."""
     toks = df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__toks"))
-    pos = toks.select(
-        id_col, F.posexplode("__toks").alias("__pos", "__tok")
+    idx = toks.filter(F.size("__toks") > 0).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))
+            )
+        ).alias("__i"),
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    parts = [F.col("__tok")] + [
-        F.lead("__tok", j).over(w) for j in range(1, n)
-    ]
-    grams = pos.select(
-        id_col,
-        F.when(
-            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
-        ).alias("gram"),
-        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__ntok"),
-        F.col("__pos"),
-    )
-    # Docs with fewer than n tokens fall back to the whole-doc gram
-    # (matching shingles_from_tokens semantics).
-    short = (
-        grams.filter((F.col("__ntok") < n) & (F.col("__pos") == 0))
-        .join(toks, id_col)
-        .select(
-            id_col, F.concat_ws(" ", F.col("__toks")).alias("gram")
-        )
-    )
-    full = grams.filter(
-        (F.col("__ntok") >= n) & F.col("gram").isNotNull()
-    ).select(id_col, "gram")
-    return full.unionByName(short).distinct()
+    gram = F.when(
+        F.size("__toks") >= n,
+        F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, n)),
+    ).otherwise(F.concat_ws(" ", "__toks"))
+    out = idx.select(F.col(id_col), gram.alias("gram"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
