@@ -27,9 +27,11 @@ from .tables.metadata import (
     TablePartition,
     TableSchema,
 )
+from .tables.bucketed import BucketedTable, write_bucketed
 from .tables.parquet_table import ParquetTable
 
 __all__ = [
+    "BucketedTable",
     "Catalog",
     "ClickHouseTable",
     "Database",
@@ -52,6 +54,7 @@ __all__ = [
     "get_spark",
     "normalize_filters",
     "table",
+    "write_bucketed",
 ]
 
 __version__ = "0.1.0"
