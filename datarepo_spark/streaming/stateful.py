@@ -1,0 +1,181 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+``F.session_window`` (streaming/events.py) covers gap-merged sessions with
+built-in aggregates; this module is the *arbitrary*-state tier — the Spark
+primitive you reach for when an operator's state machine isn't expressible
+as a windowed aggregation (reference has no streaming at all; SURVEY.md §2B).
+
+``stateful_sessionize`` keeps one small state record per user — (session
+start, last event ts, count, value sum) — and emits a session row only when
+the session CLOSES: either a new event arrives more than ``gap`` after the
+previous one, or the event-time watermark passes ``last_ts + gap`` (event-
+time timeout) and fires the state's timeout callback. That gives:
+
+  - append-mode output (each session emitted exactly once, immutable),
+  - bounded state: O(active users), independent of stream length — the
+    watermark + timeout is what makes this run forever on a 100 TB/day
+    stream,
+  - per-group Arrow batches: pandas sees one user's rows at a time, so the
+    Python-side work is tiny and vectorizable; the heavy lifting (shuffle
+    on user_id, state store, watermark tracking) stays JVM-side.
+
+Semantics match the batch registry query ``events_sessionize`` (lag-gap
+cumsum with a strict ``> gap`` µs comparison, ties broken by event_id), so a
+backfill and the live path agree row-for-row on closed sessions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+# State: (session_start_us, last_ts_us, n_events, total_value)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _us(ts: pd.Timestamp) -> int:
+    return ts.value // 1_000  # pandas stores ns
+
+
+def _row(user_id: int, start_us: int, last_us: int, n: int, total: float) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us * 1_000)],
+            "session_end": [pd.Timestamp(last_us * 1_000)],
+            "n_events": [n],
+            "total_value": [float(total)],
+        }
+    )
+
+
+def make_sessionizer(gap_minutes: int = 30):
+    """Build the (key, pdf_iter, state) -> Iterator[pd.DataFrame] callback.
+
+    Factory instead of a module-level function so ``gap`` rides along in the
+    closure (cloudpickled to executors) rather than global config.
+    """
+    gap_us = gap_minutes * 60 * _US
+
+    def sessionize(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield _row(user_id, start_us, last_us, n, total)
+            return
+
+        def arm_timeout(last: int) -> None:
+            # A timeout must be strictly ahead of the current watermark;
+            # a group touched after its natural deadline already passed
+            # (late rows are NOT pre-filtered for this operator) re-arms
+            # at watermark+1 so it fires in the next micro-batch.
+            state.setTimeoutTimestamp(
+                max((last + gap_us) // 1_000, state.getCurrentWatermarkMs() + 1)
+            )
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            if state.exists:
+                arm_timeout(state.get[1])
+            return
+        events = pd.concat(frames, ignore_index=True)
+        # Late-data policy: rows older than the watermark are dropped —
+        # Spark does NOT pre-filter them for this operator (unlike
+        # windowed aggregation), and splicing a sub-watermark row into a
+        # session whose successors were already processed would corrupt
+        # the state machine. Same contract as the built-in stateful ops.
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if wm_us > 0:
+            # Unit-safe µs epoch (astype("int64") is in the series' own
+            # unit — ns vs µs depends on the Arrow conversion).
+            ts_us = (events["ts"] - pd.Timestamp(0)) // pd.Timedelta(
+                microseconds=1
+            )
+            events = events[ts_us >= wm_us]
+            if len(events) == 0:
+                if state.exists:
+                    arm_timeout(state.get[1])
+                return
+        # Mirror the batch ordering exactly: ts, then event_id tiebreak.
+        events = events.sort_values(["ts", "event_id"], ignore_index=True)
+
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us = last_us = -1
+            n, total = 0, 0.0
+
+        closed: list[pd.DataFrame] = []
+        for ts, value in zip(events["ts"], events["value"]):
+            t = _us(ts)
+            if n > 0 and t - last_us > gap_us:  # strict >, like batch
+                closed.append(_row(user_id, start_us, last_us, n, total))
+                n, total = 0, 0.0
+            if n == 0:
+                start_us = t
+            last_us = t
+            n += 1
+            total += float(value)
+
+        state.update((start_us, last_us, n, total))
+        # Event-time timeout: fire once the watermark passes the point
+        # where no in-order event could extend this session.
+        arm_timeout(last_us)
+        for frame in closed:
+            yield frame
+
+    return sessionize
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Closed sessions per user from a (streaming) events frame.
+
+    ``events`` needs columns (event_id, ts, user_id, value); ``ts`` is the
+    event-time column the watermark rides on. Output is append-mode: one
+    immutable row per closed session.
+    """
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_minutes),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -22,10 +22,17 @@ def events_dir(tmp_path_factory, sf_dir):
     table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     n = 4
     step = (table.num_rows + n - 1) // n
+    import time
+
+    base_mtime = time.time() - n
     for i in range(n):
         chunk = table.slice(i * step, step)
         if chunk.num_rows:
-            pq.write_table(chunk, str(out / f"part-{i}.parquet"))
+            p = str(out / f"part-{i}.parquet")
+            pq.write_table(chunk, p)
+            # FileStreamSource orders files by mtime; equal mtimes make
+            # batch order (and thus late-data behavior) nondeterministic.
+            os.utime(p, (base_mtime + i, base_mtime + i))
     yield str(out)
     shutil.rmtree(str(out), ignore_errors=True)
 
@@ -75,3 +82,78 @@ class TestStreamingWindows:
         assert stream.isStreaming
         result = SE.windowed_aggregation(stream)
         assert result.isStreaming
+
+
+class TestStatefulSessionize:
+    """applyInPandasWithState custom sessionizer: closed sessions must match
+    the batch lag-gap sessionization exactly on (user, start, count)."""
+
+    def _batch_sessions(self, spark, events_dir):
+        e = (
+            spark.read.schema(SE.EVENTS_FILE_SCHEMA)
+            .parquet(events_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.lag(
+            F.unix_micros(F.col("ts"))
+        ).over(w)
+        is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+        sess = e.withColumn("is_new", is_new).withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return (
+            sess.groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+            .collect()
+        )
+
+    def test_closed_sessions_match_batch(self, spark, events_dir):
+        from datarepo_spark.streaming.stateful import stateful_sessionize
+
+        stream = SE.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        result = stateful_sessionize(stream, gap_minutes=30, watermark="1 minute")
+        assert result.isStreaming
+        got = SE.run_stream_to_memory(result, "stateful_sessions", output_mode="append")
+        emitted = got.collect()
+        assert len(emitted) > 0
+
+        batch = self._batch_sessions(spark, events_dir)
+        bmap = {(r.user_id, r.session_start): r for r in batch}
+        # 1. every emitted session is a batch session, bit-equal on
+        #    count and boundaries
+        for r in emitted:
+            key = (r.user_id, r.session_start)
+            assert key in bmap, f"spurious session {key}"
+            b = bmap[key]
+            assert r.n_events == b.n_events
+            assert r.session_end == b.session_end
+        # 2. nothing emitted twice (append-mode exactly-once contract)
+        keys = [(r.user_id, r.session_start) for r in emitted]
+        assert len(keys) == len(set(keys))
+        # 3. sessions closed BY DATA (a later event for the same user
+        #    exists) must all have been emitted; only each user's final
+        #    session may legitimately still be open at end-of-stream.
+        last_per_user = {}
+        for r in batch:
+            cur = last_per_user.get(r.user_id)
+            if cur is None or r.session_start > cur.session_start:
+                last_per_user[r.user_id] = r
+        non_last = [
+            (r.user_id, r.session_start)
+            for r in batch
+            if last_per_user[r.user_id].session_start != r.session_start
+        ]
+        missing = set(non_last) - set(keys)
+        assert not missing, f"{len(missing)} data-closed sessions not emitted"
