@@ -80,3 +80,28 @@ class TestWholeStageCodegen:
         df.collect()  # count() would build a different QueryExecution
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "*(" in plan
+
+
+class TestMinHashShuffleContract:
+    def test_signature_pipeline_single_exchange(self, spark, sf_dir):
+        """The MinHash signature must cost exactly ONE exchange, of
+        O(docs x lanes) partial-min rows — never a shuffle of the
+        exploded shingle stream (shingle_rows is scan->explode->concat
+        in one codegen stage; the partial aggregate combines map-side)."""
+        from pyspark.sql import functions as F
+
+        from datarepo_spark.functions import dedup as D
+
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = D.shingle_rows(df, "text", "doc_id", 3)
+        hashed = rows.select(
+            "doc_id", F.xxhash64(F.col("gram")).alias("__h")
+        )
+        sig = hashed.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+                for i in range(64)
+            ]
+        )
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
