@@ -1,0 +1,87 @@
+"""Range join: pair point rows with interval rows containing them —
+``start <= point <= end`` (plus optional equi-keys) — without a nested loop.
+
+The reference reaches this through polars ``join_where`` (inequality join,
+SURVEY.md §2B "Join — cross / theta"). Spark plans a bare inequality join as
+BroadcastNestedLoopJoin / CartesianProduct — O(n×m) row comparisons, which
+is the single easiest way to kill a 100 TB job (10^10 × 10^8 candidate
+pairs). The scalable construction is range bucketing:
+
+    1. pick a bucket width w;
+    2. explode each interval to the buckets it overlaps
+       (floor(start/w) .. floor(end/w));
+    3. tag each point with its single bucket floor(p/w);
+    4. hash-equi-join on (equi_keys…, bucket) — Catalyst plans a normal
+       shuffled/broadcast hash join;
+    5. re-check the exact predicate as a post-join filter.
+
+Each point lives in exactly one bucket, so a (point, interval) pair meets
+at most once — no dedup pass needed. Cost: the interval side grows by its
+average span/w (pick w ≈ the median interval length so the blow-up is
+~2×), and the join itself is a plain equi-join that shuffles on
+(keys, bucket) — skew-handled by AQE, broadcastable when the interval side
+is a dim. This is the same strategy Databricks' range-join optimization
+applies from a hint; here it is an explicit, engine-independent operator.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__range_bucket"
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    equi_keys: Optional[Sequence[tuple[str, str]]] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start_col <= point_col <= end_col`` (and, if given, equality on each
+    ``(point_side_col, interval_side_col)`` pair in ``equi_keys``).
+
+    ``bucket_width`` must be > 0 and is the tuning knob: interval-side row
+    blow-up is ``avg_interval_span / bucket_width + 1``. Columns from both
+    inputs are preserved (equi-key columns once, from the point side).
+    Only inner joins are supported — outer semantics over an exploded side
+    would double-count unmatched rows.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    if how != "inner":
+        raise ValueError("range_join supports how='inner' only")
+    equi = list(equi_keys or [])
+
+    w = F.lit(float(bucket_width))
+    ivals = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        _BUCKET, F.floor(F.col(point_col) / w).cast("long")
+    )
+
+    cond = pts[_BUCKET] == ivals[_BUCKET]
+    for pk, ik in equi:
+        cond = cond & (pts[pk] == ivals[ik])
+    joined = pts.join(ivals, cond, "inner").filter(
+        (ivals[start_col] <= pts[point_col])
+        & (pts[point_col] <= ivals[end_col])
+    )
+    drop = [pts[_BUCKET], ivals[_BUCKET]] + [ivals[ik] for _, ik in equi]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined

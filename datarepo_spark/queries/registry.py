@@ -497,6 +497,43 @@ def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "c_custkey")
 
 
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey
+     AND s.s_acctbal >= c.c_acctbal - 25.0
+     AND s.s_acctbal <= c.c_acctbal + 25.0
+    """,
+    description=(
+        "interval-containment join via range bucketing: equi-join on "
+        "(key, bucket) + exact residual — never a nested loop"
+    ),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import range_join
+
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        (F.col("c_acctbal") - 25.0).alias("__lo"),
+        (F.col("c_acctbal") + 25.0).alias("__hi"),
+    )
+    return range_join(
+        s,
+        c,
+        point_col="s_acctbal",
+        start_col="__lo",
+        end_col="__hi",
+        bucket_width=50.0,
+        equi_keys=[("s_nationkey", "c_nationkey")],
+    ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
 # ---------------------------------------------------------------------------
 # Aggregation family
 # ---------------------------------------------------------------------------

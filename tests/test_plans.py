@@ -105,3 +105,41 @@ class TestMinHashShuffleContract:
         )
         plan = sig._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestRangeJoin:
+    def test_range_join_is_hash_join_not_nested_loop(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "join_range_bucketed")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" in plan  # a real equi hash/merge join on the bucket
+
+    def test_range_join_matches_naive(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        got = REGISTRY["join_range_bucketed"].spark_fn(spark, sf_dir)
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        naive = (
+            s.join(
+                c,
+                (s.s_nationkey == c.c_nationkey)
+                & (s.s_acctbal >= c.c_acctbal - 25.0)
+                & (s.s_acctbal <= c.c_acctbal + 25.0),
+            )
+            .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+
+    def test_range_join_validates_args(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from datarepo_spark.operators.range_join import range_join
+
+        df = spark.range(1).selectExpr("id as p", "id as lo", "id as hi")
+        with _pytest.raises(ValueError):
+            range_join(df, df, "p", "lo", "hi", bucket_width=0)
+        with _pytest.raises(ValueError):
+            range_join(df, df, "p", "lo", "hi", 1.0, how="left")
