@@ -157,3 +157,54 @@ class TestStatefulSessionize:
         ]
         missing = set(non_last) - set(keys)
         assert not missing, f"{len(missing)} data-closed sessions not emitted"
+
+
+class TestStreamingDedup:
+    @pytest.fixture(scope="class")
+    def dup_events_dir(self, spark, tmp_path_factory, events_dir):
+        # Re-emit file 1's rows as a later file: an at-least-once
+        # redelivery. mtimes spaced so batch order is deterministic.
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        out = tmp_path_factory.mktemp("events_dup")
+        base = _time.time() - 10
+        srcs = sorted(os.listdir(events_dir))
+        for i, f in enumerate(srcs):
+            shutil.copy(os.path.join(events_dir, f), str(out / f))
+            os.utime(str(out / f), (base + i, base + i))
+        redelivery = str(out / "part-redelivered.parquet")
+        pq.write_table(
+            pq.read_table(os.path.join(events_dir, srcs[1])), redelivery
+        )
+        os.utime(redelivery, (base + len(srcs), base + len(srcs)))
+        return str(out)
+
+    def test_exact_dedup_within_watermark(self, spark, dup_events_dir, events_dir):
+        from datarepo_spark.streaming.dedup import dedup_stream
+
+        stream = SE.read_events_stream(
+            spark, dup_events_dir, max_files_per_trigger=2
+        )
+        deduped = dedup_stream(
+            stream, ["event_id"], ts_col="ts", within="30 days"
+        )
+        got = SE.run_stream_to_memory(deduped, "stream_dedup", "append")
+        n_unique = spark.read.parquet(events_dir).count()
+        assert got.count() == n_unique
+        ids = [r.event_id for r in got.select("event_id").collect()]
+        assert len(ids) == len(set(ids))
+
+    def test_content_dedup(self, spark, dup_events_dir, events_dir):
+        from datarepo_spark.streaming.dedup import dedup_stream_by_content
+
+        stream = SE.read_events_stream(
+            spark, dup_events_dir, max_files_per_trigger=2
+        )
+        deduped = dedup_stream_by_content(
+            stream, "event_id", ts_col="ts", within="30 days"
+        )
+        got = SE.run_stream_to_memory(deduped, "stream_dedup_content", "append")
+        assert got.count() == spark.read.parquet(events_dir).count()
+        assert "__ck" not in got.columns
