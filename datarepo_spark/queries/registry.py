@@ -618,6 +618,36 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description=(
+        "explicit GROUPING SETS (a strict subset of CUBE's lattice) with "
+        "GROUPING() markers distinguishing rollup-nulls from data-nulls"
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4 DataFrame API: groupingSets(...). One pass; the expand
+    # operator replicates rows per set before a single partial+final agg,
+    # so at 100 TB the cost is (#sets x rows) map-side, still 1 shuffle.
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+    )
+
+
+@register(
     "agg_median_quantile",
     oracle="""
     SELECT l_returnflag,
