@@ -504,8 +504,8 @@ def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s
     JOIN customer c
       ON s.s_nationkey = c.c_nationkey
-     AND s.s_acctbal >= c.c_acctbal - 25.0
-     AND s.s_acctbal <= c.c_acctbal + 25.0
+     AND s.s_acctbal >= c.c_acctbal - 250.0
+     AND s.s_acctbal <= c.c_acctbal + 250.0
     """,
     description=(
         "interval-containment join via range bucketing: equi-join on "
@@ -520,8 +520,8 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        (F.col("c_acctbal") - 25.0).alias("__lo"),
-        (F.col("c_acctbal") + 25.0).alias("__hi"),
+        (F.col("c_acctbal") - 250.0).alias("__lo"),
+        (F.col("c_acctbal") + 250.0).alias("__hi"),
     )
     return range_join(
         s,
@@ -529,7 +529,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_col="s_acctbal",
         start_col="__lo",
         end_col="__hi",
-        bucket_width=50.0,
+        bucket_width=500.0,
         equi_keys=[("s_nationkey", "c_nationkey")],
     ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
 

@@ -21,7 +21,16 @@ time timeout) and fires the state's timeout callback. That gives:
 
 Semantics match the batch registry query ``events_sessionize`` (lag-gap
 cumsum with a strict ``> gap`` µs comparison, ties broken by event_id), so a
-backfill and the live path agree row-for-row on closed sessions.
+backfill and the live path agree row-for-row on closed sessions (for
+cross-batch out-of-order arrivals within the watermark, boundaries stay
+monotonic and the row is absorbed into the open session — divergence from
+an order-complete batch run is bounded by the watermark delay).
+
+NB: output timestamps are ``TIMESTAMP_NTZ`` holding the wall-clock values
+pandas receives, which for a tz-aware input column are session-timezone
+local. Run with ``spark.sql.session.timeZone=UTC`` (the engine default,
+``session.py``) or feed an NTZ event-time column, or backfill/live
+comparisons shift by the tz offset.
 """
 
 from __future__ import annotations
@@ -141,8 +150,17 @@ def make_sessionizer(gap_minutes: int = 30):
                 closed.append(_row(user_id, start_us, last_us, n, total))
                 n, total = 0, 0.0
             if n == 0:
-                start_us = t
-            last_us = t
+                start_us = last_us = t
+            else:
+                # In-batch rows are sorted, but an in-watermark event can
+                # arrive in a LATER micro-batch with an earlier ts than
+                # state's last event. Keep the boundaries monotonic
+                # (min-start / max-end) so the gap baseline never moves
+                # backwards; such a row is absorbed into the open session
+                # (divergence from an order-complete batch run is bounded
+                # by the watermark delay).
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
             n += 1
             total += float(value)
 

@@ -32,7 +32,6 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
 from ..core.compile import filters_to_column
 from ..core.filters import (

@@ -57,6 +57,7 @@ class TestBucketedTable:
         path-based read of the same files the identical join shuffles both
         sides — asserted as the contrast case."""
         orders, lineitem = bucketed_pair
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             joined = (
@@ -81,9 +82,7 @@ class TestBucketedTable:
             uplan = unbucketed._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" in uplan  # the contrast: path scan shuffles
         finally:
-            spark.conf.set(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
     def test_bucketed_results_match_unbucketed(self, spark, bucketed_pair):
         orders, lineitem = bucketed_pair

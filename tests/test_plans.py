@@ -124,14 +124,14 @@ class TestRangeJoin:
             s.join(
                 c,
                 (s.s_nationkey == c.c_nationkey)
-                & (s.s_acctbal >= c.c_acctbal - 25.0)
-                & (s.s_acctbal <= c.c_acctbal + 25.0),
+                & (s.s_acctbal >= c.c_acctbal - 250.0)
+                & (s.s_acctbal <= c.c_acctbal + 250.0),
             )
             .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
         )
-        assert sorted(map(tuple, got.collect())) == sorted(
-            map(tuple, naive.collect())
-        )
+        expected = sorted(map(tuple, naive.collect()))
+        assert expected, "band too narrow — comparison would be vacuous"
+        assert sorted(map(tuple, got.collect())) == expected
 
     def test_range_join_validates_args(self, spark, sf_dir):
         import pytest as _pytest
