@@ -18,6 +18,82 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datarepo_spark.queries import registry as _registry  # noqa: E402
 from datarepo_spark.queries import extensions as _extensions  # noqa: E402,F401
 from datarepo_spark.queries import tpch_extra as _tpch_extra  # noqa: E402,F401
+from datarepo_spark.queries import delta_queries as _delta_queries  # noqa: E402,F401
+
+# The driver gates the first N queries() entries (r01: N=50 of 87), so
+# ordering is coverage policy: one hard CORRECTNESS row per operator
+# family. LLM-pipeline operators and the Delta scan path lead (r01's gap),
+# then TPC-H batch 2/3, then one representative of each family already
+# proven green in r01. Everything not listed follows in registration
+# order — still checked locally by tests/test_oracle_parity.py.
+_PRIORITY = [
+    # -- LLM-data-pipeline operators -----------------------------------
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "text_sentiment",
+    "dedup_exact_sha256",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_knn_brute_force",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pipeline_curate_documents",
+    # -- Delta scan path (write → log replay → read) -------------------
+    "delta_roundtrip",
+    "delta_time_travel",
+    # -- previously no_oracle, now gated -------------------------------
+    "agg_approx_distinct",
+    # -- TPC-H batches 2/3 ---------------------------------------------
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_priority_counting",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # -- remaining r01-unchecked shapes --------------------------------
+    "skyline_parts",
+    "fn_struct_map",
+    "fn_date_parse_format",
+    "agg_having",
+    # -- one representative per family already green in r01 ------------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "filter_in_contains_dnf",
+    "join_asof_backward",
+    "join_range_bucketed",
+    "agg_grouping_sets",
+    "window_range_7d",
+    "reshape_pivot",
+    "events_sessionize",
+    "fn_string_suite",
+]
+
+
+def _ordered_registry() -> dict[str, _registry.Query]:
+    ordered: dict[str, _registry.Query] = {}
+    for name in _PRIORITY:
+        ordered[name] = _registry.REGISTRY[name]
+    for name, q in _registry.REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,13 +109,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark_fn for name, q in _registry.REGISTRY.items()}
+    return {name: q.spark_fn for name, q in _ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle for each SQL-expressible query."""
     return {
         name: q.oracle
-        for name, q in _registry.REGISTRY.items()
+        for name, q in _ordered_registry().items()
         if q.oracle is not None
     }

@@ -243,47 +243,50 @@ def bucket_pairs(
     buckets: DataFrame,
     key_cols: list[str],
     id_col: str,
-    max_bucket_size: int = 10_000,
+    max_bucket_size: int = 2_000,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing a bucket.
 
-    NOT a self-join: groupBy bucket + intra-bucket pair expansion. One
-    shuffle keyed on the bucket hash; the aggregation also breaks
-    whole-stage codegen fusion, so the (heavy) signature pipeline isn't
-    inlined into a join probe loop and executed twice. Buckets larger than
-    ``max_bucket_size`` are dropped — an oversized LSH bucket means a
-    degenerate key (empty docs, boilerplate); at 100 TB that cap is what
-    keeps the worst bucket from producing 10^12 pairs. Dropped-bucket count
-    is observable via the `oversized` accumulator column upstream if
-    needed."""
+    Construction: groupBy bucket → sorted member array (buckets above
+    ``max_bucket_size`` dropped), posexplode back to (bucket, pos, id),
+    then an equi self-join on the bucket key with ``pos_a < pos_b``.
+    Pairs materialize as STREAMED join-output rows — the peak per-row
+    allocation is the O(max_bucket_size) member array, never an in-row
+    C(n,2) pair product (the earlier formulation built up to 5×10⁷
+    structs inside one Tungsten row at cap 10k). Both join sides derive
+    from the same aggregated child, so the exchange is planned once and
+    reused (ReusedExchange), not recomputed — and the aggregation still
+    isolates the heavy upstream signature pipeline from the join probe.
+
+    The cap exists because an oversized LSH bucket means a degenerate key
+    (empty docs, boilerplate): at 100 TB it is what keeps one bad bucket
+    from producing 10^12 pairs. 2k members ≈ 2M pairs per worst bucket —
+    bounded work AND bounded memory."""
     ids = (
         buckets.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .filter(
             (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size)
         )
-        .select("__ids")
     )
-    pair_arrays = ids.select(
-        F.flatten(
-            F.transform(
-                F.col("__ids"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("__ids"),
-                        i + 2,
-                        F.greatest(F.size("__ids") - i - 1, F.lit(0)),
-                    ),
-                    lambda y: F.struct(
-                        x.alias("id_a"), y.alias("id_b")
-                    ),
-                ),
-            )
-        ).alias("__pairs")
+    member = ids.select(
+        *key_cols, F.posexplode("__ids").alias("__pos", "__id")
     )
+    a = member.select(
+        *key_cols,
+        F.col("__pos").alias("__pos_a"),
+        F.col("__id").alias("id_a"),
+    )
+    b = member.select(
+        *key_cols,
+        F.col("__pos").alias("__pos_b"),
+        F.col("__id").alias("id_b"),
+    )
+    # __ids is sorted ascending, so pos_a < pos_b ⟹ id_a < id_b.
     return (
-        pair_arrays.select(F.explode("__pairs").alias("p"))
-        .select("p.id_a", "p.id_b")
+        a.join(b, key_cols)
+        .filter(F.col("__pos_a") < F.col("__pos_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -351,9 +354,11 @@ def minhash_lsh_dedup_pairs(
 def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     """64-bit SimHash from a (materialized!) array of shingle hashes: each
     output bit is the sign of Σ±1 over shingles for that bit position.
-    Pure higher-order array ops — no UDF, no shuffle. ``hashes`` must be a
-    column *reference* (see simhash_df) — passing a deep expression here
-    would be inlined ``bits`` times by the per-bit folds."""
+
+    NOTE: higher-order folds are CodegenFallback (interpreted per row) —
+    this expression form is kept for small arrays / verification only; the
+    pipeline path is :func:`simhash_df`'s explode/agg construction (same
+    result, all codegen + partial aggregation)."""
     def signed64(v: int) -> int:
         # JVM longs are signed: bit 63's mask is the most negative long.
         return v - (1 << 64) if v >= (1 << 63) else v
@@ -380,15 +385,47 @@ def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
 def simhash_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:
-    """(id, simhash) via staged projections: shingles → hashes → simhash."""
-    sh = with_shingles(df, text_col, id_col, n, out="__sh")
-    hashes = sh.select(
-        id_col,
-        F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__h"),
+    """(id, simhash) via the explode/agg construction (mirrors MinHash):
+    shingle ROWS → one xxhash64 per gram → distinct (set semantics) →
+    groupBy(id) with 64 conditional ±1 sums → recombine the sign bits.
+
+    Every stage is whole-stage-codegen'd relational work with map-side
+    partial aggregation — unlike the per-row 64-fold expression form
+    (:func:`simhash_from_hashes`), which is interpreted (CodegenFallback)
+    and was measured ~2.4 ms/doc. Shuffles: one distinct on (id, hash)
+    16-byte rows + one 64-lane vote aggregate — never the document text.
+
+    Single-gram parity note: SimHash of one gram is the gram hash itself
+    (each bit's lone vote is that bit), so 0-token docs — which produce no
+    shingle rows — are re-attached with the constant xxhash64('') the
+    array form computes for them."""
+    hashed = (
+        shingle_rows(df, text_col, id_col, n)
+        .select(F.col(id_col), F.xxhash64(F.col("gram")).alias("__h"))
+        .distinct()
     )
-    return hashes.select(
-        id_col, simhash_from_hashes(F.col("__h")).alias("sh")
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(F.lit(_wrap64(1 << i))) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
     )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(
+            F.col(f"__b{i}") > 0, F.lit(_wrap64(1 << i)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    out = votes.select(F.col(id_col), sim.alias("sh"))
+    empty = (
+        df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") == 0)
+        .select(F.col(id_col), F.xxhash64(F.lit("")).alias("sh"))
+    )
+    return out.unionByName(empty)
 
 
 def hamming64(a: Column, b: Column) -> Column:

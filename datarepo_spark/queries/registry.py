@@ -668,13 +668,32 @@ def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines — rows-only check
-    description="approx_count_distinct (HLL) — engine-specific estimate",
+    # HLL estimates are engine-specific, so the sketch VALUE can't be
+    # oracle-compared — but its accuracy contract can: emit the exact
+    # distinct count plus a boolean asserting the Spark HLL estimate is
+    # within 3× the requested rsd (0.05). DuckDB's oracle computes the same
+    # exact count and (trivially true under the contract) bound flag, so
+    # the row hash is stable and the gate is hard.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="approx_count_distinct (HLL) gated by exact-count rsd bound",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.05)
+                - F.count_distinct("l_partkey")
+            )
+            <= F.lit(0.15) * F.count_distinct("l_partkey")
+        ).alias("within_rsd"),
     )
 
 

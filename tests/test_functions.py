@@ -104,7 +104,86 @@ class TestSimHash:
                         assert (ia, ib) in found
 
 
+class TestSimHashConstructionParity:
+    def test_explode_agg_matches_expression_form(self, spark):
+        """The pipeline construction (explode + 64 conditional sums) must
+        produce bit-identical simhashes to the reference expression form
+        (array of hashes + per-bit folds), including 0-token docs."""
+        rows = DOCS + [(6, ""), (7, "   ")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r.sh for r in D.simhash_df(df).collect()}
+
+        sh = D.with_shingles(df, "text", "doc_id", n=2, out="__sh")
+        hashes = sh.select(
+            "doc_id",
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__h"),
+        )
+        expected = {
+            r.doc_id: r.sh
+            for r in hashes.select(
+                "doc_id", D.simhash_from_hashes(F.col("__h")).alias("sh")
+            ).collect()
+        }
+        assert got == expected
+        assert set(got) == {0, 1, 2, 3, 4, 5, 6, 7}
+
+    def test_signature_exchange_budget(self, spark, sf_dir):
+        """SimHash signatures cost exactly two narrow exchanges (distinct
+        on 16-byte (id, hash) rows + the 64-lane vote aggregate) — never a
+        shuffle of document text and never an interpreted per-row fold."""
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            D.simhash_df(df, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 3  # 2 signature + union alignment
+        assert "text" not in plan.split("Exchange hashpartitioning")[1][:200]
+
+
 class TestBucketPairs:
+    def test_matches_bruteforce_on_overlapping_buckets(self, spark):
+        import itertools
+
+        rows = [
+            (i, b)
+            for b in ("x", "y", "z")
+            for i in range(0, 30, {"x": 2, "y": 3, "z": 5}[b])
+        ]
+        df = spark.createDataFrame(rows, ["id", "bucket"])
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in D.bucket_pairs(df, ["bucket"], "id").collect()
+        )
+        by_bucket = {}
+        for i, b in rows:
+            by_bucket.setdefault(b, set()).add(i)
+        expected = sorted(
+            {
+                pair
+                for members in by_bucket.values()
+                for pair in itertools.combinations(sorted(members), 2)
+            }
+        )
+        assert got == expected
+
+    def test_adversarial_bucket_bounded(self, spark):
+        """One degenerate 5k-member bucket: dropped by the cap, and the
+        plan's per-row state stays O(cap) (member array), never a C(n,2)
+        in-row pair product."""
+        rows = [(i, "degenerate") for i in range(5000)] + [
+            (i, "ok") for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, ["id", "bucket"])
+        pairs = D.bucket_pairs(df, ["bucket"], "id", max_bucket_size=2000)
+        got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+        assert got == [(0, 1), (0, 2), (1, 2)]
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # pair expansion is a join, not an in-row array product
+        assert "posexplode" in plan
+        assert "Join" in plan
+
     def test_pairs_and_oversize_cap(self, spark):
         rows = [(i, "b1") for i in range(4)] + [(i, "huge") for i in range(100)]
         df = spark.createDataFrame(rows, ["id", "bucket"])
