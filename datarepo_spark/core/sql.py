@@ -19,8 +19,24 @@ from .filters import Filter, NormalizedFilters
 
 
 def escape_str_for_sql(value: str) -> str:
-    """Escape a string literal by doubling single quotes (ANSI)."""
+    """Escape a string literal by doubling single quotes (ANSI).
+
+    ANSI-family engines (DuckDB, DataFusion) treat backslash as a literal
+    character inside ``'...'`` strings, so quote-doubling is complete. NOT
+    safe for engines where backslash is an escape character in string
+    literals (Spark, ClickHouse, MySQL) — a value ending in a backslash
+    would render as ``'...\\''`` where ``\\'`` reads as an escaped quote, so
+    the literal doesn't terminate where intended (breaking the statement,
+    or worse, splicing attacker-controlled filter text into it). Those
+    dialects use :func:`escape_str_backslash_dialect` instead."""
     return value.replace("'", "''")
+
+
+def escape_str_backslash_dialect(value: str) -> str:
+    """Escape for dialects whose string literals treat ``\\`` as an escape
+    (Spark, ClickHouse, MySQL): double backslashes FIRST, then double
+    quotes (both Spark and ClickHouse accept ``''`` inside literals)."""
+    return value.replace("\\", "\\\\").replace("'", "''")
 
 
 @dataclass(frozen=True)
@@ -39,8 +55,13 @@ class SqlDialect:
     typed_date_literals: bool = True  # DATE '...' / TIMESTAMP '...'
     # 'contains' compiles to LIKE '%...%'; %/_ in the VALUE must be escaped
     # or they act as wildcards. ANSI engines need an explicit ESCAPE
-    # clause; ClickHouse treats backslash as the escape char by default.
+    # clause; Spark and ClickHouse already default the LIKE escape char to
+    # backslash — and in Spark an appended ESCAPE '\' would itself fail to
+    # parse (the lone backslash swallows the closing quote).
     like_escape_clause: bool = True
+    # string-literal escaping differs: ANSI doubles quotes only; engines
+    # where backslash escapes inside literals must double it too.
+    escape_str: Callable[[str], str] = escape_str_for_sql
 
     def quote_ident(self, name: str) -> str:
         q = self.identifier_quote
@@ -54,7 +75,7 @@ class SqlDialect:
         if isinstance(value, (int, float)):
             return repr(value)
         if isinstance(value, str):
-            return f"'{escape_str_for_sql(value)}'"
+            return f"'{self.escape_str(value)}'"
         if isinstance(value, dt.datetime):
             text = value.strftime("%Y-%m-%d %H:%M:%S.%f")
             return f"TIMESTAMP '{text}'" if self.typed_date_literals else f"'{text}'"
@@ -68,7 +89,12 @@ class SqlDialect:
 
 
 ANSI = SqlDialect()
-SPARK = SqlDialect(name="spark", identifier_quote="`")
+SPARK = SqlDialect(
+    name="spark",
+    identifier_quote="`",
+    like_escape_clause=False,  # backslash is Spark's default LIKE escape
+    escape_str=escape_str_backslash_dialect,
+)
 CLICKHOUSE = SqlDialect(
     name="clickhouse",
     identifier_quote="`",
@@ -77,6 +103,7 @@ CLICKHOUSE = SqlDialect(
     array_contains=lambda col, val: f"has({col}, {val})",
     typed_date_literals=False,
     like_escape_clause=False,  # backslash is CH's default LIKE escape
+    escape_str=escape_str_backslash_dialect,
 )
 DUCKDB = SqlDialect(name="duckdb")
 
@@ -102,7 +129,7 @@ def filter_to_sql_expr(f: Filter, dialect: SqlDialect = ANSI) -> str:
         pattern = (
             raw.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
         )
-        escaped = escape_str_for_sql(pattern)
+        escaped = dialect.escape_str(pattern)
         like = f"{col} LIKE '%{escaped}%'"
         if dialect.like_escape_clause:
             like += " ESCAPE '\\'"

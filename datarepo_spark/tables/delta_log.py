@@ -190,10 +190,23 @@ class DeltaLog:
 
         for action in start_actions:
             apply(action)
+        # Leading commits may legitimately be vacuumed away below a
+        # checkpoint, but a HOLE between replayed commits means a torn or
+        # partially-cleaned log — replaying past it would present a stale
+        # file set as a successful read (delta-rs fails here too; so do we).
+        first_replayed: Optional[int] = None
         for v in range(replay_from, target + 1):
             commit_path = os.path.join(self.log_dir, f"{v:020d}.json")
             if not os.path.exists(commit_path):
+                if first_replayed is not None:
+                    raise FileNotFoundError(
+                        f"Delta log gap: commit {v:020d}.json missing after "
+                        f"replaying versions {first_replayed}..{v - 1} "
+                        f"toward target {target} in {self.log_dir}"
+                    )
                 continue
+            if first_replayed is None:
+                first_replayed = v
             for action in self._commit_actions(v):
                 apply(action)
 

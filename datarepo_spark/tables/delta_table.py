@@ -228,19 +228,28 @@ class DeltalakeTable:
         df = spark.read.schema(snapshot.data_schema).parquet(*paths)
         if snapshot.partition_columns:
             # Restore partition columns from partitionValues via a broadcast
-            # join keyed on the (uuid-unique) file name — authoritative per
-            # the protocol, independent of path layout, and fully
-            # distributed (no per-partition read plans).
+            # join keyed on the file's RELATIVE path — the only identifier
+            # the protocol guarantees unique (basenames can repeat across
+            # partition dirs, e.g. compacted tables writing data.parquet
+            # per dir; a basename join would silently duplicate those
+            # files' rows). The relative path always has exactly
+            # n_partition_cols + 1 segments (one dir per partition column),
+            # so it's a fixed-size suffix of _metadata.file_path. Both
+            # sides normalize to the ON-DISK name: the driver percent-
+            # decodes the protocol's URL-encoded add.path; Spark's
+            # file_path is a URI (space→%20, %→%25), decoded with
+            # url_decode after guarding literal '+' (URI paths keep '+'
+            # verbatim; url_decode would turn it into a space).
             part_fields = [
                 snapshot.partition_field(c) for c in snapshot.partition_columns
             ]
             lookup_schema = T.StructType(
-                [T.StructField("__delta_file", T.StringType(), False)]
+                [T.StructField("__delta_rel", T.StringType(), False)]
                 + part_fields
             )
             rows = [
                 tuple(
-                    [os.path.basename(unquote(add.path))]
+                    [unquote(add.path)]
                     + [
                         cast_partition_value(
                             add.partition_values.get(f.name), f.dataType
@@ -251,13 +260,18 @@ class DeltalakeTable:
                 for add in files
             ]
             lookup = spark.createDataFrame(rows, lookup_schema)
+            nseg = len(snapshot.partition_columns) + 1
+            segs = F.split(F.col("_metadata.file_path"), "/")
+            rel_uri = F.concat_ws("/", F.slice(segs, -nseg, nseg))
             df = (
                 df.withColumn(
-                    "__delta_file",
-                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                    "__delta_rel",
+                    F.url_decode(
+                        F.replace(rel_uri, F.lit("+"), F.lit("%2B"))
+                    ),
                 )
-                .join(F.broadcast(lookup), "__delta_file", "left")
-                .drop("__delta_file")
+                .join(F.broadcast(lookup), "__delta_rel", "left")
+                .drop("__delta_rel")
             )
         return df
 

@@ -83,11 +83,16 @@ class DeltaFixtureWriter:
         rows: Sequence[dict[str, Any]],
         mode: str = "append",
         file_schema: Optional[T.StructType] = None,
+        filename: Optional[str] = None,
     ) -> int:
         """Write ``rows`` as one parquet file per partition tuple and append
         a commit. ``mode="overwrite"`` also removes all previous files.
         ``file_schema`` writes files with a drifted physical schema (for
-        normalization tests) while metaData keeps the declared schema."""
+        normalization tests) while metaData keeps the declared schema.
+        ``filename`` fixes every file's basename (the protocol only
+        guarantees full-relative-path uniqueness — compactors DO emit the
+        same basename in every partition dir; tests use this to prove the
+        reader doesn't key on basenames)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -133,7 +138,7 @@ class DeltaFixtureWriter:
                 for c, v in zip(self.partition_cols, key)
             ]
             rel_dir = "/".join(segs)
-            fname = f"part-{uuid.uuid4().hex}-c000.parquet"
+            fname = filename or f"part-{uuid.uuid4().hex}-c000.parquet"
             rel_path = f"{rel_dir}/{fname}" if rel_dir else fname
             abs_dir = os.path.join(self.base, rel_dir)
             os.makedirs(abs_dir, exist_ok=True)

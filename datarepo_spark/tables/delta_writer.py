@@ -22,6 +22,7 @@ import shutil
 import tempfile
 import uuid
 from typing import Optional, Sequence
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame
 
@@ -86,13 +87,28 @@ def write_delta(
                 for seg in rel_dir.split(os.sep):
                     if "=" in seg:
                         k, _, v = seg.partition("=")
+                        # Spark's partitionBy Hive-escapes special chars in
+                        # the directory NAME (colon→%3A, %→%25, …); the
+                        # action's partitionValues are the logical VALUES,
+                        # so unescape — otherwise read-side pruning and
+                        # cast_partition_value compare against the escaped
+                        # string and return wrong results.
                         partition_values[k] = (
-                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(v)
                         )
                 adds.append(
                     {
                         "add": {
-                            "path": rel_path.replace(os.sep, "/"),
+                            # Protocol: path is the URL-encoded relative
+                            # path. The on-disk name is itself Hive-escaped
+                            # (contains % sequences), so it must be encoded
+                            # here or a reader's percent-DECODE would turn
+                            # "o=a%3Ab" into the nonexistent "o=a:b".
+                            "path": quote(
+                                rel_path.replace(os.sep, "/"), safe="/="
+                            ),
                             "partitionValues": partition_values,
                             "size": os.path.getsize(dst),
                             "modificationTime": 0,

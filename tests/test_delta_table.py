@@ -217,3 +217,69 @@ class TestOverwriteAndDrift:
             key=lambda x: x[0],
         )
         assert rows == [(1, "x"), (2, None)]
+
+
+class TestProtocolEdgeCases:
+    def test_duplicate_basenames_across_partitions(self, spark, tmp_path):
+        """The protocol only guarantees full-relative-path uniqueness:
+        compacted tables write e.g. data.parquet in EVERY partition dir. A
+        basename-keyed partition-value restore silently duplicates those
+        files' rows through its broadcast join; keying on the relative
+        path must not."""
+        base = str(tmp_path / "dupname")
+        writer = DeltaFixtureWriter(base, SCHEMA, ["implant_id", "date"])
+        writer.commit(ROWS_V0, filename="data.parquet")
+        t = DeltalakeTable("t", base, schema=SCHEMA)
+        df = t(spark=spark)
+        assert vals(df) == [1, 2, 3, 4]  # no duplication
+        # partition columns still restored correctly per file
+        got = sorted(
+            (r["implant_id"], r["date"], r["value"]) for r in df.collect()
+        )
+        assert got == [
+            (1, "2023-01-01", 1),
+            (1, "2023-01-01", 2),
+            (1, "2023-01-02", 3),
+            (2, "2023-01-01", 4),
+        ]
+
+    def test_log_gap_raises(self, spark, tmp_path):
+        """A missing commit BETWEEN replayed versions is a torn log —
+        replaying past it would present a stale file set as a successful
+        read. delta-rs raises; so do we."""
+        import os as _os
+
+        base = str(tmp_path / "gap")
+        writer = DeltaFixtureWriter(base, SCHEMA, ["implant_id", "date"])
+        writer.commit(ROWS_V0)
+        writer.commit(ROWS_V1)
+        writer.commit(
+            [{"implant_id": 4, "date": "2023-01-03", "uniq": "f", "value": 7}]
+        )
+        _os.remove(_os.path.join(base, "_delta_log", f"{1:020d}.json"))
+        with pytest.raises(FileNotFoundError, match="gap"):
+            DeltaLog(base).snapshot()
+
+    def test_special_char_partition_values(self, spark, tmp_path):
+        """Hive-escaped directory names (colon→%3A etc.) must round-trip:
+        partitionValues carry the LOGICAL value, add.path the URL-encoded
+        on-disk path — and filters on the partition value must prune to
+        the right files."""
+        from datarepo_spark.tables.delta_writer import write_delta
+
+        base = str(tmp_path / "special")
+        df = spark.createDataFrame(
+            [(1, "a:b"), (2, "x y"), (3, "pl%in")], ["v", "p"]
+        )
+        write_delta(df, base, partition_by=["p"])
+        snap = DeltaLog(base).snapshot()
+        assert sorted(
+            f.partition_values["p"] for f in snap.files
+        ) == ["a:b", "pl%in", "x y"]
+        t = DeltalakeTable("t", base)
+        got = t(filters=[Filter("p", "=", "a:b")], spark=spark)
+        assert [(r["v"], r["p"]) for r in got.collect()] == [(1, "a:b")]
+        all_rows = sorted(
+            (r["v"], r["p"]) for r in t(spark=spark).collect()
+        )
+        assert all_rows == [(1, "a:b"), (2, "x y"), (3, "pl%in")]

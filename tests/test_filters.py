@@ -158,6 +158,31 @@ class TestSqlGeneration:
         )
         assert filter_to_sql_expr(Filter("a", "=", 1), SPARK) == "`a` = 1"
 
+    def test_backslash_dialect_escaping(self):
+        # Spark/ClickHouse string literals treat backslash as an escape
+        # char: a value ending in '\' must render with it doubled, or the
+        # literal wouldn't terminate (parse failure / injection vector).
+        for d in (SPARK, CLICKHOUSE):
+            assert (
+                filter_to_sql_expr(Filter("s", "=", "a\\"), d)
+                == "`s` = 'a\\\\'"
+            )
+            assert (
+                filter_to_sql_expr(Filter("s", "=", "it's"), d)
+                == "`s` = 'it''s'"
+            )
+        # ANSI backslash stays literal
+        assert (
+            filter_to_sql_expr(Filter("s", "=", "a\\"), ANSI) == "\"s\" = 'a\\'"
+        )
+
+    def test_spark_like_no_escape_clause(self):
+        # Spark defaults the LIKE escape char to backslash and would fail
+        # to parse ESCAPE '\' (the lone backslash swallows the quote).
+        got = filter_to_sql_expr(Filter("s", "contains", "x_%"), SPARK)
+        assert got == "`s` LIKE '%x\\\\_\\\\%%'"
+        assert "ESCAPE" not in got
+
     def test_dnf_predicate(self):
         dnf = [
             [Filter("a", "=", 1), Filter("b", ">", 2)],

@@ -15,7 +15,7 @@ from hypothesis import strategies as st
 
 from datarepo_spark.core.compile import filters_to_column
 from datarepo_spark.core.filters import Filter, normalize_filters
-from datarepo_spark.core.sql import DUCKDB, filters_to_sql_predicate
+from datarepo_spark.core.sql import DUCKDB, SPARK, filters_to_sql_predicate
 
 # Strings exercising quoting/escaping/wildcards; values are never NULL so
 # the Python model avoids SQL three-valued logic.
@@ -133,6 +133,41 @@ def test_spark_column_matches_python(spark, rows, dnf):
         r.i for r in df.filter(filters_to_column(ndnf)).select("i").collect()
     }
     assert got == expected
+
+
+# The SPARK-dialect SQL string must parse and mean the same thing when fed
+# to df.filter(sql_text) — Spark string literals treat backslash as an
+# escape char (unlike ANSI), and Spark's LIKE already defaults its escape
+# char to backslash, so an appended ESCAPE '\' clause would both fail to
+# parse and be redundant. This leg executes the generated text.
+@given(rows=ROWS, dnf=DNF)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_spark_sql_text_matches_python(spark, rows, dnf):
+    ndnf = normalize_filters(dnf)
+    expected = py_eval(rows, ndnf)
+    df = spark.createDataFrame(
+        [(i, r[0], r[1]) for i, r in enumerate(rows)], ["i", "a", "s"]
+    )
+    pred = filters_to_sql_predicate(ndnf, SPARK)
+    got = {r.i for r in df.filter(pred).select("i").collect()}
+    assert got == expected
+
+
+@pytest.mark.parametrize(
+    "value",
+    ["50%", "a_b", "it's", "back\\slash", "%_", "100%_done", "end\\", "\\'"],
+)
+def test_contains_metacharacters_spark_sql(spark, value):
+    rows = [(0, value), (1, "no match here"), (2, f"prefix {value} suffix")]
+    dnf = normalize_filters([Filter("s", "contains", value)])
+    df = spark.createDataFrame(rows, ["i", "s"])
+    pred = filters_to_sql_predicate(dnf, SPARK)
+    got = {r.i for r in df.filter(pred).select("i").collect()}
+    assert got == {0, 2}
 
 
 @pytest.mark.parametrize(
