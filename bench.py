@@ -39,8 +39,12 @@ HEADLINE = [
     "join_asof_backward",
     "dedup_exact_sha256",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality_score",
     "similarity_knn_brute_force",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "pipeline_curate_documents",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

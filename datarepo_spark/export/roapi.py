@@ -13,9 +13,21 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from ..catalog.catalog import Catalog
+from ..core.filters import Filter
 from ..tables.metadata import TableType
 
 DEFAULT_DELTA_RELOAD_SECONDS = 60  # reference util.py:24-26
+
+
+def py_type_to_roapi(py_type: type) -> str:
+    """Python filter-value type → ROAPI data type (reference
+    export/roapi.py:214-221)."""
+    return {
+        int: "Int64",
+        str: "Utf8",
+        bool: "Boolean",
+        float: "Float64",
+    }[py_type]
 
 
 @dataclass
@@ -42,12 +54,36 @@ def table_to_roapi(name: str, table: Any) -> Optional[dict[str, Any]]:
             "uri": table.uri,
             "option": {"format": "parquet", "use_memory_table": False},
         }
-        partitions = [
-            {"name": p.column, "data_type": p.col_type.simpleString()}
-            for p in getattr(table, "partitioning", [])
-        ]
-        if partitions:
-            entry["partition_columns"] = partitions
+        # With docs filters pinning every partition, ROAPI can infer the
+        # schema from ONE representative file instead of listing the whole
+        # table: emit the reference's partition_columns + schema_from_files
+        # fragment shape (reference export/roapi.py:84-128).
+        docs_filters = (meta.docs_args or {}).get("filters") or []
+        if docs_filters and all(
+            isinstance(f, Filter) for f in docs_filters
+        ):
+            entry["partition_columns"] = [
+                {
+                    "name": f.column,
+                    # ROAPI treats YYYY-MM-DD partition cols as Date32
+                    "data_type": (
+                        "Date32"
+                        if f.column == "date"
+                        else py_type_to_roapi(type(f.value))
+                    ),
+                }
+                for f in docs_filters
+            ]
+            entry["schema_from_files"] = [
+                table.build_file_fragment(list(docs_filters))
+            ]
+        else:
+            partitions = [
+                {"name": p.column, "data_type": p.col_type.simpleString()}
+                for p in getattr(table, "partitioning", [])
+            ]
+            if partitions:
+                entry["partition_columns"] = partitions
     elif table_type == TableType.DELTA.value:
         reload_s = (
             opts.reload_interval_seconds

@@ -45,8 +45,18 @@ def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one row (lowest id) per distinct normalized content.
-    One hash-shuffle on the 32-byte key; min(id) is the deterministic
-    survivor rule (dropDuplicates would keep an arbitrary row)."""
+
+    min(id) is the deterministic survivor rule (dropDuplicates would keep
+    an arbitrary row). Shuffle inventory, honestly: the winners aggregate
+    shuffles (32-byte sha256, id) pairs — never text — but the final
+    left-semi join re-partitions BOTH sides by ``id_col``, and on an
+    unbucketed source that second exchange carries full document rows.
+    The production layout at 100 TB is the corpus bucketed by ``id_col``
+    (:mod:`datarepo_spark.tables.bucketed`): the bucketed scan reports
+    HashPartitioning(id) so Catalyst elides the fact-side exchange and
+    only the tiny winners (ids) move — document bodies then never shuffle
+    (asserted: tests/test_bucketed.py
+    ``test_exact_dedup_on_bucketed_corpus_never_shuffles_text``)."""
     key = content_key(F.col(text_col))
     winners = (
         df.select(F.col(id_col), key.alias("__ck"))

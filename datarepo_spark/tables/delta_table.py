@@ -48,6 +48,7 @@ from .metadata import (
     TableType,
 )
 from .normalize import empty_normalized_df, normalize_df
+from .storage import apply_storage_options, get_storage_options
 from .parquet_table import _active_spark
 
 ExtraCol = tuple[str, Union[Column, str]]
@@ -139,6 +140,9 @@ class DeltalakeTable:
         docs_columns: Optional[Sequence[str]] = None,
         table_metadata: Optional[TableMetadata] = None,
         use_native: Optional[bool] = None,
+        boto3_session: Optional[Any] = None,
+        endpoint_url: Optional[str] = None,
+        storage_options: Optional[dict[str, str]] = None,
     ) -> None:
         self.name = name
         self.uri = uri.rstrip("/")
@@ -148,6 +152,14 @@ class DeltalakeTable:
         self.docs_filters = list(docs_filters)
         self.docs_columns = list(docs_columns) if docs_columns else None
         self.use_native = use_native
+        # reference deltalake_table.py threads boto3_session/endpoint_url
+        # into delta-rs storage_options (util.py:64-100); Spark-side these
+        # become per-bucket fs.s3a.* confs (tables/storage.py).
+        self.storage_options = dict(storage_options or {})
+        if boto3_session is not None or endpoint_url is not None:
+            self.storage_options.update(
+                get_storage_options(boto3_session, endpoint_url)
+            )
         self.table_metadata = table_metadata or TableMetadata(
             table_type=TableType.DELTA.value,
             description=description,
@@ -181,6 +193,8 @@ class DeltalakeTable:
         # timeout/cache_options: accepted for reference API parity (A20);
         # see DeltaCacheOptions for where those concerns live on Spark.
         session = _active_spark(spark)
+        if self.storage_options:
+            apply_storage_options(session, self.storage_options, self.uri)
         sql_filter: Optional[str] = None
         if isinstance(filters, str):
             # Raw SQL predicate passthrough (reference deltalake_table.py:37,

@@ -40,6 +40,7 @@ from ..core.filters import (
     normalize_filters,
     validate_filters,
 )
+from .storage import apply_storage_options, get_storage_options
 from .metadata import (
     Partition,
     PartitioningScheme,
@@ -75,6 +76,10 @@ class ParquetTable:
         docs_filters: Sequence[Filter] = (),
         docs_columns: Optional[Sequence[str]] = None,
         table_metadata: Optional[TableMetadata] = None,
+        parquet_file_name: str = "df.parquet",
+        boto3_session: Optional[Any] = None,
+        endpoint_url: Optional[str] = None,
+        storage_options: Optional[dict[str, str]] = None,
     ) -> None:
         self.name = name
         # A list of URIs = explicit multi-file fetch + union (reference
@@ -92,6 +97,16 @@ class ParquetTable:
         self.schema = schema
         self.docs_filters = list(docs_filters)
         self.docs_columns = list(docs_columns) if docs_columns else None
+        self.parquet_file_name = parquet_file_name
+        # reference parquet_table.py accepts boto3_session/endpoint_url and
+        # threads them to pyarrow's S3 filesystem (util.py:103-142); the
+        # Spark equivalent is per-bucket fs.s3a.* confs, applied lazily at
+        # first read (tables/storage.py).
+        self.storage_options = dict(storage_options or {})
+        if boto3_session is not None or endpoint_url is not None:
+            self.storage_options.update(
+                get_storage_options(boto3_session, endpoint_url)
+            )
         self.table_metadata = table_metadata or TableMetadata(
             table_type=TableType.PARQUET.value,
             description=description,
@@ -139,6 +154,26 @@ class ParquetTable:
             residual = []
         return uri + "/", remaining, residual, applied
 
+    def build_file_fragment(self, filters: Sequence[Filter]) -> str:
+        """Relative path of one representative data file under the filters'
+        partition directory — every partition must be pinned by an exact
+        equality filter, or this raises. ROAPI uses the fragment to infer
+        the table schema from a single file instead of listing the whole
+        table (reference parquet_table.py:315-331)."""
+        dnf = normalize_filters(list(filters))
+        pruned_uri, remaining, _residual, _applied = (
+            self.build_uri_from_filters(dnf)
+        )
+        if remaining:
+            missing = [p.column for p in remaining]
+            raise ValueError(
+                f"Not enough partitions specified, missing: {missing}"
+            )
+        fragment = pruned_uri[len(self.uri):].strip("/")
+        return f"{fragment}/{self.parquet_file_name}" if fragment else (
+            self.parquet_file_name
+        )
+
     # -- read ------------------------------------------------------------
 
     def __call__(
@@ -149,6 +184,8 @@ class ParquetTable:
         **kwargs: Any,
     ) -> DataFrame:
         session = _active_spark(spark)
+        if self.storage_options:
+            apply_storage_options(session, self.storage_options, self.uri)
         dnf = normalize_filters(filters)
         known = self._known_columns()
         if known:

@@ -98,3 +98,48 @@ class TestBucketedTable:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         assert sorted(map(tuple, b.collect())) == sorted(map(tuple, u.collect()))
+
+
+class TestBucketedExactDedup:
+    def test_exact_dedup_on_bucketed_corpus_never_shuffles_text(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """The 100 TB exact-dedup layout: corpus bucketed by doc_id. The
+        survivor semi-join's fact side then reports HashPartitioning and
+        Catalyst elides its exchange — every Exchange left in the plan
+        carries hashes/ids, never document text."""
+        from datarepo_spark.functions.dedup import exact_dedup
+
+        base = tmp_path_factory.mktemp("bdocs")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_bucketed(
+            docs, "b_documents", ["doc_id"], 4, path=str(base / "d")
+        )
+        try:
+            bucketed = BucketedTable(
+                "docs", "b_documents", ["doc_id"], 4
+            )(spark=spark)
+            result = exact_dedup(bucketed, "text", "doc_id")
+            plain = exact_dedup(docs, "text", "doc_id")
+            assert sorted(r.doc_id for r in result.collect()) == sorted(
+                r.doc_id for r in plain.collect()
+            )
+            # formatted explain lists, per Exchange node, exactly what rows
+            # flow through it ("Input [n]: [cols]")
+            formatted = result._sc._jvm.PythonSQLUtils.explainString(
+                result._jdf.queryExecution(), "formatted"
+            )
+            import re
+
+            blocks = re.findall(
+                r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", formatted
+            )
+            # exactly two exchanges survive — the winners aggregate (__ck)
+            # and the tiny id-only winners repartition; the bucketed fact
+            # side's was elided, so no exchange ever carries text
+            assert blocks, f"expected winner-side exchanges:\n{formatted}"
+            for cols in blocks:
+                assert "text#" not in cols, cols
+            assert len(blocks) <= 2, blocks
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_documents")

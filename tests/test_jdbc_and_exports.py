@@ -14,6 +14,7 @@ from datarepo_spark.core.sql import SPARK
 from datarepo_spark.export.roapi import (
     RoapiOptions,
     export_to_roapi_tables,
+    table_to_roapi,
 )
 from datarepo_spark.export.web import catalog_to_dict, export_catalogs
 from datarepo_spark.tables.jdbc_table import ClickHouseTable, JdbcConfig
@@ -182,6 +183,52 @@ class TestRoapiExport:
             ],
         }
         assert by_name["events"]["option"]["format"] == "jdbc"
+
+    def test_schema_from_files_fragment(self, tmp_path):
+        """docs filters pinning every partition → the reference's
+        schema-inference shape: ROAPI-typed partition_columns + one
+        representative file fragment (reference export/roapi.py:84-128,
+        parquet_table.py:315-331)."""
+        t = ParquetTable(
+            "spikes",
+            str(tmp_path / "frag"),
+            partitioning=[
+                Partition("implant_id", T.IntegerType()),
+                Partition("date", T.StringType()),
+            ],
+            schema=T.StructType([T.StructField("value", T.LongType())]),
+            docs_filters=[
+                Filter("implant_id", "=", 5),
+                Filter("date", "=", "2024-01-01"),
+            ],
+        )
+        entry = table_to_roapi("spikes", t)
+        assert entry["partition_columns"] == [
+            {"name": "implant_id", "data_type": "Int64"},
+            {"name": "date", "data_type": "Date32"},
+        ]
+        assert entry["schema_from_files"] == [
+            "implant_id=5/date=2024-01-01/df.parquet"
+        ]
+
+    def test_build_file_fragment_requires_all_partitions(self, tmp_path):
+        t = ParquetTable(
+            "spikes",
+            str(tmp_path / "frag2"),
+            partitioning=[
+                Partition("implant_id", T.IntegerType()),
+                Partition("date", T.StringType()),
+            ],
+            parquet_file_name="data.parquet",
+        )
+        assert (
+            t.build_file_fragment(
+                [Filter("implant_id", "=", 5), Filter("date", "=", "d")]
+            )
+            == "implant_id=5/date=d/data.parquet"
+        )
+        with pytest.raises(ValueError, match="missing: \\['date'\\]"):
+            t.build_file_fragment([Filter("implant_id", "=", 5)])
 
 
 class TestWebExport:
