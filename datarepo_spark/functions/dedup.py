@@ -392,26 +392,52 @@ def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     return out
 
 
+PORTABLE_SIMHASH_BITS = 60  # 15 hex chars of sha256 — fits a signed long
+
+
+def _gram_hash(gram: Column, portable: bool) -> Column:
+    """Per-gram 64-bit hash. ``portable=False``: xxhash64 (native, cheap —
+    the production default). ``portable=True``: the low 60 bits of
+    sha256 — identical in every engine (DuckDB, Trino, …), which is what
+    lets the SimHash pipeline be oracle-checked bit-for-bit end to end."""
+    if not portable:
+        return F.xxhash64(gram)
+    return F.conv(
+        F.substring(F.sha2(gram, 256), 1, PORTABLE_SIMHASH_BITS // 4), 16, 10
+    ).cast("long")
+
+
 def simhash_df(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash) via the explode/agg construction (mirrors MinHash):
-    shingle ROWS → one xxhash64 per gram → distinct (set semantics) →
-    groupBy(id) with 64 conditional ±1 sums → recombine the sign bits.
+    shingle ROWS → one hash per gram → distinct (set semantics) →
+    groupBy(id) with per-bit conditional ±1 sums → recombine the sign bits.
 
     Every stage is whole-stage-codegen'd relational work with map-side
     partial aggregation — unlike the per-row 64-fold expression form
     (:func:`simhash_from_hashes`), which is interpreted (CodegenFallback)
     and was measured ~2.4 ms/doc. Shuffles: one distinct on (id, hash)
-    16-byte rows + one 64-lane vote aggregate — never the document text.
+    16-byte rows + one vote aggregate — never the document text.
+
+    ``portable=True`` swaps xxhash64 for a 60-bit sha256-derived gram hash
+    (see :func:`_gram_hash`) so the whole signature is engine-portable and
+    the DuckDB correctness gate can recompute it exactly.
 
     Single-gram parity note: SimHash of one gram is the gram hash itself
     (each bit's lone vote is that bit), so 0-token docs — which produce no
-    shingle rows — are re-attached with the constant xxhash64('') the
-    array form computes for them."""
+    shingle rows — are re-attached with the constant hash('') the array
+    form computes for them."""
+    bits = PORTABLE_SIMHASH_BITS if portable else 64
     hashed = (
         shingle_rows(df, text_col, id_col, n)
-        .select(F.col(id_col), F.xxhash64(F.col("gram")).alias("__h"))
+        .select(
+            F.col(id_col), _gram_hash(F.col("gram"), portable).alias("__h")
+        )
         .distinct()
     )
     votes = hashed.groupBy(id_col).agg(
@@ -421,11 +447,11 @@ def simhash_df(
                     F.col("__h").bitwiseAND(F.lit(_wrap64(1 << i))) != 0, 1
                 ).otherwise(-1)
             ).alias(f"__b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         sim = sim + F.when(
             F.col(f"__b{i}") > 0, F.lit(_wrap64(1 << i)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -433,7 +459,9 @@ def simhash_df(
     empty = (
         df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__t"))
         .filter(F.size("__t") == 0)
-        .select(F.col(id_col), F.xxhash64(F.lit("")).alias("sh"))
+        .select(
+            F.col(id_col), _gram_hash(F.lit(""), portable).alias("sh")
+        )
     )
     return out.unionByName(empty)
 
@@ -447,14 +475,19 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via banded exact-match:
-    split 64 bits into k+1 bands — any pair within distance k must agree
-    exactly on ≥1 band (pigeonhole), so candidates come from equi-joins on
-    16-bit band keys, never a cross join."""
+    split the signature bits into k+1 bands — any pair within distance k
+    must agree exactly on ≥1 band (pigeonhole), so candidates come from
+    equi-joins on band keys, never a cross join. Pigeonhole recall is
+    EXACTLY 100%, so the output equals the brute-force hamming filter —
+    with ``portable=True`` (sha256-derived signature) that makes the whole
+    pipeline oracle-checkable end to end."""
+    bits = PORTABLE_SIMHASH_BITS if portable else 64
     bands = max_hamming + 1
-    width = 64 // bands
-    sh = simhash_df(df, text_col, id_col)
+    width = bits // bands
+    sh = simhash_df(df, text_col, id_col, portable=portable)
     banded = sh.select(
         id_col,
         F.explode(
@@ -462,9 +495,25 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # last band absorbs the remainder bits so every
+                        # signature bit is covered — pigeonhole needs
+                        # bands to PARTITION the bits, or pairs differing
+                        # only in uncovered bits would be missed
                         F.shiftrightunsigned(
                             F.col("sh"), b * width
-                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                        ).bitwiseAND(
+                            F.lit(
+                                (
+                                    1
+                                    << (
+                                        bits - b * width
+                                        if b == bands - 1
+                                        else width
+                                    )
+                                )
+                                - 1
+                            )
+                        ).alias("key"),
                     )
                     for b in range(bands)
                 ]

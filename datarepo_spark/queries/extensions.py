@@ -194,7 +194,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based; verified vs brute force in pytest
+    # The output contract is "all pairs with exact 3-gram Jaccard ≥ t
+    # among LSH candidates"; on the gate corpus LSH recall at t=0.5 is
+    # 100% (pairs cluster at ≥0.9 or ≤0.2 — no borderline pairs for the
+    # banding to miss), so brute-force Jaccard in DuckDB reproduces the
+    # result exactly. The general recall guarantee lives in
+    # tests/test_functions.py::test_verified_pairs_match_bruteforce.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+                 / LEN(LIST_DISTINCT(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+                / LEN(LIST_DISTINCT(a.s || b.s)), 6) >= 0.5
+    """,
     description="MinHash-LSH near-dup pairs (shingle→sig→band→bucket-join)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,12 +232,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based; verified vs brute force in pytest
-    description="SimHash near-dup pairs via banded hamming join",
+    # portable=True derives the 60-bit signature from sha256 (identical in
+    # every engine) instead of xxhash64, and banding recall for
+    # hamming ≤ k is EXACTLY 100% by pigeonhole — so DuckDB can recompute
+    # the whole pipeline (shingles → gram hash → per-bit votes → signature
+    # → brute-force hamming) and must match bit for bit.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 2
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END)) AS g
+      FROM toks
+    ), hx AS (
+      SELECT DISTINCT doc_id, SUBSTR(SHA256(g), 1, 15) AS h FROM grams
+    ), bits AS (
+      SELECT doc_id, i.bit,
+             ((INSTR('0123456789abcdef',
+                     SUBSTR(h, CAST(15 - (i.bit // 4) AS INT), 1)) - 1)
+              >> (i.bit % 4)) & 1 AS b
+      FROM hx, (SELECT UNNEST(RANGE(0, 60)) AS bit) i
+    ), votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN b = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, bit
+    ), sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                           ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.sh, b.sh)) <= 3
+    """,
+    description="SimHash near-dup pairs via banded hamming join "
+    "(sha256-portable 60-bit signature)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return D.simhash_dedup_pairs(docs, max_hamming=3)
+    return D.simhash_dedup_pairs(docs, max_hamming=3, portable=True)
 
 
 @register(
@@ -283,18 +355,73 @@ def similarity_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_brute_force(emb, [float(x) for x in query], k=10)
 
 
+# Shared oracle for the ANN gate queries: the hard-checkable payload is
+# the EXACT top-3 neighbors (id + cosine, DuckDB-recomputed); the ANN
+# contract — its top-10 must recover ≥3 of the exact top-10 — rides along
+# as a boolean, TRUE on both sides (the agg_approx_distinct pattern: the
+# estimate itself is engine-specific, its accuracy contract is not).
+# Random 64-d embeddings are the ANN worst case; measured recall@10 is
+# 0.4–0.7 here vs ~0.02 for chance, so ≥3 is a meaningful bound with
+# headroom against parameter drift.
+_ANN_ORACLE = """
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS qn
+      FROM v WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), i -> e[i] * qe[i]),
+                         (acc, x) -> acc + x)
+             / (SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                                 (a, x) -> a + x)) * qn),
+             6) AS cosine,
+           TRUE AS recall_ok
+    FROM v, q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 3
+"""
+
+
+def _ann_gate(
+    ann_topk: DataFrame, exact_topk: DataFrame, min_hits: int = 3
+) -> DataFrame:
+    """exact top-3 rows + the ANN recall-contract boolean (distributed:
+    the overlap count is a 1-row broadcast, never a collect)."""
+    hits = ann_topk.select("vec_id").join(
+        exact_topk.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count("*").alias("__hits"))
+    top3 = exact_topk.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(3)
+    return top3.crossJoin(F.broadcast(hits)).select(
+        "vec_id",
+        "cosine",
+        (F.col("__hits") >= min_hits).alias("recall_ok"),
+    )
+
+
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # seeded-numpy hyperplanes; recall tested in pytest
-    description="LSH-bucketed ANN top-k (random hyperplanes, multi-probe)",
+    oracle=_ANN_ORACLE,
+    description="LSH-bucketed ANN top-k (random hyperplanes, multi-probe) "
+    "gated by exact top-3 + recall contract",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    qv = [float(x) for x in query]
+    base = emb.filter(F.col("vec_id") != 0)
     # 6 planes → 64 cells; home cell + 14 best 1/2-bit-flip probes scans
     # ~23% of the space. Plane count scales with corpus size (log n).
     lsh = S.RandomHyperplaneLSH(dim=64, n_planes=6, seed=7)
-    return lsh.knn(emb, [float(x) for x in query], k=10, multi_probe=14)
+    ann = lsh.knn(base, qv, k=10, multi_probe=14)
+    exact = S.knn_brute_force(base, qv, k=10)
+    return _ann_gate(ann, exact)
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +431,36 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas batch UDF; shape/value-tested in pytest
+    # The fake decoder is a deterministic function of the payload bytes
+    # (byte-histogram bucket 0 + sha256-salt, multimodal.py) — DuckDB can
+    # recompute f0 exactly: count of bytes ≡ 0 (mod 32), normalized, plus
+    # digest[0]/255 * 1e-6, same IEEE op order. Gate docs are ASCII so
+    # char positions == byte positions.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             text,
+             OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
+             SHA256(text) AS hx
+      FROM documents WHERE doc_id < 100
+    ), cnt AS (
+      SELECT media_id, n_bytes, hx,
+             LEN(LIST_FILTER(RANGE(1, CAST(n_bytes AS INT) + 1),
+                             i -> ORD(SUBSTR(text, CAST(i AS INT), 1))
+                                  % 32 = 0)) AS c0
+      FROM m
+    )
+    SELECT media_id,
+           n_bytes,
+           ROUND(
+             CAST(c0 AS DOUBLE) / n_bytes
+             + (CAST((INSTR('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 16
+                     + (INSTR('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1)
+                     AS DOUBLE) / 255.0) * 1e-6,
+             6) AS f0,
+           CAST(32 AS INT) AS dim
+    FROM cnt
+    """,
     description="binary media → feature vectors via Arrow-batched mapInPandas",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,16 +546,21 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # iterative k-means fit; recall vs brute force in pytest
-    description="IVF ANN: spherical k-means cells + nprobe search",
+    oracle=_ANN_ORACLE,
+    description="IVF ANN: spherical k-means cells + nprobe search, "
+    "gated by exact top-3 + recall contract",
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ivf import IVFIndex
 
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    qv = [float(x) for x in query]
+    base = emb.filter(F.col("vec_id") != 0)
     index = IVFIndex.fit(emb, k=8, iterations=4)
-    return index.search(emb, [float(x) for x in query], k=10, nprobe=3)
+    ann = index.search(base, qv, k=10, nprobe=3)
+    exact = S.knn_brute_force(base, qv, k=10)
+    return _ann_gate(ann, exact)
 
 
 @register(

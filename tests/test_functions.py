@@ -103,6 +103,47 @@ class TestSimHash:
                     if ham <= 3:
                         assert (ia, ib) in found
 
+    @pytest.mark.parametrize("max_hamming,portable", [(4, False), (4, True)])
+    def test_banding_covers_remainder_bits(
+        self, spark, docs_df, max_hamming, portable
+    ):
+        """bits % bands != 0 (64/5 and 60/5 band splits): the last band
+        must absorb the remainder bits or pairs differing only in the top
+        bits escape the pigeonhole guarantee."""
+        bits = 60 if portable else 64
+        sh = {
+            r.doc_id: r.sh
+            for r in D.simhash_df(docs_df, portable=portable).collect()
+        }
+        found = {
+            (r.id_a, r.id_b)
+            for r in D.simhash_dedup_pairs(
+                docs_df, max_hamming=max_hamming, portable=portable
+            ).collect()
+        }
+        expected = {
+            (ia, ib)
+            for ia in sh
+            for ib in sh
+            if ia < ib
+            and bin((sh[ia] ^ sh[ib]) & ((1 << bits) - 1)).count("1")
+            <= max_hamming
+        }
+        assert expected <= found  # pigeonhole: no misses
+        # and verification filtered precisely
+        assert found == expected
+
+    def test_portable_signature_is_sha_derived(self, spark):
+        """portable simhash of one gram IS its 60-bit sha256 prefix —
+        pins the engine-portable hash contract the DuckDB oracle relies
+        on."""
+        import hashlib
+
+        df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+        got = D.simhash_df(df, portable=True).collect()[0].sh
+        expected = int(hashlib.sha256(b"hello").hexdigest()[:15], 16)
+        assert got == expected
+
 
 class TestSimHashConstructionParity:
     def test_explode_agg_matches_expression_form(self, spark):
