@@ -278,6 +278,14 @@ def bucket_pairs(
         .filter(
             (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size)
         )
+        # Both self-join sides derive from this aggregate. Planned cold,
+        # the shared Exchange would be reused — but AQE's broadcast-join
+        # conversion replaces one side's exchange and the whole upstream
+        # pipeline (the heavy signature computation) is then executed
+        # TWICE. The aggregate output is tiny (multi-member buckets only),
+        # so persist it: at 100 TB this is O(candidate buckets), not
+        # corpus-sized, and MEMORY_AND_DISK spills rather than OOMs.
+        .persist()
     )
     member = ids.select(
         *key_cols, F.posexplode("__ids").alias("__pos", "__id")
@@ -331,9 +339,13 @@ def minhash_lsh_dedup_pairs(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # sh feeds BOTH verification joins (sh_a and sh_b); without a persist
+    # the candidate-shingle computation runs twice (self-join subtree
+    # duplication — AQE broadcast conversion defeats exchange reuse).
+    # Candidates are <<1% of the corpus, so this is a small cache.
     sh = with_shingles(
         df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n, out="sh"
-    )
+    ).persist()
     return (
         cands.join(
             sh.select(
@@ -487,7 +499,12 @@ def simhash_dedup_pairs(
     bits = PORTABLE_SIMHASH_BITS if portable else 64
     bands = max_hamming + 1
     width = bits // bands
-    sh = simhash_df(df, text_col, id_col, portable=portable)
+    # The signature DF feeds banding AND both verification joins; without
+    # a persist the whole sha/vote pipeline executes 3-4× (self-join
+    # subtree duplication once AQE converts a side to broadcast). The
+    # cache is (id, 8-byte signature) — O(corpus ids), the smallest thing
+    # in the pipeline, and the canonical "build the index once" shape.
+    sh = simhash_df(df, text_col, id_col, portable=portable).persist()
     banded = sh.select(
         id_col,
         F.explode(
