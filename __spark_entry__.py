@@ -44,6 +44,9 @@ _PRIORITY = [
     "multimodal_features",
     "multimodal_frame_sample",
     "pipeline_curate_documents",
+    "sample_hash_split",
+    "sample_stratified",
+    "pipeline_contamination",
     # -- Delta scan path (write → log replay → read) -------------------
     "delta_roundtrip",
     "delta_time_travel",

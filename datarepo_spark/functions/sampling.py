@@ -1,0 +1,140 @@
+"""Dataset splitting, sampling, and contamination checks for training
+pipelines.
+
+The reference engine stops at scan/filter/project; a corpus pipeline also
+needs to SPLIT (train/val/test), SAMPLE (per-stratum rates), and CHECK
+CONTAMINATION (eval n-grams leaking into train) — all at 100 TB, which
+rules out anything driver-side or random-seeded-per-task.
+
+Everything here derives from a sha256 HASH of a key column, not from RNG:
+
+  * reproducible across runs, engines, partitionings, and cluster sizes —
+    Spark's ``randomSplit``/``sampleBy`` draw per-task streams, so adding
+    an executor reshuffles the split; a hash split never moves a row;
+  * pure narrow projections — zero shuffle for split/sample;
+  * exactly oracle-checkable (sha256 is identical everywhere; the gate
+    recomputes assignments in DuckDB bit for bit).
+
+The uniform variate is the first 60 bits of sha256(salt || key) scaled to
+[0, 1): u = int(hex[:15], 16) / 2^60. Exact in IEEE double (60-bit int
+divided by a power of two — no rounding), so threshold comparisons agree
+across engines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 hex chars: fits a signed long, exact as a double
+
+
+def hash_fraction(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) variate from a key column."""
+    h = F.sha2(F.concat(F.lit(salt), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, HASH_BITS // 4), 16, 10).cast(
+        "long"
+    ) / F.lit(float(1 << HASH_BITS))
+
+
+def sql_hash_fraction(key_expr: str, salt: str = "") -> str:
+    """The DuckDB-equivalent expression (oracle construction)."""
+    return (
+        f"(('0x' || substr(sha256('{salt}' || CAST({key_expr} AS VARCHAR)),"
+        f" 1, {HASH_BITS // 4}))::BIGINT"
+        f" / CAST({float(1 << HASH_BITS)} AS DOUBLE))"
+    )
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative weight intervals
+    over the hash variate. Pure projection: no shuffle, no RNG, stable
+    under repartitioning — the property ``randomSplit`` cannot give you
+    on a cluster. Weights need not sum to 1; a remainder becomes NULL
+    (explicit holdout)."""
+    u = hash_fraction(F.col(key_col), salt)
+    expr = F.lit(None).cast("string")
+    cumulative = 0.0
+    cases = []
+    for name, w in weights:
+        cumulative += w
+        cases.append((cumulative, name))
+    for bound, name in reversed(cases):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row iff its hash variate falls under its stratum's rate —
+    deterministic ``sampleBy``. Zero shuffle (the rate lookup compiles to
+    a CASE expression, not a join); reproducible across engines and
+    cluster layouts; composable with :func:`with_split` via a different
+    salt (the variates are independent)."""
+    u = hash_fraction(F.col(key_col), salt)
+    rate: Column = F.lit(float(default_fraction))
+    for value, fraction in sorted(fractions.items()):
+        rate = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(float(fraction))
+        ).otherwise(rate)
+    return df.filter(u < rate)
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per eval document: the fraction of its distinct word n-grams that
+    appear anywhere in the train corpus (benchmark-leakage detector, cf.
+    the n-gram overlap checks in GPT-3/PaLM dataset reports).
+
+    Scale shape: explode both sides to distinct gram rows, aggregate the
+    train side to a distinct gram SET (shrinks it below the raw corpus),
+    then a left semi-style join on the gram string and one count-agg per
+    eval doc. Shuffles carry grams (~tens of bytes) and ids — never
+    documents. Output: (id, n_grams, contaminated, contamination)."""
+    from .dedup import shingle_rows
+
+    eval_grams = (
+        shingle_rows(eval_df, text_col, id_col, n)
+        .select(F.col(id_col), F.col("gram"))
+        .distinct()
+    )
+    train_grams = (
+        shingle_rows(train, text_col, id_col, n)
+        .select(F.col("gram"))
+        .distinct()
+    )
+    hits = eval_grams.join(
+        train_grams.withColumn("__hit", F.lit(1)), "gram", "left"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("contamination"),
+    )

@@ -1,11 +1,16 @@
-"""LLM-pipeline extension queries: dedup, similarity, text, multimodal.
+"""LLM-pipeline extension queries: dedup, similarity, text, multimodal,
+splits/sampling, contamination.
 
-Registered into the shared REGISTRY next to the relational surface.
-Where an operator's arithmetic is engine-portable (sha256, regexp counts,
-sequential double folds) it gets a full DuckDB oracle; operators built on
-Spark-specific hashes (xxhash64) or Python batch UDFs get the rows-only
-check plus dedicated pytest coverage (tests/test_functions.py) that
-verifies them against brute-force ground truth.
+Registered into the shared REGISTRY next to the relational surface. EVERY
+query carries a hard DuckDB oracle. Engine-portable arithmetic (sha256,
+regexp counts, sequential double folds) is recomputed directly; pipelines
+with engine-specific internals are gated through their output contract
+instead — brute-force ground truth where recall is provably or
+empirically 100% (SimHash pigeonhole banding, MinHash on the cleanly
+separated gate corpus), or exact-payload + accuracy-contract-boolean
+where the estimate itself is engine-specific (ANN recall, HLL rsd).
+Brute-force recall guarantees additionally live in
+tests/test_functions.py.
 """
 
 from __future__ import annotations
@@ -616,3 +621,134 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(q, dominated_by, "left_anti").select(
         "p_partkey", "p_retailprice", "p_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset splitting / sampling / contamination (functions/sampling.py)
+# ---------------------------------------------------------------------------
+
+from ..functions import sampling as SP  # noqa: E402
+
+
+@register(
+    "sample_hash_split",
+    # weights 0.75/0.125/0.125: cumulative bounds are exact in binary AND
+    # in decimal SQL literals, so the threshold comparisons agree across
+    # engines with no float-literal parsing hazards.
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice,
+             {SP.sql_hash_fraction('o_orderkey', salt='split')} AS frac
+      FROM orders
+    )
+    SELECT CASE WHEN frac < 0.75 THEN 'train'
+                WHEN frac < 0.875 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6)))
+                      AS DOUBLE), 2) AS sum_totalprice
+    FROM u
+    GROUP BY 1
+    """,
+    description="deterministic sha-hash train/val/test split (zero-shuffle "
+    "projection; stable under repartitioning, unlike randomSplit)",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    split = SP.with_split(
+        orders,
+        "o_orderkey",
+        weights=[("train", 0.75), ("val", 0.125), ("test", 0.125)],
+        salt="split",
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_totalprice"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH u AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             {SP.sql_hash_fraction('c_custkey', salt='sample')} AS frac
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38, 6)))
+                      AS DOUBLE), 2) AS acctbal_sum
+    FROM u
+    WHERE frac < CASE c_mktsegment
+                   WHEN 'BUILDING' THEN 0.5
+                   WHEN 'MACHINERY' THEN 0.25
+                   ELSE 0.0625 END
+    GROUP BY c_mktsegment
+    """,
+    description="deterministic stratified sampling: per-stratum keep "
+    "rates via hash variate (sampleBy without RNG, zero shuffle)",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    kept = SP.stratified_sample(
+        customer,
+        "c_mktsegment",
+        {"BUILDING": 0.5, "MACHINERY": 0.25},
+        key_col="c_custkey",
+        default_fraction=0.0625,
+        salt="sample",
+    )
+    return kept.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"),
+            2,
+        ).alias("acctbal_sum"),
+    )
+
+
+@register(
+    "pipeline_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    ), ev AS (
+      SELECT doc_id, UNNEST(s) AS gram FROM sh WHERE doc_id < 50
+    ), tr AS (
+      SELECT DISTINCT UNNEST(s) AS gram FROM sh WHERE doc_id >= 50
+    )
+    SELECT ev.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS contaminated,
+           ROUND(CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS contamination
+    FROM ev LEFT JOIN tr ON ev.gram = tr.gram
+    GROUP BY ev.doc_id
+    """,
+    description="benchmark-contamination check: per eval doc, fraction of "
+    "its distinct 3-grams present anywhere in the train corpus",
+)
+def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 50)
+    train = docs.filter(F.col("doc_id") >= 50)
+    return SP.contamination_check(train, eval_df, n=3)

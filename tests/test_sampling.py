@@ -1,0 +1,183 @@
+"""Dataset splitting / sampling / contamination (functions/sampling.py).
+
+The load-bearing properties: assignments are a pure function of the key
+(stable under repartitioning and engine choice), splits partition the
+data exactly, rates converge to the requested fractions, and none of it
+shuffles."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datarepo_spark.functions import sampling as SP
+
+HASH_BITS = SP.HASH_BITS
+
+
+def py_fraction(key, salt=""):
+    h = hashlib.sha256((salt + str(key)).encode()).hexdigest()
+    return int(h[: HASH_BITS // 4], 16) / float(1 << HASH_BITS)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.createDataFrame(
+        [(i, chr(ord("a") + i % 3)) for i in range(2000)], ["id", "grp"]
+    )
+
+
+class TestHashFraction:
+    def test_matches_python_reference(self, spark, keyed):
+        got = {
+            r.id: r.u
+            for r in keyed.select(
+                "id", SP.hash_fraction(F.col("id"), "s").alias("u")
+            ).collect()
+        }
+        for i in (0, 1, 7, 1999):
+            assert got[i] == py_fraction(i, "s")
+
+    def test_uniformity(self, spark, keyed):
+        mean = keyed.select(
+            F.avg(SP.hash_fraction(F.col("id"))).alias("m")
+        ).collect()[0].m
+        assert 0.45 < mean < 0.55
+
+
+class TestWithSplit:
+    def test_partitions_exactly_and_proportionally(self, spark, keyed):
+        split = SP.with_split(
+            keyed,
+            "id",
+            weights=[("train", 0.75), ("val", 0.125), ("test", 0.125)],
+        )
+        counts = {
+            r.split: r.n
+            for r in split.groupBy("split").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert set(counts) == {"train", "val", "test"}  # no NULL leakage
+        assert sum(counts.values()) == 2000
+        assert abs(counts["train"] - 1500) < 100
+        assert abs(counts["val"] - 250) < 60
+
+    def test_stable_under_repartitioning(self, spark, keyed):
+        ref = {
+            (r.id, r.split)
+            for r in SP.with_split(keyed, "id").collect()
+        }
+        shuffled = {
+            (r.id, r.split)
+            for r in SP.with_split(keyed.repartition(13), "id").collect()
+        }
+        assert ref == shuffled
+
+    def test_holdout_remainder_is_null(self, spark, keyed):
+        split = SP.with_split(keyed, "id", weights=[("train", 0.5)])
+        n_null = split.filter(F.col("split").isNull()).count()
+        assert abs(n_null - 1000) < 80
+
+    def test_no_shuffle(self, spark, keyed):
+        plan = (
+            SP.with_split(keyed, "id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, spark, keyed):
+        kept = SP.stratified_sample(
+            keyed, "grp", {"a": 0.5, "b": 0.1}, key_col="id"
+        )
+        counts = {
+            r.grp: r.n
+            for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()
+        }
+        assert abs(counts["a"] - 333) < 80
+        assert abs(counts["b"] - 67) < 40
+        assert "c" not in counts  # default_fraction=0 drops the stratum
+        again = SP.stratified_sample(
+            keyed, "grp", {"a": 0.5, "b": 0.1}, key_col="id"
+        )
+        assert sorted(r.id for r in kept.collect()) == sorted(
+            r.id for r in again.collect()
+        )
+
+    def test_independent_of_split_salt(self, spark, keyed):
+        """split and sample variates must not correlate: sampling 50%
+        within the train split keeps ~50%, not 100% or 0%."""
+        train = SP.with_split(keyed, "id").filter(F.col("split") == "train")
+        kept = SP.stratified_sample(
+            train, "grp", {"a": 0.5, "b": 0.5, "c": 0.5}, key_col="id"
+        )
+        ratio = kept.count() / train.count()
+        assert 0.4 < ratio < 0.6
+
+    def test_no_shuffle(self, spark, keyed):
+        plan = (
+            SP.stratified_sample(keyed, "grp", {"a": 0.5}, key_col="id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestContamination:
+    def test_matches_python_bruteforce(self, spark):
+        docs = [
+            (0, "the quick brown fox jumps over the dog"),
+            (1, "completely novel text with unique words here"),
+            (2, "the quick brown fox sat still"),
+            (10, "the quick brown fox jumps over the fence"),
+            (11, "some other training text goes here now"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        eval_df = df.filter(F.col("doc_id") < 10)
+        train = df.filter(F.col("doc_id") >= 10)
+        got = {
+            r.doc_id: (r.n_grams, r.contaminated, r.contamination)
+            for r in SP.contamination_check(train, eval_df, n=3).collect()
+        }
+
+        def grams(text, n=3):
+            toks = text.lower().split()
+            if len(toks) < n:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+
+        train_grams = set().union(
+            *(grams(t) for i, t in docs if i >= 10)
+        )
+        for i, t in docs:
+            if i >= 10:
+                continue
+            g = grams(t)
+            hits = len(g & train_grams)
+            assert got[i][0] == len(g)
+            assert got[i][1] == hits
+            assert got[i][2] == round(hits / len(g), 6)
+        assert got[1][1] == 0  # novel doc: zero contamination
+
+    def test_shuffles_grams_not_documents(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = SP.contamination_check(
+            docs.filter(F.col("doc_id") >= 50),
+            docs.filter(F.col("doc_id") < 50),
+        )
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        for cols in re.findall(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", formatted
+        ):
+            assert "text#" not in cols, cols
