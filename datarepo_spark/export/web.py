@@ -93,7 +93,18 @@ def export_catalogs(
 def export_and_generate_site(
     catalogs: dict[str, Catalog], output_dir: str
 ) -> str:
-    """Reference-named entry point (web.py:119-150). Emits data.json; the
-    reference additionally copies a precompiled React bundle next to it —
-    an asset copy, intentionally out of scope for the engine."""
-    return export_catalogs(catalogs, output_dir)
+    """Reference-named entry point (web.py:119-150): emits data.json plus
+    a browsable site. The reference copies a precompiled React bundle;
+    here the viewer is a from-scratch single-file HTML app
+    (export/static_site.py) with the same job — browse catalogs →
+    databases → tables, inspect columns/partitions, filter by name.
+    Idempotent like the reference: the output dir is recreated."""
+    import shutil
+
+    from .static_site import write_index_html
+
+    if os.path.isdir(output_dir):
+        shutil.rmtree(output_dir)
+    path = export_catalogs(catalogs, output_dir)
+    write_index_html(output_dir)
+    return path

@@ -28,6 +28,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+
+def _parallelism(df: DataFrame) -> int:
+    """Partition count for small persisted intermediates: the cluster's
+    core count, not the session's shuffle-partition setting (a 200-default
+    session would otherwise pin 200 near-empty cached partitions)."""
+    return max(df.sparkSession.sparkContext.defaultParallelism, 1)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -285,6 +293,13 @@ def bucket_pairs(
         # TWICE. The aggregate output is tiny (multi-member buckets only),
         # so persist it: at 100 TB this is O(candidate buckets), not
         # corpus-sized, and MEMORY_AND_DISK spills rather than OOMs.
+        # Coalesce to the cluster's parallelism first: AQE partition
+        # coalescing doesn't reach inside cached plans, so under a
+        # 200-shuffle-partition session the cache would otherwise pin 200
+        # near-empty partitions and every downstream stage would run 200
+        # tasks. coalesce() adapts (local[32]→32, cluster→cores) and adds
+        # no exchange.
+        .coalesce(_parallelism(buckets))
         .persist()
     )
     member = ids.select(
@@ -342,10 +357,19 @@ def minhash_lsh_dedup_pairs(
     # sh feeds BOTH verification joins (sh_a and sh_b); without a persist
     # the candidate-shingle computation runs twice (self-join subtree
     # duplication — AQE broadcast conversion defeats exchange reuse).
-    # Candidates are <<1% of the corpus, so this is a small cache.
-    sh = with_shingles(
-        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, n, out="sh"
-    ).persist()
+    # Candidates are <<1% of the corpus, so this is a small cache
+    # (coalesced: AQE can't shrink partition counts inside cached plans).
+    sh = (
+        with_shingles(
+            df.join(cand_ids, id_col, "left_semi"),
+            text_col,
+            id_col,
+            n,
+            out="sh",
+        )
+        .coalesce(_parallelism(df))
+        .persist()
+    )
     return (
         cands.join(
             sh.select(
@@ -503,8 +527,13 @@ def simhash_dedup_pairs(
     # a persist the whole sha/vote pipeline executes 3-4× (self-join
     # subtree duplication once AQE converts a side to broadcast). The
     # cache is (id, 8-byte signature) — O(corpus ids), the smallest thing
-    # in the pipeline, and the canonical "build the index once" shape.
-    sh = simhash_df(df, text_col, id_col, portable=portable).persist()
+    # in the pipeline, and the canonical "build the index once" shape
+    # (coalesced: AQE can't shrink partition counts inside cached plans).
+    sh = (
+        simhash_df(df, text_col, id_col, portable=portable)
+        .coalesce(_parallelism(df))
+        .persist()
+    )
     banded = sh.select(
         id_col,
         F.explode(

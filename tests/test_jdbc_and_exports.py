@@ -232,6 +232,26 @@ class TestRoapiExport:
 
 
 class TestWebExport:
+    def test_generate_site_writes_viewer(self, catalog, tmp_path):
+        """export_and_generate_site emits data.json + the self-contained
+        index.html viewer, and recreates the output dir idempotently
+        (reference web.py:119-150 semantics)."""
+        import os
+
+        from datarepo_spark.export.web import export_and_generate_site
+
+        out = str(tmp_path / "site2")
+        path = export_and_generate_site({"main": catalog}, out)
+        assert os.path.exists(os.path.join(out, "index.html"))
+        assert os.path.basename(path) == "data.json"
+        html = open(os.path.join(out, "index.html")).read()
+        assert 'fetch("data.json")' in html  # reads the exported payload
+        assert "<script>" in html and "stylesheet" not in html  # one file
+        stale = os.path.join(out, "stale.txt")
+        open(stale, "w").write("x")
+        export_and_generate_site({"main": catalog}, out)
+        assert not os.path.exists(stale)  # idempotent recreate
+
     def test_data_json_structure(self, catalog, tmp_path):
         path = export_catalogs({"main": catalog}, str(tmp_path / "site"))
         with open(path) as handle:
