@@ -43,6 +43,11 @@ class DeltaSnapshot:
     partition_columns: list[str]
     files: list[AddFile] = field(default_factory=list)
     configuration: dict[str, str] = field(default_factory=dict)
+    # raw protocol/metaData actions as last seen in the log — a checkpoint
+    # must re-emit them verbatim (the metaData id identifies the TABLE;
+    # synthesizing a new one would violate the protocol)
+    raw_protocol: Optional[dict[str, Any]] = None
+    raw_metadata: Optional[dict[str, Any]] = None
 
     @property
     def data_schema(self) -> T.StructType:
@@ -152,10 +157,14 @@ class DeltaLog:
         schema: Optional[T.StructType] = None
         partition_columns: list[str] = []
         configuration: dict[str, str] = {}
+        raw_protocol: Optional[dict[str, Any]] = None
+        raw_metadata: Optional[dict[str, Any]] = None
 
         def apply(action: dict[str, Any]) -> None:
             nonlocal schema, partition_columns, configuration
+            nonlocal raw_protocol, raw_metadata
             if "protocol" in action:
+                raw_protocol = dict(action["protocol"])
                 proto = action["protocol"]
                 features = set(proto.get("readerFeatures") or [])
                 bad = features & _UNSUPPORTED_READER_FEATURES
@@ -169,6 +178,7 @@ class DeltaLog:
                     )
             elif "metaData" in action:
                 meta = action["metaData"]
+                raw_metadata = dict(meta)
                 schema = T.StructType.fromJson(
                     json.loads(meta["schemaString"])
                 )
@@ -190,19 +200,25 @@ class DeltaLog:
 
         for action in start_actions:
             apply(action)
-        # Leading commits may legitimately be vacuumed away below a
-        # checkpoint, but a HOLE between replayed commits means a torn or
-        # partially-cleaned log — replaying past it would present a stale
-        # file set as a successful read (delta-rs fails here too; so do we).
-        first_replayed: Optional[int] = None
+        # Log cleanup may only delete commits at or below a checkpoint, so
+        # when replaying FROM a checkpoint every commit above it must
+        # exist; a hole means a torn or partially-cleaned log — replaying
+        # past it would present a stale file set as a successful read
+        # (delta-rs fails here too; so do we). Without a checkpoint,
+        # leading commits may be absent only when replay starts at a later
+        # commit that a since-deleted checkpoint once covered; a hole
+        # after the first replayed commit still raises.
+        first_replayed: Optional[int] = (
+            replay_from - 1 if replay_from > 0 else None
+        )
         for v in range(replay_from, target + 1):
             commit_path = os.path.join(self.log_dir, f"{v:020d}.json")
             if not os.path.exists(commit_path):
                 if first_replayed is not None:
                     raise FileNotFoundError(
-                        f"Delta log gap: commit {v:020d}.json missing after "
-                        f"replaying versions {first_replayed}..{v - 1} "
-                        f"toward target {target} in {self.log_dir}"
+                        f"Delta log gap: commit {v:020d}.json missing "
+                        f"while replaying toward target {target} "
+                        f"in {self.log_dir}"
                     )
                 continue
             if first_replayed is None:
@@ -218,6 +234,8 @@ class DeltaLog:
             partition_columns=partition_columns,
             files=list(adds.values()),
             configuration=configuration,
+            raw_protocol=raw_protocol,
+            raw_metadata=raw_metadata,
         )
 
 

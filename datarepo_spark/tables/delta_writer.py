@@ -38,10 +38,16 @@ def write_delta(
     uri: str,
     mode: str = "append",
     partition_by: Sequence[str] = (),
+    checkpoint_interval: Optional[int] = 10,
 ) -> int:
     """Write ``df`` to the Delta table at ``uri``; returns the committed
     version. ``mode``: 'append' or 'overwrite'. New tables are created with
-    protocol v1 + metaData from the DataFrame schema."""
+    protocol v1 + metaData from the DataFrame schema.
+
+    ``checkpoint_interval``: write a checkpoint after every Nth commit
+    (versions N, 2N, …) — delta's own default cadence of 10. At 100 TB
+    log replay without checkpoints is O(commits); with them it is
+    O(files) + a handful of JSON tails. ``None`` disables."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     uri = uri.rstrip("/")
@@ -150,7 +156,75 @@ def write_delta(
         )
     actions.extend(adds)
 
-    return _commit_atomically(log_dir, actions)
+    version = _commit_atomically(log_dir, actions)
+    if (
+        checkpoint_interval
+        and version > 0
+        and version % checkpoint_interval == 0
+    ):
+        write_checkpoint(uri, version)
+    return version
+
+
+def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
+    """Materialize the snapshot at ``version`` (default: latest) as a
+    single-part ``NNN.checkpoint.parquet`` plus the ``_last_checkpoint``
+    pointer, per the public protocol. Replays from the checkpoint are
+    O(current files), not O(historical commits) — the thing that keeps a
+    long-lived 100 TB table's planning time flat. protocol/metaData are
+    re-emitted verbatim from the log (the metaData id names the table;
+    synthesizing a new one would corrupt it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    uri = uri.rstrip("/")
+    log_dir = os.path.join(uri, "_delta_log")
+    snapshot = DeltaLog(uri).snapshot(version)
+    if snapshot.raw_protocol is None or snapshot.raw_metadata is None:
+        raise ValueError(f"No protocol/metaData in log at {uri}")
+
+    def drop_empty(obj):
+        # parquet cannot store a zero-field struct; the reader coalesces
+        # a NULL configuration/options/partitionValues back to {}
+        if isinstance(obj, dict):
+            return {k: drop_empty(v) for k, v in obj.items()} or None
+        return obj
+
+    rows: list[dict] = [
+        {
+            "protocol": drop_empty(snapshot.raw_protocol),
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": drop_empty(snapshot.raw_metadata),
+            "add": None,
+        },
+    ]
+    rows.extend(
+        {
+            "protocol": None,
+            "metaData": None,
+            "add": {
+                "path": f.path,
+                "partitionValues": drop_empty(dict(f.partition_values)),
+                "size": f.size,
+                "modificationTime": 0,
+                "dataChange": False,
+            },
+        }
+        for f in snapshot.files
+    )
+    path = os.path.join(
+        log_dir, f"{snapshot.version:020d}.checkpoint.parquet"
+    )
+    pq.write_table(pa.Table.from_pylist(rows), path)
+    with open(
+        os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8"
+    ) as handle:
+        json.dump({"version": snapshot.version, "size": len(rows)}, handle)
+    return path
 
 
 def _commit_atomically(log_dir: str, actions: list[dict]) -> int:

@@ -2,6 +2,7 @@
 log reader and DeltalakeTable, including partitioning, append/overwrite,
 time travel, and streaming foreachBatch ingestion."""
 
+import json
 import threading
 
 import pytest
@@ -9,6 +10,7 @@ from pyspark.sql import functions as F
 
 from datarepo_spark.tables.delta_log import DeltaLog
 from datarepo_spark.tables.delta_table import DeltalakeTable
+from datarepo_spark.core.filters import Filter
 from datarepo_spark.tables.delta_writer import write_delta
 
 
@@ -135,3 +137,73 @@ class TestStreamingIntoDelta:
         assert total == table.num_rows
         assert DeltaLog(uri).snapshot().version >= 1  # ≥2 commits landed
         shutil.rmtree(str(src), ignore_errors=True)
+
+
+class TestCheckpointing:
+    def test_auto_checkpoint_and_truncated_log_replay(self, spark, tmp_path):
+        """write_delta checkpoints at the delta cadence (every 10th
+        commit); a log whose pre-checkpoint commits were vacuumed still
+        resolves — O(files) replay, the property that keeps planning
+        flat on a long-lived table."""
+        import os
+
+        from datarepo_spark.tables.delta_log import DeltaLog
+
+        uri = str(tmp_path / "ckpt")
+        for i in range(12):
+            write_delta(
+                spark.createDataFrame([(i,)], ["v"]), uri, mode="append"
+            )
+        log_dir = os.path.join(uri, "_delta_log")
+        assert os.path.exists(
+            os.path.join(log_dir, f"{10:020d}.checkpoint.parquet")
+        )
+        last = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+        assert last["version"] == 10
+
+        # metaData id survives the checkpoint verbatim
+        snap_before = DeltaLog(uri).snapshot()
+        for v in range(10):  # vacuum everything below the checkpoint
+            os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+        snap = DeltaLog(uri).snapshot()
+        assert snap.version == 11
+        assert snap.raw_metadata["id"] == snap_before.raw_metadata["id"]
+        vals = sorted(
+            r.v
+            for r in spark.read.parquet(
+                *[os.path.join(uri, f.path) for f in snap.files]
+            ).collect()
+        )
+        assert vals == list(range(12))
+        # gap AFTER the checkpoint still raises
+        write_delta(spark.createDataFrame([(99,)], ["v"]), uri)  # v12
+        os.remove(os.path.join(log_dir, f"{11:020d}.json"))
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError, match="gap"):
+            DeltaLog(uri).snapshot()
+
+    def test_checkpointed_partitioned_table_reads_correctly(
+        self, spark, tmp_path
+    ):
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+        from datarepo_spark.tables.delta_writer import write_checkpoint
+
+        uri = str(tmp_path / "ckpt_part")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], ["v", "p"]
+        )
+        write_delta(df, uri, partition_by=["p"], checkpoint_interval=None)
+        write_delta(
+            spark.createDataFrame([(4, "b")], ["v", "p"]),
+            uri,
+            partition_by=["p"],
+            checkpoint_interval=None,
+        )
+        write_checkpoint(uri)
+        t = DeltalakeTable("t", uri)
+        got = sorted((r.v, r.p) for r in t(spark=spark).collect())
+        assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "b")]
+        # partition prune still works off checkpoint partitionValues
+        only_a = t(filters=[Filter("p", "=", "a")], spark=spark)
+        assert sorted(r.v for r in only_a.collect()) == [1, 3]

@@ -181,3 +181,59 @@ class TestContamination:
             r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", formatted
         ):
             assert "text#" not in cols, cols
+
+
+class TestSamplingProperties:
+    """Hypothesis: the Spark assignment must equal the Python reference
+    for arbitrary keys/weights/salts (the cross-engine determinism
+    contract the DuckDB oracle also relies on)."""
+
+    def test_split_matches_python_for_odd_weights(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        weights_s = st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d"]),
+                st.floats(min_value=0.01, max_value=0.6),
+            ),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda t: t[0],
+        )
+        keys_s = st.lists(
+            st.one_of(st.integers(-1000, 1000), st.text(max_size=8)),
+            min_size=1,
+            max_size=15,
+            unique=True,
+        )
+
+        @given(keys=keys_s, weights=weights_s, salt=st.sampled_from(["", "x"]))
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def run(keys, weights, salt):
+            df = spark.createDataFrame(
+                [(str(k),) for k in keys], ["id"]
+            )
+            got = {
+                r.id: r.split
+                for r in SP.with_split(
+                    df, "id", weights=weights, salt=salt
+                ).collect()
+            }
+
+            def expected(k):
+                u = py_fraction(k, salt)
+                acc = 0.0
+                for name, w in weights:
+                    acc += w
+                    if u < acc:
+                        return name
+                return None
+
+            assert got == {str(k): expected(str(k)) for k in keys}
+
+        run()
