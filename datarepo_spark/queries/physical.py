@@ -1,0 +1,130 @@
+"""Oracle-gated queries for the physical-layout operators.
+
+Skew salting and bucketing are RESULT-PRESERVING physical rewrites: a
+salted aggregation must equal the plain aggregation, a co-bucketed join
+must equal the plain join. That makes their correctness gates simple —
+the oracle is ordinary SQL over the same rows — while the plan-level
+value (bounded reducer share, zero-exchange joins) is asserted separately
+in tests/test_skew.py and tests/test_bucketed.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.skew import salted_agg
+from ..tables.bucketed import BucketedTable, write_bucketed
+from .registry import load, register
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38, 6))) AS DOUBLE), 2)
+             AS sum_qty,
+           COUNT(*) AS count_rows,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="two-phase salted aggregation (hot-key safe) — must equal "
+    "the plain aggregation",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(38,6)")),
+            "count_rows": F.count("*"),
+            "min_price": F.min("l_extendedprice"),
+            "max_price": F.max("l_extendedprice"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        "count_rows",
+        "min_price",
+        "max_price",
+    )
+
+
+# One bucketed fixture per (session, sf_dir): the catalog is per-session
+# (the driver probes with its own fresh SparkSession), the data files are
+# external under a temp dir.
+_BUILT: dict[tuple[str, str], bool] = {}
+
+
+def _bucketed_fixture(spark: SparkSession, sf_dir: str) -> None:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if _BUILT.get(key) and spark.catalog.tableExists("gate_b_orders"):
+        return
+    base = tempfile.mkdtemp(prefix="datarepo_bucketed_gate_")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 5000
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 5000
+    )
+    write_bucketed(
+        orders,
+        "gate_b_orders",
+        ["o_orderkey"],
+        4,
+        path=os.path.join(base, "o"),
+    )
+    write_bucketed(
+        lineitem,
+        "gate_b_lineitem",
+        ["l_orderkey"],
+        4,
+        sort_cols=["l_orderkey"],
+        path=os.path.join(base, "l"),
+    )
+    _BUILT[key] = True
+
+
+@register(
+    "bucketed_cobucket_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38, 6)))
+                      AS DOUBLE), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey <= 5000
+    GROUP BY o.o_orderpriority
+    """,
+    description="co-bucketed orders⋈lineitem (exchange-free at scan time) "
+    "— must equal the plain join; zero-Exchange plan asserted in "
+    "tests/test_bucketed.py",
+)
+def bucketed_cobucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bucketed_fixture(spark, sf_dir)
+    orders = BucketedTable("orders", "gate_b_orders", ["o_orderkey"], 4)(
+        spark=spark
+    )
+    lineitem = BucketedTable(
+        "lineitem", "gate_b_lineitem", ["l_orderkey"], 4
+    )(spark=spark)
+    joined = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("revenue"),
+    )
