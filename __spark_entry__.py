@@ -20,6 +20,7 @@ from datarepo_spark.queries import extensions as _extensions  # noqa: E402,F401
 from datarepo_spark.queries import tpch_extra as _tpch_extra  # noqa: E402,F401
 from datarepo_spark.queries import delta_queries as _delta_queries  # noqa: E402,F401
 from datarepo_spark.queries import physical as _physical  # noqa: E402,F401
+from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
 
 # The driver gates the first N queries() entries (r01: N=50 of 87), so
 # ordering is coverage policy: one hard CORRECTNESS row per operator
@@ -54,6 +55,8 @@ _PRIORITY = [
     # -- physical-layout operators (result-preserving rewrites) --------
     "skew_salted_agg",
     "bucketed_cobucket_join",
+    "source_csv_scan",
+    "source_json_scan",
     # -- previously no_oracle, now gated -------------------------------
     "agg_approx_distinct",
     # -- TPC-H batches 2/3 ---------------------------------------------

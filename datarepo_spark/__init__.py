@@ -17,6 +17,7 @@ from .catalog.catalog import (
 from .core.filters import Filter, FilterOperator, normalize_filters
 from .session import get_spark
 from .tables.delta_table import DeltalakeTable
+from .tables.file_table import FileTable
 from .tables.function_table import FunctionTable, table
 from .tables.jdbc_table import ClickHouseTable, JdbcConfig, JdbcTable
 from .tables.metadata import (
@@ -38,6 +39,7 @@ __all__ = [
     "DatabaseWithGlobalArgs",
     "DeltalakeTable",
     "DictDatabase",
+    "FileTable",
     "Filter",
     "FilterOperator",
     "FunctionTable",
