@@ -55,9 +55,50 @@ class IVFIndex:
         k: int = 16,
         iterations: int = 8,
         seed: int = 42,
+        sample_size: Optional[int] = 4096,
     ) -> "IVFIndex":
-        # Deterministic init: k rows by hash order (seeded, data-dependent,
-        # reproducible across runs/cluster sizes — unlike df.sample).
+        """Spherical k-means centroids.
+
+        Default path: SAMPLED fit — collect ``sample_size`` vectors
+        (deterministic hash order) in ONE job and iterate in numpy on the
+        driver. This is the standard IVF construction at scale (FAISS
+        trains on a corpus sample): sample_size × d × 8 B is megabytes
+        while the corpus is terabytes, per-iteration cost stops being a
+        cluster job, and centroid quality at k ≪ sample_size is
+        statistically indistinguishable from a full-corpus fit. Assignment
+        (the corpus-sized part) stays distributed in :meth:`assign`.
+
+        ``sample_size=None`` switches to the fully distributed fit —
+        per-iteration relational k×d partial sums — for when the sample
+        wouldn't be representative (very large k, adversarial skew)."""
+        # Deterministic init/sample: rows by hash order (seeded,
+        # data-dependent, reproducible across runs/cluster sizes — unlike
+        # df.sample).
+        if sample_size is not None:
+            if sample_size < k:
+                raise ValueError(f"sample_size {sample_size} < k {k}")
+            rows = (
+                df.select(id_col, vec_col)
+                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+                .limit(sample_size)
+                .collect()
+            )
+            mat = np.array(
+                [np.asarray(r[1], dtype=np.float64) for r in rows]
+            )
+            centroids = _normalize(np.array(mat[:k]))
+            unit = _normalize(np.array(mat))
+            for _ in range(iterations):
+                cells = np.argmax(unit @ centroids.T, axis=1)
+                sums = np.zeros_like(centroids)
+                np.add.at(sums, cells, mat)  # raw vectors, like assign+agg
+                counts = np.bincount(cells, minlength=k).astype(np.float64)
+                mask = counts > 0
+                new = np.array(centroids)
+                new[mask] = sums[mask] / counts[mask, None]
+                centroids = _normalize(new)
+            return cls(centroids)
+
         init_rows = (
             df.select(vec_col)
             .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
