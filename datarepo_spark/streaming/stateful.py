@@ -5,6 +5,13 @@ built-in aggregates; this module is the *arbitrary*-state tier — the Spark
 primitive you reach for when an operator's state machine isn't expressible
 as a windowed aggregation (reference has no streaming at all; SURVEY.md §2B).
 
+Spark 4 also ships ``transformWithStateInPandas`` (typed value/list/map
+state, timers, TTL); its Python driver worker imports ``google.protobuf``,
+which this environment doesn't provide, so ``applyInPandasWithState`` —
+equally expressive for the session use case — is the supported tier here.
+The operators keep the (key, state, timeout) structure that ports to the
+newer API mechanically when protobuf is available.
+
 ``stateful_sessionize`` keeps one small state record per user — (session
 start, last event ts, count, value sum) — and emits a session row only when
 the session CLOSES: either a new event arrives more than ``gap`` after the
