@@ -35,6 +35,7 @@ _PRIORITY = [
     "text_language_id",
     "text_fingerprint",
     "text_sentiment",
+    "text_pii_redact",
     "dedup_exact_sha256",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

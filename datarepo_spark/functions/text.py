@@ -197,3 +197,39 @@ def sql_fingerprint(expr: str) -> str:
         f"LIST_REDUCE({tokens}, (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
         f" END"
     )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# Patterns are RE2-compatible (no backrefs/lookaround) so the Spark (Java
+# regex) and DuckDB (RE2) evaluations agree — the oracle replays the same
+# chain. Order matters: SSN before the generic digit runs, email before
+# IP (a.b.c.d inside a hostname stays an email match).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace common PII shapes with typed placeholder tokens — the
+    standard scrub pass before corpus text reaches a training mix. Pure
+    chained regexp_replace: whole-stage codegen, zero shuffle, linear in
+    bytes scanned."""
+    out = text
+    for _name, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def sql_redact_pii(expr: str) -> str:
+    """DuckDB equivalent of :func:`redact_pii` ('g' = global, matching
+    Spark's replace-all default)."""
+    out = expr
+    for _name, pattern, token in PII_PATTERNS:
+        escaped = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{token}', 'g')"
+    return out

@@ -752,3 +752,23 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") < 50)
     train = docs.filter(F.col("doc_id") >= 50)
     return SP.contamination_check(train, eval_df, n=3)
+
+
+@register(
+    "text_pii_redact",
+    # output = sha256 of the redacted text: a drifted pattern, a missed
+    # replacement, or replace-first-vs-all semantics all flip the hash.
+    oracle=f"""
+    SELECT doc_id,
+           sha256({X.sql_redact_pii('text')}) AS clean_sha
+    FROM documents
+    """,
+    description="PII scrub (email/SSN/phone/IP/card → typed tokens), "
+    "gated on sha256 of the redacted text",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(X.redact_pii(F.col("text")), 256).alias("clean_sha"),
+    )

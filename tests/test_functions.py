@@ -404,3 +404,52 @@ class TestIVF:
         i1 = IVFIndex.fit(emb, k=4, iterations=2, seed=7)
         i2 = IVFIndex.fit(emb, k=4, iterations=2, seed=7)
         assert (i1.centroids == i2.centroids).all()
+
+
+class TestPiiRedact:
+    def test_synthetic_pii_all_types(self, spark):
+        from datarepo_spark.functions import text as X
+
+        rows = [
+            (0, "contact a.b@x-corp.io or admin@sub.example.org today"),
+            (1, "ssn 123-45-6789 phone 555-123-4567 mixed"),
+            (2, "server 10.0.0.1 card 1234-5678-9012-3456"),
+            (3, "clean text with no pii at all"),
+            (4, "edge 999.999.999.999 still redacts shape-wise"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: r.clean
+            for r in df.select(
+                "doc_id", X.redact_pii(F.col("text")).alias("clean")
+            ).collect()
+        }
+        assert got[0] == "contact <EMAIL> or <EMAIL> today"
+        assert got[1] == "ssn <SSN> phone <PHONE> mixed"
+        assert got[2] == "server <IP> card <CARD>"
+        assert got[3] == rows[3][1]  # untouched
+        assert got[4] == "edge <IP> still redacts shape-wise"
+
+    def test_spark_matches_python_reference(self, spark):
+        import re
+
+        from datarepo_spark.functions import text as X
+
+        samples = [
+            "a@b.co 1.2.3.4", "no pii", "x 111-22-3333 y",
+            "999-999-9999 dial", "4111 1111 1111 1111",
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], ["i", "text"]
+        )
+        got = [
+            r.clean
+            for r in df.select(
+                X.redact_pii(F.col("text")).alias("clean")
+            ).orderBy("i").collect()
+        ]
+        for s, g in zip(samples, got):
+            expected = s
+            for _n, p, tok in X.PII_PATTERNS:
+                expected = re.sub(p, tok, expected)
+            assert g == expected
