@@ -41,6 +41,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_cluster_components",
     "similarity_knn_brute_force",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

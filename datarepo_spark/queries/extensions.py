@@ -772,3 +772,52 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sha2(X.redact_pii(F.col("text")), 256).alias("clean_sha"),
     )
+
+
+@register(
+    "dedup_cluster_components",
+    # Clusters over the verified near-dup pairs: component id = min doc
+    # id reachable. The oracle recomputes the same pairs brute-force and
+    # closes them transitively with a recursive CTE.
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+                  / LEN(LIST_DISTINCT(a.s || b.s)), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY id
+    """,
+    description="dedup clustering: connected components (min-label "
+    "propagation) over verified near-dup pairs",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.5)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )

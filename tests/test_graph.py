@@ -1,0 +1,67 @@
+"""Connected components (functions/graph.py) — dedup clustering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datarepo_spark.functions.graph import connected_components
+
+
+def cc_bruteforce(edges):
+    """Union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize(
+        "edges",
+        [
+            [(1, 2), (2, 3), (5, 6)],                       # chain + pair
+            [(10, 11), (11, 12), (10, 12), (12, 13)],       # triangle+bridge
+            [(1, 2)],                                       # single edge
+            [(i, i + 1) for i in range(1, 12)],             # long path
+            [(1, 9), (9, 3), (3, 7), (2, 8), (8, 4)],       # min not endpoint
+        ],
+    )
+    def test_matches_union_find(self, spark, edges):
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        assert got == cc_bruteforce(edges)
+
+    def test_self_loops_and_duplicate_edges(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1), (1, 2), (2, 1), (1, 2)], ["id_a", "id_b"]
+        )
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        assert got == {1: 1, 2: 1}
+
+    def test_diameter_guard_raises(self, spark):
+        path = [(i, i + 1) for i in range(1, 30)]
+        df = spark.createDataFrame(path, ["id_a", "id_b"])
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(df, max_iterations=2)
+
+    def test_edges_only_never_documents(self, spark, sf_dir):
+        """The loop operates on the duplicate-pair graph: no stage reads
+        or shuffles document text."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from datarepo_spark.functions.dedup import minhash_lsh_dedup_pairs
+
+        pairs = minhash_lsh_dedup_pairs(docs, threshold=0.5).select(
+            "id_a", "id_b"
+        )
+        out = connected_components(pairs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "text#" not in plan  # label loop never touches the corpus
