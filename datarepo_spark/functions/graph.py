@@ -43,12 +43,18 @@ def connected_components(
     # edge-GENERATION subtree — from here on no stage re-reads the
     # corpus. (On a cluster, prefer reliable `checkpoint()` for
     # fault-tolerance on long jobs; local[] has no reliable store.)
+    sc = edges.sparkSession.sparkContext
+    par = max(sc.defaultParallelism, 1)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
+        # bound the checkpointed partition count to the cluster's cores:
+        # under a 200-shuffle-partition session every round would
+        # otherwise run 200 near-empty tasks on a graph of dup pairs
+        .coalesce(par)
         .localCheckpoint()
     )
     labels = sym.select(F.col("a").alias("id")).distinct().select(
