@@ -48,6 +48,10 @@ HEADLINE = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "pipeline_curate_documents",
+    "dedup_cluster_components",
+    "pipeline_contamination",
+    "sample_hash_split",
+    "text_pii_redact",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
