@@ -36,6 +36,7 @@ _PRIORITY = [
     "text_fingerprint",
     "text_sentiment",
     "text_pii_redact",
+    "text_top_tokens",
     "dedup_exact_sha256",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

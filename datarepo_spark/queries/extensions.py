@@ -821,3 +821,34 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+@register(
+    "text_top_tokens",
+    oracle=r"""
+    WITH tok AS (
+      SELECT UNNEST(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> LEN(t) > 0)) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS freq
+    FROM tok
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+    description="corpus vocabulary heavy hitters: token frequency top-k "
+    "(explode -> partial-agg count -> TakeOrdered)",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(D.tokens_of(F.col("text"))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
