@@ -37,6 +37,7 @@ _PRIORITY = [
     "text_sentiment",
     "text_pii_redact",
     "text_top_tokens",
+    "text_chunk_documents",
     "dedup_exact_sha256",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -46,6 +47,7 @@ _PRIORITY = [
     "similarity_knn_brute_force",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "similarity_quantize_int8",
     "multimodal_features",
     "multimodal_frame_sample",
     "pipeline_curate_documents",

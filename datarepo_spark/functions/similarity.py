@@ -121,3 +121,29 @@ class RandomHyperplaneLSH:
             F.col("__bucket").isin(buckets)
         )
         return knn_brute_force(candidates, query_vec, k, vec_col, id_col)
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) (explicit half-up so every engine
+    rounds identically; bankers'-rounding builtins differ). The
+    storage-layer op for terabyte embedding stores — 4× smaller than
+    float32, and dot products on int8 stay SIMD-friendly. Returns a
+    struct (scale DOUBLE, q ARRAY<TINYINT>); dequantize ≈ q * scale.
+    All-zero vectors quantize to scale 0.0 and zeros."""
+    absmax = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(
+        absmax > 0,
+        F.transform(
+            vec,
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(
+                "tinyint"
+            ),
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(scale.alias("scale"), q.alias("q"))

@@ -233,3 +233,57 @@ def sql_redact_pii(expr: str) -> str:
         escaped = pattern.replace("'", "''")
         out = f"regexp_replace({out}, '{escaped}', '{token}', 'g')"
     return out
+
+
+# --- Chunking --------------------------------------------------------------
+
+
+def chunk_tokens(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 16,
+    overlap: int = 4,
+) -> "DataFrame":
+    """Split documents into overlapping token windows — the standard
+    training/embedding prep step (context-window packing, RAG chunking).
+    Output: (id, chunk_id, chunk_text, n_tokens), one row per window,
+    stride = chunk_size - overlap.
+
+    Pure explode over a computed start-index sequence: zero shuffle, and
+    the token array is materialized once per row (staged projection) so
+    the per-window lambda reads an attribute, not a re-inlined
+    tokenization."""
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride)),
+        # windows fully covered by a predecessor add no information:
+        # keep starts 0, stride, 2*stride… while start < size
+        lambda s: s < F.size("__toks"),
+    )
+    exploded = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("__n"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+        F.col("__toks"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__start") + 1, F.lit(chunk_size)
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )

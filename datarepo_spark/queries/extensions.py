@@ -852,3 +852,96 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "text_chunk_documents",
+    # stride = chunk_size - overlap = 12; DuckDB RANGE(0, n, 12) matches
+    # the Spark sequence+filter start set, list_slice's inclusive end
+    # clips at the list tail exactly like F.slice.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, tk, UNNEST(RANGE(0, LEN(tk), 12)) AS s
+      FROM toks WHERE LEN(tk) > 0
+    )
+    SELECT doc_id,
+           CAST(s // 12 AS INT) AS chunk_id,
+           ARRAY_TO_STRING(LIST_SLICE(tk, s + 1, s + 16), ' ')
+             AS chunk_text,
+           CAST(LEN(LIST_SLICE(tk, s + 1, s + 16)) AS INT) AS n_tokens
+    FROM starts
+    """,
+    description="token-window chunking (context packing / RAG prep): "
+    "16-token windows, 4-token overlap, zero shuffle",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.chunk_tokens(docs, chunk_size=16, overlap=4)
+
+
+@register(
+    "similarity_quantize_int8",
+    # per-vector checksum gate: scale + sum/min/max of the quantized
+    # lanes pin every q_i (a single off-by-one flips q_sum). floor(x+0.5)
+    # half-up is engine-identical, unlike bankers'-rounding builtins.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             LIST_REDUCE(LIST_TRANSFORM(e, x -> ABS(x)),
+                         (a, x) -> GREATEST(a, x)) AS am
+      FROM v
+    )
+    SELECT vec_id,
+           ROUND(am / 127.0, 9) AS scale,
+           CAST(CASE WHEN am > 0
+                THEN LIST_REDUCE(
+                       LIST_TRANSFORM(e, x -> FLOOR(x / (am / 127.0) + 0.5)),
+                       (a, x) -> a + x)
+                ELSE 0 END AS BIGINT) AS q_sum,
+           CAST(CASE WHEN am > 0
+                THEN LIST_REDUCE(
+                       LIST_TRANSFORM(e, x -> FLOOR(x / (am / 127.0) + 0.5)),
+                       (a, x) -> LEAST(a, x))
+                ELSE 0 END AS INT) AS q_min,
+           CAST(CASE WHEN am > 0
+                THEN LIST_REDUCE(
+                       LIST_TRANSFORM(e, x -> FLOOR(x / (am / 127.0) + 0.5)),
+                       (a, x) -> GREATEST(a, x))
+                ELSE 0 END AS INT) AS q_max
+    FROM s
+    """,
+    description="int8 embedding quantization (symmetric per-vector scale) "
+    "gated on scale + lane checksums",
+)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        "vec_id", S.quantize_int8(F.col("embedding")).alias("qz")
+    )
+    q = F.col("qz.q")
+    return qz.select(
+        "vec_id",
+        F.round(F.col("qz.scale"), 9).alias("scale"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.aggregate(
+            q,
+            F.lit(127).cast("int"),
+            lambda a, x: F.least(a, x.cast("int")),
+        ).alias("q_min"),
+        F.aggregate(
+            q,
+            F.lit(-127).cast("int"),
+            lambda a, x: F.greatest(a, x.cast("int")),
+        ).alias("q_max"),
+    )
