@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..core.readconf import apply_parquet_read_compat
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -53,12 +55,9 @@ def register(
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    try:
-        # Runtime-settable; the driver's session won't have it on. Without
-        # it Spark 4 refuses INT64 TIMESTAMP(NANOS) parquet columns.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    # Pin timestamp semantics on whatever session the caller hands us
+    # (driver gate, notebook): see core/readconf.py.
+    apply_parquet_read_compat(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Parquet TIMESTAMP(NANOS) arrives as a raw nanosecond long (see
     # session.py nanosAsLong); convert to a proper timestamp. Integer DIV —
@@ -724,7 +723,7 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
     return (
-        c.withColumn("rnk", F.row_number().over(w))
+        c.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
     )
@@ -936,7 +935,7 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.lower("p_type").alias("type_lower"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_head"),
         F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
         F.when(F.col("p_type").contains("BRASS"), 1).otherwise(0).alias("is_brass"),
@@ -1032,7 +1031,7 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         "label",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.aggregate(
             "embedding",
@@ -1304,10 +1303,10 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "s_suppkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
         F.percent_rank().over(w).alias("prnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 
@@ -1663,10 +1662,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_counting",
     oracle="""
     SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     GROUP BY YEAR(o_orderdate)
     """,

@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog.catalog import Catalog, DictDatabase
+from ..core.readconf import apply_parquet_read_compat
 from ..tables.parquet_table import ParquetTable
 
 TABLE_NAMES = [
@@ -43,4 +44,5 @@ def testdata_catalog(sf_dir: str) -> Catalog:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shortcut: one testdata table as a DataFrame."""
+    apply_parquet_read_compat(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

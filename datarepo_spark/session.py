@@ -29,6 +29,9 @@ _DEFAULT_CONF = {
     # (datarepo_spark.queries.registry.load). Values in testdata are
     # µs-granular, so the µs conversion is lossless.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Un-adjusted parquet timestamps read as LTZ (UTC instants), never NTZ —
+    # the engine's cross-engine timestamp contract (core/readconf.py).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

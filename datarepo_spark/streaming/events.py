@@ -25,19 +25,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Physical parquet schema of the events table (ts stored as raw ns — see
-# registry.load's nanosAsLong note; streaming reads need an explicit schema
-# anyway, so we declare the long and convert).
+from ..core.readconf import apply_parquet_read_compat
+
+# Logical schema of the events stream (streaming file sources require an
+# explicit schema — no inference at plan time). ``ts`` is a proper
+# timestamp here; read_events_stream adapts to files that physically store
+# it as an INT64 nanosecond count (the nanosAsLong legacy layout).
 EVENTS_FILE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+_NANOS_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in EVENTS_FILE_SCHEMA.fields
+    ]
+)
+
+
+def _ts_stored_as_long(path: str) -> bool:
+    """Probe one parquet footer under ``path``: True if ``ts`` is a raw
+    INT64 nanosecond column (pre-Spark-4 nanos layout) rather than a
+    parquet TIMESTAMP. Driver-side, one footer, no data read."""
+    try:
+        import pyarrow.dataset as ds
+
+        frag = next(iter(ds.dataset(path, format="parquet").get_fragments()))
+        import pyarrow as pa
+
+        field = frag.physical_schema.field("ts")
+        return pa.types.is_integer(field.type)
+    except Exception:
+        return False
 
 
 def read_events_stream(
@@ -48,15 +74,19 @@ def read_events_stream(
     """File-source stream of events (directory of parquet files). In
     production the source would be Kafka/Kinesis; the transformation DAG
     below is identical either way."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    apply_parquet_read_compat(spark)
+    nanos = _ts_stored_as_long(path)
+    reader = spark.readStream.schema(
+        _NANOS_SCHEMA if nanos else EVENTS_FILE_SCHEMA
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(path)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    return stream
 
 
 def _dsum(col: str):

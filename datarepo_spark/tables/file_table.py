@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..core.compile import filters_to_column
+from ..core.readconf import apply_parquet_read_compat
 from ..core.filters import (
     InputFilters,
     normalize_filters,
@@ -86,6 +87,7 @@ class FileTable:
         session = spark or SparkSession.getActiveSession()
         if session is None:
             raise RuntimeError("no active SparkSession")
+        apply_parquet_read_compat(session)
         df = self._reader(session).load(self.uris)
         dnf = normalize_filters(filters)
         validate_filters(dnf, df.columns)

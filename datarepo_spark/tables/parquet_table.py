@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core.compile import filters_to_column
+from ..core.readconf import apply_parquet_read_compat
 from ..core.filters import (
     Filter,
     InputFilters,
@@ -184,6 +185,7 @@ class ParquetTable:
         **kwargs: Any,
     ) -> DataFrame:
         session = _active_spark(spark)
+        apply_parquet_read_compat(session)
         if self.storage_options:
             apply_storage_options(session, self.storage_options, self.uri)
         dnf = normalize_filters(filters)

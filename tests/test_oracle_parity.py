@@ -2,8 +2,10 @@
 
 For every registry query with an oracle: run the Spark program and the
 DuckDB SQL over the same sf directory, then compare row count, column-name
-set, and the full (order-insensitive) value multiset — bit-exact, because
-that is what the driver's value hash demands.
+set, canonical result types (the driver's value hash is arrow-type-
+sensitive — see tests/_typecanon.py), and the full (order-insensitive)
+value multiset — bit-exact, because that is what the driver's value hash
+demands.
 """
 
 import math
@@ -11,6 +13,8 @@ import os
 
 import duckdb
 import pytest
+
+from _typecanon import canon_duck, canon_spark
 
 from datarepo_spark.queries import delta_queries  # noqa: F401  (registers)
 from datarepo_spark.queries import extensions  # noqa: F401  (registers)
@@ -82,6 +86,20 @@ def test_query_matches_oracle(spark, ddb, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    # Type parity (plan-time, no extra execution): a q12-class bug —
+    # DuckDB HUGEINT vs Spark BIGINT — fails here before it fails the
+    # driver's hash.
+    s_types = {f.name: canon_spark(f.dataType) for f in sdf.schema.fields}
+    d_types = {
+        row[0]: canon_duck(row[1])
+        for row in ddb.execute(f"DESCRIBE {q.oracle}").fetchall()
+    }
+    type_diffs = {
+        c: (s_types.get(c), d_types.get(c))
+        for c in s_types
+        if s_types.get(c) != d_types.get(c)
+    }
+    assert not type_diffs, f"{name}: result-type mismatch {type_diffs}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )

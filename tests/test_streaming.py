@@ -89,11 +89,7 @@ class TestStatefulSessionize:
     the batch lag-gap sessionization exactly on (user, start, count)."""
 
     def _batch_sessions(self, spark, events_dir):
-        e = (
-            spark.read.schema(SE.EVENTS_FILE_SCHEMA)
-            .parquet(events_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        )
+        e = spark.read.schema(SE.EVENTS_FILE_SCHEMA).parquet(events_dir)
         from pyspark.sql import Window
 
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
