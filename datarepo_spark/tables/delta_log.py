@@ -37,11 +37,25 @@ class AddFile:
 
 
 @dataclass
+class RemoveFile:
+    """An unexpired tombstone. Checkpoints must carry these forward
+    (PROTOCOL.md: 'Checkpoints ... must contain ... remove actions that
+    have not expired') so that concurrent readers replaying from the
+    checkpoint still see the deletion."""
+
+    path: str
+    deletion_timestamp: int = 0
+    partition_values: Optional[dict[str, Optional[str]]] = None
+    size: Optional[int] = None
+
+
+@dataclass
 class DeltaSnapshot:
     version: int
     schema: T.StructType
     partition_columns: list[str]
     files: list[AddFile] = field(default_factory=list)
+    tombstones: list[RemoveFile] = field(default_factory=list)
     configuration: dict[str, str] = field(default_factory=dict)
     # raw protocol/metaData actions as last seen in the log — a checkpoint
     # must re-emit them verbatim (the metaData id identifies the TABLE;
@@ -154,6 +168,7 @@ class DeltaLog:
             replay_from = cp + 1
 
         adds: dict[str, AddFile] = {}
+        removes: dict[str, RemoveFile] = {}
         schema: Optional[T.StructType] = None
         partition_columns: list[str] = []
         configuration: dict[str, str] = {}
@@ -195,8 +210,21 @@ class DeltaLog:
                     partition_values=dict(add.get("partitionValues") or {}),
                     size=int(add.get("size") or 0),
                 )
+                # Re-adding a path cancels its tombstone (protocol
+                # reconciliation: latest action per path wins).
+                removes.pop(add["path"], None)
             elif "remove" in action:
-                adds.pop(action["remove"]["path"], None)
+                rm = action["remove"]
+                adds.pop(rm["path"], None)
+                pv = rm.get("partitionValues")
+                removes[rm["path"]] = RemoveFile(
+                    path=rm["path"],
+                    deletion_timestamp=int(
+                        rm.get("deletionTimestamp") or 0
+                    ),
+                    partition_values=dict(pv) if pv is not None else None,
+                    size=int(rm["size"]) if rm.get("size") is not None else None,
+                )
 
         for action in start_actions:
             apply(action)
@@ -228,11 +256,28 @@ class DeltaLog:
 
         if schema is None:
             raise ValueError(f"No metaData action found in {self.log_dir}")
+        if replay_from == 0 and first_replayed is not None and first_replayed > 0:
+            # No checkpoint, and commit 0 (and possibly more) is missing:
+            # the replay silently starts mid-history. Legitimate only when
+            # a since-deleted checkpoint once covered the prefix — which we
+            # cannot corroborate without _last_checkpoint — so surface it.
+            import warnings
+
+            warnings.warn(
+                f"Delta log at {self.log_dir} has no checkpoint and no "
+                f"commit {0:020d}.json; replay starts at version "
+                f"{first_replayed}. Files added in the missing prefix are "
+                f"NOT visible — verify the log was checkpoint-cleaned, not "
+                f"truncated.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return DeltaSnapshot(
             version=target,
             schema=schema,
             partition_columns=partition_columns,
             files=list(adds.values()),
+            tombstones=list(removes.values()),
             configuration=configuration,
             raw_protocol=raw_protocol,
             raw_metadata=raw_metadata,

@@ -166,14 +166,101 @@ def write_delta(
     return version
 
 
+def checkpoint_arrow_schema():
+    """The classic-checkpoint parquet schema from the public Delta
+    PROTOCOL.md ('Checkpoint Schema'): one nullable struct column per
+    action type, ``partitionValues``/``configuration``/``options``/``tags``
+    as ``map<string, string>`` (NOT a pyarrow-inferred struct — readers
+    like delta-rs and delta-spark require the map physical type), plus the
+    ``txn`` column for SetTransaction actions."""
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                        pa.field("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", str_map),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
+                        pa.field("tags", str_map),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("deletionTimestamp", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                        pa.field("extendedFileMetadata", pa.bool_()),
+                        pa.field("partitionValues", str_map),
+                        pa.field("size", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field("name", pa.string()),
+                        pa.field("description", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field("options", str_map),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", str_map),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
 def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
     """Materialize the snapshot at ``version`` (default: latest) as a
     single-part ``NNN.checkpoint.parquet`` plus the ``_last_checkpoint``
-    pointer, per the public protocol. Replays from the checkpoint are
-    O(current files), not O(historical commits) — the thing that keeps a
-    long-lived 100 TB table's planning time flat. protocol/metaData are
-    re-emitted verbatim from the log (the metaData id names the table;
-    synthesizing a new one would corrupt it)."""
+    pointer, per the public protocol's classic-checkpoint layout
+    (:func:`checkpoint_arrow_schema` — map-typed ``partitionValues``,
+    ``remove`` tombstones carried forward). Replays from the checkpoint
+    are O(current files), not O(historical commits) — the thing that
+    keeps a long-lived 100 TB table's planning time flat. protocol and
+    metaData are re-emitted verbatim from the log (the metaData id names
+    the table; synthesizing a new one would corrupt it)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -183,43 +270,67 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
     if snapshot.raw_protocol is None or snapshot.raw_metadata is None:
         raise ValueError(f"No protocol/metaData in log at {uri}")
 
-    def drop_empty(obj):
-        # parquet cannot store a zero-field struct; the reader coalesces
-        # a NULL configuration/options/partitionValues back to {}
-        if isinstance(obj, dict):
-            return {k: drop_empty(v) for k, v in obj.items()} or None
-        return obj
+    def as_map(obj) -> dict:
+        # raw_metadata replayed from a prior checkpoint carries maps as
+        # pyarrow's list-of-(k, v)-tuples; normalize back to dict.
+        return dict(obj) if obj is not None else {}
+
+    meta = snapshot.raw_metadata
+    fmt = as_map(meta.get("format"))
+    metadata_row = {
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "description": meta.get("description"),
+        "format": {
+            "provider": fmt.get("provider", "parquet"),
+            "options": as_map(fmt.get("options")),
+        },
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": as_map(meta.get("configuration")),
+        "createdTime": meta.get("createdTime"),
+    }
+    proto = snapshot.raw_protocol
+    protocol_row = {
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+    }
 
     rows: list[dict] = [
-        {
-            "protocol": drop_empty(snapshot.raw_protocol),
-            "metaData": None,
-            "add": None,
-        },
-        {
-            "protocol": None,
-            "metaData": drop_empty(snapshot.raw_metadata),
-            "add": None,
-        },
+        {"protocol": protocol_row},
+        {"metaData": metadata_row},
     ]
     rows.extend(
         {
-            "protocol": None,
-            "metaData": None,
             "add": {
                 "path": f.path,
-                "partitionValues": drop_empty(dict(f.partition_values)),
+                "partitionValues": dict(f.partition_values),
                 "size": f.size,
                 "modificationTime": 0,
                 "dataChange": False,
-            },
+            }
         }
         for f in snapshot.files
+    )
+    rows.extend(
+        {
+            "remove": {
+                "path": t.path,
+                "deletionTimestamp": t.deletion_timestamp,
+                "dataChange": False,
+                "extendedFileMetadata": t.partition_values is not None,
+                "partitionValues": t.partition_values,
+                "size": t.size,
+            }
+        }
+        for t in snapshot.tombstones
     )
     path = os.path.join(
         log_dir, f"{snapshot.version:020d}.checkpoint.parquet"
     )
-    pq.write_table(pa.Table.from_pylist(rows), path)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=checkpoint_arrow_schema()), path
+    )
     with open(
         os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8"
     ) as handle:

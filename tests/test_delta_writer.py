@@ -207,3 +207,93 @@ class TestCheckpointing:
         # partition prune still works off checkpoint partitionValues
         only_a = t(filters=[Filter("p", "=", "a")], spark=spark)
         assert sorted(r.v for r in only_a.collect()) == [1, 3]
+
+    def test_checkpoint_schema_is_protocol_conformant(self, spark, tmp_path):
+        """The checkpoint parquet must use the PROTOCOL.md classic
+        checkpoint schema — partitionValues as a parquet MAP (not an
+        inferred struct), remove tombstones carried forward, txn column
+        present — or external engines (delta-spark, delta-rs) cannot read
+        a table once its 10th commit auto-checkpoints."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datarepo_spark.tables.delta_writer import write_checkpoint
+
+        uri = str(tmp_path / "ckpt_schema")
+        write_delta(
+            spark.createDataFrame([(1, "a"), (2, "b")], ["v", "p"]),
+            uri,
+            partition_by=["p"],
+            checkpoint_interval=None,
+        )
+        # overwrite creates remove tombstones for version-0 files
+        write_delta(
+            spark.createDataFrame([(9, "a")], ["v", "p"]),
+            uri,
+            mode="overwrite",
+            checkpoint_interval=None,
+        )
+        path = write_checkpoint(uri)
+        schema = pq.read_schema(path)
+        assert set(schema.names) >= {
+            "txn", "add", "remove", "metaData", "protocol"
+        }
+        add_t = schema.field("add").type
+        pv = add_t.field(add_t.get_field_index("partitionValues")).type
+        assert pa.types.is_map(pv), f"partitionValues must be map, got {pv}"
+        assert pa.types.is_string(pv.key_type)
+        assert pa.types.is_string(pv.item_type)
+        rm_t = schema.field("remove").type
+        rm_pv = rm_t.field(rm_t.get_field_index("partitionValues")).type
+        assert pa.types.is_map(rm_pv)
+        meta_t = schema.field("metaData").type
+        conf = meta_t.field(meta_t.get_field_index("configuration")).type
+        assert pa.types.is_map(conf)
+
+        rows = pq.read_table(path).to_pylist()
+        removes = [r["remove"] for r in rows if r["remove"] is not None]
+        assert len(removes) == 2, "overwritten files must appear as tombstones"
+        assert all(not r["dataChange"] for r in removes)
+        adds = [r["add"] for r in rows if r["add"] is not None]
+        assert len(adds) == 1
+        assert dict(adds[0]["partitionValues"]) == {"p": "a"}
+
+        # the in-repo reader still round-trips after log vacuum
+        log_dir = os.path.join(uri, "_delta_log")
+        for v in (0, 1):
+            os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+        snap = DeltaLog(uri).snapshot()
+        assert [f.partition_values for f in snap.files] == [{"p": "a"}]
+        assert {t.path for t in snap.tombstones} == {r["path"] for r in removes}
+        t = DeltalakeTable("t", uri)
+        assert vals(t(spark=spark)) == [9]
+
+    def test_readd_cancels_tombstone(self, spark, tmp_path):
+        """Protocol reconciliation: an add of a previously-removed path
+        drops its tombstone from the next checkpoint."""
+        import json as _json
+        import os
+
+        uri = str(tmp_path / "readd")
+        write_delta(
+            spark.createDataFrame([(1,)], ["v"]), uri,
+            checkpoint_interval=None,
+        )
+        snap = DeltaLog(uri).snapshot()
+        path0 = snap.files[0].path
+        log_dir = os.path.join(uri, "_delta_log")
+        with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"remove": {
+                "path": path0, "deletionTimestamp": 5, "dataChange": True,
+            }}) + "\n")
+        assert DeltaLog(uri).snapshot().tombstones[0].path == path0
+        with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"add": {
+                "path": path0, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True,
+            }}) + "\n")
+        snap2 = DeltaLog(uri).snapshot()
+        assert snap2.tombstones == []
+        assert path0 in {f.path for f in snap2.files}
