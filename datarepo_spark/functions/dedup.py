@@ -75,6 +75,34 @@ def exact_dedup(
     return df.join(winners, id_col, "left_semi")
 
 
+def exact_dedup_project(
+    df: DataFrame,
+    cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup when only ``cols`` (which must include ``id_col``) of
+    the survivor row are needed: one scan, one shuffle, NO join back.
+
+    ``min(struct(id, payload...))`` picks the same min-id survivor as
+    :func:`exact_dedup` and carries its payload columns through the
+    aggregation, so the semi-join re-scan of the source (and its second
+    evaluation of any upstream projection) disappears. The shuffle moves
+    only (32-byte sha256, id, payload) — at 100 TB this is the shape to
+    prefer whenever the downstream consumer needs a column subset rather
+    than whole rows."""
+    if id_col not in cols:
+        raise ValueError(f"cols must include {id_col!r}: {cols}")
+    payload = [id_col] + [c for c in cols if c != id_col]
+    key = content_key(F.col(text_col))
+    won = (
+        df.select(key.alias("__ck"), F.struct(*payload).alias("__row"))
+        .groupBy("__ck")
+        .agg(F.min("__row").alias("__w"))
+    )
+    return won.select(*[F.col(f"__w.{c}").alias(c) for c in cols])
+
+
 # ---------------------------------------------------------------------------
 # Shingles + MinHash + LSH
 # ---------------------------------------------------------------------------

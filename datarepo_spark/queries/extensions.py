@@ -545,8 +545,10 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", X.quality_score(F.col("text")).alias("quality")
     )
     filtered = scored.filter(F.col("quality") >= 0.5)
-    survivors = D.exact_dedup(filtered)
-    return survivors.select("doc_id", "quality")
+    # exact_dedup_project: min-struct aggregation on the content key —
+    # ONE scan of documents, one narrow shuffle, no semi-join re-scan
+    # re-evaluating the 5-regexp quality projection (r2/r3 verdict item).
+    return D.exact_dedup_project(filtered, ["doc_id", "quality"])
 
 
 @register(

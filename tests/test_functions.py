@@ -51,6 +51,28 @@ class TestExactDedup:
         )
         assert D.exact_dedup(df).count() == 1
 
+    def test_project_variant_matches_join_variant(self, spark, docs_df):
+        """exact_dedup_project (min-struct agg, no join) must pick the
+        same min-id survivors and carry their payload correctly."""
+        from pyspark.sql import functions as F
+
+        withq = docs_df.withColumn("q", F.length("text").cast("double"))
+        via_join = sorted(
+            (r.doc_id, r.q)
+            for r in D.exact_dedup(withq).select("doc_id", "q").collect()
+        )
+        via_agg = sorted(
+            (r.doc_id, r.q)
+            for r in D.exact_dedup_project(withq, ["doc_id", "q"]).collect()
+        )
+        assert via_agg == via_join
+
+    def test_project_requires_id_col(self, spark, docs_df):
+        import pytest
+
+        with pytest.raises(ValueError, match="doc_id"):
+            D.exact_dedup_project(docs_df, ["text"])
+
 
 class TestMinHashLSH:
     def test_candidates_contain_true_near_dups(self, spark, docs_df):

@@ -67,6 +67,15 @@ class TestAggAndSort:
         agg_section = plan.split("Exchange hashpartitioning")[1][:200]
         assert "__ck" in agg_section or "sha2" in agg_section
 
+    def test_curate_pipeline_scans_documents_once(self, spark, sf_dir):
+        """r2/r3 verdict item: the curation pipeline must not evaluate
+        the scored-document projection twice. exact_dedup_project's
+        min-struct aggregation needs exactly one parquet scan of
+        documents and no join."""
+        plan = plan_of(spark, sf_dir, "pipeline_curate_documents")
+        assert plan.count("documents.parquet") == 1, plan
+        assert "Join" not in plan
+
 
 class TestWholeStageCodegen:
     @pytest.mark.parametrize(
