@@ -24,16 +24,61 @@ Scale notes (the reason these shapes were chosen):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
 def _parallelism(df: DataFrame) -> int:
-    """Partition count for small persisted intermediates: the cluster's
-    core count, not the session's shuffle-partition setting (a 200-default
-    session would otherwise pin 200 near-empty cached partitions)."""
-    return max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    """Partition count for small persisted intermediates: the lesser of
+    the cluster's core count and the session's shuffle-partition setting.
+    Either alone can be badly oversized for a tiny cached DataFrame (a
+    200-shuffle-partition session pins 200 near-empty cached partitions;
+    a many-core driver pins one per core under a deliberately small
+    shuffle setting) — and AQE's partition coalescing can't reach inside
+    cached plans, so every downstream stage would run that many tasks."""
+    sess = df.sparkSession
+    cores = sess.sparkContext.defaultParallelism
+    try:
+        shuffle = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        shuffle = cores
+    return max(1, min(cores, shuffle))
+
+
+# Internal persists awaiting release: dedup/similarity pipelines cache
+# small intermediates (candidate buckets, candidate signatures) that both
+# sides of a self-join consume — the cache must outlive the *caller's*
+# consumption of the returned (lazy) DataFrame, so the functions cannot
+# unpersist before returning. Long-lived sessions running many pipelines
+# should call :func:`unpersist_intermediates` between pipelines (or
+# ``spark.catalog.clearCache()``); otherwise each pipeline run leaves its
+# small caches pinned until session end.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for later release via unpersist_intermediates."""
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def unpersist_intermediates() -> int:
+    """Release every internal cache created by dedup/similarity pipelines
+    in this process; returns the number released. Safe to call at any
+    point where no previously-returned pipeline DataFrame will be
+    re-evaluated (already-collected results are unaffected)."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -169,10 +214,13 @@ def shingle_rows(
     Rows are a multiset by default: duplicate grams don't affect the
     per-lane MIN that MinHash takes downstream. Pass ``distinct=True``
     when set semantics matter (costs the (id, gram) shuffle back).
-    Empty docs produce no rows; docs with fewer than n tokens produce the
-    whole-doc gram (matching shingles_from_tokens semantics)."""
+    Docs with fewer than n tokens produce the whole-doc gram, and
+    0-token docs produce the single empty gram ``''`` — matching
+    shingles_from_tokens (and every DuckDB oracle's ``ELSE ['']``
+    branch), so empty documents participate in dedup/contamination
+    instead of silently vanishing from the row stream."""
     toks = df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__toks"))
-    idx = toks.filter(F.size("__toks") > 0).select(
+    idx = toks.select(
         F.col(id_col),
         F.col("__toks"),
         F.explode(
@@ -290,8 +338,16 @@ def bucket_pairs(
     key_cols: list[str],
     id_col: str,
     max_bucket_size: int = 2_000,
+    payload_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing a bucket.
+
+    ``payload_cols``: narrow per-id columns (e.g. an 8-byte signature) to
+    carry through the bucket aggregation and emit as ``<col>_a``/
+    ``<col>_b`` alongside the ids — letting the caller verify candidates
+    inline instead of joining the payload back by id afterwards (two
+    fewer shuffles). Only worth it for fixed-width payloads; wide ones
+    (shingle arrays) should keep using the join-back pattern.
 
     Construction: groupBy bucket → sorted member array (buckets above
     ``max_bucket_size`` dropped), posexplode back to (bucket, pos, id),
@@ -308,9 +364,15 @@ def bucket_pairs(
     (empty docs, boilerplate): at 100 TB it is what keeps one bad bucket
     from producing 10^12 pairs. 2k members ≈ 2M pairs per worst bucket —
     bounded work AND bounded memory."""
+    member = F.struct(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in payload_cols],
+    )
     ids = (
         buckets.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        # struct sort orders by the leading __id field, so position order
+        # is id order with or without payload
+        .agg(F.sort_array(F.collect_set(member)).alias("__ids"))
         .filter(
             (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size)
         )
@@ -325,29 +387,33 @@ def bucket_pairs(
         # coalescing doesn't reach inside cached plans, so under a
         # 200-shuffle-partition session the cache would otherwise pin 200
         # near-empty partitions and every downstream stage would run 200
-        # tasks. coalesce() adapts (local[32]→32, cluster→cores) and adds
-        # no exchange.
+        # tasks. coalesce() adapts to the session and adds no exchange.
         .coalesce(_parallelism(buckets))
-        .persist()
     )
-    member = ids.select(
-        *key_cols, F.posexplode("__ids").alias("__pos", "__id")
+    ids = _scoped_persist(ids)
+    exploded = ids.select(
+        *key_cols, F.posexplode("__ids").alias("__pos", "__m")
     )
-    a = member.select(
+    a = exploded.select(
         *key_cols,
         F.col("__pos").alias("__pos_a"),
-        F.col("__id").alias("id_a"),
+        F.col("__m.__id").alias("id_a"),
+        *[F.col(f"__m.{c}").alias(f"{c}_a") for c in payload_cols],
     )
-    b = member.select(
+    b = exploded.select(
         *key_cols,
         F.col("__pos").alias("__pos_b"),
-        F.col("__id").alias("id_b"),
+        F.col("__m.__id").alias("id_b"),
+        *[F.col(f"__m.{c}").alias(f"{c}_b") for c in payload_cols],
     )
-    # __ids is sorted ascending, so pos_a < pos_b ⟹ id_a < id_b.
+    out_cols = ["id_a", "id_b"]
+    for c in payload_cols:
+        out_cols += [f"{c}_a", f"{c}_b"]
+    # __ids is sorted ascending by __id, so pos_a < pos_b ⟹ id_a < id_b.
     return (
         a.join(b, key_cols)
         .filter(F.col("__pos_a") < F.col("__pos_b"))
-        .select("id_a", "id_b")
+        .select(*out_cols)
         .distinct()
     )
 
@@ -387,16 +453,14 @@ def minhash_lsh_dedup_pairs(
     # duplication — AQE broadcast conversion defeats exchange reuse).
     # Candidates are <<1% of the corpus, so this is a small cache
     # (coalesced: AQE can't shrink partition counts inside cached plans).
-    sh = (
+    sh = _scoped_persist(
         with_shingles(
             df.join(cand_ids, id_col, "left_semi"),
             text_col,
             id_col,
             n,
             out="sh",
-        )
-        .coalesce(_parallelism(df))
-        .persist()
+        ).coalesce(_parallelism(df))
     )
     return (
         cands.join(
@@ -492,10 +556,10 @@ def simhash_df(
     (see :func:`_gram_hash`) so the whole signature is engine-portable and
     the DuckDB correctness gate can recompute it exactly.
 
-    Single-gram parity note: SimHash of one gram is the gram hash itself
-    (each bit's lone vote is that bit), so 0-token docs — which produce no
-    shingle rows — are re-attached with the constant hash('') the array
-    form computes for them."""
+    0-token docs arrive from shingle_rows as the single empty gram, and
+    SimHash of one gram is the gram hash itself (each bit's lone vote is
+    that bit) — so empty docs get the constant hash('') signature with no
+    separate re-attach scan of the corpus."""
     bits = PORTABLE_SIMHASH_BITS if portable else 64
     hashed = (
         shingle_rows(df, text_col, id_col, n)
@@ -504,30 +568,40 @@ def simhash_df(
         )
         .distinct()
     )
-    votes = hashed.groupBy(id_col).agg(
+    # Packed-lane votes: two 32-bit ones-counters per aggregated long
+    # (bit 2g in lane 0, bit 2g+1 in lane 1), halving the aggregation
+    # buffer from `bits` sums to bits/2 + a count. The majority vote
+    # recombines as 2*ones_i > n ⟺ (ones_i - (n-ones_i)) > 0, identical
+    # to the per-bit ±1 sum. Lane sums are bounded by the distinct-gram
+    # count per doc (< 2^31 at any representable row size), so lanes
+    # never carry into each other.
+    lane_mask = F.lit((1 << 32) - 1)
+    packed = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.when(
-                    F.col("__h").bitwiseAND(F.lit(_wrap64(1 << i))) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"__b{i}")
-            for i in range(bits)
+                F.shiftrightunsigned(F.col("__h"), 2 * g).bitwiseAND(
+                    F.lit(1)
+                )
+                + F.shiftleft(
+                    F.shiftrightunsigned(F.col("__h"), 2 * g + 1).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    32,
+                )
+            ).alias(f"__p{g}")
+            for g in range((bits + 1) // 2)
         ]
     )
     sim = F.lit(0).cast("long")
     for i in range(bits):
+        ones = F.shiftrightunsigned(
+            F.col(f"__p{i // 2}"), 32 * (i % 2)
+        ).bitwiseAND(lane_mask)
         sim = sim + F.when(
-            F.col(f"__b{i}") > 0, F.lit(_wrap64(1 << i)).cast("long")
+            ones * 2 > F.col("__n"), F.lit(_wrap64(1 << i)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    out = votes.select(F.col(id_col), sim.alias("sh"))
-    empty = (
-        df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__t"))
-        .filter(F.size("__t") == 0)
-        .select(
-            F.col(id_col), _gram_hash(F.lit(""), portable).alias("sh")
-        )
-    )
-    return out.unionByName(empty)
+    return packed.select(F.col(id_col), sim.alias("sh"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -551,19 +625,16 @@ def simhash_dedup_pairs(
     bits = PORTABLE_SIMHASH_BITS if portable else 64
     bands = max_hamming + 1
     width = bits // bands
-    # The signature DF feeds banding AND both verification joins; without
-    # a persist the whole sha/vote pipeline executes 3-4× (self-join
-    # subtree duplication once AQE converts a side to broadcast). The
-    # cache is (id, 8-byte signature) — O(corpus ids), the smallest thing
-    # in the pipeline, and the canonical "build the index once" shape
-    # (coalesced: AQE can't shrink partition counts inside cached plans).
-    sh = (
-        simhash_df(df, text_col, id_col, portable=portable)
-        .coalesce(_parallelism(df))
-        .persist()
-    )
+    # The 8-byte signature rides through the bucket aggregation as a
+    # bucket_pairs payload, so candidates come out with BOTH signatures
+    # attached and hamming verification is an inline projection — no
+    # signature persist and no pair-of-joins back to the signature table
+    # (two fewer shuffles than the classic verify-by-id-join shape; the
+    # signature pipeline is evaluated exactly once, as banding's input).
+    sh = simhash_df(df, text_col, id_col, portable=portable)
     banded = sh.select(
         id_col,
+        "sh",
         F.explode(
             F.array(
                 *[
@@ -593,26 +664,17 @@ def simhash_dedup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
-    cands = bucket_pairs(banded, ["band", "key"], id_col)
-    # Hamming verification: join the (id, simhash) pairs back — two narrow
-    # hash joins on the id, never a cross join.
-    return (
-        cands.join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    ).select(id_col, "sh", "bk.band", "bk.key")
+    cands = bucket_pairs(
+        banded, ["band", "key"], id_col, payload_cols=["sh"]
     )
+    # Hamming verification is an inline projection over the carried
+    # signatures — never a cross join, and no join at all.
+    return cands.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -74,6 +74,28 @@ class TestExactDedup:
             D.exact_dedup_project(docs_df, ["text"])
 
 
+class TestCacheLifecycle:
+    def test_unpersist_intermediates_releases_pipeline_caches(
+        self, spark, docs_df
+    ):
+        """Repeated dedup pipelines in one session must not accumulate
+        cached DataFrames once unpersist_intermediates() is called — the
+        documented cache-lifecycle contract for the internal persists."""
+
+        def n_persisted():
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        D.unpersist_intermediates()
+        base = n_persisted()
+        for _ in range(3):
+            D.simhash_dedup_pairs(docs_df, portable=False).count()
+            D.minhash_lsh_dedup_pairs(docs_df, threshold=0.5).count()
+        assert n_persisted() > base  # pipelines did persist
+        released = D.unpersist_intermediates()
+        assert released >= 6  # ≥2 caches per iteration over 3 iterations
+        assert n_persisted() == base
+
+
 class TestMinHashLSH:
     def test_candidates_contain_true_near_dups(self, spark, docs_df):
         cands = {
