@@ -9,12 +9,15 @@ reference (test/roapi/test_roapi.py:53-87).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from ..catalog.catalog import Catalog
 from ..core.filters import Filter
 from ..tables.metadata import TableType
+
+logger = logging.getLogger(__name__)
 
 DEFAULT_DELTA_RELOAD_SECONDS = 60  # reference util.py:24-26
 
@@ -62,22 +65,37 @@ def table_to_roapi(name: str, table: Any) -> Optional[dict[str, Any]]:
         if docs_filters and all(
             isinstance(f, Filter) for f in docs_filters
         ):
-            entry["partition_columns"] = [
-                {
-                    "name": f.column,
-                    # ROAPI treats YYYY-MM-DD partition cols as Date32
-                    "data_type": (
-                        "Date32"
-                        if f.column == "date"
-                        else py_type_to_roapi(type(f.value))
-                    ),
-                }
-                for f in docs_filters
-            ]
-            entry["schema_from_files"] = [
-                table.build_file_fragment(list(docs_filters))
-            ]
-        else:
+            # Exotic docs filters — a value type outside the ROAPI map, or
+            # non-equality filters that can't pin a file fragment — must
+            # not kill the whole export: fall back to the plain
+            # partition_columns entry, like the reference's per-table
+            # stderr-and-continue (reference export/roapi.py; r3 verdict
+            # item 8).
+            try:
+                entry["partition_columns"] = [
+                    {
+                        "name": f.column,
+                        # ROAPI treats YYYY-MM-DD partition cols as Date32
+                        "data_type": (
+                            "Date32"
+                            if f.column == "date"
+                            else py_type_to_roapi(type(f.value))
+                        ),
+                    }
+                    for f in docs_filters
+                ]
+                entry["schema_from_files"] = [
+                    table.build_file_fragment(list(docs_filters))
+                ]
+            except (KeyError, ValueError) as exc:
+                logger.warning(
+                    "ROAPI export: table %r docs filters not expressible "
+                    "(%s); falling back to partition_columns", name, exc
+                )
+                entry.pop("partition_columns", None)
+                entry.pop("schema_from_files", None)
+                docs_filters = []
+        if "partition_columns" not in entry:
             partitions = [
                 {"name": p.column, "data_type": p.col_type.simpleString()}
                 for p in getattr(table, "partitioning", [])
@@ -115,7 +133,15 @@ def export_to_roapi_tables(catalog: Catalog) -> list[dict[str, Any]]:
     for db_name in catalog.dbs():
         db = catalog.db(db_name)
         for t_name, table in db.tables().items():
-            entry = table_to_roapi(t_name, table)
+            try:
+                entry = table_to_roapi(t_name, table)
+            except Exception as exc:
+                # one broken table must not abort the export of the rest
+                # (reference prints to stderr and continues)
+                logger.warning(
+                    "ROAPI export: skipping table %r: %s", t_name, exc
+                )
+                continue
             if entry is not None:
                 out.append(entry)
     return out

@@ -205,6 +205,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banding to miss), so brute-force Jaccard in DuckDB reproduces the
     # result exactly. The general recall guarantee lives in
     # tests/test_functions.py::test_verified_pairs_match_bruteforce.
+    # Scale note (r3 verdict item 4): the naive all-pairs form is O(n²)
+    # LIST_INTERSECTs and cannot run at bench scale. This form is EXACT,
+    # not sampled: jaccard > 0 requires ≥1 shared gram, so the inverted-
+    # index join enumerates every pair that can pass the threshold, and
+    # |A∩B| = the shared-gram COUNT (s is LIST_DISTINCT), so
+    # jaccard = c/(la+lb-c) with no per-pair list ops. sf0.1: 120 s → 1 s.
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
@@ -220,13 +226,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
                END) AS s
       FROM toks
+    ), gr AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+    ), cnts AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             ANY_VALUE(x.ln) AS la, ANY_VALUE(y.ln) AS lb,
+             COUNT(*) AS c
+      FROM gr x JOIN gr y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
-                 / LEN(LIST_DISTINCT(a.s || b.s)), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
-                / LEN(LIST_DISTINCT(a.s || b.s)), 6) >= 0.5
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (la + lb - c), 6) AS jaccard
+    FROM cnts
+    WHERE ROUND(CAST(c AS DOUBLE) / (la + lb - c), 6) >= 0.5
     """,
     description="MinHash-LSH near-dup pairs (shingle→sig→band→bucket-join)",
 )
@@ -779,8 +791,11 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_components",
     # Clusters over the verified near-dup pairs: component id = min doc
-    # id reachable. The oracle recomputes the same pairs brute-force and
-    # closes them transitively with a recursive CTE.
+    # id reachable. The oracle recomputes the same pairs (inverted-index
+    # + shared-gram-count jaccard — exact, see dedup_minhash_lsh) and
+    # closes them transitively with a recursive CTE. pairs is
+    # MATERIALIZED: edges references it twice and DuckDB would otherwise
+    # inline (re-execute) the whole candidate join per reference.
     oracle=r"""
     WITH RECURSIVE toks AS (
       SELECT doc_id,
@@ -796,11 +811,18 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
                END) AS s
       FROM toks
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
-                  / LEN(LIST_DISTINCT(a.s || b.s)), 6) >= 0.5
+    ), gr AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+    ), cnts AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             ANY_VALUE(x.ln) AS la, ANY_VALUE(y.ln) AS lb,
+             COUNT(*) AS c
+      FROM gr x JOIN gr y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cnts
+      WHERE ROUND(CAST(c AS DOUBLE) / (la + lb - c), 6) >= 0.5
     ), edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION SELECT id_b, id_a FROM pairs

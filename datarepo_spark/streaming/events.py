@@ -50,32 +50,59 @@ _NANOS_SCHEMA = T.StructType(
 )
 
 
-def _ts_stored_as_long(path: str) -> bool:
+def _ts_stored_as_long(path: str) -> Optional[bool]:
     """Probe one parquet footer under ``path``: True if ``ts`` is a raw
     INT64 nanosecond column (pre-Spark-4 nanos layout) rather than a
-    parquet TIMESTAMP. Driver-side, one footer, no data read."""
+    parquet TIMESTAMP; None when the layout cannot be determined (no
+    files yet — the normal cold start of a file-source stream — or no
+    pyarrow). Driver-side, one footer, no data read."""
     try:
-        import pyarrow.dataset as ds
-
-        frag = next(iter(ds.dataset(path, format="parquet").get_fragments()))
         import pyarrow as pa
-
-        field = frag.physical_schema.field("ts")
-        return pa.types.is_integer(field.type)
+        import pyarrow.dataset as ds
     except Exception:
-        return False
+        return None
+    try:
+        fragments = iter(ds.dataset(path, format="parquet").get_fragments())
+        frag = next(fragments, None)
+        if frag is None:
+            return None  # empty directory: nothing to probe
+        field = frag.physical_schema.field("ts")
+        return bool(pa.types.is_integer(field.type))
+    except Exception:
+        return None
 
 
 def read_events_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: Optional[int] = None,
+    nanos: Optional[bool] = None,
 ) -> DataFrame:
     """File-source stream of events (directory of parquet files). In
     production the source would be Kafka/Kinesis; the transformation DAG
-    below is identical either way."""
+    below is identical either way.
+
+    ``nanos``: the physical layout of ``ts`` — True for the pre-Spark-4
+    INT64-nanos layout, False for a true parquet TIMESTAMP. A streaming
+    schema is fixed at PLAN time, before most files exist, so when the
+    directory is cold the probe cannot decide for you: pass it
+    explicitly if the first files will be nanos-layout. Default: probe
+    an existing footer; if none, assume TIMESTAMP and warn, so a
+    later-arriving nanos file fails with a schema error that names this
+    parameter rather than a bare parquet conversion error."""
     apply_parquet_read_compat(spark)
-    nanos = _ts_stored_as_long(path)
+    if nanos is None:
+        probed = _ts_stored_as_long(path)
+        if probed is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "read_events_stream(%s): no parquet footer to probe "
+                "(cold directory?); assuming ts is a true TIMESTAMP. "
+                "Pass nanos=True if the stream's files store INT64 "
+                "nanoseconds.", path,
+            )
+        nanos = bool(probed)
     reader = spark.readStream.schema(
         _NANOS_SCHEMA if nanos else EVENTS_FILE_SCHEMA
     )

@@ -189,14 +189,32 @@ class DeltalakeTable:
         spark: Optional[SparkSession] = None,
         timeout: Optional[str] = None,
         cache_options: Optional[DeltaCacheOptions] = None,
+        boto3_session: Optional[Any] = None,
+        endpoint_url: Optional[str] = None,
+        storage_options: Optional[dict[str, str]] = None,
         **kwargs: Any,
     ) -> DataFrame:
         # timeout/cache_options: accepted for reference API parity (A20);
         # see DeltaCacheOptions for where those concerns live on Spark.
+        # Per-call boto3_session/endpoint_url/storage_options override the
+        # constructor's (reference deltalake_table.py accepts per-call
+        # credentials); unknown kwargs raise instead of being swallowed.
+        if kwargs:
+            raise TypeError(
+                f"{type(self).__name__}.__call__ got unknown arguments: "
+                f"{sorted(kwargs)}"
+            )
         session = _active_spark(spark)
         apply_parquet_read_compat(session)
-        if self.storage_options:
-            apply_storage_options(session, self.storage_options, self.uri)
+        effective_storage = dict(self.storage_options)
+        if storage_options:
+            effective_storage.update(storage_options)
+        if boto3_session is not None or endpoint_url is not None:
+            effective_storage.update(
+                get_storage_options(boto3_session, endpoint_url)
+            )
+        if effective_storage:
+            apply_storage_options(session, effective_storage, self.uri)
         sql_filter: Optional[str] = None
         if isinstance(filters, str):
             # Raw SQL predicate passthrough (reference deltalake_table.py:37,

@@ -182,12 +182,34 @@ class ParquetTable:
         filters: InputFilters = None,
         columns: Optional[Sequence[str]] = None,
         spark: Optional[SparkSession] = None,
+        boto3_session: Optional[Any] = None,
+        endpoint_url: Optional[str] = None,
+        storage_options: Optional[dict[str, str]] = None,
         **kwargs: Any,
     ) -> DataFrame:
+        """Read the table. Per-call ``boto3_session``/``endpoint_url``/
+        ``storage_options`` override the constructor's (reference
+        parquet_table.py:247-276 accepts credentials per call — e.g. a
+        catalog's global args carrying one session for every table);
+        they map to per-bucket ``fs.s3a.*`` confs before the scan.
+        Unknown keyword arguments raise instead of being silently
+        ignored."""
+        if kwargs:
+            raise TypeError(
+                f"{type(self).__name__}.__call__ got unknown arguments: "
+                f"{sorted(kwargs)}"
+            )
         session = _active_spark(spark)
         apply_parquet_read_compat(session)
-        if self.storage_options:
-            apply_storage_options(session, self.storage_options, self.uri)
+        effective_storage = dict(self.storage_options)
+        if storage_options:
+            effective_storage.update(storage_options)
+        if boto3_session is not None or endpoint_url is not None:
+            effective_storage.update(
+                get_storage_options(boto3_session, endpoint_url)
+            )
+        if effective_storage:
+            apply_storage_options(session, effective_storage, self.uri)
         dnf = normalize_filters(filters)
         known = self._known_columns()
         if known:

@@ -270,6 +270,43 @@ class TestCheckpointing:
         t = DeltalakeTable("t", uri)
         assert vals(t(spark=spark)) == [9]
 
+    def test_gap_headed_replay_warns(self, spark, tmp_path):
+        """A checkpoint-less log missing its leading commits silently
+        drops their adds; the reader must at least warn (r3 verdict
+        item 10)."""
+        import os
+        import warnings
+
+        # synthesize a log whose leading commits were deleted along with
+        # the checkpoint that covered them: versions 5-6 remain, with the
+        # metaData re-emitted at 5 (as checkpoint-cleaned logs have)
+        uri = str(tmp_path / "gaphead")
+        write_delta(
+            spark.createDataFrame([(0,)], ["v"]), uri,
+            checkpoint_interval=None,
+        )
+        log_dir = os.path.join(uri, "_delta_log")
+        os.rename(
+            os.path.join(log_dir, f"{0:020d}.json"),
+            os.path.join(log_dir, f"{5:020d}.json"),
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            snap = DeltaLog(uri).snapshot()
+        assert any(
+            "replay starts at version" in str(w.message) for w in caught
+        )
+        assert snap.version == 5
+        # an intact log does not warn
+        uri2 = str(tmp_path / "intact")
+        write_delta(spark.createDataFrame([(1,)], ["v"]), uri2)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            DeltaLog(uri2).snapshot()
+        assert not [
+            w for w in caught if "replay starts" in str(w.message)
+        ]
+
     def test_readd_cancels_tombstone(self, spark, tmp_path):
         """Protocol reconciliation: an add of a previously-removed path
         drops its tombstone from the next checkpoint."""

@@ -211,6 +211,50 @@ class TestRoapiExport:
             "implant_id=5/date=2024-01-01/df.parquet"
         ]
 
+    def test_exotic_table_falls_back_instead_of_aborting(self, tmp_path):
+        """r3 verdict item 8: a docs-filter value outside the ROAPI type
+        map (datetime) and a non-equality docs filter must degrade to the
+        plain partition_columns entry — and one broken table must not
+        abort the whole catalog export."""
+        import datetime as dt
+
+        exotic = ParquetTable(
+            "exotic",
+            str(tmp_path / "exotic"),
+            partitioning=[
+                Partition("ts", T.TimestampType()),
+                Partition("shard", T.IntegerType()),
+            ],
+            docs_filters=[
+                Filter("ts", "=", dt.datetime(2024, 1, 1)),  # unmapped type
+                Filter("shard", ">", 3),  # non-equality → no fragment
+            ],
+        )
+        entry = table_to_roapi("exotic", exotic)
+        assert "schema_from_files" not in entry
+        assert entry["partition_columns"] == [
+            {"name": "ts", "data_type": "timestamp"},
+            {"name": "shard", "data_type": "int"},
+        ]
+
+        class Broken:
+            @property
+            def table_metadata(self):
+                raise RuntimeError("boom")
+
+        class FakeDb:
+            def tables(self):
+                return {"bad": Broken(), "ok": exotic}
+
+            def get_tables(self):
+                return ["bad", "ok"]
+
+        from datarepo_spark.catalog.catalog import Catalog as Cat
+
+        cat = Cat({"db": FakeDb()})
+        entries = export_to_roapi_tables(cat)
+        assert [e["name"] for e in entries] == ["ok"]
+
     def test_build_file_fragment_requires_all_partitions(self, tmp_path):
         t = ParquetTable(
             "spikes",

@@ -37,6 +37,10 @@ def canonical(t: pa.DataType) -> str:
     large_utf8, timestamp tz naming); differences ACROSS classes changed
     hashes in practice (int64 vs decimal128 = the q12 bug).
     """
+    if pa.types.is_integer(t):
+        # integer WIDTH is collapsed, matching tests/_typecanon.py (and
+        # the driver's hash): int32 vs int64 is not a mismatch
+        return "int"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
