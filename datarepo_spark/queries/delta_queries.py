@@ -131,8 +131,78 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUILT_MAINT: dict[str, str] = {}
+
+
+def _maintenance_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Delta table exercising the round-4 maintenance surface: three
+    idempotent micro-batch appends (epochs 0/1/2 via SetTransaction,
+    epoch 1 deliberately REPLAYED — the skip is what keeps the count
+    right), then OPTIMIZE-style compaction, then VACUUM of the
+    superseded files. Expected content is a pure function of the source
+    parquet, so plain SQL is the oracle."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_MAINT and os.path.isdir(
+        os.path.join(_BUILT_MAINT[key], "_delta_log")
+    ):
+        return _BUILT_MAINT[key]
+    from ..tables.delta_writer import compact, vacuum
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_maint_")
+    uri = os.path.join(base, "orders_maint")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    thirds = [
+        src.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    for epoch, part in enumerate(thirds):
+        write_delta(
+            part, uri, txn_app_id="ingest", txn_version=epoch,
+            checkpoint_interval=None,
+        )
+    # failure replay of epoch 1: must be a no-op
+    write_delta(
+        thirds[1], uri, txn_app_id="ingest", txn_version=1,
+        checkpoint_interval=None,
+    )
+    stats = compact(spark, uri)
+    assert stats["files_added"] >= 1 and stats["files_removed"] >= 3
+    removed = vacuum(uri)
+    assert len(removed) == stats["files_removed"]
+    _BUILT_MAINT[key] = uri
+    return uri
+
+
+@register(
+    "delta_maintenance_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1500
+    """,
+    description="Delta maintenance: idempotent SetTransaction appends "
+    "(epoch replay skipped) -> compaction (dataChange:false rewrite) -> "
+    "vacuum; content must equal the source exactly",
+)
+def delta_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    uri = _maintenance_fixture(spark, sf_dir)
+    table = DeltalakeTable(name="orders_maint", uri=uri)
+    return table(
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        spark=spark,
+    )
+
+
 def cleanup() -> None:
     """Remove built fixtures (test hygiene; tmpdirs are per-process)."""
     for uri in _BUILT.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT.clear()
+    for uri in _BUILT_MAINT.values():
+        shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
+    _BUILT_MAINT.clear()

@@ -57,6 +57,9 @@ class DeltaSnapshot:
     files: list[AddFile] = field(default_factory=list)
     tombstones: list[RemoveFile] = field(default_factory=list)
     configuration: dict[str, str] = field(default_factory=dict)
+    # appId → highest committed SetTransaction version (protocol 'txn'
+    # action) — the idempotent-writer ledger streaming sinks check
+    app_transactions: dict[str, int] = field(default_factory=dict)
     # raw protocol/metaData actions as last seen in the log — a checkpoint
     # must re-emit them verbatim (the metaData id identifies the TABLE;
     # synthesizing a new one would violate the protocol)
@@ -139,7 +142,7 @@ class DeltaLog:
         table = pq.read_table(path)
         actions: list[dict[str, Any]] = []
         for row in table.to_pylist():
-            for key in ("add", "remove", "metaData", "protocol"):
+            for key in ("add", "remove", "metaData", "protocol", "txn"):
                 value = row.get(key)
                 if value is not None:
                     actions.append({key: value})
@@ -169,6 +172,7 @@ class DeltaLog:
 
         adds: dict[str, AddFile] = {}
         removes: dict[str, RemoveFile] = {}
+        txns: dict[str, int] = {}
         schema: Optional[T.StructType] = None
         partition_columns: list[str] = []
         configuration: dict[str, str] = {}
@@ -213,6 +217,13 @@ class DeltaLog:
                 # Re-adding a path cancels its tombstone (protocol
                 # reconciliation: latest action per path wins).
                 removes.pop(add["path"], None)
+            elif "txn" in action:
+                tx = action["txn"]
+                app = tx.get("appId")
+                if app is not None and tx.get("version") is not None:
+                    txns[app] = max(
+                        int(tx["version"]), txns.get(app, -(1 << 62))
+                    )
             elif "remove" in action:
                 rm = action["remove"]
                 adds.pop(rm["path"], None)
@@ -279,6 +290,7 @@ class DeltaLog:
             files=list(adds.values()),
             tombstones=list(removes.values()),
             configuration=configuration,
+            app_transactions=txns,
             raw_protocol=raw_protocol,
             raw_metadata=raw_metadata,
         )

@@ -39,6 +39,8 @@ def write_delta(
     mode: str = "append",
     partition_by: Sequence[str] = (),
     checkpoint_interval: Optional[int] = 10,
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
 ) -> int:
     """Write ``df`` to the Delta table at ``uri``; returns the committed
     version. ``mode``: 'append' or 'overwrite'. New tables are created with
@@ -47,9 +49,21 @@ def write_delta(
     ``checkpoint_interval``: write a checkpoint after every Nth commit
     (versions N, 2N, …) — delta's own default cadence of 10. At 100 TB
     log replay without checkpoints is O(commits); with them it is
-    O(files) + a handful of JSON tails. ``None`` disables."""
+    O(files) + a handful of JSON tails. ``None`` disables.
+
+    ``txn_app_id``/``txn_version``: idempotent-writer ledger (protocol
+    SetTransaction). When set, the commit records
+    ``txn {appId, version}`` and a write whose version is ≤ the app's
+    last recorded version is SKIPPED (returns the current table version
+    unchanged) — the exactly-once contract a streaming ``foreachBatch``
+    sink needs for micro-batch replays after failure:
+
+        write_delta(batch_df, uri, txn_app_id=query_id, txn_version=epoch)
+    """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
     log_dir = os.path.join(uri, "_delta_log")
     exists = os.path.isdir(log_dir)
@@ -58,6 +72,11 @@ def write_delta(
     partition_cols = list(partition_by)
     if exists:
         snapshot = DeltaLog(uri).snapshot()
+        if txn_app_id is not None:
+            last = snapshot.app_transactions.get(txn_app_id)
+            if last is not None and txn_version <= last:
+                # replayed micro-batch: already landed — exactly-once skip
+                return snapshot.version
         if partition_by and list(partition_by) != snapshot.partition_columns:
             raise ValueError(
                 f"partition_by {list(partition_by)} != table partitioning "
@@ -153,6 +172,16 @@ def write_delta(
                 }
             }
             for path in previous_files
+        )
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": 0,
+                }
+            }
         )
     actions.extend(adds)
 
@@ -325,6 +354,10 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
         }
         for t in snapshot.tombstones
     )
+    rows.extend(
+        {"txn": {"appId": app, "version": v, "lastUpdated": 0}}
+        for app, v in sorted(snapshot.app_transactions.items())
+    )
     path = os.path.join(
         log_dir, f"{snapshot.version:020d}.checkpoint.parquet"
     )
@@ -336,6 +369,156 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
     ) as handle:
         json.dump({"version": snapshot.version, "size": len(rows)}, handle)
     return path
+
+
+def compact(
+    spark,
+    uri: str,
+    min_files_per_partition: int = 2,
+    max_partitions: Optional[int] = None,
+) -> dict[str, int]:
+    """OPTIMIZE-style bin-packing: rewrite each partition's many small
+    files into one file, committed atomically as remove(old)+add(new)
+    with ``dataChange: false`` (readers see identical rows; streaming
+    consumers know no new data arrived — the protocol's compaction
+    marker).
+
+    Why it exists: a micro-batch ``foreachBatch`` sink lands one file
+    set per trigger; at 100 TB/day that is millions of small files in a
+    week, and scan-task scheduling (plus the object store's per-request
+    cost) comes to dominate query time. Compaction trades one bounded
+    rewrite for every future scan's task count.
+
+    Only partitions with ≥ ``min_files_per_partition`` files rewrite;
+    ``max_partitions`` bounds one invocation's work (run incrementally).
+    Old files stay on disk for time travel until :func:`vacuum`.
+    Returns {files_before, files_removed, files_added, version} —
+    version is -1 when nothing needed compacting."""
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+
+    groups: dict[tuple, list] = {}
+    for f in snapshot.files:
+        key = tuple(sorted((f.partition_values or {}).items()))
+        groups.setdefault(key, []).append(f)
+    todo = {
+        k: fs for k, fs in groups.items()
+        if len(fs) >= min_files_per_partition
+    }
+    if max_partitions is not None:
+        todo = dict(sorted(todo.items())[:max_partitions])
+    if not todo:
+        return {
+            "files_before": len(snapshot.files),
+            "files_removed": 0,
+            "files_added": 0,
+            "version": -1,
+        }
+
+    actions: list[dict] = []
+    for key, files in sorted(todo.items()):
+        paths = [os.path.join(uri, unquote(f.path)) for f in files]
+        part_values = dict(key)
+        rel_dir = os.path.dirname(unquote(files[0].path))
+        # one output file per partition: the rewrite is distributed
+        # (Spark reads all inputs in parallel) but lands as a single
+        # coalesced file, which is the point
+        merged = spark.read.parquet(*paths).coalesce(1)
+        staging = tempfile.mkdtemp(
+            prefix="delta_compact_", dir=os.path.dirname(uri)
+        )
+        try:
+            merged.write.mode("overwrite").parquet(staging)
+            new_files = [
+                os.path.join(root, n)
+                for root, _d, names in os.walk(staging)
+                for n in names
+                if n.endswith(".parquet")
+            ]
+            for src in new_files:
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                rel_path = (
+                    os.path.join(rel_dir, fname) if rel_dir else fname
+                )
+                dst = os.path.join(uri, rel_path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                actions.append(
+                    {
+                        "add": {
+                            "path": quote(
+                                rel_path.replace(os.sep, "/"), safe="/="
+                            ),
+                            "partitionValues": part_values,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": 0,
+                            "dataChange": False,
+                        }
+                    }
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        actions.extend(
+            {
+                "remove": {
+                    "path": f.path,
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                }
+            }
+            for f in files
+        )
+
+    version = _commit_atomically(os.path.join(uri, "_delta_log"), actions)
+    n_removed = sum(len(fs) for fs in todo.values())
+    return {
+        "files_before": len(snapshot.files),
+        "files_removed": n_removed,
+        "files_added": len(actions) - n_removed,
+        "version": version,
+    }
+
+
+def vacuum(uri: str, dry_run: bool = False) -> list[str]:
+    """Delete data files no longer referenced by the LATEST snapshot —
+    overwritten/compacted files kept only for time travel. After vacuum,
+    reads at old versions whose files were removed will fail (the same
+    trade delta-spark's VACUUM makes). Returns the deleted (or, with
+    ``dry_run``, deletable) relative paths.
+
+    Retention note: production VACUUM retains tombstones younger than a
+    horizon so long-running readers don't lose files mid-query. This
+    writer stamps ``deletionTimestamp: 0`` (no wall clocks in the
+    engine), so the horizon is expressed operationally instead: run
+    vacuum only when no reader is older than the last checkpoint."""
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    active = {unquote(f.path) for f in snapshot.files}
+    deletable: list[str] = []
+    for root, dirs, names in os.walk(uri):
+        if "_delta_log" in root:
+            continue
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, n), uri)
+            rel = rel.replace(os.sep, "/")
+            if rel not in active:
+                deletable.append(rel)
+    if not dry_run:
+        for rel in deletable:
+            try:
+                os.remove(os.path.join(uri, rel))
+            except FileNotFoundError:
+                pass
+        # prune now-empty partition directories
+        for root, dirs, names in os.walk(uri, topdown=False):
+            if "_delta_log" in root or root == uri:
+                continue
+            if not os.listdir(root):
+                os.rmdir(root)
+    return sorted(deletable)
 
 
 def _commit_atomically(log_dir: str, actions: list[dict]) -> int:

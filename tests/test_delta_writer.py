@@ -96,6 +96,158 @@ class TestWriteDelta:
         assert DeltaLog(uri).snapshot().version == 3
 
 
+class TestIdempotentTxn:
+    def test_replayed_epoch_is_skipped(self, spark, tmp_path):
+        """SetTransaction ledger: a (appId, version) write replayed after
+        a failure must not duplicate rows — the foreachBatch
+        exactly-once contract."""
+        from datarepo_spark.tables.delta_writer import write_delta
+
+        uri = str(tmp_path / "txn")
+        write_delta(
+            spark.createDataFrame([(1,)], ["v"]), uri,
+            txn_app_id="q1", txn_version=0,
+        )
+        v = write_delta(
+            spark.createDataFrame([(2,)], ["v"]), uri,
+            txn_app_id="q1", txn_version=1,
+        )
+        assert v == 1
+        # replay of epoch 1: skipped, version unchanged, no extra rows
+        v2 = write_delta(
+            spark.createDataFrame([(2,)], ["v"]), uri,
+            txn_app_id="q1", txn_version=1,
+        )
+        assert v2 == 1
+        t = DeltalakeTable("txn", uri)
+        assert vals(t(spark=spark)) == [1, 2]
+        # another app's ledger is independent
+        write_delta(
+            spark.createDataFrame([(3,)], ["v"]), uri,
+            txn_app_id="q2", txn_version=0,
+        )
+        assert vals(t(spark=spark)) == [1, 2, 3]
+        snap = DeltaLog(uri).snapshot()
+        assert snap.app_transactions == {"q1": 1, "q2": 0}
+
+    def test_txn_survives_checkpoint(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            write_checkpoint,
+            write_delta,
+        )
+        import os
+
+        uri = str(tmp_path / "txn_ckpt")
+        write_delta(
+            spark.createDataFrame([(1,)], ["v"]), uri,
+            txn_app_id="app", txn_version=7,
+        )
+        write_checkpoint(uri)
+        os.remove(
+            os.path.join(uri, "_delta_log", f"{0:020d}.json")
+        )
+        snap = DeltaLog(uri).snapshot()
+        assert snap.app_transactions == {"app": 7}
+        # idempotence still enforced off the checkpointed ledger
+        v = write_delta(
+            spark.createDataFrame([(9,)], ["v"]), uri,
+            txn_app_id="app", txn_version=7,
+        )
+        assert v == snap.version
+        assert vals(DeltalakeTable("t", uri)(spark=spark)) == [1]
+
+    def test_partial_txn_args_raise(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import write_delta
+
+        with pytest.raises(ValueError, match="together"):
+            write_delta(
+                spark.createDataFrame([(1,)], ["v"]),
+                str(tmp_path / "x"),
+                txn_app_id="a",
+            )
+
+
+class TestCompactionAndVacuum:
+    def test_compact_preserves_content_and_shrinks_files(
+        self, spark, tmp_path
+    ):
+        from datarepo_spark.tables.delta_writer import compact, write_delta
+
+        uri = str(tmp_path / "cmp")
+        for i in range(4):  # 4 append commits → ≥4 files per partition set
+            write_delta(
+                spark.createDataFrame(
+                    [(10 * i + j, "p" if j % 2 else "q") for j in range(4)],
+                    ["v", "part"],
+                ),
+                uri,
+                partition_by=["part"],
+                checkpoint_interval=None,
+            )
+        before = DeltaLog(uri).snapshot()
+        t = DeltalakeTable("cmp", uri)
+        expect = vals(t(spark=spark))
+
+        stats = compact(spark, uri)
+        assert stats["files_removed"] == len(before.files)
+        assert stats["files_added"] == 2  # one per partition value
+        after = DeltaLog(uri).snapshot()
+        assert len(after.files) == 2
+        assert vals(t(spark=spark)) == expect
+        # partition pruning still works off the compacted files
+        only_p = t(filters=[Filter("part", "=", "p")], spark=spark)
+        assert all(r.part == "p" for r in only_p.collect())
+        # time travel to pre-compaction still works: old files on disk
+        assert vals(t(version=before.version, spark=spark)) == expect
+
+    def test_compact_noop_below_threshold(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import compact, write_delta
+
+        uri = str(tmp_path / "cmp1")
+        write_delta(
+            spark.createDataFrame([(1,)], ["v"]).coalesce(1), uri,
+            checkpoint_interval=None,
+        )
+        stats = compact(spark, uri)
+        assert stats == {
+            "files_before": 1,
+            "files_removed": 0,
+            "files_added": 0,
+            "version": -1,
+        }
+
+    def test_vacuum_deletes_only_unreferenced(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            compact,
+            vacuum,
+            write_delta,
+        )
+        import os
+
+        uri = str(tmp_path / "vac")
+        for i in range(3):
+            write_delta(
+                spark.createDataFrame([(i,)], ["v"]), uri,
+                checkpoint_interval=None,
+            )
+        before = DeltaLog(uri).snapshot()
+        compact(spark, uri)
+        preview = vacuum(uri, dry_run=True)
+        assert sorted(preview) == sorted(
+            unq.path for unq in before.files
+        )
+        assert all(
+            os.path.exists(os.path.join(uri, p)) for p in preview
+        )  # dry run deletes nothing
+        deleted = vacuum(uri)
+        assert deleted == preview
+        t = DeltalakeTable("vac", uri)
+        assert vals(t(spark=spark)) == [0, 1, 2]  # current version intact
+        # old version's files are gone now
+        with pytest.raises(Exception):
+            t(version=before.version, spark=spark).collect()
+
+
 class TestStreamingIntoDelta:
     def test_foreach_batch_sink(self, spark, tmp_path, sf_dir):
         """Streaming → Delta: foreachBatch lands each micro-batch as one
