@@ -287,3 +287,69 @@ def chunk_tokens(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     )
+
+
+def repetition_stats(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Gopher-style repetition metrics per document — the standard
+    "remove template/boilerplate junk" quality signals (Rae et al. 2021
+    §A1.1 use duplicate-line and top-n-gram fractions as hard filters):
+
+      dup_line_frac    1 - distinct(non-blank lines)/count(lines); a page
+                       of repeated navigation chrome scores near 1.
+      top_bigram_frac  occurrences of the most frequent word bigram /
+                       total bigram occurrences; degenerate generator
+                       loops ("the the the …") score near 1.
+
+    Both are relational explode→partial-agg pipelines (no higher-order
+    aggregates in the hot path): shuffles carry (id, line-hash) and
+    (id, gram) rows — never documents — and combine map-side. Every doc
+    keeps a row: 0-line docs get dup_line_frac 0.0 (explode_outer), and
+    docs under 2 tokens carry the single whole-doc gram, so their
+    top_bigram_frac is trivially 1.0 — callers filtering on it should
+    also require a minimum token count (as Gopher does)."""
+    from pyspark.sql import functions as F  # local alias, matches module
+
+    from .dedup import shingle_rows
+
+    lines = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(
+                F.split(F.col(text_col), "\n"),
+                lambda l: F.length(F.trim(l)) > 0,
+            )
+        ).alias("__line"),
+    )
+    line_stats = lines.groupBy(id_col).agg(
+        F.count("__line").alias("__n_lines"),
+        F.count_distinct("__line").alias("__n_distinct"),
+    )
+    line_frac = line_stats.select(
+        F.col(id_col),
+        F.when(
+            F.col("__n_lines") > 0,
+            F.round(
+                1
+                - F.col("__n_distinct").cast("double") / F.col("__n_lines"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+    # bigram multiset (distinct=False): repetition is exactly what the
+    # multiset keeps and a distinct would erase
+    grams = shingle_rows(df, text_col, id_col, n=2)
+    gram_counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    gram_frac = gram_counts.groupBy(id_col).agg(
+        F.round(
+            F.max("__c").cast("double") / F.sum("__c").cast("double"), 6
+        ).alias("top_bigram_frac")
+    )
+    return line_frac.join(gram_frac, id_col)

@@ -603,6 +603,59 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    # Gopher-style repetition quality signals; both fractions recomputed
+    # by DuckDB from the same line/bigram definitions. 0-line docs get
+    # 0.0 dup_line_frac; <2-token docs carry the whole-doc gram and a
+    # trivially-1.0 top_bigram_frac (same ELSE [''] convention as every
+    # gram oracle).
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(text, CHR(10)),
+                         l -> LEN(TRIM(l)) > 0) AS ls
+      FROM documents
+    ), lf AS (
+      SELECT doc_id,
+             CASE WHEN LEN(ls) > 0
+               THEN ROUND(1 - CAST(LEN(LIST_DISTINCT(ls)) AS DOUBLE)
+                              / LEN(ls), 6)
+               ELSE 0.0 END AS dup_line_frac
+      FROM lines
+    ), toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN LEN(tk) >= 2
+               THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])
+               ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+             END) AS g
+      FROM toks
+    ), cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ), gf AS (
+      SELECT doc_id,
+             ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+               AS top_bigram_frac
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT lf.doc_id, lf.dup_line_frac, gf.top_bigram_frac
+    FROM lf JOIN gf ON lf.doc_id = gf.doc_id
+    """,
+    description="Gopher-style repetition metrics: duplicate-line "
+    "fraction + top-bigram fraction (explode -> partial-agg, text "
+    "never shuffles)",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.repetition_stats(docs)
+
+
+@register(
     "skyline_parts",
     oracle="""
     SELECT p_partkey, p_retailprice, p_size

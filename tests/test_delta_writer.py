@@ -290,6 +290,54 @@ class TestStreamingIntoDelta:
         assert DeltaLog(uri).snapshot().version >= 1  # ≥2 commits landed
         shutil.rmtree(str(src), ignore_errors=True)
 
+    def test_foreach_batch_exactly_once_via_txn(self, spark, tmp_path, sf_dir):
+        """End-to-end exactly-once: the sink writes each micro-batch with
+        txn(appId=query, version=epoch). Re-running the stream from a
+        FRESH checkpoint (the classic replay-after-checkpoint-loss
+        failure) re-delivers every batch; the txn ledger must swallow
+        the duplicates."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        src = tmp_path / "stream_src2"
+        src.mkdir()
+        table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        half = table.num_rows // 2
+        pq.write_table(table.slice(0, half), str(src / "a.parquet"))
+        pq.write_table(table.slice(half), str(src / "b.parquet"))
+
+        uri = str(tmp_path / "bronze_txn")
+        from datarepo_spark.streaming.events import read_events_stream
+
+        def run(checkpoint: str) -> None:
+            stream = read_events_stream(
+                spark, str(src), max_files_per_trigger=1
+            )
+            query = (
+                stream.writeStream.outputMode("append")
+                .option("checkpointLocation", checkpoint)
+                .foreachBatch(
+                    lambda batch_df, epoch: write_delta(
+                        batch_df, uri,
+                        txn_app_id="bronze_txn", txn_version=epoch,
+                    )
+                )
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+
+        run(str(tmp_path / "ckpt_a"))
+        n1 = DeltalakeTable("b", uri)(spark=spark).count()
+        assert n1 == table.num_rows
+        # replay from scratch: same epochs re-delivered, all skipped
+        run(str(tmp_path / "ckpt_b"))
+        n2 = DeltalakeTable("b", uri)(spark=spark).count()
+        assert n2 == table.num_rows
+
 
 class TestCheckpointing:
     def test_auto_checkpoint_and_truncated_log_replay(self, spark, tmp_path):

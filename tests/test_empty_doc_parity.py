@@ -31,6 +31,7 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_exact_sha256",
     "pipeline_curate_documents",
+    "text_repetition",
 ]
 
 

@@ -384,6 +384,29 @@ class TestText:
         scores = {r[0]: r[1] for r in zip([d[0] for d in DOCS], [r.q for r in out])}
         assert scores[0] > scores[5]
 
+    def test_repetition_stats(self, spark):
+        df = spark.createDataFrame(
+            [
+                # 4 non-blank lines, 2 distinct → dup_line_frac 0.5;
+                # bigrams of "a b\na b\nc d\nc d": most common "b a"?
+                # tokens: a b a b c d c d → bigrams (7): ab,ba,ab,bc,
+                # cd,dc,cd → top "ab"/"cd" = 2/7
+                (0, "a b\na b\nc d\nc d"),
+                (1, "the the the the"),  # one bigram repeated: 1.0
+                (2, "all lines distinct\nno repeats here"),
+                (3, ""),  # no lines, no tokens
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: (r.dup_line_frac, r.top_bigram_frac)
+            for r in X.repetition_stats(df).collect()
+        }
+        assert got[0] == (0.5, round(2 / 7, 6))
+        assert got[1] == (0.0, 1.0)
+        assert got[2] == (0.0, round(1 / 5, 6))
+        assert got[3] == (0.0, 1.0)  # '' whole-doc gram convention
+
 
 class TestMultimodal:
     def test_feature_extraction_deterministic(self, spark, docs_df):
