@@ -583,6 +583,26 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ann_pq",
+    oracle=_ANN_ORACLE,
+    description="Product-quantization ANN: 32x-compressed codes, ADC "
+    "table-lookup scan + exact refine, gated by exact top-3 + recall "
+    "contract",
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.pq import ProductQuantizer
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    qv = [float(x) for x in query]
+    base = emb.filter(F.col("vec_id") != 0)
+    pq = ProductQuantizer.fit(emb, m=8, ksub=256, iterations=6)
+    ann = pq.search(base, qv, k=10, refine=4)
+    exact = S.knn_brute_force(base, qv, k=10)
+    return _ann_gate(ann, exact)
+
+
+@register(
     "text_sentiment",
     oracle=rf"""
     SELECT doc_id,

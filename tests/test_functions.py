@@ -473,6 +473,59 @@ class TestIVF:
         assert (i1.centroids == i2.centroids).all()
 
 
+class TestProductQuantizer:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_encode_shape_and_range(self, spark, emb):
+        from datarepo_spark.functions.pq import ProductQuantizer
+
+        pq = ProductQuantizer.fit(emb, m=8, iterations=3)
+        assert pq.dim == 64 and pq.dsub == 8
+        codes = pq.encode(emb).collect()
+        assert len(codes) == emb.count()
+        for r in codes:
+            assert len(r.codes) == 8
+            assert all(0 <= c < pq.ksub for c in r.codes)
+
+    def test_adc_approximates_cosine(self, spark, emb):
+        """The ADC score from 8 one-byte codes must track exact cosine
+        closely enough that top-1 by ADC ∈ exact top-5."""
+        from datarepo_spark.functions.pq import ProductQuantizer
+
+        rows = emb.limit(1).collect()
+        q = [float(x) for x in rows[0].embedding]
+        pq = ProductQuantizer.fit(emb, m=8, iterations=4)
+        scored = pq.adc_scores(pq.encode(emb), q)
+        top_adc = scored.orderBy(F.desc("approx_cosine")).head().vec_id
+        exact5 = {
+            r.vec_id for r in S.knn_brute_force(emb, q, k=5).collect()
+        }
+        assert top_adc in exact5
+
+    def test_search_recall_with_refine(self, spark, emb):
+        from datarepo_spark.functions.pq import ProductQuantizer
+
+        rows = emb.limit(1).collect()
+        q = [float(x) for x in rows[0].embedding]
+        pq = ProductQuantizer.fit(emb, m=8, iterations=4)
+        ann = [r.vec_id for r in pq.search(emb, q, k=10, refine=4).collect()]
+        brute = [r.vec_id for r in S.knn_brute_force(emb, q, k=10).collect()]
+        recall = len(set(ann) & set(brute)) / 10
+        assert recall >= 0.6, f"PQ recall@10 too low: {recall}"
+        # refined output is ordered by EXACT cosine: any shared prefix
+        # with brute force must agree
+        shared = [v for v in ann if v in set(brute)]
+        assert shared == [v for v in brute if v in set(ann)]
+
+    def test_dim_not_divisible_raises(self, spark, emb):
+        from datarepo_spark.functions.pq import ProductQuantizer
+
+        with pytest.raises(ValueError, match="not divisible"):
+            ProductQuantizer.fit(emb, m=7, iterations=1)
+
+
 class TestPiiRedact:
     def test_synthetic_pii_all_types(self, spark):
         from datarepo_spark.functions import text as X
