@@ -204,3 +204,70 @@ class TestStreamingDedup:
         got = SE.run_stream_to_memory(deduped, "stream_dedup_content", "append")
         assert got.count() == spark.read.parquet(events_dir).count()
         assert "__ck" not in got.columns
+
+
+class TestStreamJoins:
+    def test_interval_join_stream_equals_batch(self, spark, events_dir):
+        """Stream-stream interval join (click→purchase within the window)
+        must reproduce the batch join exactly — state-store buffering and
+        watermark eviction change WHEN rows emit, never WHICH rows."""
+        from datarepo_spark.streaming.joins import interval_join
+
+        def split(df):
+            clicks = df.filter(F.col("event_type") == "click").select(
+                "user_id", "ts", "event_id"
+            )
+            buys = df.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "event_id", "value"
+            )
+            return clicks, buys
+
+        batch = spark.read.parquet(events_dir)
+        bc, bb = split(batch)
+        expect = sorted(
+            (r.event_id, r.event_id_r)
+            for r in interval_join(
+                bc, bb, key="user_id", upper="30 minutes"
+            ).collect()
+        )
+        assert expect, "fixture must produce at least one joined pair"
+
+        sc_, sb = split(SE.read_events_stream(spark, events_dir))
+        joined = interval_join(sc_, sb, key="user_id", upper="30 minutes")
+        got = SE.run_stream_to_memory(
+            joined, "stream_interval_join", output_mode="append"
+        )
+        assert (
+            sorted((r.event_id, r.event_id_r) for r in got.collect())
+            == expect
+        )
+
+    def test_enrich_stream_broadcast_dim(self, spark, events_dir):
+        from datarepo_spark.streaming.joins import enrich_stream
+
+        dim = spark.createDataFrame(
+            [("click", "engagement"), ("purchase", "revenue")],
+            ["event_type", "category"],
+        )
+        stream = SE.read_events_stream(spark, events_dir)
+        out = SE.run_stream_to_memory(
+            enrich_stream(stream, dim, on="event_type"),
+            "stream_enriched",
+            output_mode="append",
+        )
+        rows = out.collect()
+        batch_n = spark.read.parquet(events_dir).count()
+        assert len(rows) == batch_n  # left join keeps every event
+        cats = {
+            r.category
+            for r in rows
+            if r.event_type in ("click", "purchase")
+        }
+        assert cats <= {"engagement", "revenue"} and cats
+
+    def test_enrich_rejects_streaming_dim(self, spark, events_dir):
+        from datarepo_spark.streaming.joins import enrich_stream
+
+        s = SE.read_events_stream(spark, events_dir)
+        with pytest.raises(ValueError, match="static"):
+            enrich_stream(s, s, on="event_id")
