@@ -29,6 +29,7 @@ from .tables.metadata import (
     TableSchema,
 )
 from .tables.bucketed import BucketedTable, write_bucketed
+from .tables.delta_writer import compact, vacuum, write_delta
 from .tables.parquet_table import ParquetTable
 
 __all__ = [
@@ -53,10 +54,13 @@ __all__ = [
     "TableMetadata",
     "TablePartition",
     "TableSchema",
+    "compact",
     "get_spark",
     "normalize_filters",
     "table",
+    "vacuum",
     "write_bucketed",
+    "write_delta",
 ]
 
 __version__ = "0.1.0"
