@@ -350,15 +350,17 @@ def bucket_pairs(
     (shingle arrays) should keep using the join-back pattern.
 
     Construction: groupBy bucket → sorted member array (buckets above
-    ``max_bucket_size`` dropped), posexplode back to (bucket, pos, id),
-    then an equi self-join on the bucket key with ``pos_a < pos_b``.
-    Pairs materialize as STREAMED join-output rows — the peak per-row
-    allocation is the O(max_bucket_size) member array, never an in-row
-    C(n,2) pair product (the earlier formulation built up to 5×10⁷
-    structs inside one Tungsten row at cap 10k). Both join sides derive
-    from the same aggregated child, so the exchange is planned once and
-    reused (ReusedExchange), not recomputed — and the aggregation still
-    isolates the heavy upstream signature pipeline from the join probe.
+    ``max_bucket_size`` dropped), then NESTED generators: posexplode the
+    member array to (pos_a, member_a), explode ``slice(members,
+    pos_a + 2, …)`` for the partners after it. Pairs stream out of one
+    WholeStageCodegen stage — no self-join, no second exchange, and no
+    persist (the aggregate has exactly one consumer; earlier join-based
+    formulations needed a cache because AQE's broadcast conversion
+    re-executed the whole signature pipeline per side). Peak per-row
+    allocation is the O(max_bucket_size) member array (~32 KB at the
+    default cap), never an in-row C(n,2) pair product. The only
+    exchanges in the whole operator: the bucket groupBy and the final
+    pair distinct.
 
     The cap exists because an oversized LSH bucket means a degenerate key
     (empty docs, boilerplate): at 100 TB it is what keeps one bad bucket
@@ -376,46 +378,31 @@ def bucket_pairs(
         .filter(
             (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket_size)
         )
-        # Both self-join sides derive from this aggregate. Planned cold,
-        # the shared Exchange would be reused — but AQE's broadcast-join
-        # conversion replaces one side's exchange and the whole upstream
-        # pipeline (the heavy signature computation) is then executed
-        # TWICE. The aggregate output is tiny (multi-member buckets only),
-        # so persist it: at 100 TB this is O(candidate buckets), not
-        # corpus-sized, and MEMORY_AND_DISK spills rather than OOMs.
-        # Coalesce to the cluster's parallelism first: AQE partition
-        # coalescing doesn't reach inside cached plans, so under a
-        # 200-shuffle-partition session the cache would otherwise pin 200
-        # near-empty partitions and every downstream stage would run 200
-        # tasks. coalesce() adapts to the session and adds no exchange.
-        .coalesce(_parallelism(buckets))
     )
-    ids = _scoped_persist(ids)
-    exploded = ids.select(
-        *key_cols, F.posexplode("__ids").alias("__pos", "__m")
+    first = ids.select(
+        F.col("__ids"),
+        F.posexplode("__ids").alias("__pos", "__a"),
     )
-    a = exploded.select(
-        *key_cols,
-        F.col("__pos").alias("__pos_a"),
-        F.col("__m.__id").alias("id_a"),
-        *[F.col(f"__m.{c}").alias(f"{c}_a") for c in payload_cols],
+    # partners strictly after __pos keep id_a < id_b (array is sorted);
+    # slice() is 1-based, so start = __pos + 2
+    second = first.select(
+        F.col("__a"),
+        F.explode(
+            F.slice(
+                F.col("__ids"), F.col("__pos") + 2, F.size("__ids")
+            )
+        ).alias("__b"),
     )
-    b = exploded.select(
-        *key_cols,
-        F.col("__pos").alias("__pos_b"),
-        F.col("__m.__id").alias("id_b"),
-        *[F.col(f"__m.{c}").alias(f"{c}_b") for c in payload_cols],
-    )
-    out_cols = ["id_a", "id_b"]
+    out = [
+        F.col("__a.__id").alias("id_a"),
+        F.col("__b.__id").alias("id_b"),
+    ]
     for c in payload_cols:
-        out_cols += [f"{c}_a", f"{c}_b"]
-    # __ids is sorted ascending by __id, so pos_a < pos_b ⟹ id_a < id_b.
-    return (
-        a.join(b, key_cols)
-        .filter(F.col("__pos_a") < F.col("__pos_b"))
-        .select(*out_cols)
-        .distinct()
-    )
+        out += [
+            F.col(f"__a.{c}").alias(f"{c}_a"),
+            F.col(f"__b.{c}").alias(f"{c}_b"),
+        ]
+    return second.select(*out).distinct()
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -437,8 +424,14 @@ def minhash_lsh_dedup_pairs(
     """LSH candidates verified by exact Jaccard ≥ threshold.
     Verification joins shingle sets back by id — two narrow shuffles,
     never a cross join."""
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, n, num_hashes, bands
+    # The candidate-pair list feeds the cand_ids projection AND the final
+    # verification join; without a persist the whole signature pipeline
+    # (the dominant cost) re-executes once per consumer. The cache is
+    # O(candidate pairs) — two longs per row, ≪ corpus.
+    cands = _scoped_persist(
+        minhash_lsh_candidates(
+            df, text_col, id_col, n, num_hashes, bands
+        ).coalesce(_parallelism(df))
     )
     # Shingle sets are only needed for CANDIDATE docs — semi-join first.
     # (LSH typically leaves <<1% of the corpus as candidates; computing

@@ -92,7 +92,10 @@ class TestCacheLifecycle:
             D.minhash_lsh_dedup_pairs(docs_df, threshold=0.5).count()
         assert n_persisted() > base  # pipelines did persist
         released = D.unpersist_intermediates()
-        assert released >= 6  # ≥2 caches per iteration over 3 iterations
+        # minhash's candidate-shingle cache is the one internal persist
+        # per pipeline run (simhash/bucket_pairs are persist-free since
+        # the nested-generator rewrite)
+        assert released >= 3
         assert n_persisted() == base
 
 
@@ -265,9 +268,11 @@ class TestBucketPairs:
         got = sorted((r.id_a, r.id_b) for r in pairs.collect())
         assert got == [(0, 1), (0, 2), (1, 2)]
         plan = pairs._jdf.queryExecution().executedPlan().toString()
-        # pair expansion is a join, not an in-row array product
+        # pair expansion is nested streaming generators in one stage —
+        # no self-join, no in-row C(n,2) array product
         assert "posexplode" in plan
-        assert "Join" in plan
+        assert "slice" in plan
+        assert "Join" not in plan
 
     def test_pairs_and_oversize_cap(self, spark):
         rows = [(i, "b1") for i in range(4)] + [(i, "huge") for i in range(100)]
