@@ -82,6 +82,27 @@ class DeltaSnapshot:
 
 _UNSUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
 
+# (table uri, version) → (log-dir fingerprint, validated-at, snapshot).
+# The fingerprint is the sorted log-file listing: any commit, checkpoint,
+# or log clean changes it, so a fingerprint-validated hit is always
+# current — the cache trades a full log replay (read every JSON tail +
+# checkpoint parquet) for one directory listing. A TTL (from the
+# reference's file_cache_last_checkpoint_valid_duration knob) skips even
+# the listing within the window.
+_SNAPSHOT_CACHE: dict[tuple[str, Optional[int]], tuple[tuple, float, "DeltaSnapshot"]] = {}
+
+
+def invalidate_snapshot_cache(uri: Optional[str] = None) -> None:
+    """Drop cached snapshots for ``uri`` (or all). Called by the write
+    path after every commit so same-process TTL reads never serve a
+    pre-write snapshot."""
+    if uri is None:
+        _SNAPSHOT_CACHE.clear()
+        return
+    uri = uri.rstrip("/")
+    for key in [k for k in _SNAPSHOT_CACHE if k[0] == uri]:
+        del _SNAPSHOT_CACHE[key]
+
 
 class DeltaLog:
     """Reads the transaction log of one Delta table rooted at ``uri``."""
@@ -150,8 +171,40 @@ class DeltaLog:
 
     # -- snapshot resolution -------------------------------------------------
 
-    def snapshot(self, version: Optional[int] = None) -> DeltaSnapshot:
-        """Replay the log to ``version`` (default: latest)."""
+    def _fingerprint(self) -> tuple:
+        return tuple(sorted(os.listdir(self.log_dir)))
+
+    def snapshot(
+        self,
+        version: Optional[int] = None,
+        cache_ttl: Optional[float] = None,
+    ) -> DeltaSnapshot:
+        """Replay the log to ``version`` (default: latest).
+
+        Snapshots are memoized per (uri, version): a hit is served after
+        one directory-listing fingerprint check (always-correct), or with
+        no I/O at all within ``cache_ttl`` seconds of the last validation
+        (the reference's checkpoint-valid-duration semantics — a TTL hit
+        may miss commits landed since, which is the documented trade)."""
+        import time
+
+        key = (self.uri, version)
+        hit = _SNAPSHOT_CACHE.get(key)
+        if hit is not None:
+            fp, validated_at, snap = hit
+            if (
+                cache_ttl is not None
+                and time.time() - validated_at < cache_ttl
+            ):
+                return snap
+            if self._fingerprint() == fp:
+                _SNAPSHOT_CACHE[key] = (fp, time.time(), snap)
+                return snap
+        snap = self._replay(version)
+        _SNAPSHOT_CACHE[key] = (self._fingerprint(), time.time(), snap)
+        return snap
+
+    def _replay(self, version: Optional[int] = None) -> DeltaSnapshot:
         target = self.latest_version() if version is None else version
         if version is not None and version not in self._commit_versions() and (
             version not in self._checkpoint_versions()

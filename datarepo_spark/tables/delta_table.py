@@ -57,17 +57,41 @@ ExtraCol = tuple[str, Union[Column, str]]
 
 @dataclass
 class DeltaCacheOptions:
-    """API-parity shim for the reference's scan cache/retry/timeout knobs
-    (deltalake_table.py:34-65 DeltaCacheOptions, READ_PARQUET_RETRY_COUNT,
-    DEFAULT_TIMEOUT). On Spark these concerns are cluster configuration,
-    not per-call code: delta-spark caches snapshots natively
-    (spark.databricks.delta.snapshotCache settings) and object-store
-    retry/timeout live in the hadoop-aws confs
-    (fs.s3a.attempts.maximum / fs.s3a.connection.timeout). Accepted so
-    reference call sites port unchanged; recorded, not acted on locally."""
+    """The reference's scan-cache knobs (deltalake_table.py:34-65).
+
+    ``file_cache_last_checkpoint_valid_duration`` IS acted on here: it
+    becomes the TTL of the driver-side snapshot cache — within the
+    window a table call replays no log at all; outside it a hit is
+    revalidated with one directory-listing fingerprint check (see
+    :meth:`DeltaLog.snapshot`). Accepts ``"300"``/``"300s"``/``"5m"``/
+    ``"2h"``. ``file_cache_path`` is accepted for API parity only: the
+    snapshot cache is in-memory (the log metadata is KBs; the
+    reference's on-disk cache exists because delta-rs re-opens the
+    table per process). Object-store retry/timeout remain hadoop-aws
+    confs (fs.s3a.attempts.maximum / fs.s3a.connection.timeout); the
+    per-call ``timeout`` argument maps onto them."""
 
     file_cache_path: Optional[str] = None
     file_cache_last_checkpoint_valid_duration: Optional[str] = None
+
+    def ttl_seconds(self) -> Optional[float]:
+        return parse_duration(self.file_cache_last_checkpoint_valid_duration)
+
+
+_DURATION_RE = __import__("re").compile(
+    r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|d)?\s*$"
+)
+_DURATION_UNITS = {None: 1.0, "ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def parse_duration(text: Optional[str]) -> Optional[float]:
+    """'300' / '300s' / '5m' / '1.5h' → seconds; None passes through."""
+    if text is None:
+        return None
+    m = _DURATION_RE.match(str(text))
+    if not m:
+        raise ValueError(f"Unparseable duration: {text!r}")
+    return float(m.group(1)) * _DURATION_UNITS[m.group(2)]
 
 
 def _partition_prune(
@@ -194,9 +218,9 @@ class DeltalakeTable:
         storage_options: Optional[dict[str, str]] = None,
         **kwargs: Any,
     ) -> DataFrame:
-        # timeout/cache_options: accepted for reference API parity (A20);
-        # see DeltaCacheOptions for where those concerns live on Spark.
-        # Per-call boto3_session/endpoint_url/storage_options override the
+        # timeout → S3A request-timeout confs; cache_options → snapshot-
+        # cache TTL (see DeltaCacheOptions). Per-call
+        # boto3_session/endpoint_url/storage_options override the
         # constructor's (reference deltalake_table.py accepts per-call
         # credentials); unknown kwargs raise instead of being swallowed.
         if kwargs:
@@ -215,6 +239,13 @@ class DeltalakeTable:
             )
         if effective_storage:
             apply_storage_options(session, effective_storage, self.uri)
+        if timeout is not None:
+            # reference DEFAULT_TIMEOUT semantics: object-store request
+            # timeout, which on Spark is the S3A connection conf (millis)
+            millis = int(parse_duration(timeout) * 1000)
+            hconf = session.sparkContext._jsc.hadoopConfiguration()
+            hconf.set("fs.s3a.connection.timeout", str(millis))
+            hconf.set("fs.s3a.connection.request.timeout", str(millis))
         sql_filter: Optional[str] = None
         if isinstance(filters, str):
             # Raw SQL predicate passthrough (reference deltalake_table.py:37,
@@ -226,7 +257,12 @@ class DeltalakeTable:
         if self._native_available(session):
             df, snapshot = self._read_native(session, version), None
         else:
-            snapshot = DeltaLog(self.uri).snapshot(version)
+            snapshot = DeltaLog(self.uri).snapshot(
+                version,
+                cache_ttl=(
+                    cache_options.ttl_seconds() if cache_options else None
+                ),
+            )
             df = self._read_from_log(session, snapshot, dnf)
             if df is None:  # no files after pruning → exact-schema empty
                 return self._finish(

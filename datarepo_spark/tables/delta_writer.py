@@ -539,5 +539,10 @@ def _commit_atomically(log_dir: str, actions: list[dict]) -> int:
             continue
         with os.fdopen(fd, "w", encoding="utf-8") as handle:
             handle.write(payload)
+        # same-process readers with a TTL snapshot cache must see this
+        # commit immediately
+        from .delta_log import invalidate_snapshot_cache
+
+        invalidate_snapshot_cache(os.path.dirname(log_dir))
         return version
     raise RuntimeError(f"Could not commit to {log_dir} after 50 attempts")

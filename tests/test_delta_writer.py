@@ -96,6 +96,78 @@ class TestWriteDelta:
         assert DeltaLog(uri).snapshot().version == 3
 
 
+class TestSnapshotCache:
+    def test_fingerprint_hit_and_commit_invalidation(self, spark, tmp_path):
+        """Repeated snapshot() calls serve the memo after one listing
+        check; a new commit (same process or not) is seen immediately."""
+        from datarepo_spark.tables import delta_log as DL
+
+        uri = str(tmp_path / "snapcache")
+        write_delta(
+            spark.createDataFrame([(1,)], ["v"]), uri,
+            checkpoint_interval=None,
+        )
+        log = DeltaLog(uri)
+        s1 = log.snapshot()
+        assert log.snapshot() is s1  # fingerprint-validated memo hit
+        write_delta(
+            spark.createDataFrame([(2,)], ["v"]), uri,
+            checkpoint_interval=None,
+        )
+        s2 = log.snapshot()
+        assert s2 is not s1 and s2.version == 1
+
+        # TTL mode: serve without I/O inside the window even if the log
+        # grew underneath (the documented trade) — but the write path's
+        # invalidation keeps same-process readers exact, so simulate an
+        # external writer by restoring the stale entry.
+        s3 = log.snapshot(cache_ttl=3600)
+        key = (log.uri, None)
+        fp, ts, _snap = DL._SNAPSHOT_CACHE[key]
+        import json as _json
+        import os as _os
+
+        with open(
+            _os.path.join(uri, "_delta_log", f"{2:020d}.json"), "w"
+        ) as fh:
+            fh.write(_json.dumps({"add": {
+                "path": "bogus.parquet", "partitionValues": {},
+                "size": 1, "modificationTime": 0, "dataChange": True,
+            }}) + "\n")
+        DL._SNAPSHOT_CACHE[key] = (fp, ts, _snap)
+        assert log.snapshot(cache_ttl=3600) is s3  # TTL hit, stale OK
+        got = log.snapshot()  # fingerprint check sees the new commit
+        assert got.version == 2
+        DL.invalidate_snapshot_cache(uri)
+
+    def test_cache_options_parse_and_flow(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_table import (
+            DeltaCacheOptions,
+            parse_duration,
+        )
+
+        assert parse_duration("300") == 300.0
+        assert parse_duration("300s") == 300.0
+        assert parse_duration("5m") == 300.0
+        assert parse_duration("1.5h") == 5400.0
+        assert parse_duration(None) is None
+        with pytest.raises(ValueError, match="Unparseable"):
+            parse_duration("5 fortnights")
+        opts = DeltaCacheOptions(
+            file_cache_last_checkpoint_valid_duration="2m"
+        )
+        assert opts.ttl_seconds() == 120.0
+
+        uri = str(tmp_path / "optflow")
+        write_delta(spark.createDataFrame([(7,)], ["v"]), uri)
+        t = DeltalakeTable("optflow", uri)
+        assert vals(
+            t(spark=spark, cache_options=opts, timeout="30s")
+        ) == [7]
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        assert hconf.get("fs.s3a.connection.timeout") == "30000"
+
+
 class TestIdempotentTxn:
     def test_replayed_epoch_is_skipped(self, spark, tmp_path):
         """SetTransaction ledger: a (appId, version) write replayed after
