@@ -33,6 +33,53 @@ def _schema_string(df: DataFrame) -> str:
     return json.dumps(df.schema.jsonValue())
 
 
+def _check_schema(
+    df: DataFrame, snapshot, schema_mode: str
+) -> Optional[dict]:
+    """Enforce writer-side schema compatibility (delta-spark semantics):
+
+    - columns present in both must agree on type (never negotiable);
+    - columns missing from ``df`` are fine (files without a column read
+      as null under the table schema);
+    - NEW columns require ``schema_mode='merge'`` (delta's mergeSchema):
+      they are appended to the table schema and the updated metaData
+      action is returned for inclusion in this commit.
+
+    Without this check an appended drifted frame writes files that
+    disagree with the table's metaData — readers planning with the
+    declared schema would silently null out (or fail on) the drift."""
+    from pyspark.sql import types as T
+
+    table_fields = {f.name: f for f in snapshot.schema.fields}
+    new_fields = []
+    for f in df.schema.fields:
+        existing = table_fields.get(f.name)
+        if existing is None:
+            new_fields.append(f)
+        elif existing.dataType != f.dataType:
+            raise ValueError(
+                f"Column {f.name!r} type mismatch: table has "
+                f"{existing.dataType.simpleString()}, dataframe has "
+                f"{f.dataType.simpleString()} (schema evolution cannot "
+                f"change types)"
+            )
+    if not new_fields:
+        return None
+    if schema_mode != "merge":
+        raise ValueError(
+            f"DataFrame adds columns {[f.name for f in new_fields]} not in "
+            f"the table schema; pass schema_mode='merge' to evolve"
+        )
+    merged = T.StructType(list(snapshot.schema.fields) + new_fields)
+    meta = dict(snapshot.raw_metadata or {})
+    meta["schemaString"] = json.dumps(merged.jsonValue())
+    # maps replayed from a checkpoint arrive as (k, v) tuple lists
+    for k in ("format", "configuration"):
+        if meta.get(k) is not None and not isinstance(meta[k], dict):
+            meta[k] = dict(meta[k])
+    return {"metaData": meta}
+
+
 def write_delta(
     df: DataFrame,
     uri: str,
@@ -41,6 +88,7 @@ def write_delta(
     checkpoint_interval: Optional[int] = 10,
     txn_app_id: Optional[str] = None,
     txn_version: Optional[int] = None,
+    schema_mode: str = "strict",
 ) -> int:
     """Write ``df`` to the Delta table at ``uri``; returns the committed
     version. ``mode``: 'append' or 'overwrite'. New tables are created with
@@ -59,9 +107,17 @@ def write_delta(
     sink needs for micro-batch replays after failure:
 
         write_delta(batch_df, uri, txn_app_id=query_id, txn_version=epoch)
+
+    ``schema_mode``: 'strict' (default) rejects a DataFrame whose columns
+    are not a type-compatible subset of the table schema; 'merge'
+    additionally appends NEW columns to the table schema (delta's
+    mergeSchema — type changes are never allowed, and existing files'
+    missing values read as null).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if schema_mode not in ("strict", "merge"):
+        raise ValueError(f"schema_mode must be strict|merge, got {schema_mode!r}")
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
@@ -84,6 +140,9 @@ def write_delta(
             )
         partition_cols = snapshot.partition_columns
         previous_files = [f.path for f in snapshot.files]
+        metadata_update = _check_schema(df, snapshot, schema_mode)
+    else:
+        metadata_update = None
 
     # Stage data with Spark's distributed parquet writer, then move files
     # into the table and reference them from the commit. (Distributed
@@ -162,6 +221,8 @@ def write_delta(
                 }
             }
         )
+    if metadata_update is not None:
+        actions.append(metadata_update)
     if mode == "overwrite":
         actions.extend(
             {

@@ -96,6 +96,37 @@ class TestWriteDelta:
         assert DeltaLog(uri).snapshot().version == 3
 
 
+class TestSchemaEvolution:
+    def test_type_change_always_rejected(self, spark, tmp_path):
+        uri = str(tmp_path / "se1")
+        write_delta(spark.createDataFrame([(1, "a")], ["v", "s"]), uri)
+        bad = spark.createDataFrame([(2, 3.5)], ["v", "s"])
+        for mode in ("strict", "merge"):
+            with pytest.raises(ValueError, match="type mismatch"):
+                write_delta(bad, uri, schema_mode=mode)
+
+    def test_new_column_requires_merge(self, spark, tmp_path):
+        uri = str(tmp_path / "se2")
+        write_delta(spark.createDataFrame([(1,)], ["v"]), uri)
+        widened = spark.createDataFrame([(2, "x")], ["v", "extra"])
+        with pytest.raises(ValueError, match="schema_mode='merge'"):
+            write_delta(widened, uri)
+        write_delta(widened, uri, schema_mode="merge")
+        t = DeltalakeTable("se2", uri)
+        rows = {r.v: r.extra for r in t(spark=spark).collect()}
+        assert rows == {1: None, 2: "x"}  # old files read null for the new col
+        snap = DeltaLog(uri).snapshot()
+        assert [f.name for f in snap.schema.fields] == ["v", "extra"]
+
+    def test_subset_append_is_fine_in_strict(self, spark, tmp_path):
+        uri = str(tmp_path / "se3")
+        write_delta(spark.createDataFrame([(1, "a")], ["v", "s"]), uri)
+        write_delta(spark.createDataFrame([(2,)], ["v"]), uri)  # no 's'
+        t = DeltalakeTable("se3", uri)
+        rows = {r.v: r.s for r in t(spark=spark).collect()}
+        assert rows == {1: "a", 2: None}
+
+
 class TestSnapshotCache:
     def test_fingerprint_hit_and_commit_invalidation(self, spark, tmp_path):
         """Repeated snapshot() calls serve the memo after one listing
