@@ -554,11 +554,19 @@ def simhash_df(
     that bit) — so empty docs get the constant hash('') signature with no
     separate re-attach scan of the corpus."""
     bits = PORTABLE_SIMHASH_BITS if portable else 64
+    # One exchange, not two: repartition by id, then BOTH the gram-set
+    # dedup (groupBy id, hash) and the vote aggregate (groupBy id) run
+    # exchange-free on that partitioning ([id] ⊆ each required
+    # clustering). The trade: the shuffle ships the shingle MULTISET
+    # ((id, 8 B hash) rows) instead of the map-side-deduped set — for
+    # natural text the within-doc duplicate-gram rate is a few tens of
+    # percent, far cheaper than a second full exchange.
     hashed = (
         shingle_rows(df, text_col, id_col, n)
         .select(
             F.col(id_col), _gram_hash(F.col("gram"), portable).alias("__h")
         )
+        .repartition(F.col(id_col))
         .distinct()
     )
     # Packed-lane votes: two 32-bit ones-counters per aggregated long
