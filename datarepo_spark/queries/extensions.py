@@ -982,6 +982,60 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_chunk_dedup",
+    # Composite RAG-prep: chunk every document into overlapping token
+    # windows, then exact-dedup the CHUNKS (overlap and boilerplate make
+    # chunk-level dup rates far higher than doc-level). Survivor = min
+    # (doc_id, chunk_id) per normalized chunk content — single scan +
+    # one narrow shuffle via the min-struct aggregation.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, tk, UNNEST(RANGE(0, LEN(tk), 12)) AS s
+      FROM toks WHERE LEN(tk) > 0
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(s // 12 AS INT) AS chunk_id,
+             ARRAY_TO_STRING(LIST_SLICE(tk, s + 1, s + 16), ' ')
+               AS chunk_text,
+             CAST(LEN(LIST_SLICE(tk, s + 1, s + 16)) AS INT) AS n_tokens
+      FROM starts
+    ), ranked AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY sha256(lower(trim(chunk_text)))
+               ORDER BY doc_id, chunk_id
+             ) AS rn
+      FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_tokens FROM ranked WHERE rn = 1
+    """,
+    description="composite RAG prep: overlapping token chunks -> exact "
+    "chunk dedup (min-struct survivor, one scan + one narrow shuffle)",
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    chunks = X.chunk_tokens(docs, chunk_size=16, overlap=4)
+    won = (
+        chunks.select(
+            D.content_key(F.col("chunk_text")).alias("__ck"),
+            F.struct("doc_id", "chunk_id", "n_tokens").alias("__row"),
+        )
+        .groupBy("__ck")
+        .agg(F.min("__row").alias("__w"))
+    )
+    return won.select(
+        F.col("__w.doc_id").alias("doc_id"),
+        F.col("__w.chunk_id").alias("chunk_id"),
+        F.col("__w.n_tokens").alias("n_tokens"),
+    )
+
+
+@register(
     "similarity_quantize_int8",
     # per-vector checksum gate: scale + sum/min/max of the quantized
     # lanes pin every q_i (a single off-by-one flips q_sum). floor(x+0.5)

@@ -67,6 +67,21 @@ class TestAggAndSort:
         agg_section = plan.split("Exchange hashpartitioning")[1][:200]
         assert "__ck" in agg_section or "sha2" in agg_section
 
+    def test_repetition_is_relational_partial_agg(self, spark, sf_dir):
+        """Repetition metrics must be explode→partial-agg (combinable
+        map-side), not higher-order array aggregates, and document text
+        must not survive into the final joins."""
+        plan = plan_of(spark, sf_dir, "text_repetition")
+        assert plan.count("HashAggregate") >= 4  # partial+final × 2 legs
+        assert "Generate" in plan  # explode-based, not array-expression
+
+    def test_pq_candidate_selection_is_take_ordered(self, spark, sf_dir):
+        """PQ's ADC top-(k·refine) must plan TakeOrderedAndProject (heap,
+        O(candidates) memory), never a global sort of the corpus."""
+        plan = plan_of(spark, sf_dir, "similarity_ann_pq")
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
     def test_curate_pipeline_scans_documents_once(self, spark, sf_dir):
         """r2/r3 verdict item: the curation pipeline must not evaluate
         the scored-document projection twice. exact_dedup_project's
