@@ -483,8 +483,15 @@ def compact(
         rel_dir = os.path.dirname(unquote(files[0].path))
         # one output file per partition: the rewrite is distributed
         # (Spark reads all inputs in parallel) but lands as a single
-        # coalesced file, which is the point
-        merged = spark.read.parquet(*paths).coalesce(1)
+        # coalesced file, which is the point. Read under the TABLE's
+        # data schema: after schema evolution the partition's files are
+        # heterogeneous, and a bare read would adopt one file's schema —
+        # silently dropping evolved columns from the rewrite.
+        merged = (
+            spark.read.schema(snapshot.data_schema)
+            .parquet(*paths)
+            .coalesce(1)
+        )
         staging = tempfile.mkdtemp(
             prefix="delta_compact_", dir=os.path.dirname(uri)
         )
