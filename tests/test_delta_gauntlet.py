@@ -143,3 +143,64 @@ def test_full_lifecycle_composes(spark, tmp_path):
     snap = DeltaLog(uri).snapshot()
     assert snap.app_transactions == {"gauntlet": 2}
     assert len(snap.files) == 1
+
+
+class TestRandomLifecycles:
+    """Hypothesis-driven random op sequences against a Python model.
+    Few examples (Spark actions are ~1 s each) but randomized ORDER —
+    the scripted gauntlet fixes one composition; this explores others."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    OPS = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 2)),
+            st.tuples(st.just("overwrite"), st.integers(3, 5)),
+            st.just(("checkpoint",)),
+            st.just(("compact",)),
+            st.just(("vacuum",)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+
+    @given(ops=OPS)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_random_sequence_matches_model(self, spark, tmp_path_factory, ops):
+        uri = str(tmp_path_factory.mktemp("rand_delta") / "t")
+        model: list = []  # multiset: appends legitimately duplicate rows
+        version = -1
+        for op in ops:
+            if op[0] == "append":
+                rows = [(op[1] * 10 + j, f"v{op[1]}") for j in range(2)]
+                write_delta(
+                    df_of(spark, rows), uri, checkpoint_interval=None
+                )
+                model.extend(rows)
+                version += 1
+            elif op[0] == "overwrite":
+                rows = [(op[1] * 10 + j, f"o{op[1]}") for j in range(2)]
+                write_delta(
+                    df_of(spark, rows), uri,
+                    mode="overwrite", checkpoint_interval=None,
+                )
+                model = list(rows)
+                version += 1
+            elif version >= 0 and op[0] == "checkpoint":
+                write_checkpoint(uri)
+            elif version >= 0 and op[0] == "compact":
+                stats = compact(spark, uri)
+                if stats["version"] >= 0:
+                    version += 1
+            elif version >= 0 and op[0] == "vacuum":
+                vacuum(uri)
+            if version >= 0:
+                assert read_all(spark, uri) == sorted(model), op
+        if version >= 0:
+            snap = DeltaLog(uri).snapshot()
+            assert snap.version == version
