@@ -23,6 +23,7 @@ Unlike the reference's eager fetchall-then-re-lazy flow (deltalake_table.py
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Union
 from urllib.parse import unquote
@@ -78,9 +79,7 @@ class DeltaCacheOptions:
         return parse_duration(self.file_cache_last_checkpoint_valid_duration)
 
 
-_DURATION_RE = __import__("re").compile(
-    r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|d)?\s*$"
-)
+_DURATION_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|m|h|d)?\s*$")
 _DURATION_UNITS = {None: 1.0, "ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
 
 
