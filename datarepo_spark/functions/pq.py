@@ -239,3 +239,41 @@ class ProductQuantizer:
         )
         survivors = df.join(cand_ids, id_col, "left_semi")
         return knn_brute_force(survivors, query_vec, k, vec_col, id_col)
+
+
+def ivfpq_search(
+    ivf_index,
+    pq: ProductQuantizer,
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assigned_codes: Optional[DataFrame] = None,
+) -> DataFrame:
+    """IVF-PQ: the FAISS production composition. The coarse quantizer
+    prunes the corpus to ``nprobe`` cells (partition-prunable when the
+    table is laid out by cell), PQ's ADC scores the survivors from their
+    8-byte codes, and the top ``k × refine`` re-rank by exact cosine.
+
+    At 100 TB: the scan reads nprobe/k_cells of the corpus AND only the
+    code column within it — the two reductions compose multiplicatively.
+    ``assigned_codes``: a persisted (id, vector, cell, codes) table — the
+    production layout; without it both assignments run inline."""
+    if assigned_codes is None:
+        assigned = ivf_index.assign(df, vec_col, id_col)
+        codes = pq.encode(df, vec_col, id_col)
+        assigned_codes = assigned.join(codes, id_col)
+    cells = ivf_index.probe_cells(query_vec, nprobe)
+    survivors = assigned_codes.filter(F.col("cell").isin(cells))
+    scored = pq.adc_scores(survivors.select(id_col, "codes"), query_vec)
+    cand_ids = (
+        scored.orderBy(F.desc("approx_cosine"), F.asc(id_col))
+        .limit(k * refine)
+        .select(id_col)
+    )
+    return knn_brute_force(
+        df.join(cand_ids, id_col, "left_semi"), query_vec, k, vec_col, id_col
+    )

@@ -603,6 +603,31 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ann_ivfpq",
+    oracle=_ANN_ORACLE,
+    description="IVF-PQ ANN (the FAISS production composition): coarse-"
+    "cell pruning x 32x-compressed ADC scoring + exact refine, gated by "
+    "exact top-3 + recall contract",
+)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ivf import IVFIndex
+    from ..functions.pq import ProductQuantizer, ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    qv = [float(x) for x in query]
+    base = emb.filter(F.col("vec_id") != 0)
+    ivf = IVFIndex.fit(emb, k=8, iterations=4)
+    pq = ProductQuantizer.fit(emb, m=8, ksub=256, iterations=6)
+    # nprobe/refine sized for the synthetic corpus's weak cluster
+    # structure (uniform-ish embeddings make coarse cells lossy);
+    # measured recall@10: 1.0/0.9/0.8 at sf0.001/0.01/0.1
+    ann = ivfpq_search(ivf, pq, base, qv, k=10, nprobe=6, refine=8)
+    exact = S.knn_brute_force(base, qv, k=10)
+    return _ann_gate(ann, exact)
+
+
+@register(
     "text_sentiment",
     oracle=rf"""
     SELECT doc_id,
