@@ -666,6 +666,36 @@ def agg_median_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    # Like the HLL gate: the sketch VALUE (KLL/GK quantile estimate) is
+    # engine-specific, but its rank-error contract is checkable — the
+    # approx median must land between the exact 45th and 55th
+    # percentiles (percentile_approx at accuracy=1000 guarantees rank
+    # error ≤ 0.1%; the 5-point window is 50× headroom). Emit the exact
+    # median + the contract boolean; DuckDB reproduces both.
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_extendedprice) AS exact_median,
+           TRUE AS within_rank_window
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="percentile_approx (KLL-style sketch) gated by a rank-"
+    "window contract around the exact median",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", 0.5, 1000)
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("exact_median"),
+        (
+            (approx >= F.percentile("l_extendedprice", 0.45))
+            & (approx <= F.percentile("l_extendedprice", 0.55))
+        ).alias("within_rank_window"),
+    )
+
+
+@register(
     "agg_approx_distinct",
     # HLL estimates are engine-specific, so the sketch VALUE can't be
     # oracle-compared — but its accuracy contract can: emit the exact
