@@ -339,6 +339,8 @@ def bucket_pairs(
     id_col: str,
     max_bucket_size: int = 2_000,
     payload_cols: Sequence[str] = (),
+    carry_key_cols: Sequence[str] = (),
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing a bucket.
 
@@ -365,7 +367,13 @@ def bucket_pairs(
     The cap exists because an oversized LSH bucket means a degenerate key
     (empty docs, boilerplate): at 100 TB it is what keeps one bad bucket
     from producing 10^12 pairs. 2k members ≈ 2M pairs per worst bucket —
-    bounded work AND bounded memory."""
+    bounded work AND bounded memory.
+
+    ``carry_key_cols``: bucket-key columns to emit on each pair (e.g.
+    the band index). ``distinct_pairs=False`` skips the final pair
+    distinct — for callers that guarantee global uniqueness themselves
+    (the first-matching-band filter in :func:`simhash_dedup_pairs`),
+    removing the pair stream's only exchange."""
     member = F.struct(
         F.col(id_col).alias("__id"),
         *[F.col(c) for c in payload_cols],
@@ -380,12 +388,14 @@ def bucket_pairs(
         )
     )
     first = ids.select(
+        *carry_key_cols,
         F.col("__ids"),
         F.posexplode("__ids").alias("__pos", "__a"),
     )
     # partners strictly after __pos keep id_a < id_b (array is sorted);
     # slice() is 1-based, so start = __pos + 2
     second = first.select(
+        *carry_key_cols,
         F.col("__a"),
         F.explode(
             F.slice(
@@ -402,7 +412,9 @@ def bucket_pairs(
             F.col(f"__a.{c}").alias(f"{c}_a"),
             F.col(f"__b.{c}").alias(f"{c}_b"),
         ]
-    return second.select(*out).distinct()
+    out += [F.col(c) for c in carry_key_cols]
+    result = second.select(*out)
+    return result.distinct() if distinct_pairs else result
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -626,6 +638,16 @@ def simhash_dedup_pairs(
     bits = PORTABLE_SIMHASH_BITS if portable else 64
     bands = max_hamming + 1
     width = bits // bands
+
+    def band_key(sh: Column, b: int) -> Column:
+        # last band absorbs the remainder bits so every signature bit is
+        # covered — pigeonhole needs bands to PARTITION the bits, or
+        # pairs differing only in uncovered bits would be missed
+        w = bits - b * width if b == bands - 1 else width
+        return F.shiftrightunsigned(sh, b * width).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
     # The 8-byte signature rides through the bucket aggregation as a
     # bucket_pairs payload, so candidates come out with BOTH signatures
     # attached and hamming verification is an inline projection — no
@@ -641,41 +663,46 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        # last band absorbs the remainder bits so every
-                        # signature bit is covered — pigeonhole needs
-                        # bands to PARTITION the bits, or pairs differing
-                        # only in uncovered bits would be missed
-                        F.shiftrightunsigned(
-                            F.col("sh"), b * width
-                        ).bitwiseAND(
-                            F.lit(
-                                (
-                                    1
-                                    << (
-                                        bits - b * width
-                                        if b == bands - 1
-                                        else width
-                                    )
-                                )
-                                - 1
-                            )
-                        ).alias("key"),
+                        band_key(F.col("sh"), b).alias("key"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select(id_col, "sh", "bk.band", "bk.key")
+    # distinct_pairs=False + first-matching-band filter: a pair whose
+    # signatures agree on multiple bands would otherwise be emitted once
+    # per agreeing band and need a global pair distinct (an exchange of
+    # the whole pair stream). Since both signatures ride along, "is this
+    # the LOWEST band where the keys agree?" is an inline predicate —
+    # each qualifying pair survives from exactly one band, no exchange.
     cands = bucket_pairs(
-        banded, ["band", "key"], id_col, payload_cols=["sh"]
+        banded,
+        ["band", "key"],
+        id_col,
+        payload_cols=["sh"],
+        carry_key_cols=["band"],
+        distinct_pairs=False,
     )
+    earlier_band_match = F.lit(False)
+    for j in range(bands - 1):
+        earlier_band_match = earlier_band_match | (
+            (F.lit(j) < F.col("band"))
+            & (
+                band_key(F.col("sh_a"), j) == band_key(F.col("sh_b"), j)
+            )
+        )
     # Hamming verification is an inline projection over the carried
     # signatures — never a cross join, and no join at all.
-    return cands.select(
-        "id_a",
-        "id_b",
-        hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        cands.filter(~earlier_band_match)
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 # ---------------------------------------------------------------------------
