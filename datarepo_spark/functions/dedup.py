@@ -308,23 +308,46 @@ def minhash_lsh_candidates(
             for i in range(num_hashes)
         ]
     )
-    buckets = sig.select(
+    # Materialize all band hashes once as an array; each banded row
+    # carries the full array so the pair stream can apply the first-
+    # matching-band filter inline (same construction as simhash):
+    # a pair colliding in several bands survives from exactly ONE, so
+    # no global pair distinct — the pair stream's only exchange — is
+    # needed. Payload cost: bands × 8 B per bucket member.
+    withbands = sig.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"__m{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+        F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"__m{b * rows + r}") for r in range(rows)]
+                )
+                for b in range(bands)
+            ]
+        ).alias("__bands"),
+    )
+    buckets = withbands.select(
+        id_col,
+        "__bands",
+        F.posexplode("__bands").alias("band", "bucket"),
+    )
+    cands = bucket_pairs(
+        buckets,
+        ["band", "bucket"],
+        id_col,
+        payload_cols=["__bands"],
+        carry_key_cols=["band"],
+        distinct_pairs=False,
+    )
+    earlier_band_match = F.lit(False)
+    for j in range(bands - 1):
+        earlier_band_match = earlier_band_match | (
+            (F.lit(j) < F.col("band"))
+            & (
+                F.element_at(F.col("__bands_a"), j + 1)
+                == F.element_at(F.col("__bands_b"), j + 1)
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
-    return bucket_pairs(buckets, ["band", "bucket"], id_col)
+        )
+    return cands.filter(~earlier_band_match).select("id_a", "id_b")
 
 
 def _wrap64(v: int) -> int:
