@@ -669,3 +669,23 @@ class TestQuantizeInt8:
         r = df.select(S.quantize_int8(F.col("v")).alias("qz")).collect()[0]
         assert r.qz.scale == 0.0
         assert list(r.qz.q) == [0, 0, 0, 0]
+
+
+class TestFirstBandFilter:
+    def test_all_band_collisions_emit_exactly_one_pair(self, spark):
+        """Identical docs collide in EVERY band; the first-matching-band
+        filter (which replaced the global pair distinct) must emit the
+        pair exactly once from both LSH pipelines."""
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "totally different content over here now"),
+            ],
+            ["doc_id", "text"],
+        )
+        mh = D.minhash_lsh_candidates(df, n=3).collect()
+        assert [(r.id_a, r.id_b) for r in mh] == [(0, 1)]
+        sh = D.simhash_dedup_pairs(df, max_hamming=3, portable=True)
+        rows = [(r.id_a, r.id_b) for r in sh.collect() if r.id_b == 1]
+        assert rows == [(0, 1)]
