@@ -946,6 +946,101 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_survivors",
+    # The step after clustering: one survivor per near-dup cluster
+    # (longest text — "most complete version" — ties broken by min id),
+    # singleton docs surviving as their own cluster. min(struct(-len,
+    # id)) is the deterministic pick; the whole reduction is one
+    # aggregate over (component, id, len) rows — never document text.
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    ), gr AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+    ), cnts AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             ANY_VALUE(x.ln) AS la, ANY_VALUE(y.ln) AS lb,
+             COUNT(*) AS c
+      FROM gr x JOIN gr y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cnts
+      WHERE ROUND(CAST(c AS DOUBLE) / (la + lb - c), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    ), annotated AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             CAST(LEN(d.text) AS BIGINT) AS n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), ranked AS (
+      SELECT component, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM annotated
+    )
+    SELECT component, doc_id, n_chars FROM ranked WHERE rn = 1
+    """,
+    description="near-dup cluster survivor selection: longest text per "
+    "component (min-struct aggregate; singletons survive as themselves)",
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    annotated = (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce(comp["component"], docs["doc_id"]).alias(
+                "component"
+            ),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    won = (
+        annotated.select(
+            "component",
+            F.struct(
+                (-F.col("n_chars")).alias("__neglen"),
+                F.col("doc_id"),
+                F.col("n_chars"),
+            ).alias("__row"),
+        )
+        .groupBy("component")
+        .agg(F.min("__row").alias("__w"))
+    )
+    return won.select(
+        "component",
+        F.col("__w.doc_id").alias("doc_id"),
+        F.col("__w.n_chars").alias("n_chars"),
+    )
+
+
+@register(
     "text_top_tokens",
     oracle=r"""
     WITH tok AS (
