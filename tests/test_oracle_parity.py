@@ -110,12 +110,16 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
-def test_query_runs_rows_only(spark, name):
-    q = REGISTRY[name]
-    df = q.spark_fn(spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+if NO_ORACLE_QUERIES:
+    # Currently empty — every registry query carries an oracle — but the
+    # weaker rows-only check stays defined for any future query that is
+    # genuinely non-SQL-expressible.
+    @pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
+    def test_query_runs_rows_only(spark, name):
+        q = REGISTRY[name]
+        df = q.spark_fn(spark, SF_DIR)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
 
 
 def test_entry_smoke(spark):
