@@ -34,6 +34,9 @@ class AddFile:
     path: str
     partition_values: dict[str, Optional[str]]
     size: int = 0
+    # the add action's data-skipping JSON (numRecords/minValues/
+    # maxValues/nullCount) — consumed by delta_stats.stats_prune
+    stats: Optional[str] = None
 
 
 @dataclass
@@ -266,6 +269,7 @@ class DeltaLog:
                     path=add["path"],
                     partition_values=dict(add.get("partitionValues") or {}),
                     size=int(add.get("size") or 0),
+                    stats=add.get("stats"),
                 )
                 # Re-adding a path cancels its tombstone (protocol
                 # reconciliation: latest action per path wins).

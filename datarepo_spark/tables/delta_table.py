@@ -42,6 +42,7 @@ from ..core.filters import (
     validate_filters,
 )
 from .delta_log import DeltaLog, DeltaSnapshot, cast_partition_value
+from .delta_stats import stats_prune
 from .metadata import (
     TableColumn,
     TableMetadata,
@@ -289,6 +290,14 @@ class DeltalakeTable:
         dnf: NormalizedFilters,
     ) -> Optional[DataFrame]:
         files = _partition_prune(snapshot, dnf)
+        # Second pruning axis: each surviving file's add.stats envelope
+        # (numRecords/minValues/maxValues/nullCount) vs the same DNF.
+        # Partition pruning cuts along the layout; stats pruning cuts
+        # WITHIN a partition — on a range-clustered 100 TB table this is
+        # what turns "scan the partition" into "open the few files whose
+        # min/max overlap the predicate". Sound-only: rows are
+        # re-filtered after the scan (_finish), so unknowns keep files.
+        files = stats_prune(files, dnf, snapshot.data_schema)
         if not files:
             return None
         paths = [

@@ -27,10 +27,41 @@ from urllib.parse import quote, unquote
 from pyspark.sql import DataFrame
 
 from .delta_log import DeltaLog
+from .delta_stats import collect_file_stats
 
 
 def _schema_string(df: DataFrame) -> str:
     return json.dumps(df.schema.jsonValue())
+
+
+class _micros_timestamps:
+    """Write-scope conf: Spark's default INT96 parquet timestamps carry NO
+    column statistics (deprecated physical type), which would silently
+    exclude every timestamp column from add.stats data skipping —
+    TIMESTAMP_MICROS is the layout modern Delta writers emit. Set for the
+    staging write, restored after (never leak conf into the caller's
+    session)."""
+
+    KEY = "spark.sql.parquet.outputTimestampType"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.KEY)
+            self.spark.conf.set(self.KEY, "TIMESTAMP_MICROS")
+        except Exception:
+            self.prev = None
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            try:
+                self.spark.conf.set(self.KEY, self.prev)
+            except Exception:
+                pass
+        return False
 
 
 def _check_schema(
@@ -152,8 +183,16 @@ def write_delta(
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(staging)
+        with _micros_timestamps(df.sparkSession):
+            writer.parquet(staging)
 
+        # data-file schema = written frame minus partition columns (those
+        # live in the directory name); drives add.stats type mapping
+        from pyspark.sql import types as T
+
+        file_schema = T.StructType(
+            [f for f in df.schema.fields if f.name not in set(partition_cols)]
+        )
         adds = []
         for root, _dirs, files in os.walk(staging):
             for name in files:
@@ -182,24 +221,24 @@ def write_delta(
                             if v == "__HIVE_DEFAULT_PARTITION__"
                             else unquote(v)
                         )
-                adds.append(
-                    {
-                        "add": {
-                            # Protocol: path is the URL-encoded relative
-                            # path. The on-disk name is itself Hive-escaped
-                            # (contains % sequences), so it must be encoded
-                            # here or a reader's percent-DECODE would turn
-                            # "o=a%3Ab" into the nonexistent "o=a:b".
-                            "path": quote(
-                                rel_path.replace(os.sep, "/"), safe="/="
-                            ),
-                            "partitionValues": partition_values,
-                            "size": os.path.getsize(dst),
-                            "modificationTime": 0,
-                            "dataChange": True,
-                        }
-                    }
-                )
+                add_action = {
+                    # Protocol: path is the URL-encoded relative
+                    # path. The on-disk name is itself Hive-escaped
+                    # (contains % sequences), so it must be encoded
+                    # here or a reader's percent-DECODE would turn
+                    # "o=a%3Ab" into the nonexistent "o=a:b".
+                    "path": quote(
+                        rel_path.replace(os.sep, "/"), safe="/="
+                    ),
+                    "partitionValues": partition_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+                stats = collect_file_stats(dst, file_schema)
+                if stats is not None:
+                    add_action["stats"] = stats
+                adds.append({"add": add_action})
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -398,6 +437,10 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
                 "size": f.size,
                 "modificationTime": 0,
                 "dataChange": False,
+                # carry the data-skipping index through the checkpoint —
+                # dropping it would silently disable file pruning for
+                # every table whose log has been cleaned past a commit
+                "stats": f.stats,
             }
         }
         for f in snapshot.files
@@ -496,7 +539,8 @@ def compact(
             prefix="delta_compact_", dir=os.path.dirname(uri)
         )
         try:
-            merged.write.mode("overwrite").parquet(staging)
+            with _micros_timestamps(spark):
+                merged.write.mode("overwrite").parquet(staging)
             new_files = [
                 os.path.join(root, n)
                 for root, _d, names in os.walk(staging)
@@ -511,19 +555,19 @@ def compact(
                 dst = os.path.join(uri, rel_path)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 shutil.move(src, dst)
-                actions.append(
-                    {
-                        "add": {
-                            "path": quote(
-                                rel_path.replace(os.sep, "/"), safe="/="
-                            ),
-                            "partitionValues": part_values,
-                            "size": os.path.getsize(dst),
-                            "modificationTime": 0,
-                            "dataChange": False,
-                        }
-                    }
-                )
+                add_action = {
+                    "path": quote(
+                        rel_path.replace(os.sep, "/"), safe="/="
+                    ),
+                    "partitionValues": part_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+                stats = collect_file_stats(dst, snapshot.data_schema)
+                if stats is not None:
+                    add_action["stats"] = stats
+                actions.append({"add": add_action})
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         actions.extend(
