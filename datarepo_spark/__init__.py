@@ -29,7 +29,7 @@ from .tables.metadata import (
     TableSchema,
 )
 from .tables.bucketed import BucketedTable, write_bucketed
-from .tables.delta_writer import compact, vacuum, write_delta
+from .tables.delta_writer import compact, vacuum, write_delta, zorder_by
 from .tables.parquet_table import ParquetTable
 
 __all__ = [
@@ -61,6 +61,7 @@ __all__ = [
     "vacuum",
     "write_bucketed",
     "write_delta",
+    "zorder_by",
 ]
 
 __version__ = "0.1.0"

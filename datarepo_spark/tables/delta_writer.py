@@ -591,6 +591,196 @@ def compact(
     }
 
 
+def zorder_by(
+    spark,
+    uri: str,
+    columns: Sequence[str],
+    target_files: Optional[int] = None,
+) -> dict[str, int]:
+    """OPTIMIZE ZORDER BY: rewrite the table's data files clustered along
+    the Morton (Z-order) curve over ``columns``, committed as
+    remove(all old) + add(new) with ``dataChange: false`` (identical
+    rows, new layout).
+
+    Why: add.stats file skipping (delta_stats.py) prunes on a column
+    only when the file layout SEPARATES that column's values. A sort on
+    one column gives perfect envelopes for it and useless ones for every
+    other; interleaving the bits of k rank-normalized columns gives each
+    of the k dimensions ~file_count^(1/k) selectivity — the standard
+    multi-dimensional clustering trade (Morton 1966; delta-spark's
+    OPTIMIZE ZORDER BY makes the same one).
+
+    Mechanics (all JVM-side, one pass):
+    - per column, map values onto a 16-bit grid: numeric/date/timestamp
+      scale by the table's (min, max) — one bounded agg job; strings
+      rank by the first 8 big-endian bytes (prefix order = lexicographic
+      order for the prefix, which is what envelope pruning sees);
+    - z = interleave the 16 bucket bits of up to 4 columns (shift/or
+      fold, whole-stage codegen — no UDF);
+    - repartitionByRange(target_files, z) + sortWithinPartitions(z):
+      one range exchange of the full table, the unavoidable cost of any
+      global re-clustering;
+    - stage + move + commit like write_delta, per-file stats recomputed
+      from the new footers.
+
+    Partitioned tables keep their partitioning; clustering applies
+    within each partition directory. ``target_files`` defaults to the
+    current active-file count. NULLs bucket to 0 (sort first).
+    Returns {files_removed, files_added, version}."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    columns = list(columns)
+    if not 1 <= len(columns) <= 4:
+        raise ValueError("zorder_by takes 1-4 columns")
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    part_cols = snapshot.partition_columns
+    bad = [c for c in columns if c in part_cols]
+    if bad:
+        raise ValueError(
+            f"zorder columns {bad} are partition columns — partition "
+            f"pruning already separates them; cluster within partitions "
+            f"on data columns instead"
+        )
+    dtypes = {f.name: f.dataType for f in snapshot.schema.fields}
+    missing = [c for c in columns if c not in dtypes]
+    if missing:
+        raise ValueError(f"zorder columns not in table schema: {missing}")
+
+    from .delta_table import DeltalakeTable
+
+    df = DeltalakeTable(os.path.basename(uri), uri)(spark=spark)
+
+    BITS = 16
+    GRID = (1 << BITS) - 1
+
+    def numeric_proxy(col: str):
+        dt = dtypes[col]
+        c = F.col(col)
+        if isinstance(dt, (T.DateType,)):
+            return F.datediff(c, F.lit("1970-01-01")).cast("double")
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_timestamp(c).cast("double")
+        if isinstance(dt, T.StringType):
+            # first-4-bytes big-endian rank: prefix order IS
+            # lexicographic order on the prefix — exactly the resolution
+            # the min/max envelope sees. 32 bits is exact in a double;
+            # short strings pad low with 0x00 (sorts first, like NULL).
+            h = F.rpad(
+                F.hex(F.substring(c.cast("binary"), 1, 4)), 8, "0"
+            )
+            return F.conv(h, 16, 10).cast("double")
+        if isinstance(dt, T.BooleanType):
+            return c.cast("int").cast("double")
+        return c.cast("double")
+
+    # one bounded agg job for the scaling envelope
+    proxies = {c: numeric_proxy(c) for c in columns}
+    bounds_row = df.agg(
+        *[F.min(p).alias(f"mn_{i}") for i, p in enumerate(proxies.values())],
+        *[F.max(p).alias(f"mx_{i}") for i, p in enumerate(proxies.values())],
+    ).collect()[0]
+
+    z = F.lit(0).cast("long")
+    for j, col in enumerate(columns):
+        mn = bounds_row[f"mn_{j}"]
+        mx = bounds_row[f"mx_{j}"]
+        if mn is None or mx is None or mx <= mn:
+            bucket = F.lit(0).cast("long")
+        else:
+            scaled = (proxies[col] - F.lit(float(mn))) / F.lit(
+                float(mx) - float(mn)
+            )
+            bucket = F.least(
+                F.lit(GRID).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(scaled * GRID).cast("long"),
+                ),
+            )
+        bucket = F.coalesce(bucket, F.lit(0).cast("long"))
+        for i in range(BITS):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * len(columns) + j)
+            )
+
+    n_out = target_files or max(1, len(snapshot.files))
+    # range keys lead with the partition columns so one output task never
+    # straddles partition directories (the partitionBy writer would split
+    # it into nfiles × npartitions small files otherwise)
+    range_keys = [F.col(c) for c in part_cols] + [F.col("__z")]
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_out, *range_keys)
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+    staging = tempfile.mkdtemp(prefix="delta_zorder_", dir=os.path.dirname(uri))
+    actions: list[dict] = []
+    try:
+        writer = clustered.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        with _micros_timestamps(spark):
+            writer.parquet(staging)
+        file_schema = snapshot.data_schema
+        for root, _dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
+                dst = os.path.join(uri, rel_path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                partition_values = {}
+                for seg in rel_dir.split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        partition_values[k] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(v)
+                        )
+                add_action = {
+                    "path": quote(rel_path.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": partition_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+                stats = collect_file_stats(dst, file_schema)
+                if stats is not None:
+                    add_action["stats"] = stats
+                actions.append({"add": add_action})
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    n_added = len(actions)
+    actions.extend(
+        {
+            "remove": {
+                "path": f.path,
+                "deletionTimestamp": 0,
+                "dataChange": False,
+            }
+        }
+        for f in snapshot.files
+    )
+    version = _commit_atomically(os.path.join(uri, "_delta_log"), actions)
+    return {
+        "files_removed": len(snapshot.files),
+        "files_added": n_added,
+        "version": version,
+    }
+
+
 def vacuum(uri: str, dry_run: bool = False) -> list[str]:
     """Delete data files no longer referenced by the LATEST snapshot —
     overwritten/compacted files kept only for time travel. After vacuum,
