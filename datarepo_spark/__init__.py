@@ -29,7 +29,7 @@ from .tables.metadata import (
     TableSchema,
 )
 from .tables.bucketed import BucketedTable, write_bucketed
-from .tables.delta_writer import compact, vacuum, write_delta, zorder_by
+from .tables.delta_writer import compact, merge_delta, vacuum, write_delta, zorder_by
 from .tables.parquet_table import ParquetTable
 
 __all__ = [
@@ -55,6 +55,7 @@ __all__ = [
     "TablePartition",
     "TableSchema",
     "compact",
+    "merge_delta",
     "get_spark",
     "normalize_filters",
     "table",

@@ -288,7 +288,11 @@ class DeltalakeTable:
         spark: SparkSession,
         snapshot: DeltaSnapshot,
         dnf: NormalizedFilters,
+        keep_rel: bool = False,
     ) -> Optional[DataFrame]:
+        """``keep_rel=True`` keeps the ``__delta_rel`` column (each row's
+        add.path) — merge_delta uses it to find which files contain
+        matched keys, the copy-on-write rewrite unit."""
         files = _partition_prune(snapshot, dnf)
         # Second pruning axis: each surviving file's add.stats envelope
         # (numRecords/minValues/maxValues/nullCount) vs the same DNF.
@@ -304,6 +308,16 @@ class DeltalakeTable:
             os.path.join(self.uri, unquote(add.path)) for add in files
         ]
         df = spark.read.schema(snapshot.data_schema).parquet(*paths)
+        if keep_rel and not snapshot.partition_columns:
+            segs = F.split(F.col("_metadata.file_path"), "/")
+            df = df.withColumn(
+                "__delta_rel",
+                F.url_decode(
+                    F.replace(
+                        F.element_at(segs, -1), F.lit("+"), F.lit("%2B")
+                    )
+                ),
+            )
         if snapshot.partition_columns:
             # Restore partition columns from partitionValues via a broadcast
             # join keyed on the file's RELATIVE path — the only identifier
@@ -349,8 +363,9 @@ class DeltalakeTable:
                     ),
                 )
                 .join(F.broadcast(lookup), "__delta_rel", "left")
-                .drop("__delta_rel")
             )
+            if not keep_rel:
+                df = df.drop("__delta_rel")
         return df
 
     # -- post-read semantics ---------------------------------------------------

@@ -591,6 +591,194 @@ def compact(
     }
 
 
+def merge_delta(
+    spark,
+    uri: str,
+    source: DataFrame,
+    on: Sequence[str],
+    when_matched: Optional[str] = "update",
+    when_not_matched: Optional[str] = "insert",
+) -> dict[str, int]:
+    """Copy-on-write MERGE INTO: apply ``source`` to the table keyed by
+    ``on``. ``when_matched``: 'update' (replace the whole row with the
+    source row), 'delete', or None (leave matched rows). ``when_not_
+    matched``: 'insert' or None. The default pair is UPSERT.
+
+    Scale shape (the same one delta-spark's MERGE uses):
+    1. find the AFFECTED files — those containing at least one matched
+       key — with a semi join against the source keys; only file paths
+       reach the driver;
+    2. rewrite ONLY those files: unmatched rows pass through, matched
+       rows are replaced/dropped, not-matched source rows append;
+    3. commit remove(affected) + add(new) atomically, dataChange: true.
+
+    On a key-clustered table (zorder_by / range-written) the affected
+    set is a tiny fraction of the table — the rewrite cost tracks the
+    UPDATE size, not the table size. Unmatched-file data never moves.
+
+    Source rows with NULL in a key column never match (SQL join
+    semantics); with 'insert' they are appended. Duplicate keys in
+    ``source`` raise for 'update' (a target row would have two
+    replacements — the same error delta-spark throws); 'delete' and
+    pure-insert tolerate them.
+
+    Returns {version, files_rewritten, files_added}."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update|delete|None, got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
+    on = list(on)
+    if not on:
+        raise ValueError("merge_delta requires at least one key column")
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    table_cols = [f.name for f in snapshot.schema.fields]
+    if set(source.columns) != set(table_cols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table columns "
+            f"{sorted(table_cols)} (merge replaces whole rows; align the "
+            f"frame first)"
+        )
+    missing_keys = [k for k in on if k not in table_cols]
+    if missing_keys:
+        raise ValueError(f"merge keys not in table schema: {missing_keys}")
+    source = source.select(*table_cols)
+
+    if when_matched == "update":
+        dup = (
+            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                "source has duplicate merge keys — a matched target row "
+                "would receive multiple updates"
+            )
+
+    from .delta_table import DeltalakeTable
+
+    table = DeltalakeTable(os.path.basename(uri), uri)
+    target = table._read_from_log(spark, snapshot, None, keep_rel=True)
+
+    src_keys = source.select(*on).distinct()
+    if target is not None and when_matched is not None:
+        # files containing ≥1 matched key: the copy-on-write unit.
+        # when_matched=None never rewrites — matched rows stay in place
+        # and only the insert set lands as new files.
+        affected_rel = [
+            r[0]
+            for r in target.join(src_keys, on, "left_semi")
+            .select("__delta_rel")
+            .distinct()
+            .collect()
+        ]
+    else:
+        affected_rel = []
+    # __delta_rel is the on-disk (percent-decoded) relative path; map it
+    # back to the EXACT add.path string for the remove action
+    by_disk = {unquote(f.path): f for f in snapshot.files}
+    affected = [by_disk[rel] for rel in affected_rel]
+
+    pieces = []
+    if affected and target is not None:
+        aff_rows = target.filter(
+            F.col("__delta_rel").isin(affected_rel)
+        ).drop("__delta_rel")
+        # rows whose key is NOT in the source pass through unchanged
+        pieces.append(aff_rows.join(src_keys, on, "left_anti"))
+        if when_matched == "update":
+            tgt_keys = target.select(*on).distinct()
+            pieces.append(source.join(tgt_keys, on, "left_semi"))
+        # 'delete': matched rows simply don't reappear
+    if when_not_matched == "insert":
+        if target is not None:
+            tgt_keys = target.select(*on).distinct()
+            pieces.append(source.join(tgt_keys, on, "left_anti"))
+        else:
+            pieces.append(source)
+
+    if not pieces and not affected:
+        return {
+            "version": snapshot.version,
+            "files_rewritten": 0,
+            "files_added": 0,
+        }
+
+    new_data = pieces[0]
+    for p in pieces[1:]:
+        new_data = new_data.unionByName(p)
+
+    part_cols = snapshot.partition_columns
+    staging = tempfile.mkdtemp(prefix="delta_merge_", dir=os.path.dirname(uri))
+    actions: list[dict] = []
+    try:
+        writer = new_data.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        with _micros_timestamps(spark):
+            writer.parquet(staging)
+        for root, _dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
+                dst = os.path.join(uri, rel_path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                partition_values = {}
+                for seg in rel_dir.split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        partition_values[k] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(v)
+                        )
+                add_action = {
+                    "path": quote(rel_path.replace(os.sep, "/"), safe="/="),
+                    "partitionValues": partition_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+                stats = collect_file_stats(dst, snapshot.data_schema)
+                if stats is not None:
+                    add_action["stats"] = stats
+                actions.append({"add": add_action})
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    n_added = len(actions)
+    actions.extend(
+        {
+            "remove": {
+                "path": f.path,
+                "deletionTimestamp": 0,
+                "dataChange": True,
+            }
+        }
+        for f in affected
+    )
+    if not actions:
+        # nothing matched, nothing to insert: no empty commit
+        return {
+            "version": snapshot.version,
+            "files_rewritten": 0,
+            "files_added": 0,
+        }
+    version = _commit_atomically(os.path.join(uri, "_delta_log"), actions)
+    return {
+        "version": version,
+        "files_rewritten": len(affected),
+        "files_added": n_added,
+    }
+
+
 def zorder_by(
     spark,
     uri: str,

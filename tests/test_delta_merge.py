@@ -1,0 +1,177 @@
+"""Copy-on-write MERGE INTO: upsert/delete semantics, minimal rewrite
+(untouched files must survive by path), and transactional visibility."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datarepo_spark.core.filters import Filter
+from datarepo_spark.tables.delta_log import DeltaLog
+from datarepo_spark.tables.delta_table import DeltalakeTable
+from datarepo_spark.tables.delta_writer import merge_delta, write_delta
+
+
+def rows(spark, uri):
+    return sorted(
+        (
+            tuple(r)
+            for r in DeltalakeTable("t", uri)(spark=spark)
+            .select("k", "v")
+            .collect()
+        ),
+        key=lambda t: (t[0] is None, t[0], t[1]),
+    )
+
+
+def _seed(spark, tmp_path, nfiles=4):
+    """Keys 0..99 range-clustered into 4 files of 25 keys each."""
+    uri = str(tmp_path / "t")
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), F.concat(F.lit("old-"), "id").alias("v"))
+        .repartitionByRange(nfiles, "k")
+    )
+    write_delta(df, uri)
+    return uri
+
+
+class TestMerge:
+    def test_upsert_updates_and_inserts(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(5, "new-5"), (7, "new-7"), (200, "new-200")], ["k", "v"]
+        )
+        res = merge_delta(spark, uri, src, on=["k"])
+        assert res["files_rewritten"] == 1  # keys 5,7 live in one file
+        got = dict(rows(spark, uri))
+        assert got[5] == "new-5" and got[7] == "new-7"
+        assert got[200] == "new-200"
+        assert got[6] == "old-6"  # unmatched row in the rewritten file
+        assert len(got) == 101
+
+    def test_untouched_files_not_rewritten(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        before = {f.path for f in DeltaLog(uri).snapshot().files}
+        src = spark.createDataFrame([(5, "new-5")], ["k", "v"])
+        merge_delta(spark, uri, src, on=["k"], when_not_matched=None)
+        after = {f.path for f in DeltaLog(uri).snapshot().files}
+        assert len(before & after) == 3  # 3 of 4 files survive by path
+
+    def test_delete_mode(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(k, "x") for k in range(0, 100, 2)], ["k", "v"]
+        )
+        res = merge_delta(
+            spark, uri, src, on=["k"], when_matched="delete",
+            when_not_matched=None,
+        )
+        assert res["files_rewritten"] == 4
+        got = dict(rows(spark, uri))
+        assert sorted(got) == list(range(1, 100, 2))
+
+    def test_insert_only_never_rewrites(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        before = {f.path for f in DeltaLog(uri).snapshot().files}
+        src = spark.createDataFrame(
+            [(5, "ignored"), (300, "new-300")], ["k", "v"]
+        )
+        res = merge_delta(
+            spark, uri, src, on=["k"], when_matched=None,
+        )
+        assert res["files_rewritten"] == 0
+        after = {f.path for f in DeltaLog(uri).snapshot().files}
+        assert before <= after
+        got = dict(rows(spark, uri))
+        assert got[5] == "old-5"  # matched row untouched
+        assert got[300] == "new-300"
+
+    def test_no_match_no_insert_is_noop(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        v0 = DeltaLog(uri).snapshot().version
+        src = spark.createDataFrame([(999, "z")], ["k", "v"])
+        res = merge_delta(
+            spark, uri, src, on=["k"], when_not_matched=None,
+        )
+        assert res["version"] == v0  # no empty commit
+        assert DeltaLog(uri).snapshot().version == v0
+
+    def test_duplicate_source_keys_raise_for_update(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        src = spark.createDataFrame([(5, "a"), (5, "b")], ["k", "v"])
+        with pytest.raises(ValueError, match="duplicate merge keys"):
+            merge_delta(spark, uri, src, on=["k"])
+        # delete tolerates duplicates
+        merge_delta(
+            spark, uri, src, on=["k"], when_matched="delete",
+            when_not_matched=None,
+        )
+        assert 5 not in dict(rows(spark, uri))
+
+    def test_schema_mismatch_raises(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        src = spark.createDataFrame([(1,)], ["k"])
+        with pytest.raises(ValueError, match="table columns"):
+            merge_delta(spark, uri, src, on=["k"])
+        with pytest.raises(ValueError, match="not in table schema"):
+            merge_delta(
+                spark, uri,
+                spark.createDataFrame([(1, "x")], ["k", "v"]),
+                on=["zz"],
+            )
+
+    def test_partitioned_merge(self, spark, tmp_path):
+        uri = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(k, f"old-{k}", "even" if k % 2 == 0 else "odd")
+             for k in range(20)],
+            ["k", "v", "par"],
+        )
+        write_delta(df, uri, partition_by=["par"])
+        src = spark.createDataFrame(
+            [(2, "new-2", "even"), (21, "new-21", "odd")], ["k", "v", "par"]
+        )
+        merge_delta(spark, uri, src, on=["k"])
+        t = DeltalakeTable("t", uri)
+        got = {
+            r.k: (r.v, r.par) for r in t(spark=spark).collect()
+        }
+        assert got[2] == ("new-2", "even")
+        assert got[21] == ("new-21", "odd")
+        assert got[3] == ("old-3", "odd")
+        assert len(got) == 21
+        # partition pruning still works after the merge
+        evens = t(filters=[Filter("par", "=", "even")], spark=spark)
+        assert evens.count() == 10
+
+    def test_time_travel_across_merge(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        src = spark.createDataFrame([(5, "new-5")], ["k", "v"])
+        res = merge_delta(spark, uri, src, on=["k"], when_not_matched=None)
+        t = DeltalakeTable("t", uri)
+        old = dict(
+            (r.k, r.v) for r in t(version=0, spark=spark).collect()
+        )
+        new = dict(
+            (r.k, r.v)
+            for r in t(version=res["version"], spark=spark).collect()
+        )
+        assert old[5] == "old-5" and new[5] == "new-5"
+
+    def test_merge_into_empty_table(self, spark, tmp_path):
+        uri = str(tmp_path / "t")
+        write_delta(
+            spark.createDataFrame([], "k long, v string"), uri
+        )
+        src = spark.createDataFrame([(1, "a")], ["k", "v"])
+        merge_delta(spark, uri, src, on=["k"])
+        assert rows(spark, uri) == [(1, "a")]
+
+    def test_null_key_source_rows_insert(self, spark, tmp_path):
+        uri = _seed(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(None, "null-key"), (5, "new-5")], "k long, v string"
+        )
+        merge_delta(spark, uri, src, on=["k"])
+        got = rows(spark, uri)
+        assert (None, "null-key") in got
+        assert dict(r for r in got if r[0] is not None)[5] == "new-5"
