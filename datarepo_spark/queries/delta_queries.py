@@ -198,6 +198,98 @@ def delta_maintenance_roundtrip(
     )
 
 
+_BUILT_MERGE: dict[str, str] = {}
+
+
+def _merge_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Delta table exercising the round-4 DML surface: seed with orders
+    keys ≤ 1200 (range-clustered so MERGE's copy-on-write has distinct
+    file key-ranges to leave untouched), UPSERT a source that doubles
+    the price for keys ≥ 600 and inserts keys 1201–1800, then OPTIMIZE
+    ZORDER BY (o_orderkey, o_totalprice). Every step preserves
+    content-as-a-function-of-`orders`, so plain SQL is the oracle; the
+    zordered layout additionally makes the gated filtered read go
+    through stats-envelope file skipping."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_MERGE and os.path.isdir(
+        os.path.join(_BUILT_MERGE[key], "_delta_log")
+    ):
+        return _BUILT_MERGE[key]
+    from ..tables.delta_writer import merge_delta, zorder_by
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_merge_")
+    uri = os.path.join(base, "orders_merge")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    src_all = load(spark, sf_dir, "orders").select(*cols)
+    seed = src_all.filter(F.col("o_orderkey") <= 1200)
+    write_delta(seed.repartitionByRange(4, "o_orderkey"), uri)
+    updates = (
+        src_all.filter(
+            (F.col("o_orderkey") >= 600) & (F.col("o_orderkey") <= 1800)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    res = merge_delta(spark, uri, updates, on=["o_orderkey"])
+    # keys 600-1200 live in the upper range files only — the lower
+    # file(s) must not have been rewritten
+    assert 0 < res["files_rewritten"] < 4, res
+    zres = zorder_by(spark, uri, ["o_orderkey", "o_totalprice"])
+    assert zres["files_added"] >= 1
+    _BUILT_MERGE[key] = uri
+    return uri
+
+
+@register(
+    "delta_merge_upsert",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey >= 600 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1800
+    """,
+    description="MERGE INTO upsert: doubled prices for matched keys, "
+    "inserted rows for new keys, untouched files preserved byte-for-"
+    "byte; read back after OPTIMIZE ZORDER BY",
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _merge_fixture(spark, sf_dir)
+    table = DeltalakeTable(name="orders_merge", uri=uri)
+    return table(
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        spark=spark,
+    )
+
+
+@register(
+    "delta_zorder_skip",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey >= 600 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1800 AND o_orderkey BETWEEN 200 AND 400
+      AND (CASE WHEN o_orderkey >= 600 THEN o_totalprice * 2
+                ELSE o_totalprice END) > 50000
+    """,
+    description="filtered read of the zordered merge table: the "
+    "o_orderkey band prunes files via add.stats envelopes, rows "
+    "re-filtered post-scan — results must be exact under skipping",
+)
+def delta_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _merge_fixture(spark, sf_dir)
+    table = DeltalakeTable(name="orders_merge", uri=uri)
+    return table(
+        filters=[
+            Filter("o_orderkey", ">=", 200),
+            Filter("o_orderkey", "<=", 400),
+            Filter("o_totalprice", ">", 50000.0),
+        ],
+        columns=["o_orderkey", "o_totalprice"],
+        spark=spark,
+    )
+
+
 def cleanup() -> None:
     """Remove built fixtures (test hygiene; tmpdirs are per-process)."""
     for uri in _BUILT.values():
@@ -206,3 +298,6 @@ def cleanup() -> None:
     for uri in _BUILT_MAINT.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT_MAINT.clear()
+    for uri in _BUILT_MERGE.values():
+        shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
+    _BUILT_MERGE.clear()
