@@ -14,9 +14,10 @@ On a cluster with delta-spark present, `DeltalakeTable` uses the native
 reader instead (see delta_table.py).
 
 Supported: JSON commits, ``.checkpoint.parquet`` (single-part), add/remove
-reconciliation, partitionValues, schemaString, time travel (versionAsOf).
-Refused loudly: column mapping, deletion vectors (reader features beyond
-protocol v1 semantics we can honor).
+reconciliation, partitionValues, schemaString, time travel (versionAsOf),
+column mapping (name mode; id mode via the physicalName fallback).
+Refused loudly: deletion vectors, v2 checkpoints (reader features whose
+semantics we cannot honor).
 """
 
 from __future__ import annotations
@@ -76,6 +77,55 @@ class DeltaSnapshot:
             [f for f in self.schema.fields if f.name not in part]
         )
 
+    # -- column mapping (protocol §column-mapping) ------------------------
+
+    @property
+    def column_mapping_mode(self) -> str:
+        """'none' | 'name' | 'id'. With mapping active, parquet files
+        store PHYSICAL column names (``delta.columnMapping.physicalName``
+        field metadata, typically ``col-<uuid>``), and partitionValues /
+        stats keys are physical too. 'id' mode formally matches by
+        parquet field id; delta-spark sets physicalName in both modes,
+        which is what this reader matches by (documented fallback)."""
+        return self.configuration.get("delta.columnMapping.mode", "none")
+
+    def physical_name(self, field: T.StructField) -> str:
+        meta = field.metadata or {}
+        return meta.get("delta.columnMapping.physicalName", field.name)
+
+    @property
+    def physical_name_map(self) -> dict[str, str]:
+        """logical top-level column name → physical parquet name."""
+        return {f.name: self.physical_name(f) for f in self.schema.fields}
+
+    @property
+    def physical_data_schema(self) -> T.StructType:
+        """data_schema with every (arbitrarily nested) field renamed to
+        its physical name — the schema the parquet files actually have."""
+        part = set(self.partition_columns)
+
+        def conv_dt(dt: T.DataType) -> T.DataType:
+            if isinstance(dt, T.StructType):
+                return T.StructType([conv_field(f) for f in dt.fields])
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(conv_dt(dt.elementType), dt.containsNull)
+            if isinstance(dt, T.MapType):
+                return T.MapType(
+                    conv_dt(dt.keyType),
+                    conv_dt(dt.valueType),
+                    dt.valueContainsNull,
+                )
+            return dt
+
+        def conv_field(f: T.StructField) -> T.StructField:
+            return T.StructField(
+                self.physical_name(f), conv_dt(f.dataType), f.nullable
+            )
+
+        return T.StructType(
+            [conv_field(f) for f in self.schema.fields if f.name not in part]
+        )
+
     def partition_field(self, name: str) -> T.StructField:
         for f in self.schema.fields:
             if f.name == name:
@@ -83,7 +133,9 @@ class DeltaSnapshot:
         raise KeyError(name)
 
 
-_UNSUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
+# columnMapping left OUT: name-mode (and id-mode via the physicalName
+# fallback) reads are supported — see DeltaSnapshot.column_mapping_mode
+_UNSUPPORTED_READER_FEATURES = {"deletionVectors", "v2Checkpoint"}
 
 # (table uri, version) → (log-dir fingerprint, validated-at, snapshot).
 # The fingerprint is the sorted log-file listing: any commit, checkpoint,

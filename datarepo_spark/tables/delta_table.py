@@ -100,7 +100,8 @@ def _partition_prune(
     """Keep files whose partitionValues might satisfy the DNF. Filters on
     non-partition columns are unknown at this level → treated as TRUE.
     (The full predicate is re-applied to rows afterwards, so this only has
-    to be sound, not complete.)"""
+    to be sound, not complete.) With column mapping active,
+    partitionValues are keyed by PHYSICAL names (protocol rule)."""
     if not dnf or not snapshot.partition_columns:
         return snapshot.files
     part_cols = set(snapshot.partition_columns)
@@ -109,8 +110,10 @@ def _partition_prune(
         for f in conj:
             if f.column not in part_cols:
                 continue
-            dtype = snapshot.partition_field(f.column).dataType
-            actual = cast_partition_value(values.get(f.column), dtype)
+            field = snapshot.partition_field(f.column)
+            actual = cast_partition_value(
+                values.get(snapshot.physical_name(field)), field.dataType
+            )
             if not _eval_filter(actual, f):
                 return False
         return True
@@ -120,6 +123,85 @@ def _partition_prune(
         for add in snapshot.files
         if any(conj_matches(conj, add.partition_values) for conj in dnf)
     ]
+
+
+def _names_differ(
+    snapshot: DeltaSnapshot, pf: T.StructField, lf: T.StructField
+) -> bool:
+    """Does this field (or anything nested in it) need renaming?"""
+    if pf.name != lf.name:
+        return True
+
+    def dt_differs(pdt: T.DataType, ldt: T.DataType) -> bool:
+        if isinstance(ldt, T.StructType):
+            return any(
+                _names_differ(snapshot, p, l)
+                for p, l in zip(pdt.fields, ldt.fields)
+            )
+        if isinstance(ldt, T.ArrayType):
+            return dt_differs(pdt.elementType, ldt.elementType)
+        if isinstance(ldt, T.MapType):
+            return dt_differs(pdt.keyType, ldt.keyType) or dt_differs(
+                pdt.valueType, ldt.valueType
+            )
+        return False
+
+    return dt_differs(pf.dataType, lf.dataType)
+
+
+def _remap_to_logical(
+    df: DataFrame, snapshot: DeltaSnapshot, keep_rel: bool = False
+) -> DataFrame:
+    """Rename a column-mapped scan's physical names (col-<uuid>) back to
+    the table's logical names, recursing through structs, arrays, and
+    map values. Pure projection — whole-stage codegen, no shuffle."""
+
+    def conv(col: Column, pdt: T.DataType, ldt: T.DataType) -> Column:
+        if isinstance(ldt, T.StructType):
+            rebuilt = F.struct(
+                *[
+                    conv(col[p.name], p.dataType, l.dataType).alias(l.name)
+                    for p, l in zip(pdt.fields, ldt.fields)
+                ]
+            )
+            # struct(...) of a NULL struct yields a row of nulls, not
+            # NULL — preserve nullness explicitly
+            return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+        if isinstance(ldt, T.ArrayType):
+            if not isinstance(
+                ldt.elementType, (T.StructType, T.ArrayType, T.MapType)
+            ):
+                return col
+            return F.transform(
+                col, lambda x: conv(x, pdt.elementType, ldt.elementType)
+            )
+        if isinstance(ldt, T.MapType):
+            if not isinstance(
+                ldt.valueType, (T.StructType, T.ArrayType, T.MapType)
+            ):
+                return col
+            return F.transform_values(
+                col, lambda _k, v: conv(v, pdt.valueType, ldt.valueType)
+            )
+        return col
+
+    pdata = snapshot.physical_data_schema
+    ldata = snapshot.data_schema
+    out: list[Column] = []
+    for pf, lf in zip(pdata.fields, ldata.fields):
+        if _names_differ(snapshot, pf, lf):
+            out.append(
+                conv(F.col(f"`{pf.name}`"), pf.dataType, lf.dataType)
+                .alias(lf.name)
+            )
+        else:
+            out.append(F.col(f"`{pf.name}`"))
+    # partition columns (restored with logical names) and bookkeeping
+    # columns pass through untouched
+    out.extend(F.col(c) for c in snapshot.partition_columns if c in df.columns)
+    if keep_rel and "__delta_rel" in df.columns:
+        out.append(F.col("__delta_rel"))
+    return df.select(*out)
 
 
 def _eval_filter(actual: Any, f: Filter) -> bool:
@@ -301,13 +383,34 @@ class DeltalakeTable:
         # what turns "scan the partition" into "open the few files whose
         # min/max overlap the predicate". Sound-only: rows are
         # re-filtered after the scan (_finish), so unknowns keep files.
-        files = stats_prune(files, dnf, snapshot.data_schema)
+        # Column mapping: stats keys are physical names — translate the
+        # DNF before consulting envelopes.
+        mapping = snapshot.column_mapping_mode != "none"
+        if mapping:
+            phys = snapshot.physical_name_map
+            stats_dnf = [
+                [Filter(phys.get(f.column, f.column), f.operator, f.value)
+                 for f in conj]
+                for conj in dnf
+            ] if dnf else dnf
+            files = stats_prune(files, stats_dnf, snapshot.physical_data_schema)
+        else:
+            files = stats_prune(files, dnf, snapshot.data_schema)
         if not files:
             return None
         paths = [
             os.path.join(self.uri, unquote(add.path)) for add in files
         ]
-        df = spark.read.schema(snapshot.data_schema).parquet(*paths)
+        # With column mapping the parquet files carry PHYSICAL column
+        # names (col-<uuid>): scan under the physical schema; logical
+        # names are rebuilt at every nesting level at the END of this
+        # method (after the _metadata-based partition restore, which a
+        # projection would sever). Without this the logical-schema scan
+        # would resolve no columns and return all-null rows.
+        read_schema = (
+            snapshot.physical_data_schema if mapping else snapshot.data_schema
+        )
+        df = spark.read.schema(read_schema).parquet(*paths)
         if keep_rel and not snapshot.partition_columns:
             segs = F.split(F.col("_metadata.file_path"), "/")
             df = df.withColumn(
@@ -344,7 +447,13 @@ class DeltalakeTable:
                     [unquote(add.path)]
                     + [
                         cast_partition_value(
-                            add.partition_values.get(f.name), f.dataType
+                            # column mapping keys partitionValues by
+                            # PHYSICAL name (physical_name == f.name
+                            # when mapping is off)
+                            add.partition_values.get(
+                                snapshot.physical_name(f)
+                            ),
+                            f.dataType,
                         )
                         for f in part_fields
                     ]
@@ -366,6 +475,8 @@ class DeltalakeTable:
             )
             if not keep_rel:
                 df = df.drop("__delta_rel")
+        if mapping:
+            df = _remap_to_logical(df, snapshot, keep_rel=keep_rel)
         return df
 
     # -- post-read semantics ---------------------------------------------------

@@ -34,6 +34,21 @@ def _schema_string(df: DataFrame) -> str:
     return json.dumps(df.schema.jsonValue())
 
 
+def _reject_column_mapping(snapshot, op: str) -> None:
+    """This writer stages files with LOGICAL column names; on a
+    column-mapped table the protocol requires PHYSICAL names in the
+    files, partitionValues, and stats — writing logical names would
+    corrupt the table for every conforming reader. Read support exists
+    (delta_table.py); the write path refuses loudly."""
+    mode = snapshot.column_mapping_mode
+    if mode != "none":
+        raise NotImplementedError(
+            f"{op} on a column-mapped table (delta.columnMapping.mode="
+            f"{mode!r}) is not supported — this writer emits logical "
+            f"column names, which would corrupt the mapped layout"
+        )
+
+
 class _micros_timestamps:
     """Write-scope conf: Spark's default INT96 parquet timestamps carry NO
     column statistics (deprecated physical type), which would silently
@@ -159,6 +174,7 @@ def write_delta(
     partition_cols = list(partition_by)
     if exists:
         snapshot = DeltaLog(uri).snapshot()
+        _reject_column_mapping(snapshot, "write_delta")
         if txn_app_id is not None:
             last = snapshot.app_transactions.get(txn_app_id)
             if last is not None and txn_version <= last:
@@ -500,6 +516,7 @@ def compact(
     version is -1 when nothing needed compacting."""
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
+    _reject_column_mapping(snapshot, "compact")
 
     groups: dict[tuple, list] = {}
     for f in snapshot.files:
@@ -634,6 +651,7 @@ def merge_delta(
         raise ValueError("merge_delta requires at least one key column")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
+    _reject_column_mapping(snapshot, "merge_delta")
     table_cols = [f.name for f in snapshot.schema.fields]
     if set(source.columns) != set(table_cols):
         raise ValueError(
@@ -823,6 +841,7 @@ def zorder_by(
         raise ValueError("zorder_by takes 1-4 columns")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
+    _reject_column_mapping(snapshot, "zorder_by")
     part_cols = snapshot.partition_columns
     bad = [c for c in columns if c in part_cols]
     if bad:

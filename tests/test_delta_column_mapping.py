@@ -1,0 +1,278 @@
+"""Column-mapped Delta tables (delta.columnMapping.mode = name | id).
+
+delta-rs — the engine under the reference's DeltalakeTable — reads these;
+so must we. The fixture builds the table BY HAND (physical col-<uuid>
+parquet names + a hand-written log), because our writer deliberately
+refuses to produce mapped layouts: it stages logical names, which would
+corrupt a mapped table for conforming readers — also asserted here.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datarepo_spark.core.filters import Filter, normalize_filters
+from datarepo_spark.tables.delta_log import DeltaLog
+from datarepo_spark.tables.delta_stats import stats_prune
+from datarepo_spark.tables.delta_table import DeltalakeTable
+from datarepo_spark.tables.delta_writer import (
+    compact,
+    merge_delta,
+    write_delta,
+    zorder_by,
+)
+
+PHYS_ID = "col-11111111"
+PHYS_NAME = "col-22222222"
+PHYS_PART = "col-33333333"
+
+
+def _field(name, ftype, phys, fid):
+    return {
+        "name": name,
+        "type": ftype,
+        "nullable": True,
+        "metadata": {
+            "delta.columnMapping.id": fid,
+            "delta.columnMapping.physicalName": phys,
+        },
+    }
+
+
+def _commit(log_dir, actions):
+    os.makedirs(log_dir, exist_ok=True)
+    n = len([f for f in os.listdir(log_dir) if f.endswith(".json")])
+    with open(os.path.join(log_dir, f"{n:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _mapped_table(spark, tmp_path, mode="name", partitioned=False):
+    """id/name table: logical (id long, name string[, part string])."""
+    uri = str(tmp_path / "mapped")
+    os.makedirs(uri, exist_ok=True)
+    fields = [
+        _field("id", "long", PHYS_ID, 1),
+        _field("name", "string", PHYS_NAME, 2),
+    ]
+    part_cols = []
+    if partitioned:
+        fields.append(_field("part", "string", PHYS_PART, 3))
+        part_cols = ["part"]
+    schema_string = json.dumps({"type": "struct", "fields": fields})
+
+    adds = []
+    groups = (
+        [("a", range(0, 5)), ("b", range(5, 10))]
+        if partitioned
+        else [(None, range(0, 10))]
+    )
+    for part_val, ids in groups:
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in ids], [PHYS_ID, PHYS_NAME]
+        ).coalesce(1)
+        rel_dir = f"{PHYS_PART}={part_val}" if part_val else ""
+        out_dir = os.path.join(uri, "_stage")
+        df.write.mode("overwrite").parquet(out_dir)
+        src = [
+            f for f in os.listdir(out_dir) if f.endswith(".parquet")
+        ][0]
+        fname = f"part-{part_val or 'all'}.parquet"
+        rel = os.path.join(rel_dir, fname) if rel_dir else fname
+        os.makedirs(os.path.dirname(os.path.join(uri, rel)) or uri,
+                    exist_ok=True)
+        os.replace(os.path.join(out_dir, src), os.path.join(uri, rel))
+        stats = {
+            "numRecords": len(list(ids)),
+            "minValues": {PHYS_ID: min(ids)},
+            "maxValues": {PHYS_ID: max(ids)},
+            "nullCount": {PHYS_ID: 0, PHYS_NAME: 0},
+        }
+        adds.append(
+            {
+                "add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": (
+                        {PHYS_PART: part_val} if part_val else {}
+                    ),
+                    "size": os.path.getsize(os.path.join(uri, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    import shutil
+
+    shutil.rmtree(os.path.join(uri, "_stage"), ignore_errors=True)
+    _commit(
+        os.path.join(uri, "_delta_log"),
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "test-mapped",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": part_cols,
+                    "configuration": {
+                        "delta.columnMapping.mode": mode,
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                    "createdTime": 0,
+                }
+            },
+            *adds,
+        ],
+    )
+    return uri
+
+
+class TestColumnMapping:
+    def test_logical_names_and_values(self, spark, tmp_path):
+        uri = _mapped_table(spark, tmp_path)
+        t = DeltalakeTable("mapped", uri)
+        df = t(spark=spark)
+        assert set(df.columns) == {"id", "name"}
+        got = sorted((r.id, r.name) for r in df.collect())
+        assert got == [(i, f"n{i}") for i in range(10)]
+
+    def test_id_mode_reads_via_physical_fallback(self, spark, tmp_path):
+        uri = _mapped_table(spark, tmp_path, mode="id")
+        t = DeltalakeTable("mapped", uri)
+        assert t(spark=spark).count() == 10
+
+    def test_row_filters_on_logical_columns(self, spark, tmp_path):
+        uri = _mapped_table(spark, tmp_path)
+        t = DeltalakeTable("mapped", uri)
+        got = sorted(
+            r.id
+            for r in t(filters=[Filter("id", "<", 3)], spark=spark).collect()
+        )
+        assert got == [0, 1, 2]
+
+    def test_partitioned_mapped_restore_and_prune(self, spark, tmp_path):
+        uri = _mapped_table(spark, tmp_path, partitioned=True)
+        snap = DeltaLog(uri).snapshot()
+        assert snap.column_mapping_mode == "name"
+        t = DeltalakeTable("mapped", uri)
+        df = t(filters=[Filter("part", "=", "b")], spark=spark)
+        rows = sorted((r.id, r.part) for r in df.collect())
+        assert rows == [(i, "b") for i in range(5, 10)]
+
+    def test_stats_prune_physical_keys(self, spark, tmp_path):
+        uri = _mapped_table(spark, tmp_path, partitioned=True)
+        snap = DeltaLog(uri).snapshot()
+        # physical translation happens inside the table read; verify the
+        # envelope math directly against the physical schema
+        dnf = normalize_filters([Filter(PHYS_ID, "<", 3)])
+        kept = stats_prune(snap.files, dnf, snap.physical_data_schema)
+        assert len(kept) == 1
+        # and end to end: a logical-id band must return exact rows
+        t = DeltalakeTable("mapped", uri)
+        got = sorted(
+            r.id
+            for r in t(filters=[Filter("id", ">=", 7)], spark=spark).collect()
+        )
+        assert got == [7, 8, 9]
+
+    def test_nested_struct_remap(self, spark, tmp_path):
+        uri = str(tmp_path / "nested")
+        os.makedirs(uri, exist_ok=True)
+        phys_meta, phys_inner = "col-m", "col-i"
+        schema_string = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    _field("id", "long", PHYS_ID, 1),
+                    {
+                        "name": "meta",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                _field("inner", "string", phys_inner, 3)
+                            ],
+                        },
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 2,
+                            "delta.columnMapping.physicalName": phys_meta,
+                        },
+                    },
+                ],
+            }
+        )
+        df = spark.createDataFrame(
+            [(1, ("x",)), (2, None)], f"`{PHYS_ID}` long, `{phys_meta}` struct<`{phys_inner}`:string>"
+        ).coalesce(1)
+        stage = os.path.join(uri, "_stage")
+        df.write.mode("overwrite").parquet(stage)
+        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(stage, src), os.path.join(uri, "f.parquet"))
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        _commit(
+            os.path.join(uri, "_delta_log"),
+            [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {
+                    "metaData": {
+                        "id": "nested-mapped",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_string,
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.columnMapping.mode": "name"
+                        },
+                        "createdTime": 0,
+                    }
+                },
+                {
+                    "add": {
+                        "path": "f.parquet",
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(uri, "f.parquet")
+                        ),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                },
+            ],
+        )
+        t = DeltalakeTable("nested", uri)
+        df = t(spark=spark)
+        assert df.schema["meta"].dataType.fieldNames() == ["inner"]
+        rows = sorted(
+            df.collect(), key=lambda r: r.id
+        )
+        assert rows[0].meta.inner == "x"
+        assert rows[1].meta is None  # null struct stays null, not row-of-nulls
+
+    def test_writers_refuse_mapped_tables(self, spark, tmp_path):
+        uri = _mapped_table(spark, tmp_path)
+        src = spark.createDataFrame([(99, "z")], ["id", "name"])
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            write_delta(src, uri)
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            merge_delta(spark, uri, src, on=["id"])
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            compact(spark, uri)
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            zorder_by(spark, uri, ["id"])
+
+    def test_unmapped_tables_unaffected(self, spark, tmp_path):
+        """physical_name falls through to the logical name when no
+        mapping metadata exists — the entire non-mapped path must be
+        byte-identical to before."""
+        uri = str(tmp_path / "plain")
+        write_delta(
+            spark.createDataFrame([(1, "a")], ["id", "name"]), uri
+        )
+        snap = DeltaLog(uri).snapshot()
+        assert snap.column_mapping_mode == "none"
+        assert snap.physical_name_map == {"id": "id", "name": "name"}
+        assert [r.id for r in DeltalakeTable("p", uri)(spark=spark).collect()] == [1]
