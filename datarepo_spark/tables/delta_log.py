@@ -13,11 +13,12 @@ holds on the driver); the *data* path stays fully distributed:
 On a cluster with delta-spark present, `DeltalakeTable` uses the native
 reader instead (see delta_table.py).
 
-Supported: JSON commits, ``.checkpoint.parquet`` (single-part), add/remove
-reconciliation, partitionValues, schemaString, time travel (versionAsOf),
-column mapping (name mode; id mode via the physicalName fallback).
-Refused loudly: deletion vectors, v2 checkpoints (reader features whose
-semantics we cannot honor).
+Supported: JSON commits, checkpoints in all three public layouts
+(classic single-part, classic multi-part — only when every part is
+present, v2 manifest + sidecars), add/remove reconciliation,
+partitionValues, schemaString, time travel (versionAsOf), column mapping
+(name mode; id mode via the physicalName fallback).
+Refused loudly: deletion vectors (reader semantics we cannot honor).
 """
 
 from __future__ import annotations
@@ -134,8 +135,10 @@ class DeltaSnapshot:
 
 
 # columnMapping left OUT: name-mode (and id-mode via the physicalName
-# fallback) reads are supported — see DeltaSnapshot.column_mapping_mode
-_UNSUPPORTED_READER_FEATURES = {"deletionVectors", "v2Checkpoint"}
+# fallback) reads are supported — see DeltaSnapshot.column_mapping_mode.
+# v2Checkpoint left OUT: manifest + sidecar replay is supported — see
+# DeltaLog._checkpoint_actions.
+_UNSUPPORTED_READER_FEATURES = {"deletionVectors"}
 
 # (table uri, version) → (log-dir fingerprint, validated-at, snapshot).
 # The fingerprint is the sorted log-file listing: any commit, checkpoint,
@@ -182,15 +185,59 @@ class DeltaLog:
                     continue
         return sorted(out)
 
-    def _checkpoint_versions(self) -> list[int]:
-        out = []
+    def _checkpoint_catalog(self) -> dict[int, dict[str, Any]]:
+        """version → the COMPLETE checkpoint found there, as
+        {"kind": "classic" | "multipart" | "v2", "files": [ordered names]}.
+
+        Three public layouts (PROTOCOL.md 'Checkpoints'):
+        - classic single-part   NNN.checkpoint.parquet
+        - classic multi-part    NNN.checkpoint.PPPPPPPPPP.TTTTTTTTTT.parquet
+          (usable only when all T parts are present — a partial upload
+          must be invisible, not a truncated file set)
+        - v2                    NNN.checkpoint.<uuid>.(parquet|json): a
+          manifest whose ``sidecar`` actions point into _sidecars/
+        """
+        import re
+
+        classic: dict[int, str] = {}
+        multi: dict[int, dict[int, dict[int, str]]] = {}
+        v2: dict[int, str] = {}
         for name in os.listdir(self.log_dir):
-            if name.endswith(".checkpoint.parquet"):
-                try:
-                    out.append(int(name.split(".")[0]))
-                except ValueError:
-                    continue
-        return sorted(out)
+            m = re.match(r"^(\d{20})\.checkpoint\.parquet$", name)
+            if m:
+                classic[int(m.group(1))] = name
+                continue
+            m = re.match(
+                r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$", name
+            )
+            if m:
+                v, part, total = (int(m.group(i)) for i in (1, 2, 3))
+                multi.setdefault(v, {}).setdefault(total, {})[part] = name
+                continue
+            m = re.match(
+                r"^(\d{20})\.checkpoint\.[0-9a-zA-Z_-]+\.(parquet|json)$",
+                name,
+            )
+            if m:
+                v2[int(m.group(1))] = name
+
+        out: dict[int, dict[str, Any]] = {}
+        for v, name in v2.items():
+            out[v] = {"kind": "v2", "files": [name]}
+        for v, by_total in multi.items():
+            for total, parts in by_total.items():
+                if len(parts) == total:
+                    out[v] = {
+                        "kind": "multipart",
+                        "files": [parts[i] for i in range(1, total + 1)],
+                    }
+                    break
+        for v, name in classic.items():
+            out[v] = {"kind": "classic", "files": [name]}
+        return out
+
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(self._checkpoint_catalog())
 
     def latest_version(self) -> int:
         versions = self._commit_versions()
@@ -211,17 +258,55 @@ class DeltaLog:
                     actions.append(json.loads(line))
         return actions
 
-    def _checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
-        import pyarrow.parquet as pq
+    _ACTION_KEYS = ("add", "remove", "metaData", "protocol", "txn")
 
-        path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
-        table = pq.read_table(path)
+    def _rows_to_actions(self, rows) -> list[dict[str, Any]]:
         actions: list[dict[str, Any]] = []
-        for row in table.to_pylist():
-            for key in ("add", "remove", "metaData", "protocol", "txn"):
+        for row in rows:
+            for key in self._ACTION_KEYS:
                 value = row.get(key)
                 if value is not None:
                     actions.append({key: value})
+        return actions
+
+    def _checkpoint_actions(self, version: int) -> list[dict[str, Any]]:
+        import pyarrow.parquet as pq
+
+        entry = self._checkpoint_catalog().get(version)
+        if entry is None:
+            raise FileNotFoundError(
+                f"No complete checkpoint at version {version} in "
+                f"{self.log_dir}"
+            )
+        if entry["kind"] in ("classic", "multipart"):
+            actions: list[dict[str, Any]] = []
+            for name in entry["files"]:
+                table = pq.read_table(os.path.join(self.log_dir, name))
+                actions.extend(self._rows_to_actions(table.to_pylist()))
+            return actions
+
+        # v2: manifest (parquet or json) + sidecar expansion. The
+        # manifest's own rows may carry any action; `sidecar` rows point
+        # at _delta_log/_sidecars/<file>.parquet holding the file actions.
+        name = entry["files"][0]
+        path = os.path.join(self.log_dir, name)
+        if name.endswith(".json"):
+            rows = []
+            with open(path, "r", encoding="utf-8") as handle:
+                for line in handle:
+                    line = line.strip()
+                    if line:
+                        rows.append(json.loads(line))
+        else:
+            rows = pq.read_table(path).to_pylist()
+        actions = self._rows_to_actions(rows)
+        for row in rows:
+            sc = row.get("sidecar")
+            if sc is None or sc.get("path") is None:
+                continue
+            sc_path = os.path.join(self.log_dir, "_sidecars", sc["path"])
+            table = pq.read_table(sc_path)
+            actions.extend(self._rows_to_actions(table.to_pylist()))
         return actions
 
     # -- snapshot resolution -------------------------------------------------
