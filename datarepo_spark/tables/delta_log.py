@@ -17,8 +17,9 @@ Supported: JSON commits, checkpoints in all three public layouts
 (classic single-part, classic multi-part — only when every part is
 present, v2 manifest + sidecars), add/remove reconciliation,
 partitionValues, schemaString, time travel (versionAsOf), column mapping
-(name mode; id mode via the physicalName fallback).
-Refused loudly: deletion vectors (reader semantics we cannot honor).
+(name mode; id mode via the physicalName fallback), deletion vectors
+(portable roaring bitmaps → row_index anti-join, :mod:`delta_dv`).
+Refused loudly: any reader feature outside the supported allowlist.
 """
 
 from __future__ import annotations
@@ -39,6 +40,10 @@ class AddFile:
     # the add action's data-skipping JSON (numRecords/minValues/
     # maxValues/nullCount) — consumed by delta_stats.stats_prune
     stats: Optional[str] = None
+    # deletion-vector descriptor (storageType/pathOrInlineDv/offset/
+    # sizeInBytes/cardinality) — rows at these indexes are soft-deleted;
+    # resolved by delta_dv.read_deletion_vector at scan time
+    deletion_vector: Optional[dict[str, Any]] = None
 
 
 @dataclass
@@ -134,11 +139,21 @@ class DeltaSnapshot:
         raise KeyError(name)
 
 
-# columnMapping left OUT: name-mode (and id-mode via the physicalName
-# fallback) reads are supported — see DeltaSnapshot.column_mapping_mode.
-# v2Checkpoint left OUT: manifest + sidecar replay is supported — see
-# DeltaLog._checkpoint_actions.
-_UNSUPPORTED_READER_FEATURES = {"deletionVectors"}
+# Protocol rule: a reader MUST refuse any readerFeature it does not
+# recognize (an allowlist, not a blocklist — a future feature could
+# change read semantics arbitrarily). Supported here: columnMapping
+# (name mode; id via physicalName fallback), v2Checkpoint (manifest +
+# sidecar replay), deletionVectors (portable roaring parse + row_index
+# anti-join, delta_dv.py), timestampNtz (schema-driven, no special
+# handling), vacuumProtocolCheck (a writer-side contract; reads are
+# unaffected).
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "v2Checkpoint",
+    "deletionVectors",
+    "timestampNtz",
+    "vacuumProtocolCheck",
+}
 
 # (table uri, version) → (log-dir fingerprint, validated-at, snapshot).
 # The fingerprint is the sorted log-file listing: any commit, checkpoint,
@@ -379,7 +394,7 @@ class DeltaLog:
                 raw_protocol = dict(action["protocol"])
                 proto = action["protocol"]
                 features = set(proto.get("readerFeatures") or [])
-                bad = features & _UNSUPPORTED_READER_FEATURES
+                bad = features - _SUPPORTED_READER_FEATURES
                 if bad:
                     raise NotImplementedError(
                         f"Delta reader features not supported: {sorted(bad)}"
@@ -398,15 +413,13 @@ class DeltaLog:
                 configuration = dict(meta.get("configuration") or {})
             elif "add" in action:
                 add = action["add"]
-                if add.get("deletionVector"):
-                    raise NotImplementedError(
-                        "Deletion vectors are not supported"
-                    )
+                dv = add.get("deletionVector")
                 adds[add["path"]] = AddFile(
                     path=add["path"],
                     partition_values=dict(add.get("partitionValues") or {}),
                     size=int(add.get("size") or 0),
                     stats=add.get("stats"),
+                    deletion_vector=dict(dv) if dv else None,
                 )
                 # Re-adding a path cancels its tombstone (protocol
                 # reconciliation: latest action per path wins).

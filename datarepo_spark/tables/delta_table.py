@@ -411,7 +411,14 @@ class DeltalakeTable:
             snapshot.physical_data_schema if mapping else snapshot.data_schema
         )
         df = spark.read.schema(read_schema).parquet(*paths)
-        if keep_rel and not snapshot.partition_columns:
+        # Deletion vectors: soft-deleted (file, row_index) pairs must
+        # vanish from every read. Capture the parquet row index at scan
+        # time and anti-join the broadcast DV position set after the
+        # file-path attribution below.
+        has_dv = any(add.deletion_vector for add in files)
+        if has_dv:
+            df = df.withColumn("__delta_pos", F.col("_metadata.row_index"))
+        if (keep_rel or has_dv) and not snapshot.partition_columns:
             segs = F.split(F.col("_metadata.file_path"), "/")
             df = df.withColumn(
                 "__delta_rel",
@@ -473,8 +480,36 @@ class DeltalakeTable:
                 )
                 .join(F.broadcast(lookup), "__delta_rel", "left")
             )
-            if not keep_rel:
-                df = df.drop("__delta_rel")
+        if has_dv:
+            from .delta_dv import read_deletion_vector
+
+            dv_rows = [
+                (unquote(add.path), int(pos))
+                for add in files
+                if add.deletion_vector
+                for pos in read_deletion_vector(
+                    self.uri, add.deletion_vector
+                )
+            ]
+            dv_df = spark.createDataFrame(
+                dv_rows,
+                T.StructType(
+                    [
+                        T.StructField("__delta_rel", T.StringType(), False),
+                        T.StructField("__delta_pos", T.LongType(), False),
+                    ]
+                ),
+            )
+            # broadcast anti-join: the DV set is the table's deleted-row
+            # count — the same driver-resident footprint delta-spark's
+            # bitmap broadcast pays — and data rows never shuffle
+            df = df.join(
+                F.broadcast(dv_df),
+                ["__delta_rel", "__delta_pos"],
+                "left_anti",
+            ).drop("__delta_pos")
+        if "__delta_rel" in df.columns and not keep_rel:
+            df = df.drop("__delta_rel")
         if mapping:
             df = _remap_to_logical(df, snapshot, keep_rel=keep_rel)
         return df

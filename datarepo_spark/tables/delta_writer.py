@@ -321,6 +321,15 @@ def checkpoint_arrow_schema():
     import pyarrow as pa
 
     str_map = pa.map_(pa.string(), pa.string())
+    dv_struct = pa.struct(
+        [
+            pa.field("storageType", pa.string()),
+            pa.field("pathOrInlineDv", pa.string()),
+            pa.field("offset", pa.int32()),
+            pa.field("sizeInBytes", pa.int32()),
+            pa.field("cardinality", pa.int64()),
+        ]
+    )
     return pa.schema(
         [
             pa.field(
@@ -344,6 +353,9 @@ def checkpoint_arrow_schema():
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
                         pa.field("tags", str_map),
+                        # checkpoints must preserve DV descriptors or a
+                        # log clean would resurrect soft-deleted rows
+                        pa.field("deletionVector", dv_struct),
                     ]
                 ),
             ),
@@ -445,6 +457,17 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
         {"protocol": protocol_row},
         {"metaData": metadata_row},
     ]
+    def _dv_row(dv):
+        if not dv:
+            return None
+        return {
+            "storageType": dv.get("storageType"),
+            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+            "offset": dv.get("offset"),
+            "sizeInBytes": dv.get("sizeInBytes"),
+            "cardinality": dv.get("cardinality"),
+        }
+
     rows.extend(
         {
             "add": {
@@ -457,6 +480,7 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
                 # dropping it would silently disable file pruning for
                 # every table whose log has been cleaned past a commit
                 "stats": f.stats,
+                "deletionVector": _dv_row(f.deletion_vector),
             }
         }
         for f in snapshot.files
@@ -517,6 +541,15 @@ def compact(
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
     _reject_column_mapping(snapshot, "compact")
+    if any(f.deletion_vector for f in snapshot.files):
+        # compact reads data files RAW — rewriting a DV'd file would
+        # resurrect its soft-deleted rows. (zorder_by/merge_delta read
+        # through the DV-aware table path and are safe: their rewrites
+        # materialize the deletions and drop the DVs.)
+        raise NotImplementedError(
+            "compact on a table with deletion vectors is not supported; "
+            "use zorder_by (full re-cluster) which materializes deletions"
+        )
 
     groups: dict[tuple, list] = {}
     for f in snapshot.files:

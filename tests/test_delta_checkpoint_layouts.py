@@ -211,7 +211,10 @@ class TestV2:
         invalidate_snapshot_cache()
         assert _vals(spark, uri) == [1, 2, 3]
 
-    def test_deletion_vectors_still_refused(self, spark, tmp_path):
+    def test_unknown_reader_feature_refused(self, spark, tmp_path):
+        """The feature gate is an ALLOWLIST: anything unrecognized must
+        refuse (a future feature can change read semantics arbitrarily);
+        everything we implement — deletionVectors included — passes."""
         uri = _seed(spark, tmp_path)
         log = os.path.join(uri, "_delta_log")
         with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
@@ -221,12 +224,15 @@ class TestV2:
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": ["deletionVectors"],
+                            "readerFeatures": [
+                                "deletionVectors",
+                                "someFutureFeature",
+                            ],
                         }
                     }
                 )
                 + "\n"
             )
         invalidate_snapshot_cache()
-        with pytest.raises(NotImplementedError, match="deletionVectors"):
+        with pytest.raises(NotImplementedError, match="someFutureFeature"):
             DeltaLog(uri).snapshot()

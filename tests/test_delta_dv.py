@@ -1,0 +1,207 @@
+"""Deletion vectors: byte-format fidelity (z85, portable roaring) and
+read-side semantics (soft-deleted rows vanish; time travel resurrects;
+checkpoints preserve the descriptors)."""
+
+import json
+import os
+import struct
+
+import pytest
+
+from datarepo_spark.core.filters import Filter
+from datarepo_spark.tables import delta_dv as dv
+from datarepo_spark.tables.delta_log import (
+    DeltaLog,
+    invalidate_snapshot_cache,
+)
+from datarepo_spark.tables.delta_table import DeltalakeTable
+from datarepo_spark.tables.delta_writer import (
+    compact,
+    write_checkpoint,
+    write_delta,
+)
+
+
+class TestZ85:
+    def test_spec_vector(self):
+        # the ZeroMQ Z85 spec's reference case: "HelloWorld"
+        data = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+        assert dv.z85_encode(data) == "HelloWorld"
+        assert dv.z85_decode("HelloWorld") == data
+
+    def test_roundtrip(self):
+        for blob in (b"\x00" * 16, bytes(range(16)), b"\xff" * 4):
+            assert dv.z85_decode(dv.z85_encode(blob)) == blob
+
+    def test_bad_lengths(self):
+        with pytest.raises(ValueError):
+            dv.z85_encode(b"abc")
+        with pytest.raises(ValueError):
+            dv.z85_decode("abcd")
+
+
+class TestRoaring:
+    @pytest.mark.parametrize(
+        "positions",
+        [
+            [0],
+            [0, 1, 2, 65535, 65536, 70000],
+            list(range(5000)),  # > 4096 in one container → bitmap form
+            [1, (1 << 16) + 2, (3 << 16) + 7],
+            [5, (1 << 32) + 5, (7 << 32) + 123456],  # multiple int32 keys
+            [],
+        ],
+    )
+    def test_roundtrip(self, positions):
+        blob = dv.serialize_bitmap_array(positions)
+        assert dv.parse_bitmap_array(blob) == sorted(set(positions))
+
+    def test_run_container_parse(self):
+        # hand-craft cookie-12347 form with ONE run container holding
+        # [10, 14] ∪ [100, 100] — the layout our serializer never emits
+        rb = struct.pack("<I", ((1 - 1) << 16) | 12347)  # 1 container
+        rb += b"\x01"  # run flag bitset: container 0 is runs
+        rb += struct.pack("<HH", 0, 6 - 1)  # key 0, cardinality 6
+        # < NO_OFFSET_THRESHOLD containers → no offset header
+        rb += struct.pack("<H", 2)  # two runs
+        rb += struct.pack("<HH", 10, 4)  # [10..14]
+        rb += struct.pack("<HH", 100, 0)  # [100]
+        blob = struct.pack("<iq", dv.MAGIC, 1) + struct.pack("<i", 0) + rb
+        assert dv.parse_bitmap_array(blob) == [10, 11, 12, 13, 14, 100]
+
+    def test_bad_magic(self):
+        with pytest.raises(ValueError, match="magic"):
+            dv.parse_bitmap_array(struct.pack("<iq", 99, 0))
+
+
+def _dv_table(spark, tmp_path, deleted, inline=False):
+    """Two-file table (ids 0-9 file A, 10-19 file B) with a DV deleting
+    ``deleted`` (positions within file A) via a version-1 commit."""
+    from pyspark.sql import functions as F
+
+    uri = str(tmp_path / "t")
+    a = spark.range(0, 10).select(
+        F.col("id"), F.concat(F.lit("r"), "id").alias("v")
+    )
+    b = spark.range(10, 20).select(
+        F.col("id"), F.concat(F.lit("r"), "id").alias("v")
+    )
+    write_delta(a.coalesce(1).sortWithinPartitions("id"), uri,
+                checkpoint_interval=None)
+    write_delta(b.coalesce(1), uri, checkpoint_interval=None)
+    snap = DeltaLog(uri).snapshot()
+    # file A is the one whose stats say min id == 0
+    file_a = next(
+        f for f in snap.files if json.loads(f.stats)["minValues"]["id"] == 0
+    )
+    if inline:
+        data = dv.serialize_bitmap_array(deleted)
+        pad = (-len(data)) % 4
+        descriptor = {
+            "storageType": "i",
+            "pathOrInlineDv": dv.z85_encode(data + b"\x00" * pad),
+            "cardinality": len(deleted),
+        }
+    else:
+        descriptor, _ = dv.write_dv_file(uri, deleted)
+    log = os.path.join(uri, "_delta_log")
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": file_a.path,
+                        "partitionValues": {},
+                        "size": file_a.size,
+                        "modificationTime": 0,
+                        "dataChange": False,
+                        "stats": file_a.stats,
+                        "deletionVector": descriptor,
+                    }
+                }
+            )
+            + "\n"
+        )
+    invalidate_snapshot_cache()
+    return uri
+
+
+def _ids(spark, uri, **kw):
+    return sorted(
+        r.id for r in DeltalakeTable("t", uri)(spark=spark, **kw).collect()
+    )
+
+
+class TestReadSemantics:
+    def test_deleted_rows_vanish(self, spark, tmp_path):
+        uri = _dv_table(spark, tmp_path, deleted=[2, 5, 7])
+        assert _ids(spark, uri) == [0, 1, 3, 4, 6, 8, 9] + list(range(10, 20))
+
+    def test_inline_dv(self, spark, tmp_path):
+        uri = _dv_table(spark, tmp_path, deleted=[0, 9], inline=True)
+        assert _ids(spark, uri) == list(range(1, 9)) + list(range(10, 20))
+
+    def test_filters_compose_with_dv(self, spark, tmp_path):
+        uri = _dv_table(spark, tmp_path, deleted=[2, 5])
+        got = _ids(spark, uri, filters=[Filter("id", "<", 6)])
+        assert got == [0, 1, 3, 4]
+
+    def test_time_travel_resurrects(self, spark, tmp_path):
+        uri = _dv_table(spark, tmp_path, deleted=[2])
+        assert len(_ids(spark, uri)) == 19
+        assert len(_ids(spark, uri, version=1)) == 20
+
+    def test_checkpoint_preserves_dv(self, spark, tmp_path):
+        uri = _dv_table(spark, tmp_path, deleted=[2, 5, 7])
+        write_checkpoint(uri)
+        log = os.path.join(uri, "_delta_log")
+        for n in list(os.listdir(log)):
+            if n.endswith(".json") and len(n) == 25:
+                os.remove(os.path.join(log, n))
+        invalidate_snapshot_cache()
+        snap = DeltaLog(uri).snapshot()
+        assert sum(1 for f in snap.files if f.deletion_vector) == 1
+        assert len(_ids(spark, uri)) == 17
+
+    def test_compact_refuses_dv_tables(self, spark, tmp_path):
+        uri = _dv_table(spark, tmp_path, deleted=[2])
+        with pytest.raises(NotImplementedError, match="deletion vectors"):
+            compact(spark, uri)
+
+    def test_zorder_materializes_deletions(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import zorder_by
+
+        uri = _dv_table(spark, tmp_path, deleted=[2, 5])
+        zorder_by(spark, uri, ["id"], target_files=1)
+        snap = DeltaLog(uri).snapshot()
+        assert all(f.deletion_vector is None for f in snap.files)
+        assert len(_ids(spark, uri)) == 18
+
+    def test_crc_mismatch_raises(self, spark, tmp_path):
+        uri = str(tmp_path)
+        descriptor, path = dv.write_dv_file(uri, [1, 2, 3])
+        blob = bytearray(open(path, "rb").read())
+        blob[-1] ^= 0xFF
+        open(path, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="checksum"):
+            dv.read_deletion_vector(uri, descriptor)
+
+    def test_unknown_reader_feature_still_refused(self, spark, tmp_path):
+        uri = _dv_table(spark, tmp_path, deleted=[2])
+        log = os.path.join(uri, "_delta_log")
+        with open(os.path.join(log, f"{3:020d}.json"), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["futureQuantumFeature"],
+                        }
+                    }
+                )
+                + "\n"
+            )
+        invalidate_snapshot_cache()
+        with pytest.raises(NotImplementedError, match="futureQuantumFeature"):
+            DeltaLog(uri).snapshot()
