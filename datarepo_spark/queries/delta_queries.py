@@ -290,6 +290,86 @@ def delta_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUILT_DV: dict[str, str] = {}
+
+
+def _dv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Delta table with a deletion vector: orders keys ≤ 1200 written as
+    ONE file in o_orderkey order, then a DV (portocol byte format via
+    delta_dv) soft-deleting every 7th row. Row position == orderkey rank
+    by construction, so the expected content is pure SQL over orders."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_DV and os.path.isdir(
+        os.path.join(_BUILT_DV[key], "_delta_log")
+    ):
+        return _BUILT_DV[key]
+    import json as _json
+
+    from ..tables.delta_dv import write_dv_file
+    from ..tables.delta_log import DeltaLog, invalidate_snapshot_cache
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_dv_")
+    uri = os.path.join(base, "orders_dv")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_delta(src, uri, checkpoint_interval=None)
+    snap = DeltaLog(uri).snapshot()
+    (add,) = snap.files
+    n_rows = _json.loads(add.stats)["numRecords"]
+    descriptor, _path = write_dv_file(uri, range(0, n_rows, 7))
+    with open(
+        os.path.join(uri, "_delta_log", f"{1:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "add": {
+                        "path": add.path,
+                        "partitionValues": {},
+                        "size": add.size,
+                        "modificationTime": 0,
+                        "dataChange": False,
+                        "stats": add.stats,
+                        "deletionVector": descriptor,
+                    }
+                }
+            )
+            + "\n"
+        )
+    invalidate_snapshot_cache(uri)
+    _BUILT_DV[key] = uri
+    return uri
+
+
+@register(
+    "delta_dv_read",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+      FROM orders WHERE o_orderkey <= 1200
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM ranked WHERE pos % 7 <> 0
+    """,
+    description="deletion-vector read: every 7th row of the ordered "
+    "file is soft-deleted via a protocol-format roaring DV; the scan's "
+    "row_index anti-join must drop exactly those rows",
+)
+def delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _dv_fixture(spark, sf_dir)
+    table = DeltalakeTable(name="orders_dv", uri=uri)
+    return table(
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        spark=spark,
+    )
+
+
 def cleanup() -> None:
     """Remove built fixtures (test hygiene; tmpdirs are per-process)."""
     for uri in _BUILT.values():
@@ -301,3 +381,6 @@ def cleanup() -> None:
     for uri in _BUILT_MERGE.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT_MERGE.clear()
+    for uri in _BUILT_DV.values():
+        shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
+    _BUILT_DV.clear()
