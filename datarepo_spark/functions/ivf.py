@@ -140,22 +140,41 @@ class IVFIndex:
         df: DataFrame,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        nprobe: int = 1,
     ) -> DataFrame:
         """Append the nearest-centroid ``cell`` id (cosine argmax), keeping
-        id + vector columns. numpy matmul per Arrow batch."""
+        id + vector columns. numpy matmul per Arrow batch.
+
+        ``nprobe > 1`` emits one row per (vector, cell) for the TOP-nprobe
+        cells — multi-probe blocking: a near-dup pair sitting just across
+        a Voronoi boundary still shares at least one cell as long as
+        either member's second-choice cell is the other's first. Row
+        count multiplies by nprobe; use for candidate generation, not
+        for storage layout."""
         centroids = self.centroids  # closure-shipped; k×d×8B is tiny
+        nprobe = max(1, min(int(nprobe), self.k))
 
         def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 mat = _normalize(
                     np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
                 )
-                cells = np.argmax(mat @ centroids.T, axis=1)
+                sims = mat @ centroids.T
+                if nprobe == 1:
+                    yield pd.DataFrame(
+                        {
+                            id_col: pdf[id_col],
+                            vec_col: pdf[vec_col],
+                            "cell": np.argmax(sims, axis=1).astype("int32"),
+                        }
+                    )
+                    continue
+                top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
                 yield pd.DataFrame(
                     {
-                        id_col: pdf[id_col],
-                        vec_col: pdf[vec_col],
-                        "cell": cells.astype("int32"),
+                        id_col: pdf[id_col].repeat(nprobe),
+                        vec_col: pdf[vec_col].repeat(nprobe),
+                        "cell": top.reshape(-1).astype("int32"),
                     }
                 )
 

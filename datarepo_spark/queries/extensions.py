@@ -335,6 +335,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic",
+    # SemDeDup end to end: k-means cells block the cosine join, pairs
+    # close transitively, min-id survives. The oracle is the UNBLOCKED
+    # brute-force ground truth — parity therefore also certifies that
+    # the cell blocking (with nprobe=2 multi-probe) lost no pair on
+    # this corpus. Synthetic engineered-cluster semantics live in
+    # tests/test_semantic_dedup.py.
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS nrm
+      FROM v
+    ), pairs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE ROUND(LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                             i -> a.e[i] * b.e[i]),
+                              (acc, x) -> acc + x) / (a.nrm * b.nrm),
+                  6) >= 0.9
+    ), edges AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION SELECT ib, ia FROM pairs
+    ), reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    )
+    SELECT emb.vec_id,
+           COALESCE(c.component, emb.vec_id) AS component,
+           (c.component IS NULL OR c.component = emb.vec_id) AS kept
+    FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+    """,
+    description="SemDeDup semantic dedup: spherical k-means cells -> "
+    "blocked cosine pairs -> components -> min-id survivor per cluster; "
+    "oracle is unblocked brute force (blocking recall certified)",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(emb, threshold=0.9, k=8, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

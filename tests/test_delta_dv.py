@@ -132,6 +132,33 @@ def _ids(spark, uri, **kw):
     )
 
 
+class TestRoaringProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        positions=st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=1 << 20),
+                # straddle container (2^16) and bitmap-key (2^32) edges
+                st.integers(min_value=(1 << 16) - 4, max_value=(1 << 16) + 4),
+                st.integers(min_value=(1 << 32) - 4, max_value=(1 << 32) + 4),
+            ),
+            max_size=300,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_serialize_parse_roundtrip(self, positions):
+        blob = dv.serialize_bitmap_array(positions)
+        assert dv.parse_bitmap_array(blob) == sorted(set(positions))
+
+    @given(data=st.binary(min_size=4, max_size=64).map(
+        lambda b: b + b"\x00" * ((-len(b)) % 4)))
+    @settings(max_examples=100, deadline=None)
+    def test_z85_roundtrip_arbitrary(self, data):
+        assert dv.z85_decode(dv.z85_encode(data)) == data
+
+
 class TestReadSemantics:
     def test_deleted_rows_vanish(self, spark, tmp_path):
         uri = _dv_table(spark, tmp_path, deleted=[2, 5, 7])
