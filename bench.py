@@ -52,10 +52,12 @@ HEADLINE = [
     "pipeline_contamination",
     "sample_hash_split",
     "text_pii_redact",
-    # added r4 (headline count 24 → 26): repetition quality metrics and
-    # PQ-compressed ANN — round-over-round totals compare per-query
+    # added r4 (headline count 24 → 27): repetition quality metrics,
+    # PQ-compressed ANN, and SemDeDup semantic dedup — round-over-round
+    # totals compare per-query
     "text_repetition",
     "similarity_ann_pq",
+    "dedup_semantic",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
