@@ -1036,13 +1036,25 @@ def vacuum(uri: str, dry_run: bool = False) -> list[str]:
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
     active = {unquote(f.path) for f in snapshot.files}
+    # deletion-vector files referenced by the live snapshot must survive;
+    # ones orphaned by a zorder/merge rewrite (which materializes the
+    # deletions) are vacuumable like any superseded data file
+    from .delta_dv import dv_relative_path
+
+    for f in snapshot.files:
+        dv = f.deletion_vector
+        if dv and dv.get("storageType") == "u":
+            active.add(dv_relative_path(dv["pathOrInlineDv"]))
     deletable: list[str] = []
     for root, dirs, names in os.walk(uri):
         if "_delta_log" in root:
             continue
         dirs[:] = [d for d in dirs if d != "_delta_log"]
         for n in names:
-            if not n.endswith(".parquet"):
+            if not (
+                n.endswith(".parquet")
+                or (n.startswith("deletion_vector_") and n.endswith(".bin"))
+            ):
                 continue
             rel = os.path.relpath(os.path.join(root, n), uri)
             rel = rel.replace(os.sep, "/")

@@ -204,6 +204,25 @@ class TestReadSemantics:
         assert all(f.deletion_vector is None for f in snap.files)
         assert len(_ids(spark, uri)) == 18
 
+    def test_vacuum_dv_lifecycle(self, spark, tmp_path):
+        """A LIVE DV file must survive vacuum; one orphaned by a zorder
+        rewrite (deletions materialized) must be collected."""
+        import glob
+
+        from datarepo_spark.tables.delta_writer import vacuum, zorder_by
+
+        uri = _dv_table(spark, tmp_path, deleted=[2, 5])
+        removed = vacuum(uri)
+        assert not any(r.endswith(".bin") for r in removed)
+        assert glob.glob(os.path.join(uri, "deletion_vector_*.bin"))
+        assert len(_ids(spark, uri)) == 18  # DV still effective
+
+        zorder_by(spark, uri, ["id"], target_files=1)
+        removed = vacuum(uri)
+        assert any(r.endswith(".bin") for r in removed)
+        assert not glob.glob(os.path.join(uri, "deletion_vector_*.bin"))
+        assert len(_ids(spark, uri)) == 18
+
     def test_crc_mismatch_raises(self, spark, tmp_path):
         uri = str(tmp_path)
         descriptor, path = dv.write_dv_file(uri, [1, 2, 3])
