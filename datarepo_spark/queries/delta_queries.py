@@ -370,6 +370,65 @@ def delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUILT_DVDEL: dict[str, str] = {}
+
+
+def _dv_delete_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Delta table exercising the DELETE-via-deletion-vectors write path:
+    seed with orders keys ≤ 1200 (several files), then two successive
+    ``delete_delta`` calls — the second merges its positions into the
+    first delete's DV for any co-affected file. Content stays a pure
+    function of the source parquet, so plain SQL is the oracle."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_DVDEL and os.path.isdir(
+        os.path.join(_BUILT_DVDEL[key], "_delta_log")
+    ):
+        return _BUILT_DVDEL[key]
+    from ..tables.delta_writer import delete_delta
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_dvdel_")
+    uri = os.path.join(base, "orders_dvdel")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    write_delta(
+        src.repartitionByRange(3, "o_orderkey"), uri,
+        checkpoint_interval=None,
+    )
+    r1 = delete_delta(
+        spark, uri, [Filter("o_totalprice", ">", 150000.0)]
+    )
+    r2 = delete_delta(spark, uri, [Filter("o_orderstatus", "=", "P")])
+    assert r1["rows_deleted"] > 0 and r2["rows_deleted"] > 0, (r1, r2)
+    _BUILT_DVDEL[key] = uri
+    return uri
+
+
+@register(
+    "delta_dv_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1200
+      AND NOT (o_totalprice > 150000)
+      AND NOT (o_orderstatus = 'P')
+    """,
+    description="DELETE via deletion vectors (write path): two "
+    "successive predicate deletes land as protocol-format roaring DVs "
+    "(second merges into the first); no data file is rewritten and the "
+    "read-back must drop exactly the matched rows",
+)
+def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _dv_delete_fixture(spark, sf_dir)
+    table = DeltalakeTable(name="orders_dvdel", uri=uri)
+    return table(
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        spark=spark,
+    )
+
+
 def cleanup() -> None:
     """Remove built fixtures (test hygiene; tmpdirs are per-process)."""
     for uri in _BUILT.values():
@@ -384,3 +443,6 @@ def cleanup() -> None:
     for uri in _BUILT_DV.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT_DV.clear()
+    for uri in _BUILT_DVDEL.values():
+        shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
+    _BUILT_DVDEL.clear()

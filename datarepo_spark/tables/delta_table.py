@@ -201,6 +201,8 @@ def _remap_to_logical(
     out.extend(F.col(c) for c in snapshot.partition_columns if c in df.columns)
     if keep_rel and "__delta_rel" in df.columns:
         out.append(F.col("__delta_rel"))
+    if "__delta_pos" in df.columns:
+        out.append(F.col("__delta_pos"))
     return df.select(*out)
 
 
@@ -371,10 +373,13 @@ class DeltalakeTable:
         snapshot: DeltaSnapshot,
         dnf: NormalizedFilters,
         keep_rel: bool = False,
+        keep_pos: bool = False,
     ) -> Optional[DataFrame]:
         """``keep_rel=True`` keeps the ``__delta_rel`` column (each row's
         add.path) — merge_delta uses it to find which files contain
-        matched keys, the copy-on-write rewrite unit."""
+        matched keys, the copy-on-write rewrite unit. ``keep_pos=True``
+        additionally keeps ``__delta_pos`` (each LIVE row's physical
+        parquet row index) — delete_delta's deletion-vector coordinate."""
         files = _partition_prune(snapshot, dnf)
         # Second pruning axis: each surviving file's add.stats envelope
         # (numRecords/minValues/maxValues/nullCount) vs the same DNF.
@@ -416,9 +421,9 @@ class DeltalakeTable:
         # time and anti-join the broadcast DV position set after the
         # file-path attribution below.
         has_dv = any(add.deletion_vector for add in files)
-        if has_dv:
+        if has_dv or keep_pos:
             df = df.withColumn("__delta_pos", F.col("_metadata.row_index"))
-        if (keep_rel or has_dv) and not snapshot.partition_columns:
+        if (keep_rel or has_dv or keep_pos) and not snapshot.partition_columns:
             segs = F.split(F.col("_metadata.file_path"), "/")
             df = df.withColumn(
                 "__delta_rel",
@@ -507,8 +512,10 @@ class DeltalakeTable:
                 F.broadcast(dv_df),
                 ["__delta_rel", "__delta_pos"],
                 "left_anti",
-            ).drop("__delta_pos")
-        if "__delta_rel" in df.columns and not keep_rel:
+            )
+            if not keep_pos:
+                df = df.drop("__delta_pos")
+        if "__delta_rel" in df.columns and not (keep_rel or keep_pos):
             df = df.drop("__delta_rel")
         if mapping:
             df = _remap_to_logical(df, snapshot, keep_rel=keep_rel)

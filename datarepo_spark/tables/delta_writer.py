@@ -401,6 +401,12 @@ def checkpoint_arrow_schema():
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        # table-features protocols (reader v3 / writer v7)
+                        # carry their feature lists; dropping them in a
+                        # checkpoint would un-gate e.g. deletionVectors
+                        # for readers replaying from it
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -451,6 +457,16 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
     protocol_row = {
         "minReaderVersion": int(proto.get("minReaderVersion", 1)),
         "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        "readerFeatures": (
+            sorted(proto["readerFeatures"])
+            if proto.get("readerFeatures")
+            else None
+        ),
+        "writerFeatures": (
+            sorted(proto["writerFeatures"])
+            if proto.get("writerFeatures")
+            else None
+        ),
     }
 
     rows: list[dict] = [
@@ -827,6 +843,179 @@ def merge_delta(
         "version": version,
         "files_rewritten": len(affected),
         "files_added": n_added,
+    }
+
+
+def delete_delta(
+    spark,
+    uri: str,
+    filters,
+) -> dict[str, int]:
+    """DELETE FROM the Delta table at ``uri`` via deletion vectors: rows
+    matching ``filters`` (the engine's DNF Filter algebra) are soft-
+    deleted by writing protocol-format roaring bitmap DV files — no data
+    file is rewritten. This is how delta-spark/delta-rs make DELETE cheap
+    at scale: the write cost tracks the DELETED-row count, not the size
+    of the files that contain them.
+
+    Scale shape:
+    1. plan the read with the SAME pruning stack as any scan — partition
+       elision + add.stats envelopes — so only files that CAN contain
+       matches are opened;
+    2. evaluate the predicate distributed; only (file, row_index) pairs
+       of matched LIVE rows reach the driver (bounded by the delete
+       size, the same footprint the DV read path's broadcast pays);
+    3. per affected file, union with its existing DV positions and write
+       one new DV file; commit remove(old add) + add(same path, new DV)
+       atomically. A file whose every physical row is now deleted is
+       dropped outright (remove, no re-add) — no tombstone-only files
+       accumulate.
+
+    First DV write upgrades the protocol to table features
+    (minReaderVersion 3 / minWriterVersion 7 with ``deletionVectors`` in
+    both feature lists, legacy writer-v2 features carried into
+    writerFeatures) and stamps ``delta.enableDeletionVectors`` — the
+    same upgrade delta-spark performs, so external readers correctly
+    gate on the feature.
+
+    Returns {version, rows_deleted, files_rewritten, files_removed};
+    ``version`` is unchanged when nothing matches."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ..core.compile import filters_to_column
+    from ..core.filters import normalize_filters, validate_filters
+    from .delta_dv import read_deletion_vector, write_dv_file
+    from .delta_table import DeltalakeTable
+
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    _reject_column_mapping(snapshot, "delete_delta")
+    dnf = normalize_filters(filters)
+    if not dnf:
+        raise ValueError(
+            "delete_delta requires a predicate; to clear a table use "
+            "write_delta(empty_df, uri, mode='overwrite')"
+        )
+    validate_filters(dnf, {f.name for f in snapshot.schema.fields})
+
+    table = DeltalakeTable(os.path.basename(uri), uri)
+    df = table._read_from_log(
+        spark, snapshot, dnf, keep_rel=True, keep_pos=True
+    )
+    result_unchanged = {
+        "version": snapshot.version,
+        "rows_deleted": 0,
+        "files_rewritten": 0,
+        "files_removed": 0,
+    }
+    if df is None:
+        return result_unchanged
+    predicate = filters_to_column(dnf)
+    matched = (
+        df.filter(predicate)
+        .groupBy("__delta_rel")
+        .agg(F.collect_list("__delta_pos").alias("__positions"))
+        .collect()
+    )
+    if not matched:
+        return result_unchanged
+
+    by_disk = {unquote(f.path): f for f in snapshot.files}
+    actions: list[dict] = []
+
+    proto = snapshot.raw_protocol or {}
+    reader_feats = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" not in reader_feats:
+        writer_feats = set(proto.get("writerFeatures") or [])
+        if not writer_feats and int(proto.get("minWriterVersion", 2)) >= 2:
+            # upgrading a legacy writer version to v7 must carry the
+            # features that version implied (protocol 'Table Features')
+            writer_feats = {"appendOnly", "invariants"}
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        reader_feats | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        writer_feats | {"deletionVectors"}
+                    ),
+                }
+            }
+        )
+        meta = dict(snapshot.raw_metadata or {})
+        for k in ("format", "configuration"):
+            if meta.get(k) is not None and not isinstance(meta[k], dict):
+                meta[k] = dict(meta[k])
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.enableDeletionVectors"] = "true"
+        meta["configuration"] = conf
+        actions.append({"metaData": meta})
+
+    rows_deleted = 0
+    files_rewritten = 0
+    files_removed = 0
+    for row in sorted(matched, key=lambda r: r["__delta_rel"]):
+        add = by_disk[row["__delta_rel"]]
+        new_positions = {int(p) for p in row["__positions"]}
+        rows_deleted += len(new_positions)
+        existing = (
+            set(read_deletion_vector(uri, add.deletion_vector))
+            if add.deletion_vector
+            else set()
+        )
+        merged = sorted(existing | new_positions)
+
+        num_records = None
+        if add.stats:
+            try:
+                num_records = _json.loads(add.stats).get("numRecords")
+            except (ValueError, TypeError):
+                num_records = None
+        if num_records is None:
+            import pyarrow.parquet as pq
+
+            num_records = pq.read_metadata(
+                os.path.join(uri, unquote(add.path))
+            ).num_rows
+
+        remove_action = {
+            "remove": {
+                "path": add.path,
+                "deletionTimestamp": 0,
+                "dataChange": True,
+            }
+        }
+        if len(merged) >= int(num_records):
+            # every physical row deleted: drop the file entirely
+            actions.append(remove_action)
+            files_removed += 1
+            continue
+        descriptor, _ = write_dv_file(uri, merged)
+        add_action = {
+            "path": add.path,
+            "partitionValues": dict(add.partition_values),
+            "size": add.size,
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": descriptor,
+        }
+        if add.stats is not None:
+            add_action["stats"] = add.stats
+        actions.append(remove_action)
+        actions.append({"add": add_action})
+        files_rewritten += 1
+
+    version = _commit_atomically(os.path.join(uri, "_delta_log"), actions)
+    return {
+        "version": version,
+        "rows_deleted": rows_deleted,
+        "files_rewritten": files_rewritten,
+        "files_removed": files_removed,
     }
 
 

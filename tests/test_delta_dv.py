@@ -251,3 +251,166 @@ class TestReadSemantics:
         invalidate_snapshot_cache()
         with pytest.raises(NotImplementedError, match="futureQuantumFeature"):
             DeltaLog(uri).snapshot()
+
+
+def _plain_table(spark, tmp_path, partition_by=()):
+    """Three-file table: ids 0-9, 10-19, 20-29 (one commit each)."""
+    from pyspark.sql import functions as F
+
+    uri = str(tmp_path / "dd")
+    for lo in (0, 10, 20):
+        df = spark.range(lo, lo + 10).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("par"),
+            F.concat(F.lit("r"), "id").alias("v"),
+        )
+        if not partition_by:
+            df = df.coalesce(1).sortWithinPartitions("id")
+        write_delta(
+            df, uri, checkpoint_interval=None,
+            partition_by=list(partition_by),
+        )
+    return uri
+
+
+class TestDeleteDelta:
+    def test_basic_delete(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        res = delete_delta(spark, uri, [Filter("id", "in", [3, 7, 15])])
+        assert res["rows_deleted"] == 3
+        assert res["files_rewritten"] == 2  # files 0-9 and 10-19 only
+        assert res["files_removed"] == 0
+        expected = [i for i in range(30) if i not in (3, 7, 15)]
+        assert _ids(spark, uri) == expected
+
+    def test_untouched_files_not_rewritten(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        before = {f.path for f in DeltaLog(uri).snapshot().files}
+        delete_delta(spark, uri, [Filter("id", "=", 25)])
+        after = {
+            f.path: f for f in DeltaLog(uri).snapshot().files
+        }
+        # all three data files keep their paths (no parquet rewritten);
+        # exactly one gained a DV
+        assert set(after) == before
+        assert sum(1 for f in after.values() if f.deletion_vector) == 1
+
+    def test_protocol_upgraded_once(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "=", 1)])
+        snap = DeltaLog(uri).snapshot()
+        proto = snap.raw_protocol
+        assert proto["minReaderVersion"] == 3
+        assert proto["minWriterVersion"] == 7
+        assert "deletionVectors" in proto["readerFeatures"]
+        assert "deletionVectors" in proto["writerFeatures"]
+        assert "appendOnly" in proto["writerFeatures"]
+        assert (
+            snap.configuration.get("delta.enableDeletionVectors") == "true"
+        )
+
+    def test_second_delete_merges_dv(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "=", 2)])
+        res = delete_delta(spark, uri, [Filter("id", "=", 5)])
+        assert res["rows_deleted"] == 1
+        snap = DeltaLog(uri).snapshot()
+        dv_adds = [f for f in snap.files if f.deletion_vector]
+        assert len(dv_adds) == 1
+        assert dv_adds[0].deletion_vector["cardinality"] == 2
+        assert _ids(spark, uri) == [i for i in range(30) if i not in (2, 5)]
+
+    def test_full_file_delete_drops_file(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        res = delete_delta(spark, uri, [Filter("id", "<", 10)])
+        assert res == {
+            "version": 3,
+            "rows_deleted": 10,
+            "files_rewritten": 0,
+            "files_removed": 1,
+        }
+        snap = DeltaLog(uri).snapshot()
+        assert len(snap.files) == 2
+        assert all(f.deletion_vector is None for f in snap.files)
+        assert _ids(spark, uri) == list(range(10, 30))
+
+    def test_no_match_is_noop(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        v_before = DeltaLog(uri).snapshot().version
+        res = delete_delta(spark, uri, [Filter("id", ">", 999)])
+        assert res["rows_deleted"] == 0
+        assert DeltaLog(uri).snapshot().version == v_before
+
+    def test_requires_predicate(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="predicate"):
+            delete_delta(spark, uri, [])
+
+    def test_partitioned_delete(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path, partition_by=("par",))
+        res = delete_delta(
+            spark, uri,
+            [Filter("par", "=", "1"), Filter("id", "<", 20)],
+        )
+        assert res["rows_deleted"] == 10
+        expected = [i for i in range(30) if not (i % 2 == 1 and i < 20)]
+        assert _ids(spark, uri) == expected
+
+    def test_delete_then_time_travel(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "=", 4)])
+        assert len(_ids(spark, uri)) == 29
+        assert len(_ids(spark, uri, version=2)) == 30
+
+    def test_checkpoint_preserves_features(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta,
+            write_checkpoint,
+        )
+
+        uri = _plain_table(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "=", 8)])
+        write_checkpoint(uri)
+        log = os.path.join(uri, "_delta_log")
+        for n in list(os.listdir(log)):
+            if n.endswith(".json") and len(n) == 25:
+                os.remove(os.path.join(log, n))
+        invalidate_snapshot_cache()
+        snap = DeltaLog(uri).snapshot()
+        assert "deletionVectors" in snap.raw_protocol["readerFeatures"]
+        assert "deletionVectors" in snap.raw_protocol["writerFeatures"]
+        assert len(_ids(spark, uri)) == 29
+
+    def test_vacuum_keeps_both_live_dvs_after_merge(self, spark, tmp_path):
+        """After a second delete supersedes the first DV file, vacuum
+        must keep the LIVE merged DV and collect the orphaned one."""
+        import glob
+
+        from datarepo_spark.tables.delta_writer import delete_delta, vacuum
+
+        uri = _plain_table(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "=", 2)])
+        delete_delta(spark, uri, [Filter("id", "=", 5)])
+        assert len(glob.glob(os.path.join(uri, "deletion_vector_*.bin"))) == 2
+        removed = vacuum(uri)
+        assert sum(1 for r in removed if r.endswith(".bin")) == 1
+        assert len(glob.glob(os.path.join(uri, "deletion_vector_*.bin"))) == 1
+        assert _ids(spark, uri) == [i for i in range(30) if i not in (2, 5)]
