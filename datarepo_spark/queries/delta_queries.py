@@ -429,6 +429,69 @@ def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUILT_CDF: dict[str, str] = {}
+
+
+def _cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Three-version table for the change feed: v0 appends keys ≤ 800,
+    v1 appends 801–1200, v2 DV-deletes the expensive rows. The feed over
+    [1, 2] is then a pure function of the source parquet."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_CDF and os.path.isdir(
+        os.path.join(_BUILT_CDF[key], "_delta_log")
+    ):
+        return _BUILT_CDF[key]
+    from ..tables.delta_writer import delete_delta
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_cdf_")
+    uri = os.path.join(base, "orders_cdf")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    src = load(spark, sf_dir, "orders").select(*cols)
+    write_delta(
+        src.filter(F.col("o_orderkey") <= 800), uri,
+        checkpoint_interval=None,
+    )
+    write_delta(
+        src.filter(
+            (F.col("o_orderkey") > 800) & (F.col("o_orderkey") <= 1200)
+        ),
+        uri,
+        checkpoint_interval=None,
+    )
+    res = delete_delta(spark, uri, [Filter("o_totalprice", ">", 150000.0)])
+    assert res["rows_deleted"] > 0
+    _BUILT_CDF[key] = uri
+    return uri
+
+
+@register(
+    "delta_table_changes",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM orders
+    WHERE o_orderkey > 800 AND o_orderkey <= 1200
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM orders
+    WHERE o_orderkey <= 1200 AND o_totalprice > 150000
+    """,
+    description="CDF-style table_changes over [1,2]: version-1 appends "
+    "surface as inserts, the version-2 DV delete surfaces exactly its "
+    "newly-deleted rows as deletes — incremental consumption without "
+    "rescanning the table",
+)
+def delta_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables.delta_cdf import table_changes
+
+    uri = _cdf_fixture(spark, sf_dir)
+    return table_changes(spark, uri, 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "_change_type", "_commit_version",
+    )
+
+
 def cleanup() -> None:
     """Remove built fixtures (test hygiene; tmpdirs are per-process)."""
     for uri in _BUILT.values():
@@ -446,3 +509,6 @@ def cleanup() -> None:
     for uri in _BUILT_DVDEL.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT_DVDEL.clear()
+    for uri in _BUILT_CDF.values():
+        shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
+    _BUILT_CDF.clear()

@@ -1,0 +1,216 @@
+"""Change-data-feed-style incremental reads over the Delta log.
+
+``table_changes(spark, uri, starting_version)`` returns every row change
+committed in ``(starting_version-1, ending_version]`` as a DataFrame of
+the table's columns plus ``_change_type`` ('insert' | 'delete') and
+``_commit_version`` — the consumption shape of delta-spark's
+``table_changes`` (reference Delta surface is read-only latest-snapshot;
+this is beyond-reference, modeled on the public CDF API).
+
+The feed is derived purely from log replay — no ``_change_data`` files
+are required — with per-commit granularity:
+
+- an ``add`` with ``dataChange: true`` contributes its LIVE rows
+  (deletion vector respected) as inserts;
+- a ``remove`` with ``dataChange: true`` contributes the rows that were
+  live at the previous version as deletes;
+- a same-path remove+add pair whose add carries a deletion vector (the
+  shape :func:`delta_writer.delete_delta` commits) is recognized as a
+  DV transition: only the NEWLY deleted positions are emitted, as
+  deletes — not a spurious full-file delete+insert.
+
+Granularity contract: copy-on-write rewrites (MERGE) move unmatched
+rows between files, so those passthrough rows appear as delete+insert
+pairs at the same version — file-level CDC, the documented fallback
+when a log has no change-data files (delta-spark refuses outright in
+this case; emitting the conservative pair set is strictly more useful
+and still exactly replayable: apply deletes-then-inserts per version).
+Compaction/ZORDER commits are ``dataChange: false`` and contribute
+nothing.
+
+At scale: each version touches only ITS changed files — the feed never
+rescans the table. Deleted rows are located by pushing the (file,
+row_index) pairs of the DV delta down as a broadcast semi-join against
+only the affected files' scans; positions driver-side are bounded by
+the delete size, the same footprint the DV read path already pays.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+from typing import Optional
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .delta_dv import read_deletion_vector
+from .delta_log import AddFile, DeltaLog
+
+CHANGE_TYPE = "_change_type"
+COMMIT_VERSION = "_commit_version"
+
+
+def _live_rows(
+    spark: SparkSession, table, snapshot, files: list[AddFile]
+) -> Optional[DataFrame]:
+    """Live rows (DVs respected) of exactly ``files`` under ``snapshot``'s
+    schema/partitioning."""
+    if not files:
+        return None
+    return table._read_from_log(
+        spark, replace(snapshot, files=files), None
+    )
+
+
+def _dv_positions(uri: str, descriptor) -> set[int]:
+    return (
+        set(read_deletion_vector(uri, descriptor)) if descriptor else set()
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    uri: str,
+    starting_version: int,
+    ending_version: Optional[int] = None,
+) -> DataFrame:
+    """Row changes per commit in ``[starting_version, ending_version]``
+    (ending default: latest). Output columns: the ENDING version's table
+    columns (older-schema rows null-fill evolved columns, Delta's own
+    CDF convention) + ``_change_type`` + ``_commit_version``."""
+    from .delta_table import DeltalakeTable
+
+    uri = uri.rstrip("/")
+    log = DeltaLog(uri)
+    end_snap = log.snapshot(ending_version)
+    end = end_snap.version
+    if starting_version < 0 or starting_version > end:
+        raise ValueError(
+            f"starting_version {starting_version} out of range [0, {end}]"
+        )
+    table = DeltalakeTable(os.path.basename(uri), uri)
+
+    prev_snap = (
+        log.snapshot(starting_version - 1) if starting_version > 0 else None
+    )
+    frames: list[DataFrame] = []
+
+    def tag(df: Optional[DataFrame], change: str, v: int) -> None:
+        if df is not None:
+            frames.append(
+                df.withColumn(CHANGE_TYPE, F.lit(change)).withColumn(
+                    COMMIT_VERSION, F.lit(v).cast("long")
+                )
+            )
+
+    for v in range(starting_version, end + 1):
+        snap_v = log.snapshot(v)
+        try:
+            actions = log._commit_actions(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"Cannot compute changes at version {v}: its commit JSON "
+                f"was log-cleaned (only checkpointed state remains). "
+                f"Start from a retained version."
+            )
+        adds: dict[str, dict] = {}
+        removes: set[str] = set()
+        for a in actions:
+            if "add" in a and a["add"].get("dataChange"):
+                adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a and a["remove"].get("dataChange", True):
+                removes.add(a["remove"]["path"])
+        paired = set(adds) & removes
+        prev_by_path = (
+            {f.path: f for f in prev_snap.files} if prev_snap else {}
+        )
+
+        # DV transitions: same path removed+re-added, only positions
+        # newly present in the add's DV changed
+        dv_delta_rows: list[tuple[str, int]] = []
+        dv_source_files: list[AddFile] = []
+        for path in sorted(paired):
+            old = prev_by_path.get(path)
+            new_dv = _dv_positions(uri, adds[path].get("deletionVector"))
+            old_dv = _dv_positions(
+                uri, old.deletion_vector if old else None
+            )
+            newly_deleted = sorted(new_dv - old_dv)
+            if not newly_deleted or old is None:
+                continue
+            rel = unquote(path)
+            dv_delta_rows.extend((rel, p) for p in newly_deleted)
+            dv_source_files.append(old)
+        if dv_delta_rows:
+            src = table._read_from_log(
+                spark,
+                replace(prev_snap, files=dv_source_files),
+                None,
+                keep_pos=True,
+            )
+            wanted = spark.createDataFrame(
+                dv_delta_rows,
+                T.StructType(
+                    [
+                        T.StructField("__delta_rel", T.StringType(), False),
+                        T.StructField("__delta_pos", T.LongType(), False),
+                    ]
+                ),
+            )
+            deleted = src.join(
+                F.broadcast(wanted),
+                ["__delta_rel", "__delta_pos"],
+                "left_semi",
+            ).drop("__delta_rel", "__delta_pos")
+            tag(deleted, "delete", v)
+
+        # pure inserts: brand-new files' live rows
+        new_files = [
+            AddFile(
+                path=path,
+                partition_values=dict(a.get("partitionValues") or {}),
+                size=int(a.get("size") or 0),
+                stats=a.get("stats"),
+                deletion_vector=(
+                    dict(a["deletionVector"])
+                    if a.get("deletionVector")
+                    else None
+                ),
+            )
+            for path, a in sorted(adds.items())
+            if path not in paired
+        ]
+        tag(_live_rows(spark, table, snap_v, new_files), "insert", v)
+
+        # pure deletes: files dropped this commit, rows as live at v-1
+        dropped = [
+            prev_by_path[p]
+            for p in sorted(removes - paired)
+            if p in prev_by_path
+        ]
+        if dropped and prev_snap is not None:
+            tag(
+                _live_rows(spark, table, prev_snap, dropped), "delete", v
+            )
+
+        prev_snap = snap_v
+
+    out_fields = list(end_snap.schema.fields) + [
+        T.StructField(CHANGE_TYPE, T.StringType(), False),
+        T.StructField(COMMIT_VERSION, T.LongType(), False),
+    ]
+    if not frames:
+        return spark.createDataFrame([], T.StructType(out_fields))
+    result = frames[0]
+    for f in frames[1:]:
+        result = result.unionByName(f, allowMissingColumns=True)
+    # null-fill columns evolved after a frame's version, fix order
+    for fld in out_fields:
+        if fld.name not in result.columns:
+            result = result.withColumn(
+                fld.name, F.lit(None).cast(fld.dataType)
+            )
+    return result.select(*[f.name for f in out_fields])
