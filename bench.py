@@ -58,6 +58,8 @@ HEADLINE = [
     "text_repetition",
     "similarity_ann_pq",
     "dedup_semantic",
+    # added r4 (session 2): sequence packing
+    "pipeline_pack_sequences",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

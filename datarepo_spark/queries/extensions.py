@@ -1265,3 +1265,52 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: F.greatest(a, x.cast("int")),
         ).alias("q_max"),
     )
+
+
+# -- sequence packing (training-data layout) ---------------------------------
+
+from ..functions import packing as PK  # noqa: E402
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {PK.sql_shard_of('doc_id', 8, salt='pack')} AS shard,
+             CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+      FROM toks WHERE n_tokens > 0
+    ),
+    packs AS (
+      SELECT doc_id, shard, n_tokens,
+             tok_end - n_tokens AS tok_start, tok_end,
+             UNNEST(generate_series(
+               CAST(FLOOR((tok_end - n_tokens) / 512.0) AS BIGINT),
+               CAST(FLOOR((tok_end - 1) / 512.0) AS BIGINT))) AS pack_id
+      FROM spans
+    )
+    SELECT doc_id, shard, CAST(pack_id AS BIGINT) AS pack_id, n_tokens,
+           LEAST(tok_end, (pack_id + 1) * 512)
+             - GREATEST(tok_start, pack_id * 512) AS tokens_in_pack,
+           GREATEST(tok_start, pack_id * 512) - pack_id * 512
+             AS pack_offset
+    FROM packs
+    """,
+    description="GPT-style sequence packing: shard by key hash, "
+    "concat-and-split each shard's token stream into 512-token packs "
+    "(documents may cross pack boundaries); one shuffle (per-shard "
+    "running sum) + zero-shuffle explode",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return PK.pack_sequences(
+        docs, "doc_id", window=512, n_shards=8, salt="pack"
+    )
