@@ -10,8 +10,10 @@ the files (public Delta protocol actions).
 
 Concurrency note: commit atomicity relies on the object store's
 put-if-absent for the next ``NNN.json`` (same contract delta-rs uses);
-this local-FS implementation uses O_EXCL create and retries the version
-number on collision — serializable appends, last-writer-wins overwrite.
+this local-FS implementation uses O_EXCL create and, on collision,
+validates the intervening commits against the transaction's snapshot
+(WriteSerializable conflict rules — see :func:`_check_commit_conflicts`)
+before retrying at the next version number.
 """
 
 from __future__ import annotations
@@ -301,7 +303,10 @@ def write_delta(
         )
     actions.extend(adds)
 
-    version = _commit_atomically(log_dir, actions)
+    version = _commit_atomically(
+        log_dir, actions,
+        read_version=snapshot.version if exists else None,
+    )
     if (
         checkpoint_interval
         and version > 0
@@ -647,7 +652,10 @@ def compact(
             for f in files
         )
 
-    version = _commit_atomically(os.path.join(uri, "_delta_log"), actions)
+    version = _commit_atomically(
+        os.path.join(uri, "_delta_log"), actions,
+        read_version=snapshot.version,
+    )
     n_removed = sum(len(fs) for fs in todo.values())
     return {
         "files_before": len(snapshot.files),
@@ -838,7 +846,10 @@ def merge_delta(
             "files_rewritten": 0,
             "files_added": 0,
         }
-    version = _commit_atomically(os.path.join(uri, "_delta_log"), actions)
+    version = _commit_atomically(
+        os.path.join(uri, "_delta_log"), actions,
+        read_version=snapshot.version,
+    )
     return {
         "version": version,
         "files_rewritten": len(affected),
@@ -1010,7 +1021,10 @@ def delete_delta(
         actions.append({"add": add_action})
         files_rewritten += 1
 
-    version = _commit_atomically(os.path.join(uri, "_delta_log"), actions)
+    version = _commit_atomically(
+        os.path.join(uri, "_delta_log"), actions,
+        read_version=snapshot.version,
+    )
     return {
         "version": version,
         "rows_deleted": rows_deleted,
@@ -1202,7 +1216,10 @@ def zorder_by(
         }
         for f in snapshot.files
     )
-    version = _commit_atomically(os.path.join(uri, "_delta_log"), actions)
+    version = _commit_atomically(
+        os.path.join(uri, "_delta_log"), actions,
+        read_version=snapshot.version,
+    )
     return {
         "files_removed": len(snapshot.files),
         "files_added": n_added,
@@ -1264,9 +1281,87 @@ def vacuum(uri: str, dry_run: bool = False) -> list[str]:
     return sorted(deletable)
 
 
-def _commit_atomically(log_dir: str, actions: list[dict]) -> int:
-    """Write the next NNN.json with O_EXCL; on collision re-read the log
-    head and retry (optimistic concurrency, as the protocol prescribes)."""
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent writer committed something this transaction's
+    snapshot-based actions conflict with (delta-spark's
+    ConcurrentDeleteReadException / MetadataChangedException family)."""
+
+
+def _check_commit_conflicts(
+    log_dir: str,
+    actions: list[dict],
+    read_version: int,
+    latest: int,
+) -> Optional[int]:
+    """Optimistic-concurrency validation before retrying a collided
+    commit: replay the commits that landed AFTER this transaction's
+    snapshot (``read_version``) and decide whether its actions are
+    still valid (WriteSerializable, the semantics delta-spark defaults
+    to):
+
+    - a file WE remove that an intervening commit already removed →
+      :class:`ConcurrentModificationError` (our rewrite/delete was
+      computed from content that no longer exists — blind retry would
+      double-remove and could drop the other writer's re-add);
+    - an intervening metaData or protocol action → conflict (the
+      schema/feature gate we validated against changed under us);
+    - an intervening SetTransaction for OUR appId at ≥ our version →
+      the work already landed (a replayed idempotent batch racing
+      itself): return that committed version to short-circuit;
+    - pure concurrent appends are compatible — appends commute.
+
+    Returns a version to short-circuit to, or None to proceed."""
+    our_removes = {
+        a["remove"]["path"] for a in actions if "remove" in a
+    }
+    our_txn = next(
+        (a["txn"] for a in actions if "txn" in a), None
+    )
+    for v in range(read_version + 1, latest + 1):
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        try:
+            with open(path, "r", encoding="utf-8") as handle:
+                lines = [ln for ln in handle if ln.strip()]
+        except FileNotFoundError:
+            continue
+        for line in lines:
+            action = json.loads(line)
+            if "metaData" in action or "protocol" in action:
+                raise ConcurrentModificationError(
+                    f"Concurrent metadata/protocol change at version {v} "
+                    f"in {log_dir}; re-read the table and retry the "
+                    f"operation"
+                )
+            if "remove" in action and action["remove"]["path"] in our_removes:
+                raise ConcurrentModificationError(
+                    f"Concurrent writer removed "
+                    f"{action['remove']['path']!r} at version {v}; this "
+                    f"transaction's rewrite was computed from a stale "
+                    f"snapshot — re-run the operation"
+                )
+            if (
+                our_txn is not None
+                and "txn" in action
+                and action["txn"].get("appId") == our_txn.get("appId")
+                and int(action["txn"].get("version", -1))
+                >= int(our_txn.get("version", 0))
+            ):
+                # our idempotent batch already landed via a racing writer
+                return v
+    return None
+
+
+def _commit_atomically(
+    log_dir: str,
+    actions: list[dict],
+    read_version: Optional[int] = None,
+) -> int:
+    """Write the next NNN.json with O_EXCL; on collision validate the
+    intervening commits against ``read_version`` (the snapshot this
+    transaction planned from) and retry — optimistic concurrency with
+    WriteSerializable conflict rules, as the protocol prescribes.
+    ``read_version=None`` skips validation (brand-new table, or caller
+    accepts last-writer-wins)."""
     payload = "".join(json.dumps(a) + "\n" for a in actions)
     for _ in range(50):
         versions = [
@@ -1275,6 +1370,13 @@ def _commit_atomically(log_dir: str, actions: list[dict]) -> int:
             if n.endswith(".json") and len(n) == 25
         ]
         version = (max(versions) + 1) if versions else 0
+        if read_version is not None and version > read_version + 1:
+            landed = _check_commit_conflicts(
+                log_dir, actions, read_version, version - 1
+            )
+            if landed is not None:
+                return landed
+            read_version = version - 1  # validated up to here
         path = os.path.join(log_dir, f"{version:020d}.json")
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

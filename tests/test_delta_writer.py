@@ -2,6 +2,7 @@
 log reader and DeltalakeTable, including partitioning, append/overwrite,
 time travel, and streaming foreachBatch ingestion."""
 
+import os
 import json
 import threading
 
@@ -637,3 +638,151 @@ class TestCheckpointing:
         snap2 = DeltaLog(uri).snapshot()
         assert snap2.tombstones == []
         assert path0 in {f.path for f in snap2.files}
+
+
+class TestCommitConflicts:
+    """Optimistic-concurrency validation on commit-number collision."""
+
+    def _table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        uri = str(tmp_path / "cc")
+        df = spark.range(0, 10).select(
+            F.col("id"), F.concat(F.lit("r"), "id").alias("v")
+        )
+        write_delta(df, uri, checkpoint_interval=None)
+        return uri
+
+    def _land(self, uri, actions, version):
+        import json as _json
+
+        from datarepo_spark.tables.delta_log import (
+            invalidate_snapshot_cache,
+        )
+
+        path = os.path.join(uri, "_delta_log", f"{version:020d}.json")
+        with open(path, "w", encoding="utf-8") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        invalidate_snapshot_cache(uri)
+
+    def test_concurrent_appends_commute(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import _commit_atomically
+
+        uri = self._table(spark, tmp_path)
+        # another writer appends at v1 after our snapshot (v0)
+        self._land(
+            uri,
+            [{"add": {"path": "other.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}}],
+            1,
+        )
+        v = _commit_atomically(
+            os.path.join(uri, "_delta_log"),
+            [{"add": {"path": "mine.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}}],
+            read_version=0,
+        )
+        assert v == 2
+
+    def test_concurrent_remove_conflicts(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_log import DeltaLog
+        from datarepo_spark.tables.delta_writer import (
+            ConcurrentModificationError,
+            _commit_atomically,
+        )
+
+        uri = self._table(spark, tmp_path)
+        (victim,) = [f.path for f in DeltaLog(uri).snapshot().files][:1]
+        # another writer (a compaction, say) removes the file at v1
+        self._land(
+            uri,
+            [{"remove": {"path": victim, "deletionTimestamp": 0,
+                         "dataChange": False}}],
+            1,
+        )
+        with pytest.raises(ConcurrentModificationError, match="stale"):
+            _commit_atomically(
+                os.path.join(uri, "_delta_log"),
+                [{"remove": {"path": victim, "deletionTimestamp": 0,
+                             "dataChange": True}}],
+                read_version=0,
+            )
+
+    def test_concurrent_metadata_conflicts(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            ConcurrentModificationError,
+            _commit_atomically,
+        )
+
+        uri = self._table(spark, tmp_path)
+        self._land(
+            uri,
+            [{"metaData": {"id": "x", "schemaString": "{}",
+                           "partitionColumns": [],
+                           "configuration": {}}}],
+            1,
+        )
+        with pytest.raises(
+            ConcurrentModificationError, match="metadata/protocol"
+        ):
+            _commit_atomically(
+                os.path.join(uri, "_delta_log"),
+                [{"add": {"path": "mine.parquet", "partitionValues": {},
+                          "size": 1, "modificationTime": 0,
+                          "dataChange": True}}],
+                read_version=0,
+            )
+
+    def test_racing_idempotent_txn_short_circuits(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import _commit_atomically
+
+        uri = self._table(spark, tmp_path)
+        self._land(
+            uri,
+            [
+                {"txn": {"appId": "ingest", "version": 7,
+                         "lastUpdated": 0}},
+                {"add": {"path": "theirs.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ],
+            1,
+        )
+        before = sorted(os.listdir(os.path.join(uri, "_delta_log")))
+        v = _commit_atomically(
+            os.path.join(uri, "_delta_log"),
+            [
+                {"txn": {"appId": "ingest", "version": 7,
+                         "lastUpdated": 0}},
+                {"add": {"path": "mine.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ],
+            read_version=0,
+        )
+        # the racing batch already landed: nothing new was committed
+        assert v == 1
+        after = sorted(os.listdir(os.path.join(uri, "_delta_log")))
+        assert before == after
+
+    def test_no_read_version_skips_validation(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import _commit_atomically
+
+        uri = self._table(spark, tmp_path)
+        self._land(
+            uri,
+            [{"metaData": {"id": "x", "schemaString": "{}",
+                           "partitionColumns": [],
+                           "configuration": {}}}],
+            1,
+        )
+        v = _commit_atomically(
+            os.path.join(uri, "_delta_log"),
+            [{"add": {"path": "mine.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}}],
+        )
+        assert v == 2
