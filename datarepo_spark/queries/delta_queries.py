@@ -429,6 +429,69 @@ def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUILT_UPD: dict[str, str] = {}
+
+
+def _update_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Table exercising UPDATE-via-DV+append: seed with orders keys
+    ≤ 1200, then UPDATE SET o_totalprice = o_totalprice * 2,
+    o_orderstatus = 'U' WHERE o_totalprice > 150000. Content stays a
+    pure function of the source parquet."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_UPD and os.path.isdir(
+        os.path.join(_BUILT_UPD[key], "_delta_log")
+    ):
+        return _BUILT_UPD[key]
+    from ..tables.delta_writer import update_delta
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_upd_")
+    uri = os.path.join(base, "orders_upd")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    write_delta(
+        src.repartitionByRange(3, "o_orderkey"), uri,
+        checkpoint_interval=None,
+    )
+    res = update_delta(
+        spark, uri,
+        [Filter("o_totalprice", ">", 150000.0)],
+        {
+            "o_totalprice": F.col("o_totalprice") * 2,
+            "o_orderstatus": F.lit("U"),
+        },
+    )
+    assert res["rows_updated"] > 0 and res["files_added"] >= 1, res
+    _BUILT_UPD[key] = uri
+    return uri
+
+
+@register(
+    "delta_update_set",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_totalprice > 150000 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1200
+    """,
+    description="UPDATE ... SET via deletion vectors + append: matched "
+    "rows soft-delete in place and their updated versions land as new "
+    "files in the same atomic commit; unmatched files keep their bytes",
+)
+def delta_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _update_fixture(spark, sf_dir)
+    table = DeltalakeTable(name="orders_upd", uri=uri)
+    return table(
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        spark=spark,
+    )
+
+
 _BUILT_CDF: dict[str, str] = {}
 
 
@@ -512,3 +575,6 @@ def cleanup() -> None:
     for uri in _BUILT_CDF.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT_CDF.clear()
+    for uri in _BUILT_UPD.values():
+        shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
+    _BUILT_UPD.clear()

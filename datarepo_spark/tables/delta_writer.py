@@ -196,69 +196,19 @@ def write_delta(
     # Stage data with Spark's distributed parquet writer, then move files
     # into the table and reference them from the commit. (Distributed
     # compute, driver-side metadata-only commit — the Delta model.)
-    staging = tempfile.mkdtemp(prefix="delta_stage_", dir=os.path.dirname(uri))
-    try:
-        writer = df.write.mode("overwrite")
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
-        with _micros_timestamps(df.sparkSession):
-            writer.parquet(staging)
+    # data-file schema = written frame minus partition columns (those
+    # live in the directory name); drives add.stats type mapping.
+    # Staging mechanics (Hive-escape handling, protocol path encoding)
+    # live in _stage_adds.
+    from pyspark.sql import types as T
 
-        # data-file schema = written frame minus partition columns (those
-        # live in the directory name); drives add.stats type mapping
-        from pyspark.sql import types as T
-
-        file_schema = T.StructType(
-            [f for f in df.schema.fields if f.name not in set(partition_cols)]
-        )
-        adds = []
-        for root, _dirs, files in os.walk(staging):
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                fname = f"part-{uuid.uuid4().hex}.parquet"
-                rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
-                dst = os.path.join(uri, rel_path)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.move(src, dst)
-                partition_values = {}
-                for seg in rel_dir.split(os.sep):
-                    if "=" in seg:
-                        k, _, v = seg.partition("=")
-                        # Spark's partitionBy Hive-escapes special chars in
-                        # the directory NAME (colon→%3A, %→%25, …); the
-                        # action's partitionValues are the logical VALUES,
-                        # so unescape — otherwise read-side pruning and
-                        # cast_partition_value compare against the escaped
-                        # string and return wrong results.
-                        partition_values[k] = (
-                            None
-                            if v == "__HIVE_DEFAULT_PARTITION__"
-                            else unquote(v)
-                        )
-                add_action = {
-                    # Protocol: path is the URL-encoded relative
-                    # path. The on-disk name is itself Hive-escaped
-                    # (contains % sequences), so it must be encoded
-                    # here or a reader's percent-DECODE would turn
-                    # "o=a%3Ab" into the nonexistent "o=a:b".
-                    "path": quote(
-                        rel_path.replace(os.sep, "/"), safe="/="
-                    ),
-                    "partitionValues": partition_values,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                }
-                stats = collect_file_stats(dst, file_schema)
-                if stats is not None:
-                    add_action["stats"] = stats
-                adds.append({"add": add_action})
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    file_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in set(partition_cols)]
+    )
+    adds = _stage_adds(
+        df.sparkSession, df, uri, partition_cols, file_schema,
+        data_change=True,
+    )
 
     actions: list[dict] = []
     if not exists:
@@ -785,48 +735,10 @@ def merge_delta(
         new_data = new_data.unionByName(p)
 
     part_cols = snapshot.partition_columns
-    staging = tempfile.mkdtemp(prefix="delta_merge_", dir=os.path.dirname(uri))
-    actions: list[dict] = []
-    try:
-        writer = new_data.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        with _micros_timestamps(spark):
-            writer.parquet(staging)
-        for root, _dirs, files in os.walk(staging):
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                fname = f"part-{uuid.uuid4().hex}.parquet"
-                rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
-                dst = os.path.join(uri, rel_path)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.move(src, dst)
-                partition_values = {}
-                for seg in rel_dir.split(os.sep):
-                    if "=" in seg:
-                        k, _, v = seg.partition("=")
-                        partition_values[k] = (
-                            None
-                            if v == "__HIVE_DEFAULT_PARTITION__"
-                            else unquote(v)
-                        )
-                add_action = {
-                    "path": quote(rel_path.replace(os.sep, "/"), safe="/="),
-                    "partitionValues": partition_values,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                }
-                stats = collect_file_stats(dst, snapshot.data_schema)
-                if stats is not None:
-                    add_action["stats"] = stats
-                actions.append({"add": add_action})
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    actions: list[dict] = _stage_adds(
+        spark, new_data, uri, part_cols, snapshot.data_schema,
+        data_change=True,
+    )
 
     n_added = len(actions)
     actions.extend(
@@ -855,6 +767,177 @@ def merge_delta(
         "files_rewritten": len(affected),
         "files_added": n_added,
     }
+
+
+def _stage_adds(
+    spark,
+    df: DataFrame,
+    uri: str,
+    partition_cols: Sequence[str],
+    file_schema,
+    data_change: bool,
+) -> list[dict]:
+    """Stage ``df`` with Spark's distributed parquet writer, move the
+    files into the table, and return their ``add`` actions (per-file
+    stats aggregated from the footers). The shared tail of every
+    rewrite path (append, merge, zorder, update)."""
+    staging = tempfile.mkdtemp(
+        prefix="delta_stage_", dir=os.path.dirname(uri)
+    )
+    actions: list[dict] = []
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        with _micros_timestamps(spark):
+            writer.parquet(staging)
+        for root, _dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                fname = f"part-{uuid.uuid4().hex}.parquet"
+                rel_path = (
+                    os.path.join(rel_dir, fname) if rel_dir else fname
+                )
+                dst = os.path.join(uri, rel_path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                partition_values = {}
+                for seg in rel_dir.split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        # Hive-escaped dir names → logical values (see
+                        # write_delta for the full rationale)
+                        partition_values[k] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(v)
+                        )
+                add_action = {
+                    "path": quote(
+                        rel_path.replace(os.sep, "/"), safe="/="
+                    ),
+                    "partitionValues": partition_values,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": 0,
+                    "dataChange": data_change,
+                }
+                stats = collect_file_stats(dst, file_schema)
+                if stats is not None:
+                    add_action["stats"] = stats
+                actions.append({"add": add_action})
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def _dv_feature_actions(snapshot) -> list[dict]:
+    """protocol + metaData actions upgrading the table to write deletion
+    vectors (reader 3 / writer 7 table features, legacy writer-v2
+    features carried, ``delta.enableDeletionVectors`` stamped) — or []
+    when the table already has the feature."""
+    proto = snapshot.raw_protocol or {}
+    reader_feats = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" in reader_feats:
+        return []
+    writer_feats = set(proto.get("writerFeatures") or [])
+    if not writer_feats and int(proto.get("minWriterVersion", 2)) >= 2:
+        # upgrading a legacy writer version to v7 must carry the
+        # features that version implied (protocol 'Table Features')
+        writer_feats = {"appendOnly", "invariants"}
+    meta = dict(snapshot.raw_metadata or {})
+    for k in ("format", "configuration"):
+        if meta.get(k) is not None and not isinstance(meta[k], dict):
+            meta[k] = dict(meta[k])
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.enableDeletionVectors"] = "true"
+    meta["configuration"] = conf
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    reader_feats | {"deletionVectors"}
+                ),
+                "writerFeatures": sorted(
+                    writer_feats | {"deletionVectors"}
+                ),
+            }
+        },
+        {"metaData": meta},
+    ]
+
+
+def _dv_soft_delete_actions(
+    uri: str, snapshot, matched_rows
+) -> tuple[list[dict], dict[str, int]]:
+    """remove+add(DV) actions soft-deleting the (file, positions) pairs
+    in ``matched_rows`` (Rows of __delta_rel / __positions). New
+    positions merge into each file's existing DV; a file whose every
+    physical row is deleted is dropped outright. Returns (actions,
+    {rows_deleted, files_rewritten, files_removed})."""
+    import json as _json
+
+    from .delta_dv import read_deletion_vector, write_dv_file
+
+    by_disk = {unquote(f.path): f for f in snapshot.files}
+    actions: list[dict] = []
+    counters = {"rows_deleted": 0, "files_rewritten": 0, "files_removed": 0}
+    for row in sorted(matched_rows, key=lambda r: r["__delta_rel"]):
+        add = by_disk[row["__delta_rel"]]
+        new_positions = {int(p) for p in row["__positions"]}
+        counters["rows_deleted"] += len(new_positions)
+        existing = (
+            set(read_deletion_vector(uri, add.deletion_vector))
+            if add.deletion_vector
+            else set()
+        )
+        merged = sorted(existing | new_positions)
+
+        num_records = None
+        if add.stats:
+            try:
+                num_records = _json.loads(add.stats).get("numRecords")
+            except (ValueError, TypeError):
+                num_records = None
+        if num_records is None:
+            import pyarrow.parquet as pq
+
+            num_records = pq.read_metadata(
+                os.path.join(uri, unquote(add.path))
+            ).num_rows
+
+        remove_action = {
+            "remove": {
+                "path": add.path,
+                "deletionTimestamp": 0,
+                "dataChange": True,
+            }
+        }
+        if len(merged) >= int(num_records):
+            # every physical row deleted: drop the file entirely
+            actions.append(remove_action)
+            counters["files_removed"] += 1
+            continue
+        descriptor, _ = write_dv_file(uri, merged)
+        add_action = {
+            "path": add.path,
+            "partitionValues": dict(add.partition_values),
+            "size": add.size,
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": descriptor,
+        }
+        if add.stats is not None:
+            add_action["stats"] = add.stats
+        actions.append(remove_action)
+        actions.append({"add": add_action})
+        counters["files_rewritten"] += 1
+    return actions, counters
 
 
 def delete_delta(
@@ -891,13 +974,10 @@ def delete_delta(
 
     Returns {version, rows_deleted, files_rewritten, files_removed};
     ``version`` is unchanged when nothing matches."""
-    import json as _json
-
     from pyspark.sql import functions as F
 
     from ..core.compile import filters_to_column
     from ..core.filters import normalize_filters, validate_filters
-    from .delta_dv import read_deletion_vector, write_dv_file
     from .delta_table import DeltalakeTable
 
     uri = uri.rstrip("/")
@@ -933,93 +1013,117 @@ def delete_delta(
     if not matched:
         return result_unchanged
 
-    by_disk = {unquote(f.path): f for f in snapshot.files}
-    actions: list[dict] = []
+    actions = _dv_feature_actions(snapshot)
+    dv_actions, counters = _dv_soft_delete_actions(uri, snapshot, matched)
+    actions.extend(dv_actions)
 
-    proto = snapshot.raw_protocol or {}
-    reader_feats = set(proto.get("readerFeatures") or [])
-    if "deletionVectors" not in reader_feats:
-        writer_feats = set(proto.get("writerFeatures") or [])
-        if not writer_feats and int(proto.get("minWriterVersion", 2)) >= 2:
-            # upgrading a legacy writer version to v7 must carry the
-            # features that version implied (protocol 'Table Features')
-            writer_feats = {"appendOnly", "invariants"}
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(
-                        reader_feats | {"deletionVectors"}
-                    ),
-                    "writerFeatures": sorted(
-                        writer_feats | {"deletionVectors"}
-                    ),
-                }
-            }
+    version = _commit_atomically(
+        os.path.join(uri, "_delta_log"), actions,
+        read_version=snapshot.version,
+    )
+    return {"version": version, **counters}
+
+
+def update_delta(
+    spark,
+    uri: str,
+    filters,
+    assignments: dict,
+) -> dict[str, int]:
+    """UPDATE ... SET on the Delta table at ``uri``: rows matching
+    ``filters`` get ``assignments`` applied ({column: Column | SQL
+    string}). Implemented the way delta-spark does with DVs enabled —
+    the cheapest correct shape at scale:
+
+    1. the predicate plans through partition + stats pruning, so only
+       candidate files are scanned;
+    2. matched rows are soft-deleted in place via merged deletion
+       vectors (no data file rewritten);
+    3. the updated versions of those rows are appended as new files
+       (distributed staging write, per-file stats collected);
+    4. one atomic commit carries both — readers flip from old rows to
+       new rows at a single version boundary.
+
+    Cost tracks the UPDATE size: a 1000-row update of a 100 TB table
+    writes one small parquet file and a few DV kilobytes. Assigned
+    values are cast to the column's declared type (delta's implicit
+    cast); assigning a partition column moves rows to their new
+    partition directory automatically (they are re-appended, not
+    rewritten in place).
+
+    Returns {version, rows_updated, files_rewritten, files_removed,
+    files_added}; ``version`` unchanged when nothing matches."""
+    from pyspark.sql import Column as SparkColumn
+    from pyspark.sql import functions as F
+
+    from ..core.compile import filters_to_column
+    from ..core.filters import normalize_filters, validate_filters
+    from .delta_table import DeltalakeTable
+
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    _reject_column_mapping(snapshot, "update_delta")
+    if not assignments:
+        raise ValueError("update_delta requires at least one assignment")
+    field_types = {f.name: f.dataType for f in snapshot.schema.fields}
+    unknown = [c for c in assignments if c not in field_types]
+    if unknown:
+        raise ValueError(f"assigned columns not in table schema: {unknown}")
+    dnf = normalize_filters(filters)
+    if not dnf:
+        raise ValueError(
+            "update_delta requires a predicate (an unconditional UPDATE "
+            "of a 100 TB table should be an explicit overwrite)"
         )
-        meta = dict(snapshot.raw_metadata or {})
-        for k in ("format", "configuration"):
-            if meta.get(k) is not None and not isinstance(meta[k], dict):
-                meta[k] = dict(meta[k])
-        conf = dict(meta.get("configuration") or {})
-        conf["delta.enableDeletionVectors"] = "true"
-        meta["configuration"] = conf
-        actions.append({"metaData": meta})
+    validate_filters(dnf, {f.name for f in snapshot.schema.fields})
 
-    rows_deleted = 0
-    files_rewritten = 0
-    files_removed = 0
-    for row in sorted(matched, key=lambda r: r["__delta_rel"]):
-        add = by_disk[row["__delta_rel"]]
-        new_positions = {int(p) for p in row["__positions"]}
-        rows_deleted += len(new_positions)
-        existing = (
-            set(read_deletion_vector(uri, add.deletion_vector))
-            if add.deletion_vector
-            else set()
-        )
-        merged = sorted(existing | new_positions)
+    table = DeltalakeTable(os.path.basename(uri), uri)
+    df = table._read_from_log(
+        spark, snapshot, dnf, keep_rel=True, keep_pos=True
+    )
+    result_unchanged = {
+        "version": snapshot.version,
+        "rows_updated": 0,
+        "files_rewritten": 0,
+        "files_removed": 0,
+        "files_added": 0,
+    }
+    if df is None:
+        return result_unchanged
+    predicate = filters_to_column(dnf)
+    matched_df = df.filter(predicate)
+    matched = (
+        matched_df.groupBy("__delta_rel")
+        .agg(F.collect_list("__delta_pos").alias("__positions"))
+        .collect()
+    )
+    if not matched:
+        return result_unchanged
 
-        num_records = None
-        if add.stats:
-            try:
-                num_records = _json.loads(add.stats).get("numRecords")
-            except (ValueError, TypeError):
-                num_records = None
-        if num_records is None:
-            import pyarrow.parquet as pq
+    def assigned(col: str):
+        v = assignments[col]
+        expr = v if isinstance(v, SparkColumn) else F.expr(str(v))
+        return expr.cast(field_types[col]).alias(col)
 
-            num_records = pq.read_metadata(
-                os.path.join(uri, unquote(add.path))
-            ).num_rows
+    updated = matched_df.select(
+        *[
+            assigned(f.name) if f.name in assignments else F.col(f.name)
+            for f in snapshot.schema.fields
+        ]
+    )
+    add_actions = _stage_adds(
+        spark,
+        updated,
+        uri,
+        snapshot.partition_columns,
+        snapshot.data_schema,
+        data_change=True,
+    )
 
-        remove_action = {
-            "remove": {
-                "path": add.path,
-                "deletionTimestamp": 0,
-                "dataChange": True,
-            }
-        }
-        if len(merged) >= int(num_records):
-            # every physical row deleted: drop the file entirely
-            actions.append(remove_action)
-            files_removed += 1
-            continue
-        descriptor, _ = write_dv_file(uri, merged)
-        add_action = {
-            "path": add.path,
-            "partitionValues": dict(add.partition_values),
-            "size": add.size,
-            "modificationTime": 0,
-            "dataChange": True,
-            "deletionVector": descriptor,
-        }
-        if add.stats is not None:
-            add_action["stats"] = add.stats
-        actions.append(remove_action)
-        actions.append({"add": add_action})
-        files_rewritten += 1
+    actions = _dv_feature_actions(snapshot)
+    dv_actions, counters = _dv_soft_delete_actions(uri, snapshot, matched)
+    actions.extend(dv_actions)
+    actions.extend(add_actions)
 
     version = _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
@@ -1027,9 +1131,10 @@ def delete_delta(
     )
     return {
         "version": version,
-        "rows_deleted": rows_deleted,
-        "files_rewritten": files_rewritten,
-        "files_removed": files_removed,
+        "rows_updated": counters["rows_deleted"],
+        "files_rewritten": counters["files_rewritten"],
+        "files_removed": counters["files_removed"],
+        "files_added": len(add_actions),
     }
 
 
@@ -1161,49 +1266,10 @@ def zorder_by(
         .drop("__z")
     )
 
-    staging = tempfile.mkdtemp(prefix="delta_zorder_", dir=os.path.dirname(uri))
-    actions: list[dict] = []
-    try:
-        writer = clustered.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        with _micros_timestamps(spark):
-            writer.parquet(staging)
-        file_schema = snapshot.data_schema
-        for root, _dirs, files in os.walk(staging):
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                fname = f"part-{uuid.uuid4().hex}.parquet"
-                rel_path = os.path.join(rel_dir, fname) if rel_dir else fname
-                dst = os.path.join(uri, rel_path)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.move(src, dst)
-                partition_values = {}
-                for seg in rel_dir.split(os.sep):
-                    if "=" in seg:
-                        k, _, v = seg.partition("=")
-                        partition_values[k] = (
-                            None
-                            if v == "__HIVE_DEFAULT_PARTITION__"
-                            else unquote(v)
-                        )
-                add_action = {
-                    "path": quote(rel_path.replace(os.sep, "/"), safe="/="),
-                    "partitionValues": partition_values,
-                    "size": os.path.getsize(dst),
-                    "modificationTime": 0,
-                    "dataChange": False,
-                }
-                stats = collect_file_stats(dst, file_schema)
-                if stats is not None:
-                    add_action["stats"] = stats
-                actions.append({"add": add_action})
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    actions: list[dict] = _stage_adds(
+        spark, clustered, uri, part_cols, snapshot.data_schema,
+        data_change=False,
+    )
 
     n_added = len(actions)
     actions.extend(

@@ -414,3 +414,118 @@ class TestDeleteDelta:
         assert sum(1 for r in removed if r.endswith(".bin")) == 1
         assert len(glob.glob(os.path.join(uri, "deletion_vector_*.bin"))) == 1
         assert _ids(spark, uri) == [i for i in range(30) if i not in (2, 5)]
+
+
+class TestUpdateDelta:
+    def test_basic_update(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path)
+        res = update_delta(
+            spark, uri, [Filter("id", "<", 5)],
+            {"v": F.concat(F.lit("upd"), F.col("id"))},
+        )
+        assert res["rows_updated"] == 5
+        assert res["files_added"] >= 1
+        got = {
+            r["id"]: r["v"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert len(got) == 30
+        for i in range(30):
+            assert got[i] == (f"upd{i}" if i < 5 else f"r{i}")
+
+    def test_sql_string_assignment_and_cast(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path)
+        update_delta(
+            spark, uri, [Filter("id", "=", 7)], {"v": "'x' || id"}
+        )
+        got = {
+            r["id"]: r["v"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert got[7] == "x7" and got[8] == "r8"
+
+    def test_untouched_files_keep_bytes(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path)
+        before = {f.path for f in DeltaLog(uri).snapshot().files}
+        update_delta(spark, uri, [Filter("id", "=", 25)], {"v": "'z'"})
+        snap = DeltaLog(uri).snapshot()
+        # the two unaffected original files still present untouched; the
+        # affected one re-added with a DV; one new file holds the update
+        kept = {f.path for f in snap.files} & before
+        assert len(kept) == 3  # all three originals stay (one gains a DV)
+        assert sum(1 for f in snap.files if f.deletion_vector) == 1
+        assert len(snap.files) == 4
+
+    def test_update_then_delete_compose(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta,
+            update_delta,
+        )
+
+        uri = _plain_table(spark, tmp_path)
+        update_delta(spark, uri, [Filter("id", "=", 3)], {"v": "'u'"})
+        delete_delta(spark, uri, [Filter("v", "=", "u")])
+        got = _ids(spark, uri)
+        assert got == [i for i in range(30) if i != 3]
+
+    def test_no_match_noop(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path)
+        v = DeltaLog(uri).snapshot().version
+        res = update_delta(
+            spark, uri, [Filter("id", ">", 999)], {"v": "'x'"}
+        )
+        assert res["rows_updated"] == 0
+        assert DeltaLog(uri).snapshot().version == v
+
+    def test_requires_predicate_and_known_columns(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="predicate"):
+            update_delta(spark, uri, [], {"v": "'x'"})
+        with pytest.raises(ValueError, match="not in table schema"):
+            update_delta(spark, uri, [Filter("id", "=", 1)], {"nope": "1"})
+
+    def test_partition_column_update_moves_rows(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path, partition_by=("par",))
+        update_delta(
+            spark, uri, [Filter("id", "=", 2)], {"par": "'9'"}
+        )
+        rows = {
+            r["id"]: r["par"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert rows[2] == "9" and rows[4] == "0"
+        # the moved row's file lives in the par=9 directory
+        assert any(
+            "par=9" in f.path for f in DeltaLog(uri).snapshot().files
+        )
+
+    def test_time_travel_sees_old_values(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path)
+        update_delta(spark, uri, [Filter("id", "=", 0)], {"v": "'new'"})
+        latest = {
+            r["id"]: r["v"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        old = {
+            r["id"]: r["v"]
+            for r in DeltalakeTable("t", uri)(
+                spark=spark, version=2
+            ).collect()
+        }
+        assert latest[0] == "new" and old[0] == "r0"
