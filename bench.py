@@ -58,8 +58,9 @@ HEADLINE = [
     "text_repetition",
     "similarity_ann_pq",
     "dedup_semantic",
-    # added r4 (session 2): sequence packing
+    # added r4 (session 2): sequence packing, LM perplexity
     "pipeline_pack_sequences",
+    "text_perplexity",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

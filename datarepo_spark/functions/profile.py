@@ -1,0 +1,92 @@
+"""Column profiling: the "data card" operator.
+
+``profile(df)`` computes, in a bounded number of passes over the data,
+one summary row per column: row count, null count, exact distinct
+count, and min/max rendered as strings. This is the first query anyone
+runs against an unfamiliar 100 TB table, so its plan matters:
+
+- All per-column aggregates land in ONE ``agg`` (single scan). Exact
+  multi-column ``count(distinct)`` makes Spark plan an Expand (one
+  duplicated stream per distinct column — n_cols × scan volume in the
+  shuffle). That is the price of exactness; pass ``exact=False`` for
+  the production profile, which swaps in ``approx_count_distinct``
+  (HLL, one stream, no Expand) — the same trade the oracle-gated
+  ``agg_approx_distinct`` query documents.
+- The wide 1-row result is unpivoted driver-side (it is n_cols cells,
+  not data) — no stack/explode stage over the corpus.
+
+Min/max string rendering: integers, strings, dates, and timestamps
+format identically across engines; DOUBLE formatting does not
+(``1.0E5`` vs ``100000.0``), so float columns are rendered through
+``DECIMAL(38, 6)`` — exact for the comparison the profile supports and
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _render(col, dt) -> "F.Column":
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return col.cast("decimal(38,6)").cast("string")
+    return col.cast("string")
+
+
+def profile(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    exact: bool = True,
+) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — strings for min/max so heterogeneous
+    columns share a schema. ``exact=False`` uses HLL distinct counts
+    (±2.3 % default rsd) and avoids the Expand blow-up at scale."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"profile columns not in schema: {missing}")
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        col = F.col(c)
+        distinct = (
+            F.count_distinct(col)
+            if exact
+            else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.count(col).alias(f"__nn_{c}"),
+            distinct.alias(f"__nd_{c}"),
+            _render(F.min(col), dtypes[c]).alias(f"__mn_{c}"),
+            _render(F.max(col), dtypes[c]).alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+
+    out_rows = [
+        (
+            c,
+            int(row["__rows"]),
+            int(row["__rows"]) - int(row[f"__nn_{c}"]),
+            int(row[f"__nd_{c}"]),
+            row[f"__mn_{c}"],
+            row[f"__mx_{c}"],
+        )
+        for c in cols
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("n_nulls", T.LongType(), False),
+            T.StructField("n_distinct", T.LongType(), False),
+            T.StructField("min_value", T.StringType(), True),
+            T.StructField("max_value", T.StringType(), True),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out_rows, schema)

@@ -353,3 +353,64 @@ def repetition_stats(
         ).alias("top_bigram_frac")
     )
     return line_frac.join(gram_frac, id_col)
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """LM-based quality filter (the CCNet/Wikipedia-LM pattern): score
+    each document by its perplexity under a unigram language model
+    trained on the corpus itself. Common-word documents score low
+    (fluent), rare-token soup (boilerplate, mojibake, code dumps in a
+    text corpus) scores high — the standard cheap proxy when a real
+    KenLM model isn't shippable with the job.
+
+    Relational shape, three shuffles, none carrying document text:
+      1. token explode → vocabulary count (the "training" aggregate);
+      2. token → count join (token-keyed shuffle; the vocabulary is
+         zipfian so AQE's skew split handles the head words);
+      3. per-document aggregate of add-``alpha``-smoothed log-probs.
+    The model itself is never collected — scoring joins against it.
+
+    Cross-engine determinism: each token's log-prob is rounded to 6
+    decimals and accumulated as DECIMAL(38,6) (float sums are
+    order-dependent; decimal sums are exact), then one documented
+    double conversion at the end. Output: (id, n_tokens, perplexity
+    rounded to 4)."""
+    from .dedup import tokens_of
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_of(F.col(text_col))).alias("__tok"),
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    totals = vocab.agg(
+        F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__v")
+    )
+    logp = F.round(
+        F.log(
+            (F.col("__cnt") + F.lit(alpha))
+            / (F.col("__total") + F.lit(alpha) * F.col("__v"))
+        ),
+        6,
+    ).cast("decimal(38,6)")
+    scored = (
+        toks.join(vocab, "__tok")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), logp.alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.exp(
+                -(
+                    F.sum("__lp").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+            ),
+            4,
+        ).alias("perplexity"),
+    )

@@ -1314,3 +1314,82 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PK.pack_sequences(
         docs, "doc_id", window=512, n_shards=8, salt="pack"
     )
+
+
+# -- LM perplexity quality filter + column profiler --------------------------
+
+from ..functions import profile as PR  # noqa: E402
+
+
+@register(
+    "text_perplexity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> LEN(t) > 0)) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS v FROM vocab
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(LN((v2.cnt + 1.0) / (tot.total + 1.0 * tot.v)), 6)
+                  AS DECIMAL(38,6)) AS lp
+      FROM toks t JOIN vocab v2 USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(EXP(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4)
+             AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+    description="corpus-trained unigram-LM perplexity (CCNet-style "
+    "quality filter): vocabulary aggregate -> token-keyed scoring join "
+    "-> per-doc decimal-accumulated log-prob; the model is never "
+    "collected",
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.unigram_perplexity(docs)
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR),
+           CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    description="column profiler (data card): one-scan per-column "
+    "null/distinct/min/max summary; exact distincts here (the Expand "
+    "trade), approx_count_distinct for the production path",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return PR.profile(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )

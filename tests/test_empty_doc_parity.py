@@ -32,6 +32,9 @@ QUERIES = [
     "dedup_exact_sha256",
     "pipeline_curate_documents",
     "text_repetition",
+    # 0-token docs EXCLUDED by construction on both sides:
+    "text_perplexity",
+    "pipeline_pack_sequences",
 ]
 
 
