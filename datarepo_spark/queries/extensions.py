@@ -1393,3 +1393,38 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
     )
+
+
+# -- fuzzy edit-distance join ------------------------------------------------
+
+from ..functions import fuzzy as FZ  # noqa: E402
+
+
+@register(
+    "join_fuzzy_editdist",
+    oracle="""
+    WITH vars AS (
+      SELECT s_suppkey, s_name,
+             UNNEST(LIST_DISTINCT(LIST_PREPEND(s_name,
+               LIST_TRANSFORM(RANGE(1, LEN(s_name) + 1),
+                 i -> substr(s_name, 1, i - 1)
+                      || substr(s_name, i + 1, LEN(s_name)))))) AS var
+      FROM supplier
+    ), pairs AS (
+      SELECT DISTINCT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+             a.s_name AS key_a, b.s_name AS key_b
+      FROM vars a JOIN vars b
+        ON a.var = b.var AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT id_a, id_b, key_a, key_b,
+           CAST(levenshtein(key_a, key_b) AS INT) AS distance
+    FROM pairs
+    WHERE levenshtein(key_a, key_b) <= 1
+    """,
+    description="edit-distance<=1 self-join via FastSS deletion-variant "
+    "blocking (equi-join on variants + inline levenshtein verify — "
+    "sound, complete, never a cross join)",
+)
+def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, sf_dir, "supplier")
+    return FZ.fuzzy_join_pairs(supplier, "s_name", "s_suppkey")
