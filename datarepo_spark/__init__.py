@@ -29,11 +29,26 @@ from .tables.metadata import (
     TableSchema,
 )
 from .tables.bucketed import BucketedTable, write_bucketed
-from .tables.delta_writer import compact, merge_delta, vacuum, write_delta, zorder_by
+from .tables.delta_cdf import DeltaChangeStream, table_changes
+from .tables.delta_writer import (
+    ConcurrentModificationError,
+    compact,
+    delete_delta,
+    merge_delta,
+    update_delta,
+    vacuum,
+    write_delta,
+    zorder_by,
+)
 from .tables.parquet_table import ParquetTable
 
 __all__ = [
     "BucketedTable",
+    "ConcurrentModificationError",
+    "DeltaChangeStream",
+    "delete_delta",
+    "table_changes",
+    "update_delta",
     "Catalog",
     "ClickHouseTable",
     "Database",

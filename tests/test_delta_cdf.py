@@ -133,3 +133,93 @@ class TestTableChanges:
         delete_delta(spark, uri, [Filter("par", "=", "1")])
         got = _changes(spark, uri, 1)
         assert got == [(1, "delete", 1), (1, "delete", 3), (1, "delete", 5)]
+
+
+class TestDeltaChangeStream:
+    def test_poll_ack_cycle(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_cdf import DeltaChangeStream
+
+        uri = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt.json")
+        write_delta(_df(spark, 0, 3), uri, checkpoint_interval=None)
+        stream = DeltaChangeStream(uri, ckpt)
+
+        df, v = stream.poll(spark)
+        assert v == 0
+        assert sorted(r["id"] for r in df.collect()) == [0, 1, 2]
+        # not acked: re-delivered
+        df2, v2 = stream.poll(spark)
+        assert v2 == 0 and df2.count() == 3
+        stream.ack(v2)
+        assert stream.poll(spark) is None
+
+        write_delta(_df(spark, 3, 5), uri, checkpoint_interval=None)
+        df3, v3 = stream.poll(spark)
+        assert v3 == 1
+        assert sorted(r["id"] for r in df3.collect()) == [3, 4]
+        stream.ack(v3)
+        assert stream.poll(spark) is None
+
+    def test_deletes_flow_through(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_cdf import DeltaChangeStream
+
+        uri = str(tmp_path / "src")
+        ckpt = str(tmp_path / "c.json")
+        write_delta(
+            _df(spark, 0, 6).coalesce(1), uri, checkpoint_interval=None
+        )
+        stream = DeltaChangeStream(uri, ckpt)
+        _, v = stream.poll(spark)
+        stream.ack(v)
+        delete_delta(spark, uri, [Filter("id", "=", 2)])
+        df, v = stream.poll(spark)
+        rows = [(r["_change_type"], r["id"]) for r in df.collect()]
+        assert rows == [("delete", 2)]
+
+    def test_max_versions_chunks_backlog(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_cdf import DeltaChangeStream
+
+        uri = str(tmp_path / "src")
+        ckpt = str(tmp_path / "c.json")
+        for lo in (0, 2, 4):
+            write_delta(
+                _df(spark, lo, lo + 2), uri, checkpoint_interval=None
+            )
+        stream = DeltaChangeStream(uri, ckpt)
+        df, v = stream.poll(spark, max_versions=2)
+        assert v == 1 and df.count() == 4
+        stream.ack(v)
+        df, v = stream.poll(spark)
+        assert v == 2 and df.count() == 2
+        stream.ack(v)
+        assert stream.poll(spark) is None
+
+    def test_exactly_once_with_txn_sink(self, spark, tmp_path):
+        """Crash-replay of a batch (poll without ack, process again)
+        must not double-write when the sink uses the stream's txn."""
+        from datarepo_spark.tables.delta_cdf import DeltaChangeStream
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ckpt = str(tmp_path / "c.json")
+        write_delta(_df(spark, 0, 4), src, checkpoint_interval=None)
+        stream = DeltaChangeStream(src, ckpt)
+
+        df, v = stream.poll(spark)
+        out = df.select("id", "v")
+        write_delta(
+            out, dst, txn_app_id=stream.stream_id, txn_version=v,
+            checkpoint_interval=None,
+        )
+        # crash before ack → batch re-polled and re-written
+        df2, v2 = stream.poll(spark)
+        assert v2 == v
+        write_delta(
+            df2.select("id", "v"), dst,
+            txn_app_id=stream.stream_id, txn_version=v2,
+            checkpoint_interval=None,
+        )
+        stream.ack(v2)
+        got = DeltalakeTable("dst", dst)(spark=spark).count()
+        assert got == 4  # not 8
