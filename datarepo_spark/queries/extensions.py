@@ -1428,3 +1428,44 @@ from ..functions import fuzzy as FZ  # noqa: E402
 def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     return FZ.fuzzy_join_pairs(supplier, "s_name", "s_suppkey")
+
+
+# -- mergeable-sketch rollup -------------------------------------------------
+
+
+@register(
+    "agg_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_contract
+    FROM events
+    GROUP BY event_type
+    """,
+    description="mergeable HLL sketch rollup (Datasketches): per-day "
+    "hll_sketch_agg partials union with hll_union_agg — the "
+    "pre-aggregated incremental-distinct pattern (store day sketches, "
+    "merge at query time; never re-scan history). Gate: exact distinct "
+    "+ estimate-within-5%-rsd contract boolean, the HLL pattern "
+    "agg_approx_distinct established",
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_day = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("within_contract"),
+    )

@@ -157,21 +157,31 @@ class TestRandomLifecycles:
         st.one_of(
             st.tuples(st.just("append"), st.integers(0, 2)),
             st.tuples(st.just("overwrite"), st.integers(3, 5)),
+            st.tuples(st.just("delete"), st.integers(0, 5)),
+            st.tuples(st.just("update"), st.integers(0, 5)),
+            st.just(("zorder",)),
             st.just(("checkpoint",)),
             st.just(("compact",)),
             st.just(("vacuum",)),
         ),
         min_size=2,
-        max_size=6,
+        max_size=7,
     )
 
     @given(ops=OPS)
     @settings(
-        max_examples=6,
+        max_examples=8,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     def test_random_sequence_matches_model(self, spark, tmp_path_factory, ops):
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta,
+            update_delta,
+            zorder_by,
+        )
+
         uri = str(tmp_path_factory.mktemp("rand_delta") / "t")
         model: list = []  # multiset: appends legitimately duplicate rows
         version = -1
@@ -191,12 +201,45 @@ class TestRandomLifecycles:
                 )
                 model = list(rows)
                 version += 1
+            elif version >= 0 and op[0] == "delete":
+                key = op[1] * 10  # first row of that batch, if present
+                res = delete_delta(spark, uri, [Filter("k", "=", key)])
+                assert res["rows_deleted"] == sum(
+                    1 for r in model if r[0] == key
+                )
+                if res["rows_deleted"]:
+                    version += 1
+                model = [r for r in model if r[0] != key]
+            elif version >= 0 and op[0] == "update":
+                key = op[1] * 10 + 1
+                res = update_delta(
+                    spark, uri, [Filter("k", "=", key)], {"v": "'upd'"}
+                )
+                assert res["rows_updated"] == sum(
+                    1 for r in model if r[0] == key
+                )
+                if res["rows_updated"]:
+                    version += 1
+                model = [
+                    (k, "upd") if k == key else (k, v) for k, v in model
+                ]
+            elif version >= 0 and op[0] == "zorder" and model:
+                zorder_by(spark, uri, ["k"], target_files=1)
+                version += 1
             elif version >= 0 and op[0] == "checkpoint":
                 write_checkpoint(uri)
             elif version >= 0 and op[0] == "compact":
-                stats = compact(spark, uri)
-                if stats["version"] >= 0:
-                    version += 1
+                has_dv = any(
+                    f.deletion_vector
+                    for f in DeltaLog(uri).snapshot().files
+                )
+                if has_dv:
+                    with pytest.raises(NotImplementedError):
+                        compact(spark, uri)
+                else:
+                    stats = compact(spark, uri)
+                    if stats["version"] >= 0:
+                        version += 1
             elif version >= 0 and op[0] == "vacuum":
                 vacuum(uri)
             if version >= 0:
