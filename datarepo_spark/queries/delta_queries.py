@@ -578,3 +578,76 @@ def cleanup() -> None:
     for uri in _BUILT_UPD.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT_UPD.clear()
+    for agg in _BUILT_IVM.values():
+        shutil.rmtree(os.path.dirname(agg.dest_uri), ignore_errors=True)
+    _BUILT_IVM.clear()
+
+
+_BUILT_IVM: dict[str, str] = {}
+
+
+def _ivm_fixture(spark: SparkSession, sf_dir: str):
+    """Source table driven through append → append → DV delete, with an
+    IncrementalAggregate maintained across three advance() calls. The
+    final view is a pure function of `orders`, so plain SQL (a GROUP BY
+    of the equivalent final state) is the oracle."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_IVM:
+        agg = _BUILT_IVM[key]
+        if os.path.isdir(os.path.join(agg.dest_uri, "_delta_log")):
+            return agg
+    from ..tables.delta_writer import delete_delta
+    from ..tables.ivm import IncrementalAggregate
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_ivm_")
+    src = os.path.join(base, "orders_src")
+    dst = os.path.join(base, "orders_by_status")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load(spark, sf_dir, "orders").select(*cols)
+    agg = IncrementalAggregate(
+        src, dst, os.path.join(base, "cursor.json"),
+        group_cols=["o_orderstatus"], sum_cols=["o_totalprice"],
+    )
+    write_delta(
+        orders.filter(F.col("o_orderkey") <= 1200), src,
+        checkpoint_interval=None,
+    )
+    agg.advance(spark)
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") > 1200) & (F.col("o_orderkey") <= 1800)
+        ),
+        src, checkpoint_interval=None,
+    )
+    delete_delta(spark, src, [Filter("o_totalprice", ">", 150000.0)])
+    agg.advance(spark)
+    assert agg.advance(spark) is None
+    _BUILT_IVM[key] = agg
+    return agg
+
+
+@register(
+    "ivm_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 2) AS sum_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1800 AND NOT (o_totalprice > 150000)
+    GROUP BY o_orderstatus
+    """,
+    description="incremental view maintenance: a COUNT/SUM-by-status "
+    "aggregate kept in sync from the change feed (merge + zero-group "
+    "delete, SetTransaction exactly-once) — must equal the from-scratch "
+    "GROUP BY of the source's final state",
+)
+def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _ivm_fixture(spark, sf_dir)
+    return agg.read(spark).select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(
+            F.col("sum_o_totalprice").cast("double"), 2
+        ).alias("sum_totalprice"),
+    )

@@ -622,6 +622,8 @@ def merge_delta(
     on: Sequence[str],
     when_matched: Optional[str] = "update",
     when_not_matched: Optional[str] = "insert",
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
 ) -> dict[str, int]:
     """Copy-on-write MERGE INTO: apply ``source`` to the table keyed by
     ``on``. ``when_matched``: 'update' (replace the whole row with the
@@ -646,6 +648,11 @@ def merge_delta(
     replacements — the same error delta-spark throws); 'delete' and
     pure-insert tolerate them.
 
+    ``txn_app_id``/``txn_version``: idempotent-writer ledger, same
+    contract as :func:`write_delta` — a merge whose version is <= the
+    app's last recorded SetTransaction is skipped (exactly-once replay
+    for incremental-maintenance consumers).
+
     Returns {version, files_rewritten, files_added}."""
     from pyspark.sql import functions as F
 
@@ -656,9 +663,19 @@ def merge_delta(
     on = list(on)
     if not on:
         raise ValueError("merge_delta requires at least one key column")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
     _reject_column_mapping(snapshot, "merge_delta")
+    if txn_app_id is not None:
+        last = snapshot.app_transactions.get(txn_app_id)
+        if last is not None and txn_version <= last:
+            return {
+                "version": snapshot.version,
+                "files_rewritten": 0,
+                "files_added": 0,
+            }
     table_cols = [f.name for f in snapshot.schema.fields]
     if set(source.columns) != set(table_cols):
         raise ValueError(
@@ -758,6 +775,16 @@ def merge_delta(
             "files_rewritten": 0,
             "files_added": 0,
         }
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": 0,
+                }
+            }
+        )
     version = _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
         read_version=snapshot.version,
@@ -944,6 +971,8 @@ def delete_delta(
     spark,
     uri: str,
     filters,
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
 ) -> dict[str, int]:
     """DELETE FROM the Delta table at ``uri`` via deletion vectors: rows
     matching ``filters`` (the engine's DNF Filter algebra) are soft-
@@ -980,9 +1009,20 @@ def delete_delta(
     from ..core.filters import normalize_filters, validate_filters
     from .delta_table import DeltalakeTable
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
     _reject_column_mapping(snapshot, "delete_delta")
+    if txn_app_id is not None:
+        last = snapshot.app_transactions.get(txn_app_id)
+        if last is not None and txn_version <= last:
+            return {
+                "version": snapshot.version,
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_removed": 0,
+            }
     dnf = normalize_filters(filters)
     if not dnf:
         raise ValueError(
@@ -1016,6 +1056,16 @@ def delete_delta(
     actions = _dv_feature_actions(snapshot)
     dv_actions, counters = _dv_soft_delete_actions(uri, snapshot, matched)
     actions.extend(dv_actions)
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": 0,
+                }
+            }
+        )
 
     version = _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
