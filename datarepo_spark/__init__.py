@@ -30,8 +30,12 @@ from .tables.metadata import (
 )
 from .tables.bucketed import BucketedTable, write_bucketed
 from .tables.delta_cdf import DeltaChangeStream, table_changes
+from .tables.ivm import IncrementalAggregate
 from .tables.delta_writer import (
     ConcurrentModificationError,
+    ConstraintViolationError,
+    add_check_constraint,
+    drop_check_constraint,
     compact,
     delete_delta,
     merge_delta,
@@ -45,7 +49,11 @@ from .tables.parquet_table import ParquetTable
 __all__ = [
     "BucketedTable",
     "ConcurrentModificationError",
+    "ConstraintViolationError",
+    "add_check_constraint",
+    "drop_check_constraint",
     "DeltaChangeStream",
+    "IncrementalAggregate",
     "delete_delta",
     "table_changes",
     "update_delta",

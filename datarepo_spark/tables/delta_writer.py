@@ -128,6 +128,137 @@ def _check_schema(
     return {"metaData": meta}
 
 
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a CHECK constraint."""
+
+
+def _enforce_constraints(df: DataFrame, snapshot) -> None:
+    """Enforce the table's ``delta.constraints.<name>`` CHECK expressions
+    on a frame about to land (delta-spark semantics: a row violates when
+    the expression evaluates FALSE; NULL passes, per SQL CHECK). One
+    combined pass regardless of constraint count."""
+    from pyspark.sql import functions as F
+
+    constraints = {
+        k[len("delta.constraints."):]: v
+        for k, v in (snapshot.configuration or {}).items()
+        if k.startswith("delta.constraints.")
+    }
+    if not constraints:
+        return
+    violated = None
+    for name, expr in constraints.items():
+        cond = F.expr(expr)
+        # FALSE violates; NULL satisfies (SQL CHECK three-valued logic)
+        v = cond.isNotNull() & ~cond
+        violated = v if violated is None else (violated | v)
+    bad = df.filter(violated).limit(1).collect()
+    if bad:
+        detail = {
+            name: expr for name, expr in sorted(constraints.items())
+        }
+        raise ConstraintViolationError(
+            f"Write violates CHECK constraint(s) {detail}; offending "
+            f"row example: {bad[0].asDict()}"
+        )
+
+
+def add_check_constraint(
+    spark, uri: str, name: str, expression: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: record a CHECK expression in the
+    table metadata (``delta.constraints.<name>``, the public Delta
+    layout) after verifying every EXISTING row satisfies it — the same
+    full-scan validation delta-spark performs (one boolean aggregate;
+    the scan is the unavoidable cost of a sound constraint). Subsequent
+    write_delta/merge_delta/update_delta calls enforce it on the
+    incoming frame and refuse violating writes.
+
+    The commit upgrades ``minWriterVersion`` to >= 3 (the protocol
+    version that introduced CHECK-constraint enforcement) or, on a
+    table-features protocol, adds the ``checkConstraints`` writer
+    feature — so external writers that do not understand constraints
+    correctly refuse to write rather than corrupt the invariant."""
+    import re as _re
+
+    from .delta_table import DeltalakeTable
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"constraint name must be an identifier: {name!r}")
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    _reject_column_mapping(snapshot, "add_check_constraint")
+    key = f"delta.constraints.{name}"
+    if key in (snapshot.configuration or {}):
+        raise ValueError(f"constraint {name!r} already exists")
+
+    from pyspark.sql import functions as F
+
+    existing = DeltalakeTable(os.path.basename(uri), uri)(spark=spark)
+    cond = F.expr(expression)
+    bad = existing.filter(cond.isNotNull() & ~cond).limit(1).collect()
+    if bad:
+        raise ConstraintViolationError(
+            f"Existing rows violate {expression!r}; example: "
+            f"{bad[0].asDict()}"
+        )
+
+    meta = dict(snapshot.raw_metadata or {})
+    for k in ("format", "configuration"):
+        if meta.get(k) is not None and not isinstance(meta[k], dict):
+            meta[k] = dict(meta[k])
+    conf = dict(meta.get("configuration") or {})
+    conf[key] = expression
+    meta["configuration"] = conf
+
+    actions: list[dict] = []
+    proto = dict(snapshot.raw_protocol or {})
+    writer_feats = proto.get("writerFeatures")
+    if writer_feats is not None:
+        feats = set(writer_feats)
+        if "checkConstraints" not in feats:
+            proto["writerFeatures"] = sorted(
+                feats | {"checkConstraints"}
+            )
+            actions.append({"protocol": proto})
+    elif int(proto.get("minWriterVersion", 2)) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": int(
+                        proto.get("minReaderVersion", 1)
+                    ),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions.append({"metaData": meta})
+    return _commit_atomically(
+        os.path.join(uri, "_delta_log"), actions,
+        read_version=snapshot.version,
+    )
+
+
+def drop_check_constraint(uri: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: remove the CHECK expression."""
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    key = f"delta.constraints.{name}"
+    if key not in (snapshot.configuration or {}):
+        raise ValueError(f"no constraint named {name!r}")
+    meta = dict(snapshot.raw_metadata or {})
+    for k in ("format", "configuration"):
+        if meta.get(k) is not None and not isinstance(meta[k], dict):
+            meta[k] = dict(meta[k])
+    conf = dict(meta.get("configuration") or {})
+    del conf[key]
+    meta["configuration"] = conf
+    return _commit_atomically(
+        os.path.join(uri, "_delta_log"), [{"metaData": meta}],
+        read_version=snapshot.version,
+    )
+
+
 def write_delta(
     df: DataFrame,
     uri: str,
@@ -190,6 +321,7 @@ def write_delta(
         partition_cols = snapshot.partition_columns
         previous_files = [f.path for f in snapshot.files]
         metadata_update = _check_schema(df, snapshot, schema_mode)
+        _enforce_constraints(df, snapshot)
     else:
         metadata_update = None
 
@@ -751,6 +883,7 @@ def merge_delta(
     for p in pieces[1:]:
         new_data = new_data.unionByName(p)
 
+    _enforce_constraints(new_data, snapshot)
     part_cols = snapshot.partition_columns
     actions: list[dict] = _stage_adds(
         spark, new_data, uri, part_cols, snapshot.data_schema,
@@ -1161,6 +1294,7 @@ def update_delta(
             for f in snapshot.schema.fields
         ]
     )
+    _enforce_constraints(updated, snapshot)
     add_actions = _stage_adds(
         spark,
         updated,

@@ -786,3 +786,105 @@ class TestCommitConflicts:
                       "dataChange": True}}],
         )
         assert v == 2
+
+
+class TestCheckConstraints:
+    def _table(self, spark, tmp_path):
+        uri = str(tmp_path / "con")
+        df = spark.range(0, 10).select(
+            F.col("id"), (F.col("id") * 2.0).alias("x")
+        )
+        write_delta(df, uri, checkpoint_interval=None)
+        return uri
+
+    def test_add_enforce_drop(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            ConstraintViolationError,
+            add_check_constraint,
+            drop_check_constraint,
+        )
+
+        uri = self._table(spark, tmp_path)
+        add_check_constraint(spark, uri, "x_nonneg", "x >= 0")
+        snap = DeltaLog(uri).snapshot()
+        assert snap.configuration["delta.constraints.x_nonneg"] == "x >= 0"
+        assert snap.raw_protocol["minWriterVersion"] >= 3
+
+        good = spark.range(10, 12).select(
+            F.col("id"), (F.col("id") * 1.0).alias("x")
+        )
+        write_delta(good, uri, checkpoint_interval=None)
+        bad = spark.range(12, 14).select(
+            F.col("id"), (F.col("id") * -1.0).alias("x")
+        )
+        with pytest.raises(ConstraintViolationError, match="x_nonneg"):
+            write_delta(bad, uri, checkpoint_interval=None)
+
+        drop_check_constraint(uri, "x_nonneg")
+        write_delta(bad, uri, checkpoint_interval=None)
+        t = DeltalakeTable("con", uri)
+        assert t(spark=spark).count() == 14
+
+    def test_existing_violations_block_add(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            ConstraintViolationError,
+            add_check_constraint,
+        )
+
+        uri = self._table(spark, tmp_path)
+        with pytest.raises(ConstraintViolationError, match="Existing"):
+            add_check_constraint(spark, uri, "small", "id < 5")
+
+    def test_update_and_merge_enforce(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            ConstraintViolationError,
+            add_check_constraint,
+            merge_delta,
+            update_delta,
+        )
+
+        uri = self._table(spark, tmp_path)
+        add_check_constraint(spark, uri, "x_nonneg", "x >= 0")
+        with pytest.raises(ConstraintViolationError):
+            update_delta(
+                spark, uri, [Filter("id", "=", 3)], {"x": "-5.0"}
+            )
+        bad_src = spark.range(3, 4).select(
+            F.col("id"), F.lit(-1.0).alias("x")
+        )
+        with pytest.raises(ConstraintViolationError):
+            merge_delta(spark, uri, bad_src, on=["id"])
+
+    def test_null_passes_sql_check_semantics(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            add_check_constraint,
+        )
+
+        uri = self._table(spark, tmp_path)
+        add_check_constraint(spark, uri, "x_nonneg", "x >= 0")
+        with_null = spark.range(20, 21).select(
+            F.col("id"), F.lit(None).cast("double").alias("x")
+        )
+        write_delta(with_null, uri, checkpoint_interval=None)
+        assert DeltalakeTable("con", uri)(spark=spark).count() == 11
+
+    def test_feature_table_gets_writer_feature(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            add_check_constraint,
+            delete_delta,
+        )
+
+        uri = self._table(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "=", 0)])  # upgrades to v7
+        add_check_constraint(spark, uri, "x_nonneg", "x >= 0")
+        proto = DeltaLog(uri).snapshot().raw_protocol
+        assert "checkConstraints" in proto["writerFeatures"]
+
+    def test_bad_name_rejected(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            add_check_constraint,
+        )
+
+        uri = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="identifier"):
+            add_check_constraint(spark, uri, "bad name!", "x >= 0")
