@@ -38,7 +38,9 @@ from .tables.delta_writer import (
     drop_check_constraint,
     compact,
     delete_delta,
+    describe_history,
     merge_delta,
+    restore_table,
     update_delta,
     vacuum,
     write_delta,
@@ -55,6 +57,8 @@ __all__ = [
     "DeltaChangeStream",
     "IncrementalAggregate",
     "delete_delta",
+    "describe_history",
+    "restore_table",
     "table_changes",
     "update_delta",
     "Catalog",

@@ -236,6 +236,8 @@ def add_check_constraint(
     return _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
         read_version=snapshot.version,
+        operation="ADD CONSTRAINT",
+        operation_params={"name": name, "expr": expression},
     )
 
 
@@ -256,6 +258,8 @@ def drop_check_constraint(uri: str, name: str) -> int:
     return _commit_atomically(
         os.path.join(uri, "_delta_log"), [{"metaData": meta}],
         read_version=snapshot.version,
+        operation="DROP CONSTRAINT",
+        operation_params={"name": name},
     )
 
 
@@ -388,6 +392,8 @@ def write_delta(
     version = _commit_atomically(
         log_dir, actions,
         read_version=snapshot.version if exists else None,
+        operation="WRITE",
+        operation_params={"mode": mode.capitalize()},
     )
     if (
         checkpoint_interval
@@ -737,6 +743,8 @@ def compact(
     version = _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
         read_version=snapshot.version,
+        operation="OPTIMIZE",
+        operation_params={"auto": False},
     )
     n_removed = sum(len(fs) for fs in todo.values())
     return {
@@ -921,6 +929,8 @@ def merge_delta(
     version = _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
         read_version=snapshot.version,
+        operation="MERGE",
+        operation_params={"predicate": on},
     )
     return {
         "version": version,
@@ -1203,6 +1213,8 @@ def delete_delta(
     version = _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
         read_version=snapshot.version,
+        operation="DELETE",
+        operation_params={"predicate": [str(f) for c in dnf for f in c]},
     )
     return {"version": version, **counters}
 
@@ -1312,6 +1324,11 @@ def update_delta(
     version = _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
         read_version=snapshot.version,
+        operation="UPDATE",
+        operation_params={
+            "predicate": [str(f) for c in dnf for f in c],
+            "columns": sorted(assignments),
+        },
     )
     return {
         "version": version,
@@ -1469,6 +1486,8 @@ def zorder_by(
     version = _commit_atomically(
         os.path.join(uri, "_delta_log"), actions,
         read_version=snapshot.version,
+        operation="OPTIMIZE",
+        operation_params={"zOrderBy": columns},
     )
     return {
         "files_removed": len(snapshot.files),
@@ -1605,13 +1624,29 @@ def _commit_atomically(
     log_dir: str,
     actions: list[dict],
     read_version: Optional[int] = None,
+    operation: Optional[str] = None,
+    operation_params: Optional[dict] = None,
 ) -> int:
     """Write the next NNN.json with O_EXCL; on collision validate the
     intervening commits against ``read_version`` (the snapshot this
     transaction planned from) and retry — optimistic concurrency with
     WriteSerializable conflict rules, as the protocol prescribes.
     ``read_version=None`` skips validation (brand-new table, or caller
-    accepts last-writer-wins)."""
+    accepts last-writer-wins). ``operation`` prepends a ``commitInfo``
+    action (the freeform provenance record delta-spark writes and
+    DESCRIBE HISTORY reads); timestamp is 0 like every other clock in
+    this writer — determinism over wall time."""
+    if operation is not None:
+        info: dict = {
+            "timestamp": 0,
+            "operation": operation,
+            "operationParameters": {
+                k: v if isinstance(v, str) else json.dumps(v)
+                for k, v in (operation_params or {}).items()
+            },
+            "engineInfo": "datarepo-spark",
+        }
+        actions = [{"commitInfo": info}] + list(actions)
     payload = "".join(json.dumps(a) + "\n" for a in actions)
     for _ in range(50):
         versions = [
@@ -1641,3 +1676,160 @@ def _commit_atomically(
         invalidate_snapshot_cache(os.path.dirname(log_dir))
         return version
     raise RuntimeError(f"Could not commit to {log_dir} after 50 attempts")
+
+
+def describe_history(spark, uri: str) -> "DataFrame":
+    """DESCRIBE HISTORY: one row per retained commit (newest first) —
+    version, operation (+ parameters, from the commitInfo provenance
+    records this writer emits), and add/remove counts. Commits written
+    by other engines without commitInfo show operation NULL. Log-cleaned
+    commits are absent, as in delta-spark."""
+    from pyspark.sql import types as T
+
+    uri = uri.rstrip("/")
+    log_dir = os.path.join(uri, "_delta_log")
+    rows = []
+    for name in sorted(os.listdir(log_dir), reverse=True):
+        if not (name.endswith(".json") and len(name) == 25):
+            continue
+        version = int(name[:20])
+        op = None
+        params = None
+        n_adds = n_removes = 0
+        with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    op = action["commitInfo"].get("operation")
+                    p = action["commitInfo"].get("operationParameters")
+                    params = json.dumps(p, sort_keys=True) if p else None
+                elif "add" in action:
+                    n_adds += 1
+                elif "remove" in action:
+                    n_removes += 1
+        rows.append((version, op, params, n_adds, n_removes))
+    schema = T.StructType(
+        [
+            T.StructField("version", T.LongType(), False),
+            T.StructField("operation", T.StringType(), True),
+            T.StructField("operation_parameters", T.StringType(), True),
+            T.StructField("n_adds", T.LongType(), False),
+            T.StructField("n_removes", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def restore_table(spark, uri: str, version: int) -> dict[str, int]:
+    """RESTORE TABLE ... TO VERSION AS OF: one commit that returns the
+    LATEST snapshot to the file set (and metadata) of ``version`` —
+    the undo operation. History is preserved (the restore is itself a
+    new version; nothing is rewritten), so a bad restore is restorable.
+
+    Metadata-only mechanics: removes for files not in the target
+    snapshot, re-adds (stats and deletion vectors carried) for files
+    the current snapshot dropped or whose DV state changed. Refuses if
+    any target file was vacuumed — a silent partial restore would
+    present truncated data as success (delta-spark errors identically).
+
+    Returns {version, files_added, files_removed}."""
+    uri = uri.rstrip("/")
+    log = DeltaLog(uri)
+    old = log.snapshot(version)
+    cur = log.snapshot()
+    if old.version == cur.version:
+        return {
+            "version": cur.version,
+            "files_added": 0,
+            "files_removed": 0,
+        }
+
+    from .delta_dv import dv_relative_path
+
+    missing = []
+    for f in old.files:
+        if not os.path.exists(os.path.join(uri, unquote(f.path))):
+            missing.append(f.path)
+        dv = f.deletion_vector
+        if dv and dv.get("storageType") == "u":
+            rel = dv_relative_path(dv["pathOrInlineDv"])
+            if not os.path.exists(os.path.join(uri, rel)):
+                missing.append(rel)
+    if missing:
+        raise ValueError(
+            f"Cannot restore to version {version}: {len(missing)} "
+            f"file(s) were vacuumed, e.g. {missing[:3]}"
+        )
+
+    cur_by_path = {f.path: f for f in cur.files}
+    old_by_path = {f.path: f for f in old.files}
+    actions: list[dict] = []
+    if (old.raw_metadata or {}) != (cur.raw_metadata or {}):
+        meta = dict(old.raw_metadata or {})
+        for k in ("format", "configuration"):
+            if meta.get(k) is not None and not isinstance(meta[k], dict):
+                meta[k] = dict(meta[k])
+        actions.append({"metaData": meta})
+    removes = [p for p in cur_by_path if p not in old_by_path]
+    actions.extend(
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": 0,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(removes)
+    )
+    n_added = 0
+    for p, f in sorted(old_by_path.items()):
+        existing = cur_by_path.get(p)
+        if existing is not None and (
+            existing.deletion_vector == f.deletion_vector
+        ):
+            continue  # identical file state — leave in place
+        if existing is not None:
+            # same path, different DV state: remove + re-add old state
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        add_action = {
+            "path": f.path,
+            "partitionValues": dict(f.partition_values),
+            "size": f.size,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if f.stats is not None:
+            add_action["stats"] = f.stats
+        if f.deletion_vector is not None:
+            add_action["deletionVector"] = dict(f.deletion_vector)
+        actions.append({"add": add_action})
+        n_added += 1
+
+    if not actions:
+        return {
+            "version": cur.version,
+            "files_added": 0,
+            "files_removed": 0,
+        }
+    new_version = _commit_atomically(
+        os.path.join(uri, "_delta_log"), actions,
+        read_version=cur.version,
+        operation="RESTORE",
+        operation_params={"version": version},
+    )
+    return {
+        "version": new_version,
+        "files_added": n_added,
+        "files_removed": len(removes),
+    }

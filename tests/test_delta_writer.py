@@ -888,3 +888,89 @@ class TestCheckConstraints:
         uri = self._table(spark, tmp_path)
         with pytest.raises(ValueError, match="identifier"):
             add_check_constraint(spark, uri, "bad name!", "x >= 0")
+
+
+class TestHistoryAndRestore:
+    def _seed(self, spark, tmp_path):
+        uri = str(tmp_path / "hr")
+        for lo in (0, 5):
+            df = spark.range(lo, lo + 5).select(
+                F.col("id"), (F.col("id") * 1.0).alias("x")
+            )
+            write_delta(df, uri, checkpoint_interval=None)
+        return uri
+
+    def test_describe_history(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta,
+            describe_history,
+        )
+
+        uri = self._seed(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "=", 3)])
+        hist = describe_history(spark, uri).collect()
+        assert [r["version"] for r in hist] == [2, 1, 0]
+        assert [r["operation"] for r in hist] == [
+            "DELETE", "WRITE", "WRITE",
+        ]
+        assert hist[0]["n_removes"] == 1 and hist[0]["n_adds"] == 1
+
+    def test_restore_undoes_delete(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta,
+            restore_table,
+        )
+
+        uri = self._seed(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "<", 3)])
+        assert DeltalakeTable("t", uri)(spark=spark).count() == 7
+        res = restore_table(spark, uri, 1)
+        assert res["version"] == 3
+        assert DeltalakeTable("t", uri)(spark=spark).count() == 10
+        # the restore itself is time-travelable (history preserved)
+        assert DeltalakeTable("t", uri)(
+            spark=spark, version=2
+        ).count() == 7
+
+    def test_restore_undoes_overwrite(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import restore_table
+
+        uri = self._seed(spark, tmp_path)
+        write_delta(
+            spark.range(100, 102).select(
+                F.col("id"), (F.col("id") * 1.0).alias("x")
+            ),
+            uri, mode="overwrite", checkpoint_interval=None,
+        )
+        assert DeltalakeTable("t", uri)(spark=spark).count() == 2
+        restore_table(spark, uri, 1)
+        got = sorted(
+            r["id"] for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        )
+        assert got == list(range(10))
+
+    def test_restore_refuses_after_vacuum(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            restore_table,
+            vacuum,
+        )
+
+        uri = self._seed(spark, tmp_path)
+        write_delta(
+            spark.range(50, 52).select(
+                F.col("id"), (F.col("id") * 1.0).alias("x")
+            ),
+            uri, mode="overwrite", checkpoint_interval=None,
+        )
+        vacuum(uri)
+        with pytest.raises(ValueError, match="vacuumed"):
+            restore_table(spark, uri, 1)
+
+    def test_restore_noop_at_current(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import restore_table
+
+        uri = self._seed(spark, tmp_path)
+        res = restore_table(spark, uri, 1)
+        assert res == {
+            "version": 1, "files_added": 0, "files_removed": 0,
+        }
