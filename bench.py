@@ -61,6 +61,7 @@ HEADLINE = [
     # added r4 (session 2): sequence packing, LM perplexity
     "pipeline_pack_sequences",
     "text_perplexity",
+    "dedup_duplicate_spans",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

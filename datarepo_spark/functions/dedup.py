@@ -888,3 +888,101 @@ def semantic_dedup(
             | (F.col(id_col) == F.col("component"))
         ).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def shingle_rows_pos(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gram) rows — positional variant of :func:`shingle_rows`
+    for span-level work. Only documents with >= n tokens participate
+    (shorter docs have no length-n substring, per the substring-dedup
+    definition)."""
+    toks = df.select(
+        F.col(id_col), tokens_of(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    idx = toks.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - n)
+        ).alias("pos"),
+    )
+    return idx.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", F.slice("__toks", F.col("pos") + 1, n)).alias(
+            "gram"
+        ),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Token spans whose every length-``n`` window occurs more than once
+    in the corpus — the detection half of exact-substring dedup
+    (Lee et al. 2022, 'Deduplicating Training Data Makes Language
+    Models Better': substrings repeated across a corpus are memorized
+    disproportionately; the dedup pass finds and cuts them). Returns
+    (id, span_start, span_end, n_windows) with [span_start, span_end)
+    in token coordinates, overlapping/adjacent windows merged.
+
+    Relational shape — the suffix-array step of the paper replaced by
+    an aggregation (count > 1 over length-n windows ≙ a repeated
+    substring of length ≥ n):
+      1. positional shingle explode (codegen, no shuffle);
+      2. repeated-window set via groupBy(gram) count > 1 — partial
+         aggregation does the heavy lifting map-side;
+      3. left-semi join marks each doc's duplicated windows;
+      4. gaps-and-islands merge per doc: a window starts a new span
+         when its start exceeds the running max end of its
+         predecessors (one window-function pass), then one groupBy
+         per island.
+    Shuffles: the gram aggregate + semi join (gram-keyed; production
+    variant hashes grams to fixed 8-byte keys first) and the per-doc
+    window partition. Document text itself never shuffles."""
+    rows = shingle_rows_pos(df, text_col, id_col, n)
+    repeated = (
+        rows.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("gram")
+    )
+    marked = rows.join(repeated, "gram", "left_semi").select(
+        F.col(id_col),
+        F.col("pos").alias("start"),
+        (F.col("pos") + n).alias("end"),
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = marked.select(
+        F.col(id_col),
+        "start",
+        "end",
+        F.when(
+            prev_max.isNull() | (F.col("start") > prev_max), 1
+        ).otherwise(0).alias("__new"),
+    )
+    islands = flagged.select(
+        F.col(id_col),
+        "start",
+        "end",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__island"),
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("start").alias("span_start"),
+        F.max("end").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")

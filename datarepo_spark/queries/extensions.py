@@ -1469,3 +1469,62 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05)
         ).alias("within_contract"),
     )
+
+
+# -- exact duplicate-span detection (substring-level dedup) ------------------
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), win AS (
+      SELECT doc_id, UNNEST(RANGE(0, LEN(tk) - 7)) AS pos, tk
+      FROM toks WHERE LEN(tk) >= 8
+    ), grams AS (
+      SELECT doc_id, pos,
+             LIST_AGGREGATE(tk[pos+1 : pos+8], 'string_agg', ' ')
+               AS gram
+      FROM win
+    ), rep AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
+    ), marked AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+      FROM grams g JOIN rep USING (gram)
+    ), flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL
+                    OR s > MAX(e) OVER w THEN 1 ELSE 0 END AS is_new
+      FROM marked
+      WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), islands AS (
+      SELECT doc_id, s, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM islands GROUP BY doc_id, island
+    """,
+    description="exact duplicate-span detection (Lee et al. 2022 "
+    "substring dedup): repeated 8-token windows via gram aggregate + "
+    "semi join, merged per doc with one gaps-and-islands window pass",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    spans = D.duplicate_spans(docs, n=8)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )

@@ -689,3 +689,50 @@ class TestFirstBandFilter:
         sh = D.simhash_dedup_pairs(df, max_hamming=3, portable=True)
         rows = [(r.id_a, r.id_b) for r in sh.collect() if r.id_b == 1]
         assert rows == [(0, 1)]
+
+
+class TestDuplicateSpans:
+    def test_known_corpus(self, spark):
+        from datarepo_spark.functions.dedup import duplicate_spans
+
+        shared = "one two three four five"
+        rows = [
+            (1, f"{shared} alpha beta gamma"),
+            (2, f"prefix {shared} suffix words here"),
+            (3, "totally unrelated text with no duplication at all"),
+            (4, f"{shared} alpha beta gamma"),  # full dup of doc 1
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_spans(df, n=5).collect()
+        }
+        # docs 1 & 4 (8 tokens) duplicate entirely: windows 0..3 merge
+        # into [0, 8). doc 2 contains `shared` at pos 1 — but only the
+        # 5-gram starting at pos 1 matches a window that appears
+        # elsewhere (the shared sentence is a window in docs 1/4).
+        assert (1, 0, 8) in got and (4, 0, 8) in got
+        assert (2, 1, 6) in got
+        assert not any(d == 3 for d, *_ in got)
+
+    def test_adjacent_windows_merge(self, spark):
+        from datarepo_spark.functions.dedup import duplicate_spans
+
+        text = "a b c d e f"
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], ["doc_id", "text"]
+        )
+        spans = duplicate_spans(df, n=3).collect()
+        # every 3-window duplicates; each doc gets ONE merged span
+        assert sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in spans
+        ) == [(1, 0, 6, 4), (2, 0, 6, 4)]
+
+    def test_short_docs_excluded(self, spark):
+        from datarepo_spark.functions.dedup import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x y")], ["doc_id", "text"]
+        )
+        assert duplicate_spans(df, n=3).count() == 0
