@@ -51,6 +51,8 @@ class TestZOrder:
             for line in fh:
                 action = json.loads(line)
                 body = action.get("add") or action.get("remove")
+                if body is None:  # commitInfo etc. carry no dataChange
+                    continue
                 assert body["dataChange"] is False
 
     def test_both_dimensions_prune(self, spark, tmp_path):
