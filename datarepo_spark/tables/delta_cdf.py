@@ -84,35 +84,24 @@ class DeltaChangeStream:
         self.checkpoint_path = checkpoint_path
         self.stream_id = f"delta-change-stream:{checkpoint_path}"
 
-    def _read_cursor(self) -> int:
+    def _read_cursor(self) -> tuple[int, Optional[int]]:
+        """(last acked version, in-flight batch end or None)."""
         try:
             with open(self.checkpoint_path, "r", encoding="utf-8") as fh:
                 import json
 
-                return int(json.load(fh)["last_version"])
+                state = json.load(fh)
+                inflight = state.get("inflight")
+                return (
+                    int(state["last_version"]),
+                    int(inflight) if inflight is not None else None,
+                )
         except (FileNotFoundError, ValueError, KeyError):
-            return -1
+            return -1, None
 
-    def poll(
-        self, spark: SparkSession, max_versions: Optional[int] = None
-    ) -> Optional[tuple[DataFrame, int]]:
-        """Changes after the cursor, or None when caught up. Returns
-        (changes_df, through_version); pass ``through_version`` to
-        :meth:`ack` once the batch is durably processed.
-        ``max_versions`` bounds one batch (backlog catch-up in chunks)."""
-        last = self._read_cursor()
-        latest = DeltaLog(self.uri).snapshot().version
-        if latest <= last:
-            return None
-        start = last + 1
-        end = latest
-        if max_versions is not None:
-            end = min(end, start + max_versions - 1)
-        return table_changes(spark, self.uri, start, end), end
-
-    def ack(self, version: int) -> None:
-        """Durably advance the cursor: the next poll starts after
-        ``version`` (atomic rename, so a torn write never corrupts)."""
+    def _write_cursor(
+        self, last: int, inflight: Optional[int] = None
+    ) -> None:
         import json
 
         tmp = f"{self.checkpoint_path}.tmp"
@@ -120,9 +109,46 @@ class DeltaChangeStream:
             os.path.dirname(os.path.abspath(self.checkpoint_path)),
             exist_ok=True,
         )
+        state: dict = {"last_version": int(last)}
+        if inflight is not None:
+            state["inflight"] = int(inflight)
         with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"last_version": int(version)}, fh)
+            json.dump(state, fh)
         os.replace(tmp, self.checkpoint_path)
+
+    def poll(
+        self, spark: SparkSession, max_versions: Optional[int] = None
+    ) -> Optional[tuple[DataFrame, int]]:
+        """Changes after the cursor, or None when caught up. Returns
+        (changes_df, through_version); pass ``through_version`` to
+        :meth:`ack` once the batch is durably processed.
+        ``max_versions`` bounds one batch (backlog catch-up in chunks).
+
+        The batch window is write-ahead PINNED: poll records its end
+        version in the checkpoint before returning, and a re-poll
+        before ack re-delivers exactly [last+1, pinned_end] even if
+        newer source versions landed meanwhile. This is what keeps a
+        replayed batch's identity (and a txn sink's SetTransaction
+        version) STABLE across crashes — an unpinned replay would
+        widen the window, carry a higher txn version past the ledger,
+        and double-apply the already-landed prefix."""
+        last, inflight = self._read_cursor()
+        if inflight is not None and inflight > last:
+            end = inflight
+        else:
+            latest = DeltaLog(self.uri).snapshot().version
+            if latest <= last:
+                return None
+            end = latest
+            if max_versions is not None:
+                end = min(end, last + max_versions)
+            self._write_cursor(last, inflight=end)
+        return table_changes(spark, self.uri, last + 1, end), end
+
+    def ack(self, version: int) -> None:
+        """Durably advance the cursor: the next poll starts after
+        ``version`` (atomic rename, so a torn write never corrupts)."""
+        self._write_cursor(version)
 
 
 def _live_rows(
@@ -165,9 +191,17 @@ def table_changes(
         )
     table = DeltalakeTable(os.path.basename(uri), uri)
 
-    prev_snap = (
-        log.snapshot(starting_version - 1) if starting_version > 0 else None
-    )
+    # Incremental snapshot maintenance: ONE full replay seeds the
+    # window's predecessor state; each commit's actions then update it
+    # in place (the same per-path reconciliation DeltaLog replay does).
+    # A naive log.snapshot(v) per version would replay the whole log V
+    # times — O(V²) in log actions for a catch-up over V commits.
+    if starting_version > 0:
+        prev_snap = log.snapshot(starting_version - 1)
+    else:
+        prev_snap = replace(
+            end_snap, version=-1, files=[],
+        )
     frames: list[DataFrame] = []
 
     def tag(df: Optional[DataFrame], change: str, v: int) -> None:
@@ -178,8 +212,20 @@ def table_changes(
                 )
             )
 
+    def _add_of(path: str, a: dict) -> AddFile:
+        return AddFile(
+            path=path,
+            partition_values=dict(a.get("partitionValues") or {}),
+            size=int(a.get("size") or 0),
+            stats=a.get("stats"),
+            deletion_vector=(
+                dict(a["deletionVector"])
+                if a.get("deletionVector")
+                else None
+            ),
+        )
+
     for v in range(starting_version, end + 1):
-        snap_v = log.snapshot(v)
         try:
             actions = log._commit_actions(v)
         except FileNotFoundError:
@@ -190,41 +236,80 @@ def table_changes(
             )
         adds: dict[str, dict] = {}
         removes: set[str] = set()
+        new_meta = None
         for a in actions:
             if "add" in a and a["add"].get("dataChange"):
                 adds[a["add"]["path"]] = a["add"]
             elif "remove" in a and a["remove"].get("dataChange", True):
                 removes.add(a["remove"]["path"])
+            elif "metaData" in a:
+                new_meta = a["metaData"]
         paired = set(adds) & removes
-        prev_by_path = (
-            {f.path: f for f in prev_snap.files} if prev_snap else {}
+        prev_by_path = {f.path: f for f in prev_snap.files}
+
+        # build this version's snapshot incrementally (ALL adds/removes
+        # reconcile state, dataChange or not — compaction moves files
+        # without changing rows)
+        files_now = dict(prev_by_path)
+        schema_now = prev_snap.schema
+        part_now = prev_snap.partition_columns
+        conf_now = prev_snap.configuration
+        for a in actions:
+            if "add" in a:
+                files_now[a["add"]["path"]] = _add_of(
+                    a["add"]["path"], a["add"]
+                )
+            elif "remove" in a:
+                files_now.pop(a["remove"]["path"], None)
+        if new_meta is not None:
+            import json as _json
+
+            schema_now = T.StructType.fromJson(
+                _json.loads(new_meta["schemaString"])
+            )
+            part_now = list(new_meta.get("partitionColumns") or [])
+            conf_now = dict(new_meta.get("configuration") or {})
+        snap_v = replace(
+            prev_snap,
+            version=v,
+            files=list(files_now.values()),
+            schema=schema_now,
+            partition_columns=part_now,
+            configuration=conf_now,
         )
 
-        # DV transitions: same path removed+re-added, only positions
-        # newly present in the add's DV changed
+        # DV transitions: same path removed+re-added. Positions newly in
+        # the add's DV are deletes; positions newly ABSENT (a restore
+        # shrinking or dropping the DV) are resurrected rows — inserts.
         dv_delta_rows: list[tuple[str, int]] = []
         dv_source_files: list[AddFile] = []
+        res_rows: list[tuple[str, int]] = []
+        res_source_files: list[AddFile] = []
         for path in sorted(paired):
             old = prev_by_path.get(path)
-            new_dv = _dv_positions(uri, adds[path].get("deletionVector"))
-            old_dv = _dv_positions(
-                uri, old.deletion_vector if old else None
-            )
-            newly_deleted = sorted(new_dv - old_dv)
-            if not newly_deleted or old is None:
+            if old is None:
                 continue
+            new_dv = _dv_positions(uri, adds[path].get("deletionVector"))
+            old_dv = _dv_positions(uri, old.deletion_vector)
             rel = unquote(path)
-            dv_delta_rows.extend((rel, p) for p in newly_deleted)
-            dv_source_files.append(old)
-        if dv_delta_rows:
+            newly_deleted = sorted(new_dv - old_dv)
+            if newly_deleted:
+                dv_delta_rows.extend((rel, p) for p in newly_deleted)
+                dv_source_files.append(old)
+            resurrected = sorted(old_dv - new_dv)
+            if resurrected:
+                res_rows.extend((rel, p) for p in resurrected)
+                res_source_files.append(_add_of(path, adds[path]))
+
+        def _rows_at(snapshot, source_files, pairs):
             src = table._read_from_log(
                 spark,
-                replace(prev_snap, files=dv_source_files),
+                replace(snapshot, files=source_files),
                 None,
                 keep_pos=True,
             )
             wanted = spark.createDataFrame(
-                dv_delta_rows,
+                pairs,
                 T.StructType(
                     [
                         T.StructField("__delta_rel", T.StringType(), False),
@@ -232,26 +317,29 @@ def table_changes(
                     ]
                 ),
             )
-            deleted = src.join(
+            return src.join(
                 F.broadcast(wanted),
                 ["__delta_rel", "__delta_pos"],
                 "left_semi",
             ).drop("__delta_rel", "__delta_pos")
-            tag(deleted, "delete", v)
+
+        if dv_delta_rows:
+            tag(
+                _rows_at(prev_snap, dv_source_files, dv_delta_rows),
+                "delete",
+                v,
+            )
+        if res_rows:
+            # resurrected positions are LIVE in the new file state
+            tag(
+                _rows_at(snap_v, res_source_files, res_rows),
+                "insert",
+                v,
+            )
 
         # pure inserts: brand-new files' live rows
         new_files = [
-            AddFile(
-                path=path,
-                partition_values=dict(a.get("partitionValues") or {}),
-                size=int(a.get("size") or 0),
-                stats=a.get("stats"),
-                deletion_vector=(
-                    dict(a["deletionVector"])
-                    if a.get("deletionVector")
-                    else None
-                ),
-            )
+            _add_of(path, a)
             for path, a in sorted(adds.items())
             if path not in paired
         ]
@@ -263,7 +351,7 @@ def table_changes(
             for p in sorted(removes - paired)
             if p in prev_by_path
         ]
-        if dropped and prev_snap is not None:
+        if dropped:
             tag(
                 _live_rows(spark, table, prev_snap, dropped), "delete", v
             )

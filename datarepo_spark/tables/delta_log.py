@@ -139,6 +139,20 @@ class DeltaSnapshot:
         raise KeyError(name)
 
 
+def read_commit_actions(log_dir: str, version: int) -> list[dict[str, Any]]:
+    """Parse one NNN.json commit into its action dicts — the single
+    reading convention shared by log replay, conflict validation, and
+    DESCRIBE HISTORY."""
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    actions = []
+    with open(path, "r", encoding="utf-8") as handle:
+        for line in handle:
+            line = line.strip()
+            if line:
+                actions.append(json.loads(line))
+    return actions
+
+
 # Protocol rule: a reader MUST refuse any readerFeature it does not
 # recognize (an allowlist, not a blocklist — a future feature could
 # change read semantics arbitrarily). Supported here: columnMapping
@@ -264,14 +278,7 @@ class DeltaLog:
     # -- action iteration ---------------------------------------------------
 
     def _commit_actions(self, version: int) -> list[dict[str, Any]]:
-        path = os.path.join(self.log_dir, f"{version:020d}.json")
-        actions = []
-        with open(path, "r", encoding="utf-8") as handle:
-            for line in handle:
-                line = line.strip()
-                if line:
-                    actions.append(json.loads(line))
-        return actions
+        return read_commit_actions(self.log_dir, version)
 
     _ACTION_KEYS = ("add", "remove", "metaData", "protocol", "txn")
 

@@ -139,6 +139,8 @@ def _enforce_constraints(df: DataFrame, snapshot) -> None:
     combined pass regardless of constraint count."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import functions as _F
+
     constraints = {
         k[len("delta.constraints."):]: v
         for k, v in (snapshot.configuration or {}).items()
@@ -146,6 +148,16 @@ def _enforce_constraints(df: DataFrame, snapshot) -> None:
     }
     if not constraints:
         return
+    # subset appends legally omit columns (_check_schema: missing reads
+    # as null) — materialize the omitted ones as NULL so a constraint
+    # referencing them resolves and passes per three-valued CHECK,
+    # instead of dying on UNRESOLVED_COLUMN
+    present = set(df.columns)
+    for field in snapshot.schema.fields:
+        if field.name not in present:
+            df = df.withColumn(
+                field.name, _F.lit(None).cast(field.dataType)
+            )
     violated = None
     for name, expr in constraints.items():
         cond = F.expr(expr)
@@ -238,6 +250,7 @@ def add_check_constraint(
         read_version=snapshot.version,
         operation="ADD CONSTRAINT",
         operation_params={"name": name, "expr": expression},
+        strict=True,
     )
 
 
@@ -389,12 +402,18 @@ def write_delta(
         )
     actions.extend(adds)
 
-    version = _commit_atomically(
-        log_dir, actions,
-        read_version=snapshot.version if exists else None,
-        operation="WRITE",
-        operation_params={"mode": mode.capitalize()},
-    )
+    try:
+        version = _commit_atomically(
+            log_dir, actions,
+            read_version=snapshot.version if exists else None,
+            operation="WRITE",
+            operation_params={"mode": mode.capitalize()},
+        )
+    except _TxnAlreadyLanded as landed:
+        # racing replay of our idempotent batch won: drop our staged
+        # files; the table already contains the batch exactly once
+        _discard_files(uri, [a["add"]["path"] for a in adds])
+        return landed.version
     if (
         checkpoint_interval
         and version > 0
@@ -926,12 +945,23 @@ def merge_delta(
                 }
             }
         )
-    version = _commit_atomically(
-        os.path.join(uri, "_delta_log"), actions,
-        read_version=snapshot.version,
-        operation="MERGE",
-        operation_params={"predicate": on},
-    )
+    try:
+        version = _commit_atomically(
+            os.path.join(uri, "_delta_log"), actions,
+            read_version=snapshot.version,
+            operation="MERGE",
+            operation_params={"predicate": on},
+        )
+    except _TxnAlreadyLanded as landed:
+        _discard_files(
+            uri,
+            [a["add"]["path"] for a in actions if "add" in a],
+        )
+        return {
+            "version": landed.version,
+            "files_rewritten": 0,
+            "files_added": 0,
+        }
     return {
         "version": version,
         "files_rewritten": len(affected),
@@ -1014,10 +1044,22 @@ def _dv_feature_actions(snapshot) -> list[dict]:
     if "deletionVectors" in reader_feats:
         return []
     writer_feats = set(proto.get("writerFeatures") or [])
-    if not writer_feats and int(proto.get("minWriterVersion", 2)) >= 2:
-        # upgrading a legacy writer version to v7 must carry the
-        # features that version implied (protocol 'Table Features')
-        writer_feats = {"appendOnly", "invariants"}
+    if not writer_feats:
+        # upgrading a legacy writer version to v7 must carry EVERY
+        # feature that version implied (protocol 'Table Features') —
+        # dropping e.g. checkConstraints from a v3 table would un-gate
+        # external writers from an invariant the data still declares
+        implied = {
+            2: {"appendOnly", "invariants"},
+            3: {"checkConstraints"},
+            4: {"changeDataFeed", "generatedColumns"},
+            5: {"columnMapping"},
+            6: {"identityColumns"},
+        }
+        legacy = int(proto.get("minWriterVersion", 2))
+        for v, feats in implied.items():
+            if legacy >= v:
+                writer_feats |= feats
     meta = dict(snapshot.raw_metadata or {})
     for k in ("format", "configuration"):
         if meta.get(k) is not None and not isinstance(meta[k], dict):
@@ -1040,6 +1082,20 @@ def _dv_feature_actions(snapshot) -> list[dict]:
         },
         {"metaData": meta},
     ]
+
+
+def _new_dv_paths(dv_actions) -> list[str]:
+    """Relative paths of the DV files a _dv_soft_delete_actions batch
+    created (storageType 'u' descriptors on its add actions)."""
+    from .delta_dv import dv_relative_path
+
+    out = []
+    for a in dv_actions:
+        add = a.get("add")
+        dv = add.get("deletionVector") if add else None
+        if dv and dv.get("storageType") == "u":
+            out.append(dv_relative_path(dv["pathOrInlineDv"]))
+    return out
 
 
 def _dv_soft_delete_actions(
@@ -1210,12 +1266,21 @@ def delete_delta(
             }
         )
 
-    version = _commit_atomically(
-        os.path.join(uri, "_delta_log"), actions,
-        read_version=snapshot.version,
-        operation="DELETE",
-        operation_params={"predicate": [str(f) for c in dnf for f in c]},
-    )
+    try:
+        version = _commit_atomically(
+            os.path.join(uri, "_delta_log"), actions,
+            read_version=snapshot.version,
+            operation="DELETE",
+            operation_params={"predicate": [str(f) for c in dnf for f in c]},
+        )
+    except _TxnAlreadyLanded as landed:
+        _discard_files(uri, _new_dv_paths(dv_actions))
+        return {
+            "version": landed.version,
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_removed": 0,
+        }
     return {"version": version, **counters}
 
 
@@ -1556,6 +1621,28 @@ class ConcurrentModificationError(RuntimeError):
     ConcurrentDeleteReadException / MetadataChangedException family)."""
 
 
+class _TxnAlreadyLanded(Exception):
+    """Raised inside the commit loop when a racing writer already
+    committed this transaction's SetTransaction (appId, version) — the
+    caller must treat its own work as superseded: discard files it
+    staged and report zero effect at the racer's version."""
+
+    def __init__(self, version: int):
+        super().__init__(version)
+        self.version = version
+
+
+def _discard_files(uri: str, rel_paths) -> None:
+    """Delete files this transaction created under the table root after
+    its commit was superseded — without this they linger unreferenced
+    until vacuum."""
+    for rel in rel_paths:
+        try:
+            os.remove(os.path.join(uri, unquote(rel)))
+        except FileNotFoundError:
+            pass
+
+
 def _check_commit_conflicts(
     log_dir: str,
     actions: list[dict],
@@ -1586,15 +1673,14 @@ def _check_commit_conflicts(
     our_txn = next(
         (a["txn"] for a in actions if "txn" in a), None
     )
+    from .delta_log import read_commit_actions
+
     for v in range(read_version + 1, latest + 1):
-        path = os.path.join(log_dir, f"{v:020d}.json")
         try:
-            with open(path, "r", encoding="utf-8") as handle:
-                lines = [ln for ln in handle if ln.strip()]
+            intervening = read_commit_actions(log_dir, v)
         except FileNotFoundError:
             continue
-        for line in lines:
-            action = json.loads(line)
+        for action in intervening:
             if "metaData" in action or "protocol" in action:
                 raise ConcurrentModificationError(
                     f"Concurrent metadata/protocol change at version {v} "
@@ -1626,6 +1712,7 @@ def _commit_atomically(
     read_version: Optional[int] = None,
     operation: Optional[str] = None,
     operation_params: Optional[dict] = None,
+    strict: bool = False,
 ) -> int:
     """Write the next NNN.json with O_EXCL; on collision validate the
     intervening commits against ``read_version`` (the snapshot this
@@ -1635,7 +1722,11 @@ def _commit_atomically(
     accepts last-writer-wins). ``operation`` prepends a ``commitInfo``
     action (the freeform provenance record delta-spark writes and
     DESCRIBE HISTORY reads); timestamp is 0 like every other clock in
-    this writer — determinism over wall time."""
+    this writer — determinism over wall time. ``strict=True`` refuses
+    ANY intervening commit (Serializable, not WriteSerializable) — for
+    operations whose correctness depends on a full-table validation at
+    the read snapshot, e.g. ADD CONSTRAINT: a concurrent append could
+    land rows the validation never saw."""
     if operation is not None:
         info: dict = {
             "timestamp": 0,
@@ -1655,12 +1746,18 @@ def _commit_atomically(
             if n.endswith(".json") and len(n) == 25
         ]
         version = (max(versions) + 1) if versions else 0
+        if strict and read_version is not None and version > read_version + 1:
+            raise ConcurrentModificationError(
+                f"Concurrent commit(s) landed after version "
+                f"{read_version} in {log_dir}; this operation validates "
+                f"against a full-table snapshot — re-run it"
+            )
         if read_version is not None and version > read_version + 1:
             landed = _check_commit_conflicts(
                 log_dir, actions, read_version, version - 1
             )
             if landed is not None:
-                return landed
+                raise _TxnAlreadyLanded(landed)
             read_version = version - 1  # validated up to here
         path = os.path.join(log_dir, f"{version:020d}.json")
         try:
@@ -1686,6 +1783,8 @@ def describe_history(spark, uri: str) -> "DataFrame":
     commits are absent, as in delta-spark."""
     from pyspark.sql import types as T
 
+    from .delta_log import read_commit_actions
+
     uri = uri.rstrip("/")
     log_dir = os.path.join(uri, "_delta_log")
     rows = []
@@ -1696,20 +1795,15 @@ def describe_history(spark, uri: str) -> "DataFrame":
         op = None
         params = None
         n_adds = n_removes = 0
-        with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "commitInfo" in action:
-                    op = action["commitInfo"].get("operation")
-                    p = action["commitInfo"].get("operationParameters")
-                    params = json.dumps(p, sort_keys=True) if p else None
-                elif "add" in action:
-                    n_adds += 1
-                elif "remove" in action:
-                    n_removes += 1
+        for action in read_commit_actions(log_dir, version):
+            if "commitInfo" in action:
+                op = action["commitInfo"].get("operation")
+                p = action["commitInfo"].get("operationParameters")
+                params = json.dumps(p, sort_keys=True) if p else None
+            elif "add" in action:
+                n_adds += 1
+            elif "remove" in action:
+                n_removes += 1
         rows.append((version, op, params, n_adds, n_removes))
     schema = T.StructType(
         [

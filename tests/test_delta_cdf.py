@@ -223,3 +223,94 @@ class TestDeltaChangeStream:
         stream.ack(v2)
         got = DeltalakeTable("dst", dst)(spark=spark).count()
         assert got == 4  # not 8
+
+
+class TestReviewFixes:
+    def test_restore_resurrection_emits_inserts(self, spark, tmp_path):
+        """A DV shrink (restore undoing a delete) must surface the
+        resurrected rows as inserts, not silence."""
+        from datarepo_spark.tables.delta_writer import restore_table
+
+        uri = str(tmp_path / "t")
+        write_delta(
+            _df(spark, 0, 6).coalesce(1).sortWithinPartitions("id"),
+            uri, checkpoint_interval=None,
+        )
+        delete_delta(spark, uri, [Filter("id", "=", 2)])
+        restore_table(spark, uri, 0)
+        assert _changes(spark, uri, 2) == [(2, "insert", 2)]
+        # and a full-window feed nets out to the source's final content
+        all_changes = _changes(spark, uri, 0)
+        net = {}
+        for v, kind, rid in all_changes:
+            net[rid] = net.get(rid, 0) + (1 if kind == "insert" else -1)
+        assert sorted(k for k, n in net.items() if n > 0) == list(range(6))
+
+    def test_poll_window_pinned_across_replay(self, spark, tmp_path):
+        """A re-poll before ack must re-deliver the SAME window even if
+        new source versions landed — otherwise a replayed batch carries
+        a higher txn version past the ledger and double-applies."""
+        from datarepo_spark.tables.delta_cdf import DeltaChangeStream
+
+        uri = str(tmp_path / "src")
+        ckpt = str(tmp_path / "c.json")
+        write_delta(_df(spark, 0, 2), uri, checkpoint_interval=None)
+        stream = DeltaChangeStream(uri, ckpt)
+        df1, v1 = stream.poll(spark)
+        assert v1 == 0
+        # new version lands before the (crashed) consumer acks
+        write_delta(_df(spark, 2, 4), uri, checkpoint_interval=None)
+        df2, v2 = stream.poll(spark)
+        assert v2 == 0  # pinned: same window, same batch identity
+        assert df2.count() == df1.count() == 2
+        stream.ack(v2)
+        df3, v3 = stream.poll(spark)
+        assert v3 == 1 and df3.count() == 2
+
+    def test_ivm_exactly_once_with_concurrent_append(self, spark, tmp_path):
+        """The review's scenario: crash between merge and ack, a NEW
+        source version lands, then the replay — the pinned window plus
+        ledger must keep the view exact."""
+        import json as _json
+
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+        from datarepo_spark.tables.ivm import IncrementalAggregate
+        from pyspark.sql import functions as F2
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ckpt = str(tmp_path / "c.json")
+        agg = IncrementalAggregate(src, dst, ckpt, ["grp"], ["x"])
+
+        def srcdf(rows):
+            return spark.createDataFrame(rows, ["k", "grp", "x"])
+
+        write_delta(srcdf([(1, "a", 10.0)]), src, checkpoint_interval=None)
+        agg.advance(spark)
+        write_delta(srcdf([(2, "a", 5.0)]), src, checkpoint_interval=None)
+        agg.advance(spark)
+
+        # crash before ack of version 1: rewind cursor, then a NEW
+        # source version arrives before the replay
+        with open(ckpt, "w", encoding="utf-8") as fh:
+            _json.dump({"last_version": 0, "inflight": 1}, fh)
+        write_delta(srcdf([(3, "b", 2.0)]), src, checkpoint_interval=None)
+        agg.advance(spark)   # replays pinned [1..1] — ledger swallows
+        agg.advance(spark)   # then applies [2..2]
+        assert agg.advance(spark) is None
+
+        got = sorted(
+            (r["grp"], r["n_rows"], str(r["sum_x"]))
+            for r in agg.read(spark).collect()
+        )
+        recomputed = sorted(
+            (r["grp"], r["n_rows"], str(r["sum_x"]))
+            for r in DeltalakeTable("src", src)(spark=spark)
+            .groupBy("grp")
+            .agg(
+                F2.count(F2.lit(1)).alias("n_rows"),
+                F2.sum(F2.col("x").cast("decimal(38,6)")).alias("sum_x"),
+            )
+            .collect()
+        )
+        assert got == recomputed

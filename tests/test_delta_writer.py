@@ -737,7 +737,10 @@ class TestCommitConflicts:
             )
 
     def test_racing_idempotent_txn_short_circuits(self, spark, tmp_path):
-        from datarepo_spark.tables.delta_writer import _commit_atomically
+        from datarepo_spark.tables.delta_writer import (
+            _TxnAlreadyLanded,
+            _commit_atomically,
+        )
 
         uri = self._table(spark, tmp_path)
         self._land(
@@ -752,21 +755,101 @@ class TestCommitConflicts:
             1,
         )
         before = sorted(os.listdir(os.path.join(uri, "_delta_log")))
-        v = _commit_atomically(
-            os.path.join(uri, "_delta_log"),
-            [
-                {"txn": {"appId": "ingest", "version": 7,
-                         "lastUpdated": 0}},
-                {"add": {"path": "mine.parquet", "partitionValues": {},
-                         "size": 1, "modificationTime": 0,
-                         "dataChange": True}},
-            ],
-            read_version=0,
-        )
-        # the racing batch already landed: nothing new was committed
-        assert v == 1
+        with pytest.raises(_TxnAlreadyLanded) as exc:
+            _commit_atomically(
+                os.path.join(uri, "_delta_log"),
+                [
+                    {"txn": {"appId": "ingest", "version": 7,
+                             "lastUpdated": 0}},
+                    {"add": {"path": "mine.parquet", "partitionValues": {},
+                             "size": 1, "modificationTime": 0,
+                             "dataChange": True}},
+                ],
+                read_version=0,
+            )
+        # the racing batch already landed: nothing new was committed,
+        # and the caller is told which version holds the batch
+        assert exc.value.version == 1
         after = sorted(os.listdir(os.path.join(uri, "_delta_log")))
         assert before == after
+
+    def test_superseded_write_discards_staged_files(self, spark, tmp_path):
+        """write_delta whose idempotent commit loses the race must
+        remove the parquet files it staged into the table and report
+        the racer's version."""
+        import glob
+
+        from datarepo_spark.tables import delta_writer as dw
+
+        uri = self._table(spark, tmp_path)
+        df = spark.range(100, 105).select(
+            F.col("id"), F.concat(F.lit("r"), "id").alias("v")
+        )
+
+        real_commit = dw._commit_atomically
+        state = {"raced": False}
+
+        def racing_commit(log_dir, actions, **kw):
+            # land the same txn from a 'concurrent writer' after this
+            # transaction staged its files but before its commit
+            if not state["raced"]:
+                state["raced"] = True
+                real_commit(
+                    log_dir,
+                    [
+                        {"txn": {"appId": "app", "version": 3,
+                                 "lastUpdated": 0}},
+                        {"add": {"path": "racer.parquet",
+                                 "partitionValues": {}, "size": 1,
+                                 "modificationTime": 0,
+                                 "dataChange": True}},
+                    ],
+                )
+            return real_commit(log_dir, actions, **kw)
+
+        n_files_before = len(glob.glob(os.path.join(uri, "*.parquet")))
+        dw._commit_atomically, saved = racing_commit, dw._commit_atomically
+        try:
+            v = dw.write_delta(
+                df, uri, txn_app_id="app", txn_version=3,
+                checkpoint_interval=None,
+            )
+        finally:
+            dw._commit_atomically = saved
+        assert v == 1  # the racer's commit
+        # our staged files were discarded — only the racer's phantom add
+        assert (
+            len(glob.glob(os.path.join(uri, "*.parquet")))
+            == n_files_before
+        )
+
+    def test_strict_mode_refuses_any_intervening_commit(
+        self, spark, tmp_path
+    ):
+        from datarepo_spark.tables.delta_writer import (
+            ConcurrentModificationError,
+            _commit_atomically,
+        )
+
+        uri = self._table(spark, tmp_path)
+        self._land(
+            uri,
+            [{"add": {"path": "other.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}}],
+            1,
+        )
+        with pytest.raises(
+            ConcurrentModificationError, match="full-table snapshot"
+        ):
+            _commit_atomically(
+                os.path.join(uri, "_delta_log"),
+                [{"metaData": {"id": "x", "schemaString": "{}",
+                               "partitionColumns": [],
+                               "configuration": {}}}],
+                read_version=0,
+                strict=True,
+            )
 
     def test_no_read_version_skips_validation(self, spark, tmp_path):
         from datarepo_spark.tables.delta_writer import _commit_atomically
@@ -974,3 +1057,49 @@ class TestHistoryAndRestore:
         assert res == {
             "version": 1, "files_added": 0, "files_removed": 0,
         }
+
+
+class TestConstraintReviewFixes:
+    def test_v3_upgrade_carries_check_constraints_feature(
+        self, spark, tmp_path
+    ):
+        """writer v3 (constraint) table upgraded to table features by a
+        DV delete must keep the checkConstraints gate."""
+        from datarepo_spark.tables.delta_writer import (
+            add_check_constraint,
+            delete_delta,
+        )
+
+        uri = str(tmp_path / "t")
+        df = spark.range(0, 6).select(
+            F.col("id"), (F.col("id") * 1.0).alias("x")
+        )
+        write_delta(df, uri, checkpoint_interval=None)
+        add_check_constraint(spark, uri, "x_nonneg", "x >= 0")
+        delete_delta(spark, uri, [Filter("id", "=", 1)])
+        proto = DeltaLog(uri).snapshot().raw_protocol
+        assert "checkConstraints" in proto["writerFeatures"]
+        assert "deletionVectors" in proto["writerFeatures"]
+
+    def test_subset_append_with_constraint_on_missing_column(
+        self, spark, tmp_path
+    ):
+        """A legal subset append omitting a constrained column must
+        succeed (missing reads as NULL; NULL passes SQL CHECK)."""
+        from datarepo_spark.tables.delta_writer import (
+            add_check_constraint,
+        )
+
+        uri = str(tmp_path / "t")
+        df = spark.range(0, 3).select(
+            F.col("id"), (F.col("id") * 1.0).alias("x")
+        )
+        write_delta(df, uri, checkpoint_interval=None)
+        add_check_constraint(spark, uri, "x_nonneg", "x >= 0")
+        subset = spark.range(10, 12).select(F.col("id"))
+        write_delta(subset, uri, checkpoint_interval=None)
+        rows = {
+            r["id"]: r["x"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert rows[10] is None and len(rows) == 5
