@@ -66,10 +66,14 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the previous label through the materialization so the
+        # convergence check is a filter-count on the checkpointed rows —
+        # not another join back to the old labels
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
@@ -77,13 +81,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(
+            F.col("component") != F.col("__old")
+        ).count()
+        labels = updated.drop("__old")
         if changed == 0:
             return labels
     raise RuntimeError(
