@@ -581,6 +581,9 @@ def cleanup() -> None:
     for agg in _BUILT_IVM.values():
         shutil.rmtree(os.path.dirname(agg.dest_uri), ignore_errors=True)
     _BUILT_IVM.clear()
+    for uri in _BUILT_RESTORE.values():
+        shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
+    _BUILT_RESTORE.clear()
 
 
 _BUILT_IVM: dict[str, str] = {}
@@ -650,4 +653,53 @@ def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("sum_o_totalprice").cast("double"), 2
         ).alias("sum_totalprice"),
+    )
+
+
+_BUILT_RESTORE: dict[str, str] = {}
+
+
+def _restore_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """write (v0) → DV delete (v1) → RESTORE to v0 (v2): the final
+    content equals the seed exactly, through a feed-visible resurrect."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_RESTORE and os.path.isdir(
+        os.path.join(_BUILT_RESTORE[key], "_delta_log")
+    ):
+        return _BUILT_RESTORE[key]
+    from ..tables.delta_writer import delete_delta, restore_table
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_restore_")
+    uri = os.path.join(base, "orders_restore")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    write_delta(src, uri, checkpoint_interval=None)
+    res = delete_delta(spark, uri, [Filter("o_totalprice", ">", 100000.0)])
+    assert res["rows_deleted"] > 0
+    rres = restore_table(spark, uri, 0)
+    assert rres["version"] == 2
+    _BUILT_RESTORE[key] = uri
+    return uri
+
+
+@register(
+    "delta_restore_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    description="RESTORE TABLE: a DV delete undone by restore_table — "
+    "the table must read back exactly the pre-delete content, with the "
+    "restore itself a new time-travelable version",
+)
+def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _restore_fixture(spark, sf_dir)
+    table = DeltalakeTable(name="orders_restore", uri=uri)
+    return table(
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        spark=spark,
     )

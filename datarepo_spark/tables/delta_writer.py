@@ -175,6 +175,45 @@ def _enforce_constraints(df: DataFrame, snapshot) -> None:
         )
 
 
+def _generation_exprs(snapshot) -> dict[str, tuple[str, object]]:
+    """name → (generation SQL, declared type) for every generated
+    column (``delta.generationExpression`` field metadata, the public
+    Delta layout)."""
+    out = {}
+    for f in snapshot.schema.fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr:
+            out[f.name] = (expr, f.dataType)
+    return out
+
+
+def _apply_generated(df: DataFrame, snapshot) -> DataFrame:
+    """Materialize missing generated columns from their expressions and
+    validate explicitly-provided ones (null-safe equality — the same
+    check delta-spark runs; a mismatch would silently desynchronize the
+    column from its definition)."""
+    from pyspark.sql import functions as F
+
+    gens = _generation_exprs(snapshot)
+    for name, (expr, dtype) in gens.items():
+        generated = F.expr(expr).cast(dtype)
+        if name not in df.columns:
+            df = df.withColumn(name, generated)
+        else:
+            bad = (
+                df.filter(~F.col(name).eqNullSafe(generated))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"Column {name!r} is GENERATED ALWAYS AS ({expr}); "
+                    f"a written value disagrees with the expression: "
+                    f"{bad[0].asDict()}"
+                )
+    return df
+
+
 def add_check_constraint(
     spark, uri: str, name: str, expression: str
 ) -> int:
@@ -285,10 +324,17 @@ def write_delta(
     txn_app_id: Optional[str] = None,
     txn_version: Optional[int] = None,
     schema_mode: str = "strict",
+    generated_cols: Optional[dict] = None,
 ) -> int:
     """Write ``df`` to the Delta table at ``uri``; returns the committed
     version. ``mode``: 'append' or 'overwrite'. New tables are created with
     protocol v1 + metaData from the DataFrame schema.
+
+    ``generated_cols`` ({name: SQL expression}, table CREATION only —
+    delta's own rule): the columns are computed from the expression at
+    creation, recorded as ``delta.generationExpression`` field metadata
+    (writer protocol v4), and every subsequent write either computes
+    them when omitted or must match the expression exactly.
 
     ``checkpoint_interval``: write a checkpoint after every Nth commit
     (versions N, 2N, …) — delta's own default cadence of 10. At 100 TB
@@ -335,12 +381,30 @@ def write_delta(
                 f"partition_by {list(partition_by)} != table partitioning "
                 f"{snapshot.partition_columns}"
             )
+        if generated_cols:
+            raise ValueError(
+                "generated_cols may only be set at table creation "
+                "(delta's own GENERATED ALWAYS AS rule)"
+            )
         partition_cols = snapshot.partition_columns
         previous_files = [f.path for f in snapshot.files]
+        df = _apply_generated(df, snapshot)
         metadata_update = _check_schema(df, snapshot, schema_mode)
         _enforce_constraints(df, snapshot)
     else:
         metadata_update = None
+        if generated_cols:
+            from pyspark.sql import functions as F
+
+            overlapping = set(generated_cols) & set(df.columns)
+            if overlapping:
+                raise ValueError(
+                    f"generated columns already present in the frame: "
+                    f"{sorted(overlapping)} (they are computed, not "
+                    f"provided)"
+                )
+            for name, expr in generated_cols.items():
+                df = df.withColumn(name, F.expr(expr))
 
     # Stage data with Spark's distributed parquet writer, then move files
     # into the table and reference them from the commit. (Distributed
@@ -363,14 +427,40 @@ def write_delta(
     if not exists:
         os.makedirs(log_dir, exist_ok=True)
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    # generated columns are a writer-v4 protocol feature:
+                    # a v2 writer unaware of the expressions could append
+                    # stale values
+                    "minWriterVersion": 4 if generated_cols else 2,
+                }
+            }
         )
+        create_schema = df.schema
+        if generated_cols:
+            create_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {
+                            "delta.generationExpression":
+                                generated_cols[f.name]
+                        }
+                        if f.name in generated_cols
+                        else f.metadata,
+                    )
+                    for f in df.schema.fields
+                ]
+            )
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": _schema_string(df),
+                    "schemaString": json.dumps(create_schema.jsonValue()),
                     "partitionColumns": partition_cols,
                     "configuration": {},
                     "createdTime": 0,
@@ -910,6 +1000,7 @@ def merge_delta(
     for p in pieces[1:]:
         new_data = new_data.unionByName(p)
 
+    new_data = _apply_generated(new_data, snapshot)
     _enforce_constraints(new_data, snapshot)
     part_cols = snapshot.partition_columns
     actions: list[dict] = _stage_adds(
@@ -1329,6 +1420,13 @@ def update_delta(
     unknown = [c for c in assignments if c not in field_types]
     if unknown:
         raise ValueError(f"assigned columns not in table schema: {unknown}")
+    gen_exprs = _generation_exprs(snapshot)
+    gen_assigned = sorted(set(assignments) & set(gen_exprs))
+    if gen_assigned:
+        raise ValueError(
+            f"columns {gen_assigned} are GENERATED ALWAYS AS — they are "
+            f"recomputed from their expressions, not assigned"
+        )
     dnf = normalize_filters(filters)
     if not dnf:
         raise ValueError(
@@ -1371,6 +1469,11 @@ def update_delta(
             for f in snapshot.schema.fields
         ]
     )
+    for name, (expr, dtype) in gen_exprs.items():
+        # recompute: the assignment may have changed the expression's
+        # source columns, and a stale generated value is a silent
+        # desynchronization
+        updated = updated.withColumn(name, F.expr(expr).cast(dtype))
     _enforce_constraints(updated, snapshot)
     add_actions = _stage_adds(
         spark,

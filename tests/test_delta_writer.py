@@ -1103,3 +1103,91 @@ class TestConstraintReviewFixes:
             for r in DeltalakeTable("t", uri)(spark=spark).collect()
         }
         assert rows[10] is None and len(rows) == 5
+
+
+class TestGeneratedColumns:
+    def _create(self, spark, tmp_path):
+        uri = str(tmp_path / "gen")
+        df = spark.range(0, 5).select(
+            F.col("id"), (F.col("id") * 2.5).alias("x")
+        )
+        write_delta(
+            df, uri, checkpoint_interval=None,
+            generated_cols={"bucket": "CAST(id % 3 AS BIGINT)"},
+        )
+        return uri
+
+    def test_creation_computes_and_records(self, spark, tmp_path):
+        uri = self._create(spark, tmp_path)
+        snap = DeltaLog(uri).snapshot()
+        assert snap.raw_protocol["minWriterVersion"] == 4
+        field = next(f for f in snap.schema.fields if f.name == "bucket")
+        assert (
+            field.metadata["delta.generationExpression"]
+            == "CAST(id % 3 AS BIGINT)"
+        )
+        rows = {
+            r["id"]: r["bucket"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert rows == {i: i % 3 for i in range(5)}
+
+    def test_append_computes_when_omitted(self, spark, tmp_path):
+        uri = self._create(spark, tmp_path)
+        more = spark.range(10, 12).select(
+            F.col("id"), (F.col("id") * 1.0).alias("x")
+        )
+        write_delta(more, uri, checkpoint_interval=None)
+        rows = {
+            r["id"]: r["bucket"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert rows[10] == 1 and rows[11] == 2
+
+    def test_append_validates_when_provided(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            ConstraintViolationError,
+        )
+
+        uri = self._create(spark, tmp_path)
+        ok = spark.range(20, 21).select(
+            F.col("id"), F.lit(0.0).alias("x"),
+            (F.col("id") % 3).cast("long").alias("bucket"),
+        )
+        write_delta(ok, uri, checkpoint_interval=None)
+        bad = spark.range(21, 22).select(
+            F.col("id"), F.lit(0.0).alias("x"),
+            F.lit(99).cast("long").alias("bucket"),
+        )
+        with pytest.raises(
+            ConstraintViolationError, match="GENERATED ALWAYS AS"
+        ):
+            write_delta(bad, uri, checkpoint_interval=None)
+
+    def test_update_recomputes_generated(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = self._create(spark, tmp_path)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+            update_delta(
+                spark, uri, [Filter("id", "=", 1)], {"bucket": "7"}
+            )
+        # updating a SOURCE column is allowed; generated recomputes.
+        # (id is the source here; x is independent.)
+        update_delta(spark, uri, [Filter("x", "=", 2.5)], {"x": "9.9"})
+        rows = {
+            r["id"]: (r["x"], r["bucket"])
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert rows[1] == (9.9, 1)
+
+    def test_creation_only(self, spark, tmp_path):
+        uri = self._create(spark, tmp_path)
+        more = spark.range(30, 31).select(
+            F.col("id"), F.lit(0.0).alias("x")
+        )
+        with pytest.raises(ValueError, match="creation"):
+            write_delta(
+                more, uri, checkpoint_interval=None,
+                generated_cols={"other": "id"},
+            )
