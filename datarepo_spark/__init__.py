@@ -37,6 +37,7 @@ from .tables.delta_writer import (
     add_check_constraint,
     drop_check_constraint,
     compact,
+    convert_to_delta,
     delete_delta,
     describe_history,
     merge_delta,
@@ -56,6 +57,7 @@ __all__ = [
     "drop_check_constraint",
     "DeltaChangeStream",
     "IncrementalAggregate",
+    "convert_to_delta",
     "delete_delta",
     "describe_history",
     "restore_table",

@@ -584,6 +584,9 @@ def cleanup() -> None:
     for uri in _BUILT_RESTORE.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT_RESTORE.clear()
+    for uri in _BUILT_CONVERT.values():
+        shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
+    _BUILT_CONVERT.clear()
 
 
 _BUILT_IVM: dict[str, str] = {}
@@ -700,6 +703,53 @@ def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     uri = _restore_fixture(spark, sf_dir)
     table = DeltalakeTable(name="orders_restore", uri=uri)
     return table(
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        spark=spark,
+    )
+
+
+_BUILT_CONVERT: dict[str, str] = {}
+
+
+def _convert_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Plain hive-partitioned parquet (written by Spark, no log), then
+    CONVERT TO DELTA in place — content is the source subset exactly."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_CONVERT and os.path.isdir(
+        os.path.join(_BUILT_CONVERT[key], "_delta_log")
+    ):
+        return _BUILT_CONVERT[key]
+    from ..tables.delta_writer import convert_to_delta
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_convert_")
+    uri = os.path.join(base, "orders_convert")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    src.write.partitionBy("o_orderstatus").parquet(uri)
+    convert_to_delta(spark, uri)
+    _BUILT_CONVERT[key] = uri
+    return uri
+
+
+@register(
+    "delta_convert_in_place",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1000 AND o_orderstatus = 'O'
+    """,
+    description="CONVERT TO DELTA: existing hive-partitioned parquet "
+    "gains a transaction log in place (adds with footer stats, no "
+    "rewrite); the partition-pruned Delta read must equal the source",
+)
+def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _convert_fixture(spark, sf_dir)
+    table = DeltalakeTable(name="orders_convert", uri=uri)
+    return table(
+        filters=[Filter("o_orderstatus", "=", "O")],
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
         spark=spark,
     )

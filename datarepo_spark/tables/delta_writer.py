@@ -2030,3 +2030,111 @@ def restore_table(spark, uri: str, version: int) -> dict[str, int]:
         "files_added": n_added,
         "files_removed": len(removes),
     }
+
+
+def convert_to_delta(
+    spark,
+    uri: str,
+    partition_columns: Optional[Sequence[str]] = None,
+) -> int:
+    """CONVERT TO DELTA: create a transaction log in place over an
+    existing parquet directory — every current file becomes an ``add``
+    (with footer-aggregated stats, so data skipping works immediately);
+    nothing is rewritten or moved. The migration path for a 100 TB
+    parquet lake: one metadata commit instead of a full copy.
+
+    Hive-partitioned layouts (``col=value`` directories) are detected
+    automatically; ``partition_columns`` overrides the
+    declared partitioning when the directory nests more levels than
+    the table should expose (default: every ``key=value`` level found,
+    in path order). Schema comes from Spark's own parquet inference over
+    the directory (partition columns typed by inference, same as a
+    normal hive read).
+
+    Refuses if a ``_delta_log`` already exists (the table is already
+    Delta — converting again would shadow its history)."""
+    uri = uri.rstrip("/")
+    log_dir = os.path.join(uri, "_delta_log")
+    if os.path.isdir(log_dir):
+        raise ValueError(
+            f"{uri} already has a _delta_log; it is already a Delta table"
+        )
+
+    from pyspark.sql import types as T
+
+    inferred = spark.read.option("basePath", uri).parquet(uri)
+    schema = inferred.schema
+
+    data_files: list[tuple[str, dict]] = []
+    seen_part_cols: list[str] = []
+    for root, _dirs, names in os.walk(uri):
+        rel_dir = os.path.relpath(root, uri)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        partition_values: dict = {}
+        for seg in rel_dir.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                partition_values[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(v)
+                )
+                if k not in seen_part_cols:
+                    seen_part_cols.append(k)
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith("_"):
+                rel = (
+                    os.path.join(rel_dir, name) if rel_dir else name
+                )
+                data_files.append((rel, partition_values))
+    if not data_files:
+        raise ValueError(f"no parquet files under {uri}")
+
+    part_cols = (
+        list(partition_columns)
+        if partition_columns is not None
+        else seen_part_cols
+    )
+    missing = [c for c in part_cols if c not in {f.name for f in schema.fields}]
+    if missing:
+        raise ValueError(
+            f"partition columns {missing} not in the inferred schema"
+        )
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in set(part_cols)]
+    )
+
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema.jsonValue()),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+    for rel, pv in sorted(data_files):
+        full = os.path.join(uri, rel)
+        add_action = {
+            "path": quote(rel.replace(os.sep, "/"), safe="/="),
+            "partitionValues": {
+                k: v for k, v in pv.items() if k in set(part_cols)
+            },
+            "size": os.path.getsize(full),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        stats = collect_file_stats(full, data_schema)
+        if stats is not None:
+            add_action["stats"] = stats
+        actions.append({"add": add_action})
+
+    os.makedirs(log_dir, exist_ok=True)
+    return _commit_atomically(
+        log_dir, actions, operation="CONVERT",
+        operation_params={"numFiles": len(data_files)},
+    )

@@ -1191,3 +1191,88 @@ class TestGeneratedColumns:
                 more, uri, checkpoint_interval=None,
                 generated_cols={"other": "id"},
             )
+
+
+class TestConvertToDelta:
+    def test_unpartitioned_roundtrip(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import convert_to_delta
+
+        plain = str(tmp_path / "plain")
+        df = spark.range(0, 20).select(
+            F.col("id"), (F.col("id") * 1.5).alias("x")
+        )
+        df.write.parquet(plain)
+        v = convert_to_delta(spark, plain)
+        assert v == 0
+        got = sorted(
+            r["id"] for r in DeltalakeTable("t", plain)(spark=spark).collect()
+        )
+        assert got == list(range(20))
+
+    def test_hive_partitioned_with_pruning(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import convert_to_delta
+
+        part = str(tmp_path / "part")
+        df = spark.range(0, 30).select(
+            F.col("id"), (F.col("id") % 3).alias("par")
+        )
+        df.write.partitionBy("par").parquet(part)
+        convert_to_delta(spark, part)
+        snap = DeltaLog(part).snapshot()
+        assert snap.partition_columns == ["par"]
+        assert all(
+            f.partition_values.get("par") in {"0", "1", "2"}
+            for f in snap.files
+        )
+        # hive inference types par as INT (dir values are numeric) —
+        # filter with the inferred type, like any hive read
+        got = DeltalakeTable("t", part)(
+            spark=spark, filters=[Filter("par", "=", 1)]
+        )
+        assert sorted(r["id"] for r in got.collect()) == [
+            i for i in range(30) if i % 3 == 1
+        ]
+
+    def test_converted_table_is_writable(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            convert_to_delta,
+            delete_delta,
+        )
+
+        plain = str(tmp_path / "rw")
+        spark.range(0, 10).select(
+            F.col("id"), (F.col("id") * 1.0).alias("x")
+        ).write.parquet(plain)
+        convert_to_delta(spark, plain)
+        write_delta(
+            spark.range(10, 12).select(
+                F.col("id"), (F.col("id") * 1.0).alias("x")
+            ),
+            plain, checkpoint_interval=None,
+        )
+        delete_delta(spark, plain, [Filter("id", "=", 0)])
+        got = sorted(
+            r["id"] for r in DeltalakeTable("t", plain)(spark=spark).collect()
+        )
+        assert got == list(range(1, 12))
+
+    def test_refuses_existing_delta(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import convert_to_delta
+
+        uri = str(tmp_path / "d")
+        write_delta(
+            spark.range(3).select("id"), uri, checkpoint_interval=None
+        )
+        with pytest.raises(ValueError, match="already"):
+            convert_to_delta(spark, uri)
+
+    def test_stats_enable_skipping(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import convert_to_delta
+
+        plain = str(tmp_path / "sk")
+        spark.range(0, 100).select(
+            F.col("id")
+        ).repartitionByRange(4, "id").write.parquet(plain)
+        convert_to_delta(spark, plain)
+        snap = DeltaLog(plain).snapshot()
+        assert all(f.stats for f in snap.files)
