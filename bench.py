@@ -62,6 +62,7 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "text_perplexity",
     "dedup_duplicate_spans",
+    "similarity_ann_index",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

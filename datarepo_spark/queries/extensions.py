@@ -1528,3 +1528,52 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("long").alias("span_end"),
         F.col("n_windows").cast("long").alias("n_windows"),
     )
+
+
+# -- persisted ANN index (the production serving layout) ---------------------
+
+_ANN_INDEX_BUILT: dict[str, str] = {}
+
+
+def _ann_index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..functions.ann_index import build_ann_index
+
+    key = _os.path.abspath(sf_dir)
+    if key in _ANN_INDEX_BUILT and _os.path.isdir(
+        _os.path.join(_ANN_INDEX_BUILT[key], "_delta_log")
+    ):
+        return _ANN_INDEX_BUILT[key]
+    base = _tempfile.mkdtemp(prefix="datarepo_ann_index_")
+    uri = _os.path.join(base, "embeddings_ivf")
+    emb = load(spark, sf_dir, "embeddings")
+    build_ann_index(spark, emb, uri, nlist=8, iterations=4)
+    _ANN_INDEX_BUILT[key] = uri
+    return uri
+
+
+@register(
+    "similarity_ann_index",
+    oracle=_ANN_ORACLE,
+    description="persisted ANN index: corpus IVF-assigned ONCE into a "
+    "Delta table partitioned by cell (centroids stored beside the "
+    "log); the query resolves nprobe cells driver-side and reads only "
+    "those partitions — gated by exact top-3 + recall contract",
+)
+def similarity_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ann_index import query_ann_index
+
+    uri = _ann_index_fixture(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    ann = query_ann_index(spark, uri, qv, k=10, nprobe=3).filter(
+        F.col("vec_id") != 0
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = S.knn_brute_force(base, qv, k=10)
+    return _ann_gate(ann, exact)

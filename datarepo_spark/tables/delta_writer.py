@@ -1690,9 +1690,12 @@ def vacuum(uri: str, dry_run: bool = False) -> list[str]:
             active.add(dv_relative_path(dv["pathOrInlineDv"]))
     deletable: list[str] = []
     for root, dirs, names in os.walk(uri):
-        if "_delta_log" in root:
+        # underscore-prefixed directories are table metadata by lake
+        # convention (_delta_log, _ann_index, Spark's _SUCCESS dirs) —
+        # never data, never vacuumed
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        if os.path.basename(root).startswith("_") and root != uri:
             continue
-        dirs[:] = [d for d in dirs if d != "_delta_log"]
         for n in names:
             if not (
                 n.endswith(".parquet")
