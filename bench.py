@@ -63,6 +63,7 @@ HEADLINE = [
     "text_perplexity",
     "dedup_duplicate_spans",
     "similarity_ann_index",
+    "classify_nb_language",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

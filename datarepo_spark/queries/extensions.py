@@ -1577,3 +1577,69 @@ def similarity_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") != 0)
     exact = S.knn_brute_force(base, qv, k=10)
     return _ann_gate(ann, exact)
+
+
+# -- Naive Bayes classifier (model-based filtering, relational form) ---------
+
+from ..functions import classify as CL  # noqa: E402
+
+
+@register(
+    "classify_nb_language",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> LEN(t) > 0)) AS tok
+      FROM documents
+    ), labels AS (
+      SELECT doc_id, lang AS label FROM documents
+    ), lab_set AS (
+      SELECT DISTINCT lang AS label FROM documents
+    ), counts AS (
+      SELECT t.tok, l.label, COUNT(*) AS c
+      FROM toks t JOIN labels l USING (doc_id)
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT label, CAST(SUM(c) AS BIGINT) AS tt FROM counts GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM toks
+    ), priors AS (
+      SELECT lang AS label,
+             CAST(ROUND(LN(COUNT(*) * 1.0 /
+               (SELECT COUNT(*) FROM documents)), 6)
+               AS DECIMAL(38,6)) AS prior
+      FROM documents GROUP BY 1
+    ), sc AS (
+      SELECT t.doc_id, ls.label,
+             CAST(ROUND(LN((COALESCE(c.c, 0) + 1.0)
+                           / (tt.tt + 1.0 * vocab.v)), 6)
+                  AS DECIMAL(38,6)) AS lp
+      FROM toks t
+      CROSS JOIN lab_set ls
+      LEFT JOIN counts c ON c.tok = t.tok AND c.label = ls.label
+      JOIN totals tt ON tt.label = ls.label
+      CROSS JOIN vocab
+    ), agg AS (
+      SELECT doc_id, label, SUM(lp) AS s FROM sc GROUP BY 1, 2
+    ), ranked AS (
+      SELECT a.doc_id, a.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY a.s + p.prior DESC, a.label) AS rn
+      FROM agg a JOIN priors p ON p.label = a.label
+    )
+    SELECT r.doc_id, r.label AS predicted,
+           (r.label = d.lang) AS correct
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE rn = 1
+    """,
+    description="multinomial Naive Bayes language classifier, trained "
+    "and scored relationally (count aggregates + score join + per-doc "
+    "reduce; DECIMAL log-prob sums) — the oracle recomputes the whole "
+    "model bit-for-bit",
+)
+def classify_nb_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return CL.nb_classify(docs, "text", "lang", "doc_id")

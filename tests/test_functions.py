@@ -736,3 +736,38 @@ class TestDuplicateSpans:
             [(1, "x y"), (2, "x y")], ["doc_id", "text"]
         )
         assert duplicate_spans(df, n=3).count() == 0
+
+
+class TestNbClassify:
+    def test_separable_corpus(self, spark):
+        from datarepo_spark.functions.classify import nb_classify
+
+        rows = (
+            [(i, "the cat sat on the mat the dog", "en") for i in range(5)]
+            + [(10 + i, "el gato y el perro en la casa", "es")
+               for i in range(5)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        out = nb_classify(df).collect()
+        assert len(out) == 10
+        assert all(r["correct"] for r in out)
+
+    def test_prior_breaks_empty_evidence_ties(self, spark):
+        from datarepo_spark.functions.classify import nb_classify
+
+        # token 'x' appears equally in both classes; the majority-class
+        # prior must decide, deterministically
+        rows = [
+            (1, "x", "a"), (2, "x", "a"), (3, "x", "a"), (4, "x", "b"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        out = {r["doc_id"]: r["predicted"] for r in nb_classify(df).collect()}
+        assert set(out.values()) == {"a"}
+
+    def test_zero_token_docs_excluded(self, spark):
+        from datarepo_spark.functions.classify import nb_classify
+
+        rows = [(1, "hello world", "en"), (2, "   ", "en")]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        out = nb_classify(df).collect()
+        assert [r["doc_id"] for r in out] == [1]
