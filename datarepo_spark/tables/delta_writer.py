@@ -759,23 +759,20 @@ def compact(
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
     _reject_column_mapping(snapshot, "compact")
-    if any(f.deletion_vector for f in snapshot.files):
-        # compact reads data files RAW — rewriting a DV'd file would
-        # resurrect its soft-deleted rows. (zorder_by/merge_delta read
-        # through the DV-aware table path and are safe: their rewrites
-        # materialize the deletions and drop the DVs.)
-        raise NotImplementedError(
-            "compact on a table with deletion vectors is not supported; "
-            "use zorder_by (full re-cluster) which materializes deletions"
-        )
 
     groups: dict[tuple, list] = {}
     for f in snapshot.files:
         key = tuple(sorted((f.partition_values or {}).items()))
         groups.setdefault(key, []).append(f)
+    # a partition qualifies by small-file count OR by carrying deletion
+    # vectors: compacting a DV'd group materializes the soft deletes and
+    # drops the DV files (delta's REORG ... APPLY (PURGE) semantics) —
+    # at scale, accumulated DVs otherwise tax every read with the
+    # broadcast anti-join forever
     todo = {
         k: fs for k, fs in groups.items()
         if len(fs) >= min_files_per_partition
+        or any(f.deletion_vector for f in fs)
     }
     if max_partitions is not None:
         todo = dict(sorted(todo.items())[:max_partitions])
@@ -787,6 +784,11 @@ def compact(
             "version": -1,
         }
 
+    from dataclasses import replace as _replace
+
+    from .delta_table import DeltalakeTable
+
+    _table = DeltalakeTable(os.path.basename(uri), uri)
     actions: list[dict] = []
     for key, files in sorted(todo.items()):
         paths = [os.path.join(uri, unquote(f.path)) for f in files]
@@ -798,11 +800,23 @@ def compact(
         # data schema: after schema evolution the partition's files are
         # heterogeneous, and a bare read would adopt one file's schema —
         # silently dropping evolved columns from the rewrite.
-        merged = (
-            spark.read.schema(snapshot.data_schema)
-            .parquet(*paths)
-            .coalesce(1)
-        )
+        if any(f.deletion_vector for f in files):
+            # DV-aware read: soft-deleted rows must NOT survive the
+            # rewrite; the output materializes the deletions and the
+            # group's DV files become vacuumable orphans
+            merged = (
+                _table._read_from_log(
+                    spark, _replace(snapshot, files=list(files)), None
+                )
+                .select(*[f.name for f in snapshot.data_schema.fields])
+                .coalesce(1)
+            )
+        else:
+            merged = (
+                spark.read.schema(snapshot.data_schema)
+                .parquet(*paths)
+                .coalesce(1)
+            )
         staging = tempfile.mkdtemp(
             prefix="delta_compact_", dir=os.path.dirname(uri)
         )

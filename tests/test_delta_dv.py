@@ -190,10 +190,17 @@ class TestReadSemantics:
         assert sum(1 for f in snap.files if f.deletion_vector) == 1
         assert len(_ids(spark, uri)) == 17
 
-    def test_compact_refuses_dv_tables(self, spark, tmp_path):
-        uri = _dv_table(spark, tmp_path, deleted=[2])
-        with pytest.raises(NotImplementedError, match="deletion vectors"):
-            compact(spark, uri)
+    def test_compact_materializes_dvs(self, spark, tmp_path):
+        """Compaction on a DV table is REORG PURGE: the rewrite drops
+        the soft-deleted rows and the DV descriptors."""
+        uri = _dv_table(spark, tmp_path, deleted=[2, 5])
+        stats = compact(spark, uri)
+        assert stats["files_removed"] >= 1
+        snap = DeltaLog(uri).snapshot()
+        assert all(f.deletion_vector is None for f in snap.files)
+        assert _ids(spark, uri) == [0, 1, 3, 4, 6, 7, 8, 9] + list(
+            range(10, 20)
+        )
 
     def test_zorder_materializes_deletions(self, spark, tmp_path):
         from datarepo_spark.tables.delta_writer import zorder_by

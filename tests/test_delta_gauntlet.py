@@ -229,17 +229,9 @@ class TestRandomLifecycles:
             elif version >= 0 and op[0] == "checkpoint":
                 write_checkpoint(uri)
             elif version >= 0 and op[0] == "compact":
-                has_dv = any(
-                    f.deletion_vector
-                    for f in DeltaLog(uri).snapshot().files
-                )
-                if has_dv:
-                    with pytest.raises(NotImplementedError):
-                        compact(spark, uri)
-                else:
-                    stats = compact(spark, uri)
-                    if stats["version"] >= 0:
-                        version += 1
+                stats = compact(spark, uri)
+                if stats["version"] >= 0:
+                    version += 1
             elif version >= 0 and op[0] == "vacuum":
                 vacuum(uri)
             if version >= 0:
