@@ -1643,3 +1643,68 @@ from ..functions import classify as CL  # noqa: E402
 def classify_nb_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return CL.nb_classify(docs, "text", "lang", "doc_id")
+
+
+# -- event analytics: funnel + retention -------------------------------------
+
+from ..functions import funnel as FN  # noqa: E402
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS stage_1_ts
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS stage_2_ts
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.stage_1_ts
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS stage_3_ts
+      FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.stage_2_ts
+      GROUP BY 1
+    )
+    SELECT s1.user_id, s1.stage_1_ts, s2.stage_2_ts, s3.stage_3_ts,
+           CAST(1 + (s2.user_id IS NOT NULL)::INT
+                  + (s3.user_id IS NOT NULL)::INT AS INT)
+             AS stages_completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    description="ordered funnel view→click→purchase: stage k's reach "
+    "time is a conditional min after stage k-1 — user-keyed "
+    "aggregations, no per-user sort, no MATCH_RECOGNIZE engine needed",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return FN.funnel(e, ["view", "click", "purchase"])
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS w
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, w AS active_week FROM weeks
+    )
+    SELECT c.cohort_week,
+           CAST((EPOCH(a.active_week) - EPOCH(c.cohort_week)) / 604800
+                AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    description="weekly cohort retention matrix: two aggregates + one "
+    "join (first-activity cohort x active-week offset)",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return FN.cohort_retention(e)

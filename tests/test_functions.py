@@ -771,3 +771,78 @@ class TestNbClassify:
         df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
         out = nb_classify(df).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+class TestFunnel:
+    def _events(self, spark):
+        rows = [
+            # u1 completes all stages in order
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:05:00", "click"),
+            (1, "2024-01-01 10:10:00", "purchase"),
+            # u2 clicks BEFORE viewing — click must not count
+            (2, "2024-01-01 09:00:00", "click"),
+            (2, "2024-01-01 10:00:00", "view"),
+            # u3 views only
+            (3, "2024-01-01 08:00:00", "view"),
+            # u4 never views — absent from the funnel
+            (4, "2024-01-01 08:00:00", "purchase"),
+        ]
+        from pyspark.sql import functions as F2
+
+        return spark.createDataFrame(
+            rows, ["user_id", "ts_s", "event_type"]
+        ).select(
+            "user_id",
+            F2.to_timestamp("ts_s").alias("ts"),
+            "event_type",
+        )
+
+    def test_ordering_enforced(self, spark):
+        from datarepo_spark.functions.funnel import funnel
+
+        out = {
+            r["user_id"]: r["stages_completed"]
+            for r in funnel(
+                self._events(spark), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out == {1: 3, 2: 1, 3: 1}
+
+    def test_within_bound(self, spark):
+        from datarepo_spark.functions.funnel import funnel
+
+        out = {
+            r["user_id"]: r["stages_completed"]
+            for r in funnel(
+                self._events(spark),
+                ["view", "click", "purchase"],
+                within_seconds=360,
+            ).collect()
+        }
+        # u1's purchase lands 600s after view — outside the horizon
+        assert out[1] == 2
+
+    def test_retention_matrix(self, spark):
+        from pyspark.sql import functions as F2
+
+        from datarepo_spark.functions.funnel import cohort_retention
+
+        rows = [
+            (1, "2024-01-01 10:00:00"),  # week 0 cohort
+            (1, "2024-01-09 10:00:00"),  # active week 1
+            (2, "2024-01-02 10:00:00"),  # week 0 cohort, never returns
+            (3, "2024-01-10 10:00:00"),  # week 1 cohort
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts_s"]).select(
+            "user_id", F2.to_timestamp("ts_s").alias("ts")
+        )
+        got = {
+            (str(r["cohort_week"]), r["week_offset"]): r["n_active"]
+            for r in cohort_retention(df).collect()
+        }
+        assert got == {
+            ("2024-01-01 00:00:00", 0): 2,
+            ("2024-01-01 00:00:00", 1): 1,
+            ("2024-01-08 00:00:00", 0): 1,
+        }
