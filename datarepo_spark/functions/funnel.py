@@ -40,7 +40,6 @@ def funnel(
     stages = list(stages)
     if not stages:
         raise ValueError("funnel requires at least one stage")
-    user = F.col(user_col)
 
     current = (
         df.filter(F.col(type_col) == stages[0])
@@ -90,12 +89,13 @@ def cohort_retention(
     activity = df.select(
         F.col(user_col), week.alias("active_week")
     ).distinct()
+    # calendar-day difference, not epoch seconds: under a DST-shifting
+    # session timezone a week can be 604800±3600 s and the epoch form
+    # mis-buckets; day arithmetic is timezone-shape-free and both weeks
+    # are Monday-truncated so the difference is an exact multiple of 7
     offset = (
-        (
-            F.unix_timestamp("active_week")
-            - F.unix_timestamp("cohort_week")
-        )
-        / F.lit(604800)
+        F.datediff(F.col("active_week"), F.col("cohort_week"))
+        / F.lit(7)
     ).cast("int")
     return (
         activity.join(cohorts, user_col)

@@ -589,7 +589,7 @@ def cleanup() -> None:
     _BUILT_CONVERT.clear()
 
 
-_BUILT_IVM: dict[str, str] = {}
+_BUILT_IVM: dict = {}  # sf key -> IncrementalAggregate
 
 
 def _ivm_fixture(spark: SparkSession, sf_dir: str):

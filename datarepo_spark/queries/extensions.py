@@ -1696,7 +1696,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, w AS active_week FROM weeks
     )
     SELECT c.cohort_week,
-           CAST((EPOCH(a.active_week) - EPOCH(c.cohort_week)) / 604800
+           CAST(DATE_DIFF('day', CAST(c.cohort_week AS DATE),
+                          CAST(a.active_week AS DATE)) / 7
                 AS INT) AS week_offset,
            CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
     FROM activity a JOIN cohorts c USING (user_id)

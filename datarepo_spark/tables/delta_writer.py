@@ -139,8 +139,6 @@ def _enforce_constraints(df: DataFrame, snapshot) -> None:
     combined pass regardless of constraint count."""
     from pyspark.sql import functions as F
 
-    from pyspark.sql import functions as _F
-
     constraints = {
         k[len("delta.constraints."):]: v
         for k, v in (snapshot.configuration or {}).items()
@@ -156,7 +154,7 @@ def _enforce_constraints(df: DataFrame, snapshot) -> None:
     for field in snapshot.schema.fields:
         if field.name not in present:
             df = df.withColumn(
-                field.name, _F.lit(None).cast(field.dataType)
+                field.name, F.lit(None).cast(field.dataType)
             )
     violated = None
     for name, expr in constraints.items():
@@ -195,22 +193,26 @@ def _apply_generated(df: DataFrame, snapshot) -> DataFrame:
     from pyspark.sql import functions as F
 
     gens = _generation_exprs(snapshot)
+    mismatched = None
+    provided = {}
     for name, (expr, dtype) in gens.items():
         generated = F.expr(expr).cast(dtype)
         if name not in df.columns:
             df = df.withColumn(name, generated)
         else:
-            bad = (
-                df.filter(~F.col(name).eqNullSafe(generated))
-                .limit(1)
-                .collect()
+            provided[name] = expr
+            m = ~F.col(name).eqNullSafe(generated)
+            mismatched = m if mismatched is None else (mismatched | m)
+    if mismatched is not None:
+        # ONE validation job for all provided generated columns (the
+        # same combined-predicate shape _enforce_constraints uses)
+        bad = df.filter(mismatched).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"GENERATED ALWAYS AS column(s) {provided} disagree "
+                f"with their expression on a written row: "
+                f"{bad[0].asDict()}"
             )
-            if bad:
-                raise ConstraintViolationError(
-                    f"Column {name!r} is GENERATED ALWAYS AS ({expr}); "
-                    f"a written value disagrees with the expression: "
-                    f"{bad[0].asDict()}"
-                )
     return df
 
 
@@ -1708,8 +1710,6 @@ def vacuum(uri: str, dry_run: bool = False) -> list[str]:
         # convention (_delta_log, _ann_index, Spark's _SUCCESS dirs) —
         # never data, never vacuumed
         dirs[:] = [d for d in dirs if not d.startswith("_")]
-        if os.path.basename(root).startswith("_") and root != uri:
-            continue
         for n in names:
             if not (
                 n.endswith(".parquet")
@@ -2084,7 +2084,14 @@ def convert_to_delta(
 
     data_files: list[tuple[str, dict]] = []
     seen_part_cols: list[str] = []
-    for root, _dirs, names in os.walk(uri):
+    for root, dirs, names in os.walk(uri):
+        # underscore/dot-prefixed directories are metadata/temporary by
+        # lake convention (_temporary task attempts, _ann_index, …) —
+        # spark.read's inference ignores them, so must the conversion
+        dirs[:] = [
+            d for d in dirs
+            if not d.startswith("_") and not d.startswith(".")
+        ]
         rel_dir = os.path.relpath(root, uri)
         rel_dir = "" if rel_dir == "." else rel_dir
         partition_values: dict = {}
@@ -2099,7 +2106,11 @@ def convert_to_delta(
                 if k not in seen_part_cols:
                     seen_part_cols.append(k)
         for name in names:
-            if name.endswith(".parquet") and not name.startswith("_"):
+            if (
+                name.endswith(".parquet")
+                and not name.startswith("_")
+                and not name.startswith(".")
+            ):
                 rel = (
                     os.path.join(rel_dir, name) if rel_dir else name
                 )

@@ -67,11 +67,33 @@ class IncrementalAggregate:
 
     # -- the maintained schema ------------------------------------------------
 
+    def _with_group_key(self, df: DataFrame) -> DataFrame:
+        """Append the surrogate merge key: a sha256 over the group tuple
+        with an explicit NULL marker. GROUP BY treats NULL keys as one
+        group, but every join in the maintenance path (and merge_delta's
+        key match) is null-UNSAFE — merging on the raw group columns
+        would append a fresh row for the NULL group on every advance.
+        The surrogate is non-null by construction, so all keying is
+        exact."""
+        parts = []
+        for c in self.group_cols:
+            parts.append(
+                F.coalesce(
+                    F.concat(F.lit("v:"), F.col(c).cast("string")),
+                    F.lit("null:"),
+                )
+            )
+        return df.withColumn(
+            "__group_key", F.sha2(F.concat_ws("\u0001", *parts), 256)
+        )
+
     def _delta_frame(self, changes: DataFrame) -> DataFrame:
         sign = F.when(
             F.col(CHANGE_TYPE) == "insert", F.lit(1)
         ).otherwise(F.lit(-1))
-        return changes.groupBy(*self.group_cols).agg(
+        return self._with_group_key(changes).groupBy(
+            "__group_key", *self.group_cols
+        ).agg(
             F.sum(sign).cast("long").alias("n_rows"),
             *[
                 F.sum(F.col(c).cast("decimal(38,6)") * sign)
@@ -85,9 +107,13 @@ class IncrementalAggregate:
         """The maintained aggregate (None before the first advance)."""
         if not os.path.isdir(os.path.join(self.dest_uri, "_delta_log")):
             return None
-        return DeltalakeTable(
-            os.path.basename(self.dest_uri), self.dest_uri
-        )(spark=spark).filter(F.col("n_rows") > 0)
+        return (
+            DeltalakeTable(
+                os.path.basename(self.dest_uri), self.dest_uri
+            )(spark=spark)
+            .filter(F.col("n_rows") > 0)
+            .drop("__group_key")
+        )
 
     # -- maintenance ----------------------------------------------------------
 
@@ -117,11 +143,15 @@ class IncrementalAggregate:
             )(spark=spark)
             d = delta.alias("d")
             cur = current.join(
-                delta.select(*self.group_cols), self.group_cols,
+                delta.select("__group_key"), "__group_key",
                 "left_semi",
             ).alias("c")
-            combined = cur.join(d, self.group_cols, "full_outer").select(
-                *self.group_cols,
+            combined = cur.join(d, "__group_key", "full_outer").select(
+                "__group_key",
+                *[
+                    F.coalesce(F.col(f"d.{g}"), F.col(f"c.{g}")).alias(g)
+                    for g in self.group_cols
+                ],
                 (
                     F.coalesce(F.col("c.n_rows"), F.lit(0))
                     + F.coalesce(F.col("d.n_rows"), F.lit(0))
@@ -144,7 +174,7 @@ class IncrementalAggregate:
                 spark,
                 self.dest_uri,
                 combined,
-                on=self.group_cols,
+                on=["__group_key"],
                 txn_app_id=self.app_id,
                 txn_version=2 * version,
             )

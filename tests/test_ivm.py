@@ -12,7 +12,9 @@ from datarepo_spark.tables.ivm import IncrementalAggregate
 
 
 def _src_df(spark, rows):
-    return spark.createDataFrame(rows, ["k", "grp", "x"])
+    return spark.createDataFrame(
+        rows, "k long, grp string, x double"
+    )
 
 
 def _recompute(spark, uri):
@@ -25,7 +27,10 @@ def _recompute(spark, uri):
         )
         .collect()
     )
-    return sorted((r["grp"], r["n_rows"], str(r["sum_x"])) for r in rows)
+    return sorted(
+        ((r["grp"] or "", r["grp"] is None), r["n_rows"], str(r["sum_x"]))
+        for r in rows
+    )
 
 
 def _view(spark, agg):
@@ -33,7 +38,7 @@ def _view(spark, agg):
     if df is None:
         return []
     return sorted(
-        (r["grp"], r["n_rows"], str(r["sum_x"]))
+        ((r["grp"] or "", r["grp"] is None), r["n_rows"], str(r["sum_x"]))
         for r in df.collect()
     )
 
@@ -78,7 +83,7 @@ class TestIncrementalAggregate:
         agg.advance(spark)
         delete_delta(spark, src, [Filter("grp", "=", "b")])
         agg.advance(spark)
-        assert _view(spark, agg) == [("a", 1, "1.000000")]
+        assert _view(spark, agg) == [(("a", False), 1, "1.000000")]
         assert _view(spark, agg) == _recompute(spark, src)
 
     def test_crash_replay_does_not_double_apply(self, spark, tmp_path):
@@ -115,5 +120,29 @@ class TestIncrementalAggregate:
             _src_df(spark, [(100, "d", 1.25)]), src,
             checkpoint_interval=None,
         )
+        agg.advance(spark)
+        assert _view(spark, agg) == _recompute(spark, src)
+
+    def test_null_group_keys_merge_correctly(self, spark, tmp_path):
+        """NULL group values must update-in-place across advances, not
+        append a fresh NULL row each time (the joins are null-unsafe;
+        the surrogate group key makes them exact)."""
+        src, dst, ckpt = _mk(tmp_path)
+        agg = IncrementalAggregate(src, dst, ckpt, ["grp"], ["x"])
+        write_delta(
+            _src_df(spark, [(1, None, 5.0), (2, "a", 1.0)]),
+            src, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        write_delta(
+            _src_df(spark, [(3, None, 2.0)]), src,
+            checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        got = _view(spark, agg)
+        assert got == _recompute(spark, src)
+        assert sum(1 for (_, isnull), *_ in got if isnull) == 1
+        # and deleting one NULL-group row updates, not duplicates
+        delete_delta(spark, src, [Filter("k", "=", 1)])
         agg.advance(spark)
         assert _view(spark, agg) == _recompute(spark, src)
