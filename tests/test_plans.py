@@ -167,3 +167,47 @@ class TestRangeJoin:
             range_join(df, df, "p", "lo", "hi", bucket_width=0)
         with _pytest.raises(ValueError):
             range_join(df, df, "p", "lo", "hi", 1.0, how="left")
+
+
+class TestSession2Plans:
+    """Plan contracts for the round-4 session-2 operators."""
+
+    def test_packing_single_exchange(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "pipeline_pack_sequences")
+        # one shuffle: the per-shard running-sum window; the explode adds
+        # no exchange of its own
+        assert plan.count("Exchange") == 1
+        # the scan reads only (doc_id, text) — never other columns
+        read_schema = plan.split("ReadSchema")[1][:200]
+        assert "lang" not in read_schema and "source" not in read_schema
+
+    def test_perplexity_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "text_perplexity")
+        assert "CartesianProduct" not in plan
+        # the scalar totals row rides a broadcast
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_fuzzy_join_no_cartesian(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "join_fuzzy_editdist")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_duplicate_spans_semi_join(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "dedup_duplicate_spans")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_nb_classifier_broadcasts_model_dims(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "classify_nb_language")
+        # the class set and totals are broadcast; the big joins are
+        # token-keyed hash joins, never a cartesian over the corpus
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+
+    def test_funnel_reuses_user_partitioning(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "events_funnel")
+        # stage joins/aggs key on user_id throughout; Spark needs at
+        # most one exchange per scan branch (3 stages), not one per
+        # stage-join step
+        assert plan.count("CartesianProduct") == 0
+        assert plan.count("Exchange hashpartitioning") <= 6
