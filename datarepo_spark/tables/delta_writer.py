@@ -1319,7 +1319,11 @@ def delete_delta(
         raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
-    _reject_column_mapping(snapshot, "delete_delta")
+    # Column-mapped tables are SUPPORTED here, unlike the staging write
+    # paths: a DV delete writes no data files — the re-added add action
+    # copies partitionValues/stats verbatim (already physical-keyed) and
+    # the DV blob itself has no column names, so nothing logical ever
+    # lands in the mapped layout.
     if txn_app_id is not None:
         last = snapshot.app_transactions.get(txn_app_id)
         if last is not None and txn_version <= last:

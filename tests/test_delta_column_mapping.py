@@ -276,3 +276,36 @@ class TestColumnMapping:
         assert snap.column_mapping_mode == "none"
         assert snap.physical_name_map == {"id": "id", "name": "name"}
         assert [r.id for r in DeltalakeTable("p", uri)(spark=spark).collect()] == [1]
+
+
+class TestMappedDelete:
+    def test_dv_delete_on_mapped_table(self, spark, tmp_path):
+        """DV deletes write no data files, so they are safe on mapped
+        layouts — the one DML the writer supports there."""
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _mapped_table(spark, tmp_path, mode="name")
+        res = delete_delta(spark, uri, [Filter("id", "in", [2, 7])])
+        assert res["rows_deleted"] == 2
+        t = DeltalakeTable("m", uri)
+        got = sorted(r["id"] for r in t(spark=spark).collect())
+        assert got == [i for i in range(10) if i not in (2, 7)]
+        # protocol upgraded with BOTH features active
+        proto = DeltaLog(uri).snapshot().raw_protocol
+        assert "deletionVectors" in proto["readerFeatures"]
+        # second delete merges into the same DV
+        delete_delta(spark, uri, [Filter("name", "=", "n4")])
+        got = sorted(r["id"] for r in t(spark=spark).collect())
+        assert got == [i for i in range(10) if i not in (2, 4, 7)]
+
+    def test_dv_delete_on_mapped_partitioned(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _mapped_table(spark, tmp_path, mode="name", partitioned=True)
+        res = delete_delta(
+            spark, uri, [Filter("part", "=", "a"), Filter("id", "<", 2)]
+        )
+        assert res["rows_deleted"] == 2
+        t = DeltalakeTable("m", uri)
+        got = sorted(r["id"] for r in t(spark=spark).collect())
+        assert got == list(range(2, 10))
