@@ -138,3 +138,62 @@ def contamination_check(
             6,
         ).alias("contamination"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Pretraining data-mixture sampling: keep a deterministic subset of
+    each source so expected kept-token mass matches
+    ``token_budget * weights[source]`` (the Pile/LLaMA-style mixture
+    recipe). Sources absent from ``weights`` are dropped.
+
+    Mechanics — two aggregates and a broadcast, no RNG:
+      1. per-source token totals (one partial-agg job over
+         (source, n_tokens) — text never shuffles);
+      2. keep_rate_s = min(1, budget·w_s / tokens_s), a driver-free
+         broadcast join of a |sources|-row frame;
+      3. keep rows where the sha256 variate of the key < rate —
+         the same reproducible-anywhere hash the split/sample
+         operators use. Oversubscribed sources (rate would exceed 1)
+         keep everything; the shortfall is visible in the output
+         token counts rather than silently re-weighted.
+
+    Returns the kept rows as (id, source, n_tokens)."""
+    from .text import WS_TOKEN_RE, token_count
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    toks = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(F.col(text_col), WS_TOKEN_RE)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    totals = toks.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("__total")
+    )
+    weight_rows = [(s, float(w)) for s, w in sorted(weights.items())]
+    wdf = df.sparkSession.createDataFrame(
+        weight_rows, f"{source_col} string, __w double"
+    )
+    rates = totals.join(wdf, source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget)) * F.col("__w") / F.col("__total"),
+        ).alias("__rate"),
+    )
+    u = hash_fraction(F.col(id_col), salt)
+    return (
+        toks.join(F.broadcast(rates), source_col)
+        .filter(u < F.col("__rate"))
+        .select(id_col, source_col, "n_tokens")
+    )

@@ -1749,3 +1749,39 @@ def events_transition_matrix(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "pipeline_mixture_sample",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS BIGINT)
+               AS n_tokens,
+             {SP.sql_hash_fraction('doc_id', salt='mixture')} AS u
+      FROM documents
+    ), totals AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total
+      FROM toks GROUP BY 1
+    ), rates AS (
+      SELECT t.source,
+             LEAST(1.0, 2000.0 * w.w / t.total) AS rate
+      FROM totals t
+      JOIN (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2))
+        AS w(source, w) USING (source)
+    )
+    SELECT tk.doc_id, tk.source, tk.n_tokens
+    FROM toks tk JOIN rates r USING (source)
+    WHERE tk.u < r.rate
+    """,
+    description="pretraining mixture sampling: per-source keep rates "
+    "sized so kept-token mass matches budget x weight (Pile/LLaMA "
+    "recipe); two aggregates + broadcast rates + zero-RNG hash keep",
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.mixture_sample(
+        docs,
+        {"src1": 0.5, "src2": 0.3, "src3": 0.2},
+        token_budget=2000,
+    )

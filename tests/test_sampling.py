@@ -237,3 +237,49 @@ class TestSamplingProperties:
             assert got == {str(k): expected(str(k)) for k in keys}
 
         run()
+
+
+class TestMixtureSample:
+    def test_rates_track_weights(self, spark):
+        from datarepo_spark.functions.sampling import mixture_sample
+
+        rows = [
+            (i, "a" if i < 200 else "b", "tok " * 10) for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        # each source holds 2000 tokens; budget 1000 at 75/25 →
+        # a-target 750 (rate .375), b-target 250 (rate .125)
+        out = mixture_sample(
+            df, {"a": 0.75, "b": 0.25}, token_budget=1000
+        )
+        kept = out.groupBy("source").sum("n_tokens").collect()
+        got = {r["source"]: r["sum(n_tokens)"] for r in kept}
+        assert 500 <= got["a"] <= 1000   # expectation 750
+        assert 100 <= got["b"] <= 450    # expectation 250
+        assert got["a"] > got["b"]
+
+    def test_oversubscribed_source_keeps_all(self, spark):
+        from datarepo_spark.functions.sampling import mixture_sample
+
+        rows = [(i, "small", "x y z") for i in range(5)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = mixture_sample(df, {"small": 1.0}, token_budget=10_000)
+        assert out.count() == 5
+
+    def test_unlisted_sources_dropped_and_deterministic(self, spark):
+        from datarepo_spark.functions.sampling import mixture_sample
+
+        rows = [(i, "a" if i % 2 else "z", "w " * 5) for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out1 = sorted(
+            r["doc_id"]
+            for r in mixture_sample(df, {"a": 1.0}, 100).collect()
+        )
+        out2 = sorted(
+            r["doc_id"]
+            for r in mixture_sample(
+                df.repartition(13), {"a": 1.0}, 100
+            ).collect()
+        )
+        assert out1 == out2
+        assert all(i % 2 for i in out1)
