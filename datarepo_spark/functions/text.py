@@ -414,3 +414,39 @@ def unigram_perplexity(
             4,
         ).alias("perplexity"),
     )
+
+
+# Normalization rules, applied in order. RE2-safe subset (no lookaround)
+# so Java regex and DuckDB RE2 agree byte-for-byte; rule order matters
+# (tags strip before whitespace collapse) and is part of the contract.
+NORMALIZE_RULES: list[tuple[str, str]] = [
+    (r"<[^>]{1,200}>", " "),              # HTML-ish tags
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f]", ""),  # control chars (keep \t\n\r)
+    (r"[“”«»]", "\""),  # curly/guillemet quotes
+    (r"[‘’`´]", "'"),   # curly quotes / backtick
+    (r"[–—―]", "-"),          # en/em/horizontal dashes
+    (r" ", " "),                        # non-breaking space
+    (r"\s+", " "),                           # whitespace collapse
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Standard corpus pre-clean (tag strip, control-char removal,
+    typographic-quote/dash folding, whitespace collapse, trim) as one
+    chained ``regexp_replace`` projection — pure codegen, zero shuffle,
+    and byte-identical in the DuckDB gate via :func:`sql_normalize_text`."""
+    out = text
+    for pattern, repl in NORMALIZE_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return F.trim(out)
+
+
+def sql_normalize_text(expr: str) -> str:
+    """DuckDB equivalent of :func:`normalize_text` (shared rule list, so
+    engine and oracle cannot drift)."""
+    out = expr
+    for pattern, repl in NORMALIZE_RULES:
+        escaped_p = pattern.replace("'", "''")
+        escaped_r = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped_p}', '{escaped_r}', 'g')"
+    return f"TRIM({out})"

@@ -1785,3 +1785,26 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src1": 0.5, "src2": 0.3, "src3": 0.2},
         token_budget=2000,
     )
+
+
+@register(
+    "text_normalize",
+    oracle=rf"""
+    SELECT doc_id,
+           {X.sql_normalize_text('text')} AS normalized,
+           CAST(LEN({X.sql_normalize_text('text')}) AS INT) AS n_chars
+    FROM documents
+    """,
+    description="corpus pre-clean: tag strip, control chars, "
+    "typographic quote/dash folding, whitespace collapse — one chained "
+    "regexp projection (zero shuffle), shared rule list keeps engine "
+    "and oracle byte-identical",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = X.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("normalized"),
+        F.length(norm).cast("int").alias("n_chars"),
+    )

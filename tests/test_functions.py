@@ -846,3 +846,30 @@ class TestFunnel:
             ("2024-01-01 00:00:00", 1): 1,
             ("2024-01-08 00:00:00", 0): 1,
         }
+
+
+class TestNormalizeText:
+    def test_rules(self, spark):
+        from pyspark.sql import functions as F2
+
+        from datarepo_spark.functions.text import normalize_text
+
+        cases = [
+            ("<b>Hello</b>   world", "Hello world"),
+            ("a\x00b\x01c", "abc"),
+            ("“quoted” and ‘single’", "\"quoted\" and 'single'"),
+            ("dash — here – too", "dash - here - too"),
+            ("nbsp space", "nbsp space"),
+            ("  lots\t\tof\n\nspace  ", "lots of space"),
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _) in enumerate(cases)], ["i", "t"]
+        )
+        got = {
+            r["i"]: r["n"]
+            for r in df.select(
+                "i", normalize_text(F2.col("t")).alias("n")
+            ).collect()
+        }
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, (i, got[i], want)
