@@ -420,7 +420,10 @@ def unigram_perplexity(
 # so Java regex and DuckDB RE2 agree byte-for-byte; rule order matters
 # (tags strip before whitespace collapse) and is part of the contract.
 NORMALIZE_RULES: list[tuple[str, str]] = [
-    (r"<[^>]{1,200}>", " "),              # HTML-ish tags
+    # unbounded [^<>]* on purpose: a COUNTED quantifier ({1,200}) would
+    # count UTF-16 code units in Java but codepoints in RE2 and diverge
+    # on astral chars; * has no counting semantics in either engine
+    (r"<[^<>]*>", " "),                      # HTML-ish tags
     (r"[\x00-\x08\x0b\x0c\x0e-\x1f]", ""),  # control chars (keep \t\n\r)
     (r"[“”«»]", "\""),  # curly/guillemet quotes
     (r"[‘’`´]", "'"),   # curly quotes / backtick

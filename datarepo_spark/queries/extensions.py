@@ -1765,7 +1765,9 @@ def events_transition_matrix(
       FROM toks GROUP BY 1
     ), rates AS (
       SELECT t.source,
-             LEAST(1.0, 2000.0 * w.w / t.total) AS rate
+             LEAST(CAST(1.0 AS DOUBLE),
+                   CAST(2000.0 AS DOUBLE) * CAST(w.w AS DOUBLE)
+                     / CAST(t.total AS DOUBLE)) AS rate
       FROM totals t
       JOIN (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2))
         AS w(source, w) USING (source)
@@ -1790,10 +1792,13 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_normalize",
     oracle=rf"""
-    SELECT doc_id,
-           {X.sql_normalize_text('text')} AS normalized,
-           CAST(LEN({X.sql_normalize_text('text')}) AS INT) AS n_chars
-    FROM documents
+    WITH n AS (
+      SELECT doc_id, {X.sql_normalize_text('text')} AS normalized
+      FROM documents
+    )
+    SELECT doc_id, normalized,
+           CAST(LEN(normalized) AS INT) AS n_chars
+    FROM n
     """,
     description="corpus pre-clean: tag strip, control chars, "
     "typographic quote/dash folding, whitespace collapse — one chained "

@@ -193,7 +193,7 @@ def _apply_generated(df: DataFrame, snapshot) -> DataFrame:
     from pyspark.sql import functions as F
 
     gens = _generation_exprs(snapshot)
-    mismatched = None
+    flags = {}
     provided = {}
     for name, (expr, dtype) in gens.items():
         generated = F.expr(expr).cast(dtype)
@@ -201,17 +201,29 @@ def _apply_generated(df: DataFrame, snapshot) -> DataFrame:
             df = df.withColumn(name, generated)
         else:
             provided[name] = expr
-            m = ~F.col(name).eqNullSafe(generated)
-            mismatched = m if mismatched is None else (mismatched | m)
-    if mismatched is not None:
+            flags[name] = ~F.col(name).eqNullSafe(generated)
+    if flags:
         # ONE validation job for all provided generated columns (the
-        # same combined-predicate shape _enforce_constraints uses)
-        bad = df.filter(mismatched).limit(1).collect()
+        # combined-predicate shape _enforce_constraints uses), with
+        # per-column flags carried so the error names the culprit(s)
+        mismatched = None
+        for m in flags.values():
+            mismatched = m if mismatched is None else (mismatched | m)
+        probe = df.filter(mismatched).select(
+            "*",
+            *[m.alias(f"__bad_{name}") for name, m in flags.items()],
+        )
+        bad = probe.limit(1).collect()
         if bad:
+            row = bad[0].asDict()
+            culprits = {
+                name: provided[name]
+                for name in flags
+                if row.pop(f"__bad_{name}", False)
+            }
             raise ConstraintViolationError(
-                f"GENERATED ALWAYS AS column(s) {provided} disagree "
-                f"with their expression on a written row: "
-                f"{bad[0].asDict()}"
+                f"GENERATED ALWAYS AS column(s) {culprits} disagree "
+                f"with their expression on a written row: {row}"
             )
     return df
 
@@ -1150,6 +1162,12 @@ def _dv_feature_actions(snapshot) -> list[dict]:
     reader_feats = set(proto.get("readerFeatures") or [])
     if "deletionVectors" in reader_feats:
         return []
+    if not reader_feats and int(proto.get("minReaderVersion", 1)) >= 2:
+        # legacy reader v2 implies columnMapping; when minReaderVersion
+        # jumps to 3 every ACTIVE reader feature must be listed or a
+        # spec-compliant external reader sees a protocol/metadata
+        # mismatch (or reads raw physical column names)
+        reader_feats |= {"columnMapping"}
     writer_feats = set(proto.get("writerFeatures") or [])
     if not writer_feats:
         # upgrading a legacy writer version to v7 must carry EVERY

@@ -77,14 +77,18 @@ class IncrementalAggregate:
         exact."""
         parts = []
         for c in self.group_cols:
+            v = F.col(c).cast("string")
+            # length-prefixed encoding: "v<len>:<value>" / "n:" — no
+            # separator can be injected by a value, so distinct tuples
+            # can never encode (and hash) identically
             parts.append(
                 F.coalesce(
-                    F.concat(F.lit("v:"), F.col(c).cast("string")),
-                    F.lit("null:"),
+                    F.concat(F.lit("v"), F.length(v), F.lit(":"), v),
+                    F.lit("n:"),
                 )
             )
         return df.withColumn(
-            "__group_key", F.sha2(F.concat_ws("\u0001", *parts), 256)
+            "__group_key", F.sha2(F.concat(*parts), 256)
         )
 
     def _delta_frame(self, changes: DataFrame) -> DataFrame:
@@ -141,6 +145,13 @@ class IncrementalAggregate:
             current = DeltalakeTable(
                 os.path.basename(self.dest_uri), self.dest_uri
             )(spark=spark)
+            if "__group_key" not in current.columns:
+                raise ValueError(
+                    f"IVM destination {self.dest_uri} predates the "
+                    f"surrogate-group-key schema (no __group_key "
+                    f"column); rebuild the view (drop the destination "
+                    f"table and cursor, then advance from scratch)"
+                )
             d = delta.alias("d")
             cur = current.join(
                 delta.select("__group_key"), "__group_key",

@@ -293,6 +293,9 @@ class TestMappedDelete:
         # protocol upgraded with BOTH features active
         proto = DeltaLog(uri).snapshot().raw_protocol
         assert "deletionVectors" in proto["readerFeatures"]
+        # the mapped table's ACTIVE reader feature must survive the
+        # upgrade or external readers see a protocol/metadata mismatch
+        assert "columnMapping" in proto["readerFeatures"]
         # second delete merges into the same DV
         delete_delta(spark, uri, [Filter("name", "=", "n4")])
         got = sorted(r["id"] for r in t(spark=spark).collect())

@@ -146,3 +146,25 @@ class TestIncrementalAggregate:
         delete_delta(spark, src, [Filter("k", "=", 1)])
         agg.advance(spark)
         assert _view(spark, agg) == _recompute(spark, src)
+
+
+    def test_group_key_encoding_not_injectable(self, spark, tmp_path):
+        """Values containing the old separator must not collide across
+        multi-column group tuples (length-prefixed encoding)."""
+        src, dst, ckpt = _mk(tmp_path)
+        agg = IncrementalAggregate(
+            src, dst, ckpt, ["grp", "grp2"], ["x"]
+        )
+        rows = [
+            (1, "x\u0001v:y", "z", 1.0),
+            (2, "x", "y\u0001v:z", 1.0),
+        ]
+        write_delta(
+            spark.createDataFrame(
+                rows, "k long, grp string, grp2 string, x double"
+            ),
+            src, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        df = agg.read(spark)
+        assert df.count() == 2  # two distinct groups, never merged
