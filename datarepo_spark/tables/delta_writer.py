@@ -747,11 +747,18 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
     return path
 
 
+def _partition_prune_files(snapshot, dnf):
+    from .delta_table import _partition_prune
+
+    return _partition_prune(snapshot, dnf)
+
+
 def compact(
     spark,
     uri: str,
     min_files_per_partition: int = 2,
     max_partitions: Optional[int] = None,
+    where=None,
 ) -> dict[str, int]:
     """OPTIMIZE-style bin-packing: rewrite each partition's many small
     files into one file, committed atomically as remove(old)+add(new)
@@ -767,6 +774,11 @@ def compact(
 
     Only partitions with ≥ ``min_files_per_partition`` files rewrite;
     ``max_partitions`` bounds one invocation's work (run incrementally).
+    ``where`` (DNF filters on PARTITION columns, delta's
+    ``OPTIMIZE ... WHERE``) scopes the pass to matching partitions —
+    the operational shape for compacting only the partitions a
+    micro-batch sink is actively writing (yesterday's date=…), instead
+    of re-walking the whole table's file listing every run.
     Old files stay on disk for time travel until :func:`vacuum`.
     Returns {files_before, files_removed, files_added, version} —
     version is -1 when nothing needed compacting."""
@@ -774,8 +786,27 @@ def compact(
     snapshot = DeltaLog(uri).snapshot()
     _reject_column_mapping(snapshot, "compact")
 
+    candidates = snapshot.files
+    if where is not None:
+        from ..core.filters import normalize_filters, validate_filters
+
+        dnf = normalize_filters(where)
+        part_set = set(snapshot.partition_columns)
+        non_part = {
+            f.column for conj in dnf for f in conj
+            if f.column not in part_set
+        }
+        if non_part:
+            raise ValueError(
+                f"compact(where=...) accepts partition columns only "
+                f"(got {sorted(non_part)}): file-level scoping on data "
+                f"columns would need a scan, which defeats the point"
+            )
+        validate_filters(dnf, {f.name for f in snapshot.schema.fields})
+        candidates = _partition_prune_files(snapshot, dnf)
+
     groups: dict[tuple, list] = {}
-    for f in snapshot.files:
+    for f in candidates:
         key = tuple(sorted((f.partition_values or {}).items()))
         groups.setdefault(key, []).append(f)
     # a partition qualifies by small-file count OR by carrying deletion

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from datarepo_spark.tables.delta_log import DeltaLog
 from datarepo_spark.tables.delta_table import DeltalakeTable
 from datarepo_spark.core.filters import Filter
-from datarepo_spark.tables.delta_writer import write_delta
+from datarepo_spark.tables.delta_writer import compact, write_delta
 
 
 def vals(df):
@@ -205,7 +205,7 @@ class TestIdempotentTxn:
         """SetTransaction ledger: a (appId, version) write replayed after
         a failure must not duplicate rows — the foreachBatch
         exactly-once contract."""
-        from datarepo_spark.tables.delta_writer import write_delta
+        from datarepo_spark.tables.delta_writer import compact, write_delta
 
         uri = str(tmp_path / "txn")
         write_delta(
@@ -261,7 +261,7 @@ class TestIdempotentTxn:
         assert vals(DeltalakeTable("t", uri)(spark=spark)) == [1]
 
     def test_partial_txn_args_raise(self, spark, tmp_path):
-        from datarepo_spark.tables.delta_writer import write_delta
+        from datarepo_spark.tables.delta_writer import compact, write_delta
 
         with pytest.raises(ValueError, match="together"):
             write_delta(
@@ -1276,3 +1276,33 @@ class TestConvertToDelta:
         convert_to_delta(spark, plain)
         snap = DeltaLog(plain).snapshot()
         assert all(f.stats for f in snap.files)
+
+
+class TestCompactWhere:
+    def test_scopes_to_matching_partitions(self, spark, tmp_path):
+        uri = str(tmp_path / "cw")
+        for _ in range(3):  # 3 files per partition (coalesced writes)
+            df = spark.range(0, 10).select(
+                F.col("id"), (F.col("id") % 2).cast("string").alias("par")
+            ).coalesce(1)
+            write_delta(
+                df, uri, partition_by=["par"], checkpoint_interval=None
+            )
+        stats = compact(spark, uri, where=[Filter("par", "=", "1")])
+        assert stats["files_removed"] == 3 and stats["files_added"] == 1
+        snap = DeltaLog(uri).snapshot()
+        by_par = {}
+        for f in snap.files:
+            by_par.setdefault(f.partition_values["par"], []).append(f)
+        assert len(by_par["1"]) == 1     # compacted
+        assert len(by_par["0"]) == 3     # untouched
+        assert DeltalakeTable("t", uri)(spark=spark).count() == 30
+
+    def test_rejects_data_column_scope(self, spark, tmp_path):
+        uri = str(tmp_path / "cw2")
+        df = spark.range(0, 4).select(
+            F.col("id"), (F.col("id") % 2).cast("string").alias("par")
+        )
+        write_delta(df, uri, partition_by=["par"], checkpoint_interval=None)
+        with pytest.raises(ValueError, match="partition columns only"):
+            compact(spark, uri, where=[Filter("id", ">", 1)])
