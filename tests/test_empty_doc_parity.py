@@ -35,6 +35,11 @@ QUERIES = [
     # 0-token docs EXCLUDED by construction on both sides:
     "text_perplexity",
     "pipeline_pack_sequences",
+    "classify_nb_language",
+    # 0-token docs INCLUDED (hash keep / pure projection):
+    "pipeline_mixture_sample",
+    "text_normalize",
+    "dedup_duplicate_spans",
 ]
 
 
