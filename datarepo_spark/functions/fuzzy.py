@@ -98,3 +98,49 @@ def fuzzy_join_pairs(
         )
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def fuzzy_link(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_id: str,
+    right_id: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Cross-FRAME record linkage: all (left row, right row) pairs whose
+    ``key_col`` values are within ``max_distance`` edits — the A×B form
+    of :func:`fuzzy_join_pairs` (entity resolution across two tables).
+    Candidates come from an equi-join of the two sides' deletion
+    neighborhoods (never a cross join); verification is an inline
+    levenshtein; the multi-variant duplicate collapse is one distinct
+    over the (small) candidate pair stream. Returns
+    (left_id, right_id, key_left, key_right, distance)."""
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+
+    def side(df: DataFrame, id_c: str, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_c).alias(f"{tag}_id"),
+            F.col(key_col).alias(f"key_{tag}"),
+            F.explode(
+                deletion_variants(F.col(key_col), max_distance)
+            ).alias("__var"),
+        )
+
+    lhs = side(left, left_id, "left")
+    rhs = side(right, right_id, "right")
+    return (
+        lhs.join(rhs, "__var")
+        .select(
+            "left_id",
+            "right_id",
+            "key_left",
+            "key_right",
+            F.levenshtein(F.col("key_left"), F.col("key_right")).alias(
+                "distance"
+            ),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )

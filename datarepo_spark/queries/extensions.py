@@ -1813,3 +1813,40 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("normalized"),
         F.length(norm).cast("int").alias("n_chars"),
     )
+
+
+@register(
+    "join_fuzzy_link",
+    oracle="""
+    WITH lv AS (
+      SELECT s_suppkey AS lid, s_name AS key_left,
+             UNNEST(LIST_DISTINCT(LIST_PREPEND(s_name,
+               LIST_TRANSFORM(RANGE(1, LEN(s_name) + 1),
+                 i -> substr(s_name, 1, i - 1)
+                      || substr(s_name, i + 1, LEN(s_name)))))) AS var
+      FROM supplier WHERE s_suppkey % 2 = 0
+    ), rv AS (
+      SELECT s_suppkey AS rid, s_name AS key_right,
+             UNNEST(LIST_DISTINCT(LIST_PREPEND(s_name,
+               LIST_TRANSFORM(RANGE(1, LEN(s_name) + 1),
+                 i -> substr(s_name, 1, i - 1)
+                      || substr(s_name, i + 1, LEN(s_name)))))) AS var
+      FROM supplier WHERE s_suppkey % 2 = 1
+    )
+    SELECT DISTINCT lid AS left_id, rid AS right_id,
+           key_left, key_right,
+           CAST(levenshtein(key_left, key_right) AS INT) AS distance
+    FROM lv JOIN rv USING (var)
+    WHERE levenshtein(key_left, key_right) <= 1
+    """,
+    description="cross-frame fuzzy record linkage (entity resolution): "
+    "two tables' deletion neighborhoods equi-joined, inline levenshtein "
+    "verify — never a cross join",
+)
+def join_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, sf_dir, "supplier")
+    left = supplier.filter(F.col("s_suppkey") % 2 == 0)
+    right = supplier.filter(F.col("s_suppkey") % 2 == 1)
+    return FZ.fuzzy_link(
+        left, right, "s_name", "s_suppkey", "s_suppkey"
+    )

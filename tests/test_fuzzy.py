@@ -78,3 +78,33 @@ class TestFuzzyJoin:
         df = spark.createDataFrame([(1, "a")], ["id", "w"])
         with pytest.raises(ValueError, match="max_distance"):
             fuzzy_join_pairs(df, "w", "id", max_distance=0)
+
+
+class TestFuzzyLink:
+    def test_cross_frame_equals_brute_force(self, spark):
+        from datarepo_spark.functions.fuzzy import fuzzy_link
+
+        lhs = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(WORDS)], ["lid", "w"]
+        )
+        rhs = spark.createDataFrame(
+            [(100 + i, w) for i, w in enumerate(
+                ["alpha", "betta", "gamma!", "unrelated", "xz", ""]
+            )],
+            ["rid", "w"],
+        )
+        got = sorted(
+            (r["left_id"], r["right_id"], r["distance"])
+            for r in fuzzy_link(
+                lhs, rhs, "w", "lid", "rid", max_distance=1
+            ).collect()
+        )
+        want = sorted(
+            (i, 100 + j, _levenshtein(a, b))
+            for i, a in enumerate(WORDS)
+            for j, b in enumerate(
+                ["alpha", "betta", "gamma!", "unrelated", "xz", ""]
+            )
+            if _levenshtein(a, b) <= 1
+        )
+        assert got == want
