@@ -1850,3 +1850,58 @@ def join_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FZ.fuzzy_link(
         left, right, "s_name", "s_suppkey", "s_suppkey"
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))
+                      * CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT event_type, n, s1 / n AS mu,
+             SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+      FROM m WHERE n > 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - st.mu) / st.sigma, 4) AS z
+    FROM events e JOIN stats st USING (event_type)
+    WHERE st.sigma > 0
+      AND ABS((e.value - st.mu) / st.sigma) > 3.0
+    """,
+    description="per-type z-score anomaly flags: moments accumulate as "
+    "DECIMAL sums (order- and engine-exact, unlike stddev's float "
+    "accumulator), scalar stats broadcast back, |z| > 3 rows surface",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,6)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    ).filter(F.col("n") > 1)
+    stats = m.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )
