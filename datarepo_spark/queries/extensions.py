@@ -1905,3 +1905,46 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+from .registry import SQL_DSUM, dsum  # noqa: E402
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH slid AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '30 minutes', ts) AS half,
+             UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes']) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SQL_DSUM('value')} AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+    description="sliding 1h window / 30m slide aggregation (each event "
+    "lands in two windows — the batch twin of streaming sliding "
+    "windows); oracle derives both window starts per event",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
