@@ -107,6 +107,7 @@ def fuzzy_link(
     left_id: str,
     right_id: str,
     max_distance: int = 1,
+    max_bucket_size: int = 2_000,
 ) -> DataFrame:
     """Cross-FRAME record linkage: all (left row, right row) pairs whose
     ``key_col`` values are within ``max_distance`` edits — the A×B form
@@ -114,7 +115,11 @@ def fuzzy_link(
     Candidates come from an equi-join of the two sides' deletion
     neighborhoods (never a cross join); verification is an inline
     levenshtein; the multi-variant duplicate collapse is one distinct
-    over the (small) candidate pair stream. Returns
+    over the (small) candidate pair stream. Variants appearing on more
+    than ``max_bucket_size`` rows of EITHER side are dropped (the same
+    degenerate-bucket cap fuzzy_join_pairs inherits from bucket_pairs —
+    e.g. the empty-string variant every 1-char key produces would
+    otherwise cross |L|x|R|). Returns
     (left_id, right_id, key_left, key_right, distance)."""
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")
@@ -130,8 +135,18 @@ def fuzzy_link(
 
     lhs = side(left, left_id, "left")
     rhs = side(right, right_id, "right")
+
+    def capped(df: DataFrame) -> DataFrame:
+        counts = (
+            df.groupBy("__var")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("__var")
+        )
+        return df.join(counts, "__var", "left_semi")
+
     return (
-        lhs.join(rhs, "__var")
+        capped(lhs).join(capped(rhs), "__var")
         .select(
             "left_id",
             "right_id",

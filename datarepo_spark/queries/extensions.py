@@ -22,7 +22,7 @@ from ..functions import dedup as D
 from ..functions import multimodal as M
 from ..functions import similarity as S
 from ..functions import text as X
-from .registry import load, register
+from .registry import SQL_DSUM, dsum, load, register
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -1859,18 +1859,25 @@ def join_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(38,6))
-                      * CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+             -- product cast back to scale 6 to match Spark's
+             -- decimal(38,6) * decimal(38,6) -> decimal(38,6) result
+             CAST(SUM(CAST(CAST(value AS DECIMAL(38,6))
+                           * CAST(value AS DECIMAL(38,6))
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s2
       FROM events GROUP BY 1
     ), stats AS (
+      -- the variance numerator can round to a tiny NEGATIVE double for
+      -- constant-valued groups; guard it or SQRT errors (DuckDB) /
+      -- yields NaN that passes sigma > 0 (Spark)
       SELECT event_type, n, s1 / n AS mu,
-             SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+             s2 - s1 * s1 / n AS num,
+             SQRT(GREATEST(s2 - s1 * s1 / n, 0) / (n - 1)) AS sigma
       FROM m WHERE n > 1
     )
     SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - st.mu) / st.sigma, 4) AS z
     FROM events e JOIN stats st USING (event_type)
-    WHERE st.sigma > 0
+    WHERE st.num > 0
       AND ABS((e.value - st.mu) / st.sigma) > 3.0
     """,
     description="per-type z-score anomaly flags: moments accumulate as "
@@ -1883,21 +1890,22 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec).cast("double").alias("s1"),
-        F.sum(dec * dec).cast("double").alias("s2"),
+        F.sum((dec * dec).cast("decimal(38,6)")).cast("double").alias("s2"),
     ).filter(F.col("n") > 1)
+    num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
     stats = m.select(
         "event_type",
         "n",
         (F.col("s1") / F.col("n")).alias("mu"),
-        F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-            / (F.col("n") - 1)
-        ).alias("sigma"),
+        num.alias("num"),
+        F.sqrt(F.greatest(num, F.lit(0.0)) / (F.col("n") - 1)).alias(
+            "sigma"
+        ),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         e.join(F.broadcast(stats), "event_type")
-        .filter((F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .filter((F.col("num") > 0) & (F.abs(z) > 3.0))
         .select(
             "event_id",
             "event_type",
@@ -1907,15 +1915,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .registry import SQL_DSUM, dsum  # noqa: E402
-
-
 @register(
     "events_sliding_window",
     oracle=f"""
     WITH slid AS (
       SELECT event_type, value,
-             time_bucket(INTERVAL '30 minutes', ts) AS half,
              UNNEST([time_bucket(INTERVAL '30 minutes', ts),
                      time_bucket(INTERVAL '30 minutes', ts)
                        - INTERVAL '30 minutes']) AS window_start

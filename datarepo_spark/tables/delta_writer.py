@@ -747,12 +747,6 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
     return path
 
 
-def _partition_prune_files(snapshot, dnf):
-    from .delta_table import _partition_prune
-
-    return _partition_prune(snapshot, dnf)
-
-
 def compact(
     spark,
     uri: str,
@@ -791,6 +785,9 @@ def compact(
         from ..core.filters import normalize_filters, validate_filters
 
         dnf = normalize_filters(where)
+        # unknown columns first (the eager contract error), THEN the
+        # partition-only restriction for real data columns
+        validate_filters(dnf, {f.name for f in snapshot.schema.fields})
         part_set = set(snapshot.partition_columns)
         non_part = {
             f.column for conj in dnf for f in conj
@@ -802,8 +799,9 @@ def compact(
                 f"(got {sorted(non_part)}): file-level scoping on data "
                 f"columns would need a scan, which defeats the point"
             )
-        validate_filters(dnf, {f.name for f in snapshot.schema.fields})
-        candidates = _partition_prune_files(snapshot, dnf)
+        from .delta_table import _partition_prune
+
+        candidates = _partition_prune(snapshot, dnf)
 
     groups: dict[tuple, list] = {}
     for f in candidates:

@@ -205,7 +205,7 @@ class TestIdempotentTxn:
         """SetTransaction ledger: a (appId, version) write replayed after
         a failure must not duplicate rows — the foreachBatch
         exactly-once contract."""
-        from datarepo_spark.tables.delta_writer import compact, write_delta
+        from datarepo_spark.tables.delta_writer import write_delta
 
         uri = str(tmp_path / "txn")
         write_delta(
@@ -261,7 +261,7 @@ class TestIdempotentTxn:
         assert vals(DeltalakeTable("t", uri)(spark=spark)) == [1]
 
     def test_partial_txn_args_raise(self, spark, tmp_path):
-        from datarepo_spark.tables.delta_writer import compact, write_delta
+        from datarepo_spark.tables.delta_writer import write_delta
 
         with pytest.raises(ValueError, match="together"):
             write_delta(
@@ -275,7 +275,7 @@ class TestCompactionAndVacuum:
     def test_compact_preserves_content_and_shrinks_files(
         self, spark, tmp_path
     ):
-        from datarepo_spark.tables.delta_writer import compact, write_delta
+        from datarepo_spark.tables.delta_writer import write_delta
 
         uri = str(tmp_path / "cmp")
         for i in range(4):  # 4 append commits → ≥4 files per partition set
@@ -305,7 +305,7 @@ class TestCompactionAndVacuum:
         assert vals(t(version=before.version, spark=spark)) == expect
 
     def test_compact_noop_below_threshold(self, spark, tmp_path):
-        from datarepo_spark.tables.delta_writer import compact, write_delta
+        from datarepo_spark.tables.delta_writer import write_delta
 
         uri = str(tmp_path / "cmp1")
         write_delta(

@@ -108,3 +108,23 @@ class TestFuzzyLink:
             if _levenshtein(a, b) <= 1
         )
         assert got == want
+
+    def test_hot_variant_cap(self, spark):
+        """The empty-string variant of 1-char keys must not cross-join;
+        capped buckets drop, and surviving pairs still verify."""
+        from datarepo_spark.functions.fuzzy import fuzzy_link
+
+        lhs = spark.createDataFrame(
+            [(i, "a") for i in range(10)] + [(99, "abcde")],
+            ["lid", "w"],
+        )
+        rhs = spark.createDataFrame(
+            [(100 + i, "b") for i in range(10)] + [(199, "abcdx")],
+            ["rid", "w"],
+        )
+        out = fuzzy_link(
+            lhs, rhs, "w", "lid", "rid", max_bucket_size=5
+        ).collect()
+        # the '' / single-char variants exceed the cap on both sides and
+        # are dropped; the long-key match survives
+        assert [(r["left_id"], r["right_id"]) for r in out] == [(99, 199)]
