@@ -56,6 +56,61 @@ from .parquet_table import _active_spark
 
 ExtraCol = tuple[str, Union[Column, str]]
 
+# DV read-path switch: at or below this many total deleted positions
+# (summed descriptor cardinality over the scan's files) the positions
+# are parsed driver-side and applied as a broadcast anti-join (fully
+# JVM-side); above it each scan task filters against its OWN file's
+# bitmap inside an Arrow-batched mapInPandas — positions never touch
+# the driver, memory is bounded by one file's DV. Tests monkeypatch
+# this to force the distributed path.
+DV_BROADCAST_MAX_CARDINALITY = 1_000_000
+
+
+def _dv_filter_map_in_pandas(
+    spark: SparkSession, df: DataFrame, table_uri: str, files
+) -> DataFrame:
+    """Drop soft-deleted rows by per-file bitmap lookup executor-side.
+
+    Ships only {relative path → DV descriptor} (bytes per FILE, not per
+    deleted row); each python worker lazily parses the bitmaps for the
+    files its batches touch and caches them for the task's lifetime.
+    Requires ``__delta_rel`` / ``__delta_pos`` columns on ``df``."""
+    dv_map = {
+        unquote(add.path): add.deletion_vector
+        for add in files
+        if add.deletion_vector
+    }
+    b_dv = spark.sparkContext.broadcast((table_uri, dv_map))
+    schema = df.schema
+
+    def _mask(batches):
+        import numpy as np
+
+        from datarepo_spark.tables.delta_dv import read_deletion_vector
+
+        uri, descriptors = b_dv.value
+        cache: dict = {}
+        for pdf in batches:
+            rels = pdf["__delta_rel"].to_numpy()
+            keep = np.ones(len(pdf), dtype=bool)
+            for rel in dict.fromkeys(rels):
+                desc = descriptors.get(rel)
+                if desc is None:
+                    continue
+                positions = cache.get(rel)
+                if positions is None:
+                    positions = np.asarray(
+                        read_deletion_vector(uri, desc), dtype=np.int64
+                    )
+                    cache[rel] = positions
+                sel = rels == rel
+                keep[sel] = ~np.isin(
+                    pdf["__delta_pos"].to_numpy()[sel], positions
+                )
+            yield pdf[keep]
+
+    return df.mapInPandas(_mask, schema=schema)
+
 
 @dataclass
 class DeltaCacheOptions:
@@ -486,33 +541,70 @@ class DeltalakeTable:
                 .join(F.broadcast(lookup), "__delta_rel", "left")
             )
         if has_dv:
-            from .delta_dv import read_deletion_vector
+            total_card = 0
+            card_known = True
+            for add in files:
+                dv = add.deletion_vector
+                if not dv:
+                    continue
+                card = dv.get("cardinality")
+                if card is None:
+                    card_known = False
+                    break
+                total_card += int(card)
+            if card_known and total_card <= DV_BROADCAST_MAX_CARDINALITY:
+                # small DV set: parse driver-side and broadcast
+                # anti-join — data rows never shuffle, plan stays fully
+                # JVM-side (no Arrow transit of the data columns)
+                from .delta_dv import read_deletion_vector
 
-            dv_rows = [
-                (unquote(add.path), int(pos))
-                for add in files
-                if add.deletion_vector
-                for pos in read_deletion_vector(
-                    self.uri, add.deletion_vector
+                dv_rows = [
+                    (unquote(add.path), int(pos))
+                    for add in files
+                    if add.deletion_vector
+                    for pos in read_deletion_vector(
+                        self.uri, add.deletion_vector
+                    )
+                ]
+                dv_df = spark.createDataFrame(
+                    dv_rows,
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "__delta_rel", T.StringType(), False
+                            ),
+                            T.StructField(
+                                "__delta_pos", T.LongType(), False
+                            ),
+                        ]
+                    ),
                 )
-            ]
-            dv_df = spark.createDataFrame(
-                dv_rows,
-                T.StructType(
-                    [
-                        T.StructField("__delta_rel", T.StringType(), False),
-                        T.StructField("__delta_pos", T.LongType(), False),
-                    ]
-                ),
-            )
-            # broadcast anti-join: the DV set is the table's deleted-row
-            # count — the same driver-resident footprint delta-spark's
-            # bitmap broadcast pays — and data rows never shuffle
-            df = df.join(
-                F.broadcast(dv_df),
-                ["__delta_rel", "__delta_pos"],
-                "left_anti",
-            )
+                df = df.join(
+                    F.broadcast(dv_df),
+                    ["__delta_rel", "__delta_pos"],
+                    "left_anti",
+                )
+            else:
+                # large (or unknown-size) DV set: never materialize the
+                # positions on the driver. Deletion vectors are per-FILE
+                # and the scan is naturally partitioned by file, so each
+                # task filters its own rows against its file's bitmap
+                # locally — zero shuffle, zero broadcast of positions;
+                # only the tiny per-file DESCRIPTOR map ships (this is
+                # delta-spark's own shape: the bitmap is applied inside
+                # the scan). Memory is bounded by one file's DV.
+                predicate = filters_to_column(dnf)
+                if predicate is not None and not (
+                    keep_rel or keep_pos or mapping
+                ):
+                    # mapInPandas blocks pushdown: apply the row filter
+                    # BELOW the Python stage so the parquet scan still
+                    # skips row groups (idempotently re-applied in
+                    # _finish). Skipped when the caller wants raw
+                    # positions (delete/update need unmatched rows too)
+                    # or names are still physical (mapping).
+                    df = df.filter(predicate)
+                df = _dv_filter_map_in_pandas(spark, df, self.uri, files)
             if not keep_pos:
                 df = df.drop("__delta_pos")
         if "__delta_rel" in df.columns and not (keep_rel or keep_pos):

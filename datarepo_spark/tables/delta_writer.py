@@ -1253,44 +1253,122 @@ def _new_dv_paths(dv_actions) -> list[str]:
 
 
 def _dv_soft_delete_actions(
-    uri: str, snapshot, matched_rows
-) -> tuple[list[dict], dict[str, int]]:
-    """remove+add(DV) actions soft-deleting the (file, positions) pairs
-    in ``matched_rows`` (Rows of __delta_rel / __positions). New
-    positions merge into each file's existing DV; a file whose every
-    physical row is deleted is dropped outright. Returns (actions,
-    {rows_deleted, files_rewritten, files_removed})."""
+    spark,
+    uri: str,
+    snapshot,
+    matched_df,
+    rewrite_threshold: Optional[float] = None,
+) -> tuple[list[dict], dict[str, int], list[str]]:
+    """remove+add(DV) actions soft-deleting the rows of ``matched_df``
+    (a DataFrame carrying ``__delta_rel`` / ``__delta_pos``).
+
+    Scale shape: deleted-row positions NEVER materialize on the driver.
+    The matched frame shuffles once keyed on ``__delta_rel`` (a path
+    string), and each affected file's task merges its existing DV,
+    serializes the protocol roaring blob, and writes the new DV file
+    EXECUTOR-side — the same shape as delta-spark's
+    DeletionVectorStore, whose tasks write DV files and ship only
+    descriptors back. The driver collects ONE descriptor row per
+    affected file (bounded by file count, never by deleted-row count),
+    so a GDPR-style predicate delete of billions of rows holds.
+
+    ``rewrite_threshold`` (0 < t <= 1): a file whose merged deleted
+    fraction reaches the threshold is flagged for copy-on-write instead
+    of carrying a near-full DV; its relative path lands in the returned
+    ``rewrite_rels`` and the caller rewrites its live rows as fresh
+    files. A file whose EVERY physical row is deleted is always dropped
+    outright regardless of the threshold.
+
+    Returns (actions, {rows_deleted, files_rewritten, files_removed},
+    rewrite_rels); empty actions mean nothing matched."""
     import json as _json
 
-    from .delta_dv import read_deletion_vector, write_dv_file
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    file_meta: dict[str, tuple[Optional[dict], Optional[int]]] = {}
+    for add in snapshot.files:
+        rows = None
+        if add.stats:
+            try:
+                rows = _json.loads(add.stats).get("numRecords")
+            except (ValueError, TypeError):
+                rows = None
+        file_meta[unquote(add.path)] = (add.deletion_vector, rows)
+    b_meta = spark.sparkContext.broadcast(
+        (uri, file_meta, rewrite_threshold)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("rel", T.StringType(), False),
+            T.StructField("outcome", T.StringType(), False),
+            T.StructField("new_deleted", T.LongType(), False),
+            T.StructField("dv_json", T.StringType(), True),
+        ]
+    )
+
+    def _emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import json as _ejson
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from datarepo_spark.tables.delta_dv import (
+            read_deletion_vector,
+            write_dv_file,
+        )
+
+        table_uri, meta, threshold = b_meta.value
+        rel = pdf["__delta_rel"].iloc[0]
+        descriptor, rows = meta[rel]
+        new_positions = {int(p) for p in pdf["__delta_pos"]}
+        existing = (
+            set(read_deletion_vector(table_uri, descriptor))
+            if descriptor
+            else set()
+        )
+        merged = sorted(existing | new_positions)
+        n_new = len(merged) - len(existing)
+        if rows is None:
+            rows = _pq.read_metadata(
+                _os.path.join(table_uri, rel)
+            ).num_rows
+        if len(merged) >= int(rows):
+            outcome, dv_json = "drop", None
+        elif threshold is not None and len(merged) >= threshold * int(
+            rows
+        ):
+            outcome, dv_json = "rewrite", None
+        else:
+            desc, _ = write_dv_file(table_uri, merged)
+            outcome, dv_json = "dv", _ejson.dumps(desc)
+        return pd.DataFrame(
+            [
+                {
+                    "rel": rel,
+                    "outcome": outcome,
+                    "new_deleted": n_new,
+                    "dv_json": dv_json,
+                }
+            ]
+        )
+
+    per_file = (
+        matched_df.select("__delta_rel", "__delta_pos")
+        .groupBy("__delta_rel")
+        .applyInPandas(_emit, schema=out_schema)
+        .collect()
+    )
+    b_meta.unpersist()
 
     by_disk = {unquote(f.path): f for f in snapshot.files}
     actions: list[dict] = []
     counters = {"rows_deleted": 0, "files_rewritten": 0, "files_removed": 0}
-    for row in sorted(matched_rows, key=lambda r: r["__delta_rel"]):
-        add = by_disk[row["__delta_rel"]]
-        new_positions = {int(p) for p in row["__positions"]}
-        counters["rows_deleted"] += len(new_positions)
-        existing = (
-            set(read_deletion_vector(uri, add.deletion_vector))
-            if add.deletion_vector
-            else set()
-        )
-        merged = sorted(existing | new_positions)
-
-        num_records = None
-        if add.stats:
-            try:
-                num_records = _json.loads(add.stats).get("numRecords")
-            except (ValueError, TypeError):
-                num_records = None
-        if num_records is None:
-            import pyarrow.parquet as pq
-
-            num_records = pq.read_metadata(
-                os.path.join(uri, unquote(add.path))
-            ).num_rows
-
+    rewrite_rels: list[str] = []
+    for row in sorted(per_file, key=lambda r: r["rel"]):
+        add = by_disk[row["rel"]]
+        counters["rows_deleted"] += int(row["new_deleted"])
         remove_action = {
             "remove": {
                 "path": add.path,
@@ -1298,26 +1376,31 @@ def _dv_soft_delete_actions(
                 "dataChange": True,
             }
         }
-        if len(merged) >= int(num_records):
+        if row["outcome"] == "drop":
             # every physical row deleted: drop the file entirely
             actions.append(remove_action)
             counters["files_removed"] += 1
-            continue
-        descriptor, _ = write_dv_file(uri, merged)
-        add_action = {
-            "path": add.path,
-            "partitionValues": dict(add.partition_values),
-            "size": add.size,
-            "modificationTime": 0,
-            "dataChange": True,
-            "deletionVector": descriptor,
-        }
-        if add.stats is not None:
-            add_action["stats"] = add.stats
-        actions.append(remove_action)
-        actions.append({"add": add_action})
-        counters["files_rewritten"] += 1
-    return actions, counters
+        elif row["outcome"] == "rewrite":
+            # past the copy-on-write threshold: the caller re-stages the
+            # file's live rows; the old file is just removed
+            actions.append(remove_action)
+            counters["files_rewritten"] += 1
+            rewrite_rels.append(row["rel"])
+        else:
+            add_action = {
+                "path": add.path,
+                "partitionValues": dict(add.partition_values),
+                "size": add.size,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": _json.loads(row["dv_json"]),
+            }
+            if add.stats is not None:
+                add_action["stats"] = add.stats
+            actions.append(remove_action)
+            actions.append({"add": add_action})
+            counters["files_rewritten"] += 1
+    return actions, counters, rewrite_rels
 
 
 def delete_delta(
@@ -1326,6 +1409,7 @@ def delete_delta(
     filters,
     txn_app_id: Optional[str] = None,
     txn_version: Optional[int] = None,
+    rewrite_threshold: Optional[float] = None,
 ) -> dict[str, int]:
     """DELETE FROM the Delta table at ``uri`` via deletion vectors: rows
     matching ``filters`` (the engine's DNF Filter algebra) are soft-
@@ -1338,14 +1422,17 @@ def delete_delta(
     1. plan the read with the SAME pruning stack as any scan — partition
        elision + add.stats envelopes — so only files that CAN contain
        matches are opened;
-    2. evaluate the predicate distributed; only (file, row_index) pairs
-       of matched LIVE rows reach the driver (bounded by the delete
-       size, the same footprint the DV read path's broadcast pays);
-    3. per affected file, union with its existing DV positions and write
-       one new DV file; commit remove(old add) + add(same path, new DV)
-       atomically. A file whose every physical row is now deleted is
-       dropped outright (remove, no re-add) — no tombstone-only files
-       accumulate.
+    2. evaluate the predicate distributed; matched (file, row_index)
+       pairs shuffle ONCE keyed on file and each file's task merges +
+       serializes + writes its DV blob executor-side — the driver sees
+       only per-file descriptors, so a billion-row GDPR-style delete
+       never materializes positions on the driver;
+    3. commit remove(old add) + add(same path, new DV) atomically. A
+       file whose every physical row is now deleted is dropped outright
+       (remove, no re-add) — no tombstone-only files accumulate; a file
+       whose deleted fraction reaches ``rewrite_threshold`` is
+       copy-on-write rewritten (live rows re-staged as fresh files)
+       instead of carrying a near-full DV.
 
     First DV write upgrades the protocol to table features
     (minReaderVersion 3 / minWriterVersion 7 with ``deletionVectors`` in
@@ -1379,6 +1466,7 @@ def delete_delta(
                 "rows_deleted": 0,
                 "files_rewritten": 0,
                 "files_removed": 0,
+                "files_added": 0,
             }
     dnf = normalize_filters(filters)
     if not dnf:
@@ -1397,22 +1485,46 @@ def delete_delta(
         "rows_deleted": 0,
         "files_rewritten": 0,
         "files_removed": 0,
+        "files_added": 0,
     }
     if df is None:
         return result_unchanged
     predicate = filters_to_column(dnf)
-    matched = (
-        df.filter(predicate)
-        .groupBy("__delta_rel")
-        .agg(F.collect_list("__delta_pos").alias("__positions"))
-        .collect()
+    matched_df = df.filter(predicate)
+    # CoW on a column-mapped table would stage logical names (see
+    # _reject_column_mapping); DV-only there, threshold elsewhere.
+    threshold = (
+        rewrite_threshold
+        if snapshot.column_mapping_mode == "none"
+        else None
     )
-    if not matched:
+    dv_actions, counters, rewrite_rels = _dv_soft_delete_actions(
+        spark, uri, snapshot, matched_df, rewrite_threshold=threshold
+    )
+    if not dv_actions:
         return result_unchanged
 
+    add_actions: list[dict] = []
+    if rewrite_rels:
+        # copy-on-write: re-stage each flagged file's LIVE rows (its
+        # remaining rows after the predicate; predicate-NULL rows are
+        # live) — df already excludes rows in pre-existing DVs
+        live = df.filter(
+            F.col("__delta_rel").isin(rewrite_rels)
+            & ~F.coalesce(predicate, F.lit(False))
+        ).drop("__delta_rel", "__delta_pos")
+        add_actions = _stage_adds(
+            spark,
+            live,
+            uri,
+            snapshot.partition_columns,
+            snapshot.data_schema,
+            data_change=True,
+        )
+
     actions = _dv_feature_actions(snapshot)
-    dv_actions, counters = _dv_soft_delete_actions(uri, snapshot, matched)
     actions.extend(dv_actions)
+    actions.extend(add_actions)
     if txn_app_id is not None:
         actions.append(
             {
@@ -1433,13 +1545,17 @@ def delete_delta(
         )
     except _TxnAlreadyLanded as landed:
         _discard_files(uri, _new_dv_paths(dv_actions))
+        _discard_files(
+            uri, [unquote(a["add"]["path"]) for a in add_actions]
+        )
         return {
             "version": landed.version,
             "rows_deleted": 0,
             "files_rewritten": 0,
             "files_removed": 0,
+            "files_added": 0,
         }
-    return {"version": version, **counters}
+    return {"version": version, **counters, "files_added": len(add_actions)}
 
 
 def update_delta(
@@ -1447,6 +1563,9 @@ def update_delta(
     uri: str,
     filters,
     assignments: dict,
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
+    rewrite_threshold: Optional[float] = None,
 ) -> dict[str, int]:
     """UPDATE ... SET on the Delta table at ``uri``: rows matching
     ``filters`` get ``assignments`` applied ({column: Column | SQL
@@ -1456,7 +1575,9 @@ def update_delta(
     1. the predicate plans through partition + stats pruning, so only
        candidate files are scanned;
     2. matched rows are soft-deleted in place via merged deletion
-       vectors (no data file rewritten);
+       vectors, serialized and written EXECUTOR-side (one shuffle keyed
+       on file; the driver sees only per-file descriptors, never row
+       positions);
     3. the updated versions of those rows are appended as new files
        (distributed staging write, per-file stats collected);
     4. one atomic commit carries both — readers flip from old rows to
@@ -1467,7 +1588,14 @@ def update_delta(
     values are cast to the column's declared type (delta's implicit
     cast); assigning a partition column moves rows to their new
     partition directory automatically (they are re-appended, not
-    rewritten in place).
+    rewritten in place). A file whose deleted fraction reaches
+    ``rewrite_threshold`` is copy-on-write rewritten (live rows
+    re-staged) instead of carrying a near-full DV.
+
+    ``txn_app_id``/``txn_version`` give the same SetTransaction
+    idempotence ledger as write_delta/merge_delta/delete_delta: a
+    crash-replay of an already-landed version is a no-op, so
+    non-idempotent assignments (``price * 2``) never double-apply.
 
     Returns {version, rows_updated, files_rewritten, files_removed,
     files_added}; ``version`` unchanged when nothing matches."""
@@ -1478,9 +1606,21 @@ def update_delta(
     from ..core.filters import normalize_filters, validate_filters
     from .delta_table import DeltalakeTable
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
     _reject_column_mapping(snapshot, "update_delta")
+    if txn_app_id is not None:
+        last = snapshot.app_transactions.get(txn_app_id)
+        if last is not None and txn_version <= last:
+            return {
+                "version": snapshot.version,
+                "rows_updated": 0,
+                "files_rewritten": 0,
+                "files_removed": 0,
+                "files_added": 0,
+            }
     if not assignments:
         raise ValueError("update_delta requires at least one assignment")
     field_types = {f.name: f.dataType for f in snapshot.schema.fields}
@@ -1517,12 +1657,11 @@ def update_delta(
         return result_unchanged
     predicate = filters_to_column(dnf)
     matched_df = df.filter(predicate)
-    matched = (
-        matched_df.groupBy("__delta_rel")
-        .agg(F.collect_list("__delta_pos").alias("__positions"))
-        .collect()
+    dv_actions, counters, rewrite_rels = _dv_soft_delete_actions(
+        spark, uri, snapshot, matched_df,
+        rewrite_threshold=rewrite_threshold,
     )
-    if not matched:
+    if not dv_actions:
         return result_unchanged
 
     def assigned(col: str):
@@ -1542,6 +1681,14 @@ def update_delta(
         # desynchronization
         updated = updated.withColumn(name, F.expr(expr).cast(dtype))
     _enforce_constraints(updated, snapshot)
+    if rewrite_rels:
+        # copy-on-write flagged files: their live (unmatched) rows ride
+        # the same staging write as the updated rows
+        live = df.filter(
+            F.col("__delta_rel").isin(rewrite_rels)
+            & ~F.coalesce(predicate, F.lit(False))
+        ).drop("__delta_rel", "__delta_pos")
+        updated = updated.unionByName(live)
     add_actions = _stage_adds(
         spark,
         updated,
@@ -1552,19 +1699,41 @@ def update_delta(
     )
 
     actions = _dv_feature_actions(snapshot)
-    dv_actions, counters = _dv_soft_delete_actions(uri, snapshot, matched)
     actions.extend(dv_actions)
     actions.extend(add_actions)
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": 0,
+                }
+            }
+        )
 
-    version = _commit_atomically(
-        os.path.join(uri, "_delta_log"), actions,
-        read_version=snapshot.version,
-        operation="UPDATE",
-        operation_params={
-            "predicate": [str(f) for c in dnf for f in c],
-            "columns": sorted(assignments),
-        },
-    )
+    try:
+        version = _commit_atomically(
+            os.path.join(uri, "_delta_log"), actions,
+            read_version=snapshot.version,
+            operation="UPDATE",
+            operation_params={
+                "predicate": [str(f) for c in dnf for f in c],
+                "columns": sorted(assignments),
+            },
+        )
+    except _TxnAlreadyLanded as landed:
+        _discard_files(uri, _new_dv_paths(dv_actions))
+        _discard_files(
+            uri, [unquote(a["add"]["path"]) for a in add_actions]
+        )
+        return {
+            "version": landed.version,
+            "rows_updated": 0,
+            "files_rewritten": 0,
+            "files_removed": 0,
+            "files_added": 0,
+        }
     return {
         "version": version,
         "rows_updated": counters["rows_deleted"],

@@ -345,6 +345,7 @@ class TestDeleteDelta:
             "rows_deleted": 10,
             "files_rewritten": 0,
             "files_removed": 1,
+            "files_added": 0,
         }
         snap = DeltaLog(uri).snapshot()
         assert len(snap.files) == 2
@@ -536,3 +537,170 @@ class TestUpdateDelta:
             ).collect()
         }
         assert latest[0] == "new" and old[0] == "r0"
+
+
+class TestDistributedDV:
+    """The 100 TB contract: deleted-row positions never materialize on
+    the driver — DV blobs are serialized executor-side on write, and
+    reads above the broadcast threshold filter per-file in the scan."""
+
+    def test_large_delete_no_driver_positions(self, spark, tmp_path):
+        """~10^5-row predicate delete: the driver must only ever see
+        per-file descriptor rows (asserted by instrumenting the blob
+        serializer to fail on the driver), and the result must be
+        exact."""
+        from pyspark.sql import functions as F
+
+        from datarepo_spark.tables import delta_dv as dvmod
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = str(tmp_path / "big")
+        df = spark.range(0, 200_000).select(
+            F.col("id"), (F.col("id") % 7).alias("m")
+        )
+        write_delta(df.repartition(4), uri, checkpoint_interval=None)
+
+        # serialize_bitmap_array must run ONLY in executor tasks: poison
+        # it on the driver for the duration of the delete. (local-mode
+        # python workers are separate processes, so the monkeypatch
+        # never reaches them.)
+        real = dvmod.serialize_bitmap_array
+
+        def _driver_poisoned(positions):
+            raise AssertionError(
+                "DV blob serialized on the DRIVER — the delete path "
+                "must build deletion vectors executor-side"
+            )
+
+        dvmod.serialize_bitmap_array = _driver_poisoned
+        try:
+            res = delete_delta(spark, uri, [Filter("m", "<", 4)])
+        finally:
+            dvmod.serialize_bitmap_array = real
+        # ids with id%7 in {0,1,2,3}: ceil-ish count
+        expected_deleted = sum(1 for i in range(200_000) if i % 7 < 4)
+        assert res["rows_deleted"] == expected_deleted
+        assert _ids(spark, uri) == [
+            i for i in range(200_000) if i % 7 >= 4
+        ]
+
+    def test_read_switches_to_map_in_pandas(self, spark, tmp_path):
+        """Above DV_BROADCAST_MAX_CARDINALITY the read plan must not
+        broadcast the position set; rows still come back exact."""
+        import datarepo_spark.tables.delta_table as dtmod
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "in", [1, 5, 12, 23])])
+        old = dtmod.DV_BROADCAST_MAX_CARDINALITY
+        dtmod.DV_BROADCAST_MAX_CARDINALITY = 0
+        try:
+            tbl = DeltalakeTable("t", uri)
+            out = tbl(spark=spark)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "MapInPandas" in plan
+            assert sorted(r.id for r in out.collect()) == [
+                i for i in range(30) if i not in (1, 5, 12, 23)
+            ]
+            # filters/pruning still correct through the python stage
+            filtered = tbl(
+                spark=spark, filters=[Filter("id", ">", 10)]
+            )
+            assert sorted(r.id for r in filtered.collect()) == [
+                i for i in range(11, 30) if i not in (12, 23)
+            ]
+        finally:
+            dtmod.DV_BROADCAST_MAX_CARDINALITY = old
+
+    def test_small_dv_still_broadcasts(self, spark, tmp_path):
+        """At/below the threshold the JVM-side broadcast anti-join is
+        kept (no Arrow transit of data columns)."""
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        delete_delta(spark, uri, [Filter("id", "=", 3)])
+        out = DeltalakeTable("t", uri)(spark=spark)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+
+    def test_rewrite_threshold_copy_on_write(self, spark, tmp_path):
+        """A file crossing the deleted fraction threshold is rewritten
+        (live rows re-staged, no near-full DV kept)."""
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = _plain_table(spark, tmp_path)
+        # delete 8 of file A's 10 rows -> 0.8 >= threshold 0.5 -> CoW;
+        # file B loses 1 of 10 -> DV; file C untouched
+        res = delete_delta(
+            spark,
+            uri,
+            [Filter("id", "in", [0, 1, 2, 3, 4, 5, 6, 7, 12])],
+            rewrite_threshold=0.5,
+        )
+        assert res["rows_deleted"] == 9
+        assert res["files_added"] >= 1
+        snap = DeltaLog(uri).snapshot()
+        # no file carries a DV with >= half its rows deleted
+        for f in snap.files:
+            if f.deletion_vector:
+                assert int(f.deletion_vector["cardinality"]) <= 1
+        assert _ids(spark, uri) == [8, 9] + [
+            i for i in range(10, 30) if i != 12
+        ]
+
+    def test_update_txn_idempotent_replay(self, spark, tmp_path):
+        """ADVICE r4: update_delta carries the SetTransaction ledger —
+        replaying a landed version must not double-apply ``id*2``-style
+        non-idempotent assignments."""
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path)
+        res1 = update_delta(
+            spark,
+            uri,
+            [Filter("id", "=", 4)],
+            {"v": "concat(v, '!')"},
+            txn_app_id="etl",
+            txn_version=1,
+        )
+        assert res1["rows_updated"] == 1
+        res2 = update_delta(
+            spark,
+            uri,
+            [Filter("id", "=", 4)],
+            {"v": "concat(v, '!')"},
+            txn_app_id="etl",
+            txn_version=1,
+        )
+        assert res2["rows_updated"] == 0
+        assert res2["version"] == res1["version"]
+        vals = {
+            r["id"]: r["v"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert vals[4] == "r4!"  # applied exactly once
+
+    def test_update_rewrite_threshold(self, spark, tmp_path):
+        """CoW on update: heavily-updated file is rewritten; live rows
+        survive alongside the updated ones."""
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = _plain_table(spark, tmp_path)
+        res = update_delta(
+            spark,
+            uri,
+            [Filter("id", "<", 9)],
+            {"v": "'u'"},
+            rewrite_threshold=0.5,
+        )
+        assert res["rows_updated"] == 9
+        snap = DeltaLog(uri).snapshot()
+        for f in snap.files:
+            assert f.deletion_vector is None  # CoW, not a 90% DV
+        vals = {
+            r["id"]: r["v"]
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert all(vals[i] == "u" for i in range(9))
+        assert vals[9] == "r9"
+        assert len(vals) == 30
