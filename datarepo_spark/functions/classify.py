@@ -56,14 +56,20 @@ def nb_classify(
     vocab = toks.agg(
         F.count_distinct(F.col("__tok")).alias("__v")
     )
-    n_docs = df.count()
+    # total doc count folds into the priors aggregate as a whole-frame
+    # window over the tiny per-class table (|classes| rows) — no
+    # standalone count() job
     priors = (
         labels.groupBy("__label")
         .agg(F.count(F.lit(1)).alias("__n"))
         .select(
             "__label",
             F.round(
-                F.log(F.col("__n") / F.lit(float(n_docs))), 6
+                F.log(
+                    F.col("__n")
+                    / F.sum("__n").over(Window.partitionBy(F.lit(1)))
+                ),
+                6,
             ).cast("decimal(38,6)").alias("__prior"),
         )
     )

@@ -2281,12 +2281,13 @@ def convert_to_delta(
     parquet lake: one metadata commit instead of a full copy.
 
     Hive-partitioned layouts (``col=value`` directories) are detected
-    automatically; ``partition_columns`` overrides the
-    declared partitioning when the directory nests more levels than
-    the table should expose (default: every ``key=value`` level found,
-    in path order). Schema comes from Spark's own parquet inference over
-    the directory (partition columns typed by inference, same as a
-    normal hive read).
+    automatically; ``partition_columns`` overrides the declared ORDER
+    of the partitioning (default: every ``key=value`` level found, in
+    path order). An override must still include every level found on
+    disk — an omitted level's values exist only in directory names and
+    would read back as NULL, so that is rejected. Schema comes from
+    Spark's own parquet inference over the directory (partition columns
+    typed by inference, same as a normal hive read).
 
     Refuses if a ``_delta_log`` already exists (the table is already
     Delta — converting again would shadow its history)."""
@@ -2347,6 +2348,18 @@ def convert_to_delta(
     if missing:
         raise ValueError(
             f"partition columns {missing} not in the inferred schema"
+        )
+    # An override that OMITS a discovered key=value level would keep
+    # that column in the data schema while its values live only in
+    # directory names — every subsequent read returns NULL for it.
+    # Refuse instead of silently corrupting.
+    dropped = [c for c in seen_part_cols if c not in set(part_cols)]
+    if dropped:
+        raise ValueError(
+            f"partition_columns override omits hive level(s) {dropped} "
+            f"found on disk; their values exist only in directory names "
+            f"and would read back as NULL — include them, or materialize "
+            f"the column in the parquet files first"
         )
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in set(part_cols)]

@@ -1277,6 +1277,22 @@ class TestConvertToDelta:
         snap = DeltaLog(plain).snapshot()
         assert all(f.stats for f in snap.files)
 
+    def test_rejects_override_omitting_hive_level(self, spark, tmp_path):
+        """ADVICE r4: an override omitting a discovered key=value level
+        would leave that column's values only in directory names —
+        subsequent reads would return NULL for it. Refuse loudly."""
+        from datarepo_spark.tables.delta_writer import convert_to_delta
+
+        part = str(tmp_path / "two_level")
+        df = spark.range(0, 12).select(
+            F.col("id"),
+            (F.col("id") % 2).alias("a"),
+            (F.col("id") % 3).alias("b"),
+        )
+        df.write.partitionBy("a", "b").parquet(part)
+        with pytest.raises(ValueError, match="omits hive level"):
+            convert_to_delta(spark, part, partition_columns=["a"])
+
 
 class TestCompactWhere:
     def test_scopes_to_matching_partitions(self, spark, tmp_path):
