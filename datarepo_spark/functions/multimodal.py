@@ -4,18 +4,24 @@ Design: media travels as an opaque ``binary`` column plus a typed metadata
 struct — the standard lakehouse shape (content-addressed blobs inline for
 small assets, object-store pointers for large ones). Everything
 Spark-side — schema, partitioning, Arrow batch shape, UDF signatures — is
-real and tested; only the codec itself is stubbed because this container
-has no image/audio libraries.
+real and tested.
+
+Codecs: this container has no imaging/audio libraries, so the real,
+dependency-free decoders here cover the two classic trivially-parseable
+containers — binary PPM (P6) images and PCM16 WAV audio — parsed from
+bytes with stdlib ``struct`` + numpy. Heavier formats (JPEG/MP4/...)
+plug into the same ``extract_features(decoder=...)`` seam.
 
 The decode boundary is `mapInPandas`: per-partition Arrow batches in/out,
-so the (future) real decoder amortizes library init per batch and the
-pipeline shape is already the one a 1000-executor run needs. Decoders are
-pluggable; the deterministic fake lets tests assert end-to-end behavior.
-"""
+so a decoder amortizes library init per batch and the pipeline shape is
+already the one a 1000-executor run needs. Decoders are pluggable; the
+deterministic fake lets tests assert end-to-end behavior on arbitrary
+bytes."""
 
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from typing import Callable, Iterator, Optional
 
 import pandas as pd
@@ -69,15 +75,169 @@ def documents_as_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> "object":
-    """Real decoder — requires an imaging library that is not in this
-    container. The Spark pipeline never calls it unless a real decoder is
-    plugged into :func:`extract_features`."""
-    raise NotImplementedError(
-        "Image decoding requires an imaging library (e.g. Pillow/opencv); "
-        "not available in this environment. Plug a decoder into "
-        "extract_features(decoder=...)."
+PPM_WIDTH = 8
+PPM_HEIGHT = 8
+
+
+def documents_as_ppm(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = PPM_WIDTH,
+    height: int = PPM_HEIGHT,
+) -> DataFrame:
+    """Test-data adapter producing REAL image bytes: each document
+    becomes a valid binary PPM (P6) whose pixel data is the document's
+    bytes repeated to ``width*height*3`` — so the decode stage parses an
+    actual container format, and an SQL oracle can recompute the pixels
+    from the text. Built entirely in Catalyst (string repeat/substring +
+    utf-8 encode); callers should gate to single-byte (ASCII) documents
+    so char positions equal byte positions."""
+    need = width * height * 3
+    filler = F.coalesce(F.nullif(F.col(text_col), F.lit("")), F.lit(" "))
+    body = F.substring(
+        F.repeat(filler, F.ceil(F.lit(need) / F.length(filler)).cast("int")),
+        1,
+        need,
     )
+    header = F.lit(f"P6\n{width} {height}\n255\n")
+    content = F.encode(F.concat(header, body), "utf-8")
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.length(content).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_ppm(content: bytes) -> dict:
+    """Parse a binary PPM (P6) image — magic, whitespace/comment-separated
+    width/height/maxval, then raw RGB24 — with no imaging library.
+    Returns {width, height, maxval, pixels: (h, w, 3) uint8 ndarray}."""
+    import numpy as np
+
+    if content is None or content[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = width * height * 3
+    raw = content[pos : pos + need]
+    if len(raw) < need:
+        raise ValueError(
+            f"PPM raster truncated: need {need} bytes, have {len(raw)}"
+        )
+    pixels = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixels": pixels,
+    }
+
+
+def ppm_feature_decoder(content: bytes) -> list[float]:
+    """Real image features from decoded PPM pixels: per-channel means
+    (exact: integer sums / pixel count) plus dimensions. Deterministic
+    across engines, so the DuckDB oracle recomputes it bit-for-bit."""
+    img = decode_ppm(content)
+    flat = img["pixels"].reshape(-1, 3).astype("int64")
+    n = flat.shape[0]
+    sums = flat.sum(axis=0)
+    return [
+        float(sums[0]) / n,
+        float(sums[1]) / n,
+        float(sums[2]) / n,
+        float(img["width"]),
+        float(img["height"]),
+    ]
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer (PCM16 mono) — fixture generator for the
+    decode path; stdlib struct only."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + _struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + _struct.pack("<I", len(data)) + data
+
+
+def decode_wav(content: bytes) -> dict:
+    """Parse RIFF/WAVE with PCM16 audio — walks the chunk list, reads
+    'fmt ' and 'data'. Returns {sample_rate, n_channels, samples:
+    int16 ndarray}."""
+    import numpy as np
+
+    if content is None or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "samples": samples,
+    }
+
+
+def wav_feature_decoder(content: bytes) -> list[float]:
+    """Real audio features from decoded PCM16: duration, RMS, peak,
+    zero-crossing count."""
+    import numpy as np
+
+    wav = decode_wav(content)
+    s = wav["samples"].astype("float64")
+    n = max(len(s), 1)
+    rms = float(np.sqrt((s * s).sum() / n))
+    crossings = (
+        int((np.signbit(s[1:]) != np.signbit(s[:-1])).sum())
+        if len(s) > 1
+        else 0
+    )
+    return [
+        len(s) / float(wav["sample_rate"]),
+        rms,
+        float(np.abs(s).max()) if len(s) else 0.0,
+        float(crossings),
+    ]
 
 
 def fake_feature_decoder(content: bytes) -> list[float]:

@@ -497,47 +497,54 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    # The fake decoder is a deterministic function of the payload bytes
-    # (byte-histogram bucket 0 + sha256-salt, multimodal.py) — DuckDB can
-    # recompute f0 exactly: count of bytes ≡ 0 (mod 32), normalized, plus
-    # digest[0]/255 * 1e-6, same IEEE op order. Gate docs are ASCII so
-    # char positions == byte positions.
+    # REAL codec path: each gate doc becomes a valid binary PPM (P6)
+    # whose 8×8 RGB raster is the doc's bytes repeated to 192; the
+    # engine PARSES the container (decode_ppm: magic, header fields,
+    # raster) executor-side and emits per-channel means. The oracle
+    # rebuilds the raster from the text (ASCII gate docs: chars ==
+    # bytes) and recomputes the means — integer sums / 64, exact both
+    # engines. Header "P6\n8 8\n255\n" is 11 bytes → n_bytes 203.
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id,
-             text,
-             OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
-             SHA256(text) AS hx
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t
       FROM documents WHERE doc_id < 100
-    ), cnt AS (
-      SELECT media_id, n_bytes, hx,
-             LEN(LIST_FILTER(RANGE(1, CAST(n_bytes AS INT) + 1),
-                             i -> ORD(SUBSTR(text, CAST(i AS INT), 1))
-                                  % 32 = 0)) AS c0
+    ), p AS (
+      SELECT media_id,
+             SUBSTR(REPEAT(t, CAST(CEIL(192.0 / LEN(t)) AS INT)), 1, 192)
+               AS px
       FROM m
     )
     SELECT media_id,
-           n_bytes,
-           ROUND(
-             CAST(c0 AS DOUBLE) / n_bytes
-             + (CAST((INSTR('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 16
-                     + (INSTR('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1)
-                     AS DOUBLE) / 255.0) * 1e-6,
-             6) AS f0,
-           CAST(32 AS INT) AS dim
-    FROM cnt
+           CAST(203 AS BIGINT) AS n_bytes,
+           ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+             j -> ORD(SUBSTR(px, CAST(1 + j*3 AS INT), 1)))) / 64.0, 6)
+             AS mean_r,
+           ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+             j -> ORD(SUBSTR(px, CAST(2 + j*3 AS INT), 1)))) / 64.0, 6)
+             AS mean_g,
+           ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+             j -> ORD(SUBSTR(px, CAST(3 + j*3 AS INT), 1)))) / 64.0, 6)
+             AS mean_b,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height
+    FROM p
     """,
-    description="binary media → feature vectors via Arrow-batched mapInPandas",
+    description="real PPM decode → image features via Arrow-batched "
+    "mapInPandas",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = M.documents_as_media(docs)
-    feats = M.extract_features(media)
+    media = M.documents_as_ppm(docs)
+    feats = M.extract_features(media, decoder=M.ppm_feature_decoder)
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.size("features").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+        F.element_at("features", 4).cast("int").alias("width"),
+        F.element_at("features", 5).cast("int").alias("height"),
     )
 
 

@@ -424,9 +424,89 @@ class TestMultimodal:
             assert len(got.features) == M.FEATURE_DIM
             assert got.features == pytest.approx(expected, rel=1e-12)
 
-    def test_decode_image_stub_raises(self):
-        with pytest.raises(NotImplementedError, match="decoder"):
-            M.decode_image(b"\x00")
+    def test_ppm_decode_roundtrip(self):
+        import numpy as np
+
+        # 2×1 image: red pixel then blue pixel, with a header comment
+        content = b"P6\n# test\n2 1\n255\n" + bytes(
+            [255, 0, 0, 0, 0, 255]
+        )
+        img = M.decode_ppm(content)
+        assert (img["width"], img["height"], img["maxval"]) == (2, 1, 255)
+        assert np.array_equal(
+            img["pixels"], [[[255, 0, 0], [0, 0, 255]]]
+        )
+
+    def test_ppm_decode_rejects_bad_payloads(self):
+        with pytest.raises(ValueError, match="P6"):
+            M.decode_ppm(b"JFIF....")
+        with pytest.raises(ValueError, match="truncated"):
+            M.decode_ppm(b"P6\n4 4\n255\n\x00\x00")
+
+    def test_ppm_features_end_to_end(self, spark, docs_df):
+        """documents_as_ppm builds REAL P6 bytes in Catalyst; the decode
+        stage parses the container and the channel means match a pure-
+        python recompute of the repeated-text raster."""
+        media = M.documents_as_ppm(docs_df)
+        rows = {r.media_id: r for r in media.collect()}
+        # container is valid PPM: decode one payload directly
+        img = M.decode_ppm(bytes(rows[0].content))
+        assert (img["width"], img["height"]) == (M.PPM_WIDTH, M.PPM_HEIGHT)
+        feats = {
+            r.media_id: r.features
+            for r in M.extract_features(
+                media, decoder=M.ppm_feature_decoder
+            ).collect()
+        }
+        need = M.PPM_WIDTH * M.PPM_HEIGHT * 3
+        for doc_id, text in DOCS:
+            t = (text or " ").encode("utf-8")
+            raster = (t * (need // len(t) + 1))[:need]
+            r_mean = sum(raster[0::3]) / (need / 3)
+            assert feats[doc_id][0] == pytest.approx(r_mean, abs=1e-9)
+            assert feats[doc_id][3:] == [
+                float(M.PPM_WIDTH),
+                float(M.PPM_HEIGHT),
+            ]
+
+    def test_wav_roundtrip_and_features(self):
+        import numpy as np
+
+        samples = [0, 1000, -1000, 32767, -32768, 0, 5]
+        blob = M.encode_wav_pcm16(samples, sample_rate=8000)
+        wav = M.decode_wav(blob)
+        assert wav["sample_rate"] == 8000
+        assert wav["n_channels"] == 1
+        assert np.array_equal(wav["samples"], np.asarray(samples, "<i2"))
+        dur, rms, peak, crossings = M.wav_feature_decoder(blob)
+        assert dur == pytest.approx(len(samples) / 8000.0)
+        assert peak == 32768.0
+        s = np.asarray(samples, dtype="float64")
+        assert rms == pytest.approx(float(np.sqrt((s * s).mean())))
+
+    def test_wav_rejects_non_pcm16(self):
+        with pytest.raises(ValueError, match="RIFF"):
+            M.decode_wav(b"OggS....")
+        blob = bytearray(M.encode_wav_pcm16([1, 2, 3]))
+        blob[20] = 3  # audio_format = IEEE float
+        with pytest.raises(ValueError, match="PCM16"):
+            M.decode_wav(bytes(blob))
+
+    def test_wav_features_through_spark(self, spark):
+        """WAV bytes survive the binary column + mapInPandas path."""
+        blobs = [
+            (0, M.encode_wav_pcm16([0, 100, -100, 200])),
+            (1, M.encode_wav_pcm16([5000] * 16)),
+        ]
+        df = spark.createDataFrame(blobs, ["media_id", "content"])
+        got = {
+            r.media_id: r.features
+            for r in M.extract_features(
+                df, decoder=M.wav_feature_decoder
+            ).collect()
+        }
+        assert got[1][2] == 5000.0  # peak
+        assert got[0][3] == 2.0  # two sign crossings
 
     def test_frame_sample_counts(self, spark, docs_df):
         media = M.documents_as_media(docs_df)
