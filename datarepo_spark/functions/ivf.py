@@ -141,6 +141,7 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         nprobe: int = 1,
+        with_sim: bool = False,
     ) -> DataFrame:
         """Append the nearest-centroid ``cell`` id (cosine argmax), keeping
         id + vector columns. numpy matmul per Arrow batch.
@@ -150,9 +151,15 @@ class IVFIndex:
         a Voronoi boundary still shares at least one cell as long as
         either member's second-choice cell is the other's first. Row
         count multiplies by nprobe; use for candidate generation, not
-        for storage layout."""
+        for storage layout.
+
+        ``with_sim`` (nprobe=1 only) adds ``__sim``, the cosine to the
+        assigned centroid — the residual signal the index-health
+        accounting aggregates per cell."""
         centroids = self.centroids  # closure-shipped; k×d×8B is tiny
         nprobe = max(1, min(int(nprobe), self.k))
+        if with_sim and nprobe != 1:
+            raise ValueError("with_sim requires nprobe=1")
 
         def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -161,13 +168,14 @@ class IVFIndex:
                 )
                 sims = mat @ centroids.T
                 if nprobe == 1:
-                    yield pd.DataFrame(
-                        {
-                            id_col: pdf[id_col],
-                            vec_col: pdf[vec_col],
-                            "cell": np.argmax(sims, axis=1).astype("int32"),
-                        }
-                    )
+                    out = {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "cell": np.argmax(sims, axis=1).astype("int32"),
+                    }
+                    if with_sim:
+                        out["__sim"] = np.max(sims, axis=1)
+                    yield pd.DataFrame(out)
                     continue
                 top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
                 yield pd.DataFrame(
@@ -181,10 +189,10 @@ class IVFIndex:
         from pyspark.sql import types as T
 
         projected = df.select(id_col, vec_col)
-        out_schema = T.StructType(
-            list(projected.schema.fields)
-            + [T.StructField("cell", T.IntegerType(), False)]
-        )
+        extra = [T.StructField("cell", T.IntegerType(), False)]
+        if with_sim:
+            extra.append(T.StructField("__sim", T.DoubleType(), False))
+        out_schema = T.StructType(list(projected.schema.fields) + extra)
         return projected.mapInPandas(per_batch, schema=out_schema)
 
     # -- search ------------------------------------------------------------

@@ -86,3 +86,90 @@ class TestAnnIndex:
         # index still functional
         qv = _query_vec(spark)
         assert query_ann_index(spark, uri, qv, k=3, nprobe=2).count() == 3
+
+
+class TestIndexHealth:
+    """VERDICT r4 #5: appends assign against stored centroids with no
+    drift tracking — recall decays silently. The stats sidecar +
+    index_health() make the decay observable."""
+
+    def test_fresh_index_is_healthy(self, spark, tmp_path):
+        from datarepo_spark.functions.ann_index import index_health
+
+        uri = str(tmp_path / "idx")
+        build_ann_index(spark, _emb(spark), uri, nlist=8, iterations=4)
+        h = index_health(uri)
+        assert h["appended_n"] == 0
+        assert h["rebuild_recommended"] is False
+        assert h["base_n"] == _emb(spark).count()
+
+    def test_in_distribution_append_stays_healthy(self, spark, tmp_path):
+        from datarepo_spark.functions.ann_index import index_health
+
+        uri = str(tmp_path / "idx")
+        emb = _emb(spark)
+        head = emb.filter(F.col("vec_id") < 400)
+        tail = emb.filter(F.col("vec_id") >= 400)
+        build_ann_index(spark, head, uri, nlist=8, iterations=4)
+        append_to_ann_index(spark, tail, uri)
+        h = index_health(uri)
+        assert h["appended_n"] == tail.count()
+        # same distribution: residuals comparable, nothing fires
+        assert h["residual_ratio"] < 1.5
+        assert h["rebuild_recommended"] is False
+
+    def test_shifted_append_fires_health_signal(self, spark, tmp_path):
+        """Append a distribution far from every centroid (negated +
+        heavily perturbed vectors piled into one direction): the health
+        signal must fire while queries stay correct."""
+        from datarepo_spark.functions.ann_index import index_health
+
+        uri = str(tmp_path / "idx")
+        emb = _emb(spark)
+        build_ann_index(spark, emb, uri, nlist=8, iterations=4)
+
+        # a tight cluster along a direction unrelated to the corpus:
+        # basis-vector e_7 with tiny deterministic jitter
+        dim = len(emb.head()["embedding"])
+        shifted = spark.range(10_000, 10_200).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.when(i == 7, 100.0).otherwise(
+                    (F.col("id") % 13).cast("double") / 1000.0
+                ),
+            ).cast("array<float>").alias("embedding"),
+        )
+        append_to_ann_index(spark, shifted, uri)
+        h = index_health(uri)
+        assert h["rebuild_recommended"] is True
+        assert h["reasons"]
+        # the tight cluster lands in (essentially) one cell
+        assert h["max_new_cell_mass"] > 0.9
+
+        # queries remain CORRECT even while degraded: the original
+        # corpus still answers exactly as before for original queries
+        qv = _query_vec(spark)
+        got = {
+            r["vec_id"]
+            for r in query_ann_index(spark, uri, qv, k=10, nprobe=3).collect()
+        }
+        assert 0 in got
+
+    def test_pre_accounting_index_still_appends(self, spark, tmp_path):
+        """An index built before drift accounting (no sidecar) appends
+        fine; index_health raises a clear error."""
+        import pytest
+
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "idx")
+        emb = _emb(spark)
+        build_ann_index(spark, emb.filter(F.col("vec_id") < 300), uri,
+                        nlist=8, iterations=4)
+        os.remove(os.path.join(uri, AI._STATS_REL))
+        append_to_ann_index(
+            spark, emb.filter(F.col("vec_id") >= 300), uri
+        )
+        with pytest.raises(FileNotFoundError, match="cell_stats"):
+            AI.index_health(uri)
