@@ -659,6 +659,83 @@ def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUILT_IVM_MM: dict = {}
+
+
+def _ivm_mm_fixture(spark: SparkSession, sf_dir: str):
+    """Like :func:`_ivm_fixture` but maintaining MIN/MAX (+ derived
+    AVG): the delete removes every group's CURRENT maxima, so the
+    bounded re-derivation path (source-at-version, affected groups
+    only) is what produces the final extrema."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_IVM_MM:
+        agg = _BUILT_IVM_MM[key]
+        if os.path.isdir(os.path.join(agg.dest_uri, "_delta_log")):
+            return agg
+    from ..tables.delta_writer import delete_delta
+    from ..tables.ivm import IncrementalAggregate
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_ivm_mm_")
+    src = os.path.join(base, "orders_src")
+    dst = os.path.join(base, "orders_extrema")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load(spark, sf_dir, "orders").select(*cols)
+    agg = IncrementalAggregate(
+        src, dst, os.path.join(base, "cursor.json"),
+        group_cols=["o_orderstatus"],
+        minmax_cols=["o_totalprice"],
+        avg_cols=["o_totalprice"],
+    )
+    write_delta(
+        orders.filter(F.col("o_orderkey") <= 1200), src,
+        checkpoint_interval=None,
+    )
+    agg.advance(spark)
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") > 1200) & (F.col("o_orderkey") <= 1800)
+        ),
+        src, checkpoint_interval=None,
+    )
+    # removes the stored max of every status group → re-derivation
+    delete_delta(spark, src, [Filter("o_totalprice", ">", 150000.0)])
+    agg.advance(spark)
+    assert agg.advance(spark) is None
+    _BUILT_IVM_MM[key] = agg
+    return agg
+
+
+@register(
+    "ivm_minmax_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS min_totalprice,
+           MAX(o_totalprice) AS max_totalprice,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1800 AND NOT (o_totalprice > 150000)
+    GROUP BY o_orderstatus
+    """,
+    description="IVM with MIN/MAX under deletes: the batch removes every "
+    "group's stored maximum, forcing the bounded re-derivation (source "
+    "at the batch version, delete-affected groups only); AVG derives "
+    "from the maintained sum/count",
+)
+def ivm_minmax_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _ivm_mm_fixture(spark, sf_dir)
+    return agg.read(spark).select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("min_o_totalprice").alias("min_totalprice"),
+        F.col("max_o_totalprice").alias("max_totalprice"),
+        F.round(
+            F.col("sum_o_totalprice").cast("double") / F.col("n_rows"), 6
+        ).alias("avg_totalprice"),
+    )
+
+
 _BUILT_RESTORE: dict[str, str] = {}
 
 

@@ -1,20 +1,34 @@
 """Incremental view maintenance: a GROUP BY aggregate table kept in
 sync with a Delta source by consuming its change feed — never
-re-scanning the source.
+re-scanning the source (except the bounded MIN/MAX re-derivation
+below).
 
 ``IncrementalAggregate`` maintains ``SELECT group_cols, COUNT(*) AS
-n_rows, SUM(c) AS sum_c ... GROUP BY group_cols`` as a Delta table.
-Each :meth:`advance` polls the source's :class:`DeltaChangeStream`,
-folds the batch into per-group DELTAS (inserts count +1, deletes −1 —
-COUNT and SUM are the self-maintainable aggregates; MIN/MAX are not
-under deletes, which is why they are absent), and applies them with
-one MERGE (upsert combined values, including groups that reach zero)
-plus one DELETE of ``n_rows = 0`` groups.
+n_rows, SUM(c) AS sum_c, MIN(m) AS min_m, MAX(m) AS max_m ... GROUP BY
+group_cols`` as a Delta table. Each :meth:`advance` polls the source's
+:class:`DeltaChangeStream`, folds the batch into per-group DELTAS
+(inserts count +1, deletes −1 — COUNT and SUM are the fully
+self-maintainable aggregates), and applies them with one MERGE (upsert
+combined values, including groups that reach zero) plus one DELETE of
+``n_rows = 0`` groups.
+
+MIN/MAX are self-maintainable under INSERTS (new extremum =
+least/greatest of old and batch) but not under DELETES: when a batch
+deletes a value that ties the group's stored extremum, the true new
+extremum is unknowable from the change stream alone. Those groups —
+and ONLY those groups — are re-derived by reading the source at the
+batch's version semi-joined to the affected group keys, so the
+re-derivation cost tracks the DELETE-AFFECTED group count (and their
+partition/stats-pruned files), never the source or view size. AVG is
+derived (sum / count) at read time — maintaining it separately would
+just duplicate state.
 
 Exactly-once across crash/replay without distributed transactions:
 - both commits carry a SetTransaction (``app_id`` = the maintenance
   identity, versions ``2v`` and ``2v+1`` for source version ``v``), so
-  a replayed MERGE is skipped off the ledger;
+  a replayed MERGE is skipped off the ledger (the MIN/MAX
+  re-derivation reads the source AT version ``v``, so a replay
+  recomputes identical values);
 - the zero-group DELETE is derived from the DESTINATION's current
   state (``n_rows = 0`` rows), not recomputed from the batch — on
   replay it deletes exactly the rows a crashed run left behind, or
@@ -55,13 +69,20 @@ class IncrementalAggregate:
         checkpoint_path: str,
         group_cols: Sequence[str],
         sum_cols: Sequence[str] = (),
+        minmax_cols: Sequence[str] = (),
+        avg_cols: Sequence[str] = (),
     ):
         if not group_cols:
             raise ValueError("group_cols must be non-empty")
         self.source_uri = source_uri.rstrip("/")
         self.dest_uri = dest_uri.rstrip("/")
         self.group_cols = list(group_cols)
-        self.sum_cols = list(sum_cols)
+        # AVG derives from sum/count: ensure the sum is maintained
+        self.sum_cols = list(sum_cols) + [
+            c for c in avg_cols if c not in sum_cols
+        ]
+        self.minmax_cols = list(minmax_cols)
+        self.avg_cols = list(avg_cols)
         self.stream = DeltaChangeStream(source_uri, checkpoint_path)
         self.app_id = f"ivm:{self.dest_uri}"
 
@@ -92,12 +113,9 @@ class IncrementalAggregate:
         )
 
     def _delta_frame(self, changes: DataFrame) -> DataFrame:
-        sign = F.when(
-            F.col(CHANGE_TYPE) == "insert", F.lit(1)
-        ).otherwise(F.lit(-1))
-        return self._with_group_key(changes).groupBy(
-            "__group_key", *self.group_cols
-        ).agg(
+        is_insert = F.col(CHANGE_TYPE) == "insert"
+        sign = F.when(is_insert, F.lit(1)).otherwise(F.lit(-1))
+        aggs = [
             F.sum(sign).cast("long").alias("n_rows"),
             *[
                 F.sum(F.col(c).cast("decimal(38,6)") * sign)
@@ -105,21 +123,174 @@ class IncrementalAggregate:
                 .alias(f"sum_{c}")
                 for c in self.sum_cols
             ],
-        )
+        ]
+        for m in self.minmax_cols:
+            ins = F.when(is_insert, F.col(m))
+            dels = F.when(~is_insert, F.col(m))
+            aggs += [
+                F.min(ins).alias(f"__insmin_{m}"),
+                F.max(ins).alias(f"__insmax_{m}"),
+                F.min(dels).alias(f"__delmin_{m}"),
+                F.max(dels).alias(f"__delmax_{m}"),
+            ]
+        return self._with_group_key(changes).groupBy(
+            "__group_key", *self.group_cols
+        ).agg(*aggs)
 
     def read(self, spark: SparkSession) -> Optional[DataFrame]:
-        """The maintained aggregate (None before the first advance)."""
+        """The maintained aggregate (None before the first advance).
+        AVG columns are derived here — sum_c / n_rows as
+        DECIMAL(38,6) — so they are exactly the ratio of the two
+        maintained exact aggregates."""
         if not os.path.isdir(os.path.join(self.dest_uri, "_delta_log")):
             return None
-        return (
+        df = (
             DeltalakeTable(
                 os.path.basename(self.dest_uri), self.dest_uri
             )(spark=spark)
             .filter(F.col("n_rows") > 0)
             .drop("__group_key")
         )
+        for c in self.avg_cols:
+            df = df.withColumn(
+                f"avg_{c}",
+                (F.col(f"sum_{c}") / F.col("n_rows")).cast(
+                    "decimal(38,6)"
+                ),
+            )
+        return df
 
     # -- maintenance ----------------------------------------------------------
+
+    def _combined_frame(
+        self,
+        spark: SparkSession,
+        current: Optional[DataFrame],
+        delta: DataFrame,
+        version: int,
+        has_deletes: bool = True,
+    ) -> DataFrame:
+        """Fold the per-group delta into the current state, re-deriving
+        MIN/MAX from the source (at ``version``) for exactly the groups
+        whose delete batch could have removed a stored extremum."""
+        d = delta.alias("d")
+        if current is not None:
+            cur = current.join(
+                delta.select("__group_key"), "__group_key", "left_semi"
+            ).alias("c")
+            joined = cur.join(d, "__group_key", "full_outer")
+
+            def c_col(name):
+                return F.col(f"c.{name}")
+        else:
+            joined = d
+
+            def c_col(name):
+                return F.lit(None)
+
+        cols = [
+            "__group_key",
+            *[
+                F.coalesce(F.col(f"d.{g}"), c_col(g)).alias(g)
+                for g in self.group_cols
+            ],
+            (
+                F.coalesce(c_col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d.n_rows"), F.lit(0))
+            ).cast("long").alias("n_rows"),
+            *[
+                (
+                    F.coalesce(
+                        c_col(f"sum_{c2}"),
+                        F.lit(0).cast("decimal(38,6)"),
+                    )
+                    + F.coalesce(
+                        F.col(f"d.sum_{c2}"),
+                        F.lit(0).cast("decimal(38,6)"),
+                    )
+                ).cast("decimal(38,6)").alias(f"sum_{c2}")
+                for c2 in self.sum_cols
+            ],
+        ]
+        if not self.minmax_cols:
+            return joined.select(*cols)
+
+        cand = {
+            m: (
+                F.least(c_col(f"min_{m}"), F.col(f"d.__insmin_{m}")),
+                F.greatest(c_col(f"max_{m}"), F.col(f"d.__insmax_{m}")),
+            )
+            for m in self.minmax_cols
+        }
+        if not has_deletes:
+            # insert-only batch: MIN/MAX are fully self-maintainable —
+            # no source read appears in the plan at all
+            for m in self.minmax_cols:
+                cols += [
+                    cand[m][0].alias(f"min_{m}"),
+                    cand[m][1].alias(f"max_{m}"),
+                ]
+            return joined.select(*cols)
+
+        # insert-side candidates are self-maintainable; a delete that
+        # ties (or, for a group new in this batch, undercuts) the
+        # candidate poisons it
+        need_any = F.lit(False)
+        for m in self.minmax_cols:
+            cand_min, cand_max = cand[m]
+            cols += [
+                cand_min.alias(f"__cand_min_{m}"),
+                cand_max.alias(f"__cand_max_{m}"),
+            ]
+            dmin = F.col(f"d.__delmin_{m}")
+            dmax = F.col(f"d.__delmax_{m}")
+            need_any = (
+                need_any
+                | (dmin.isNotNull() & (cand_min.isNull() | (dmin <= cand_min)))
+                | (dmax.isNotNull() & (cand_max.isNull() | (dmax >= cand_max)))
+            )
+        cols.append(need_any.alias("__need_rederive"))
+        combined = joined.select(*cols)
+
+        # bounded re-derivation: source AT the batch version, restricted
+        # to the poisoned groups (delete-affected only) — cost tracks
+        # |affected groups|, not view/source size
+        affected = combined.filter(F.col("__need_rederive")).select(
+            "__group_key"
+        )
+        source = DeltalakeTable(
+            os.path.basename(self.source_uri), self.source_uri
+        )(spark=spark, version=version)
+        keyed = self._with_group_key(source).join(
+            affected, "__group_key", "left_semi"
+        )
+        rederived = keyed.groupBy("__group_key").agg(
+            *[
+                a
+                for m in self.minmax_cols
+                for a in (
+                    F.min(m).alias(f"__true_min_{m}"),
+                    F.max(m).alias(f"__true_max_{m}"),
+                )
+            ]
+        )
+        final = combined.join(rederived, "__group_key", "left")
+        out = ["__group_key", *self.group_cols, "n_rows"] + [
+            f"sum_{c2}" for c2 in self.sum_cols
+        ]
+        selected = [*out]
+        for m in self.minmax_cols:
+            selected.append(
+                F.when(
+                    F.col("__need_rederive"), F.col(f"__true_min_{m}")
+                ).otherwise(F.col(f"__cand_min_{m}")).alias(f"min_{m}")
+            )
+            selected.append(
+                F.when(
+                    F.col("__need_rederive"), F.col(f"__true_max_{m}")
+                ).otherwise(F.col(f"__cand_max_{m}")).alias(f"max_{m}")
+            )
+        return final.select(*selected)
 
     def advance(
         self, spark: SparkSession, max_versions: Optional[int] = None
@@ -132,10 +303,16 @@ class IncrementalAggregate:
         changes, version = batch
         delta = self._delta_frame(changes)
         exists = os.path.isdir(os.path.join(self.dest_uri, "_delta_log"))
+        has_deletes = bool(self.minmax_cols) and bool(
+            changes.filter(F.col(CHANGE_TYPE) != "insert").head(1)
+        )
 
         if not exists:
+            combined = self._combined_frame(
+                spark, None, delta, version, has_deletes
+            )
             write_delta(
-                delta.filter(F.col("n_rows") > 0),
+                combined.filter(F.col("n_rows") > 0),
                 self.dest_uri,
                 txn_app_id=self.app_id,
                 txn_version=2 * version,
@@ -152,34 +329,8 @@ class IncrementalAggregate:
                     f"column); rebuild the view (drop the destination "
                     f"table and cursor, then advance from scratch)"
                 )
-            d = delta.alias("d")
-            cur = current.join(
-                delta.select("__group_key"), "__group_key",
-                "left_semi",
-            ).alias("c")
-            combined = cur.join(d, "__group_key", "full_outer").select(
-                "__group_key",
-                *[
-                    F.coalesce(F.col(f"d.{g}"), F.col(f"c.{g}")).alias(g)
-                    for g in self.group_cols
-                ],
-                (
-                    F.coalesce(F.col("c.n_rows"), F.lit(0))
-                    + F.coalesce(F.col("d.n_rows"), F.lit(0))
-                ).cast("long").alias("n_rows"),
-                *[
-                    (
-                        F.coalesce(
-                            F.col(f"c.sum_{c2}"),
-                            F.lit(0).cast("decimal(38,6)"),
-                        )
-                        + F.coalesce(
-                            F.col(f"d.sum_{c2}"),
-                            F.lit(0).cast("decimal(38,6)"),
-                        )
-                    ).cast("decimal(38,6)").alias(f"sum_{c2}")
-                    for c2 in self.sum_cols
-                ],
+            combined = self._combined_frame(
+                spark, current, delta, version, has_deletes
             )
             merge_delta(
                 spark,
