@@ -37,18 +37,188 @@ def _schema_string(df: DataFrame) -> str:
 
 
 def _reject_column_mapping(snapshot, op: str) -> None:
-    """This writer stages files with LOGICAL column names; on a
-    column-mapped table the protocol requires PHYSICAL names in the
-    files, partitionValues, and stats — writing logical names would
-    corrupt the table for every conforming reader. Read support exists
-    (delta_table.py); the write path refuses loudly."""
+    """Operations that embed LOGICAL column names in places the mapped
+    protocol keys physically (constraint expressions today) refuse
+    loudly. Data writes no longer come through here — they stage under
+    physical names via :func:`_remap_to_physical`."""
     mode = snapshot.column_mapping_mode
     if mode != "none":
         raise NotImplementedError(
             f"{op} on a column-mapped table (delta.columnMapping.mode="
-            f"{mode!r}) is not supported — this writer emits logical "
-            f"column names, which would corrupt the mapped layout"
+            f"{mode!r}) is not supported"
         )
+
+
+def _remap_to_physical(df: DataFrame, snapshot):
+    """Inverse of delta_table._remap_to_logical: project a LOGICAL-layout
+    frame into the table's PHYSICAL parquet layout (col-<uuid> names from
+    ``delta.columnMapping.physicalName`` field metadata), recursing
+    through structs, arrays, and map values. Pure projection — codegen,
+    no shuffle. Partition columns are renamed too, so partitionBy
+    staging produces physically-keyed directory names → physically-keyed
+    partitionValues, as the mapped protocol requires."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def conv(col: Column, f: T.StructField) -> Column:
+        dt = f.dataType
+        if isinstance(dt, T.StructType):
+            rebuilt = F.struct(
+                *[
+                    conv(col[sub.name], sub).alias(
+                        snapshot.physical_name(sub)
+                    )
+                    for sub in dt.fields
+                ]
+            )
+            # struct(...) of a NULL struct is a row of nulls, not NULL
+            return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+        if isinstance(dt, T.ArrayType):
+            if not isinstance(
+                dt.elementType, (T.StructType, T.ArrayType, T.MapType)
+            ):
+                return col
+            elem = T.StructField("element", dt.elementType, True)
+            return F.transform(col, lambda x: conv(x, elem))
+        if isinstance(dt, T.MapType):
+            if not isinstance(
+                dt.valueType, (T.StructType, T.ArrayType, T.MapType)
+            ):
+                return col
+            val = T.StructField("value", dt.valueType, True)
+            return F.transform_values(col, lambda _k, v: conv(v, val))
+        return col
+
+    out = []
+    for lf in snapshot.schema.fields:
+        if lf.name not in df.columns:
+            continue  # subset writes: missing columns stay missing
+        out.append(
+            conv(F.col(f"`{lf.name}`"), lf).alias(
+                snapshot.physical_name(lf)
+            )
+        )
+    return df.select(*out)
+
+
+def _physical_partition_cols(snapshot) -> list[str]:
+    return [
+        snapshot.physical_name(snapshot.partition_field(c))
+        for c in snapshot.partition_columns
+    ]
+
+
+def _stage_frame_for(snapshot, df: DataFrame):
+    """(frame, partition_cols, file_schema) for _stage_adds: physical
+    when the table is column-mapped, logical (the declared table
+    layout) otherwise. ``df`` must carry the full table schema."""
+    if snapshot.column_mapping_mode == "none":
+        return df, snapshot.partition_columns, snapshot.data_schema
+    return (
+        _remap_to_physical(df, snapshot),
+        _physical_partition_cols(snapshot),
+        snapshot.physical_data_schema,
+    )
+
+
+def enable_column_mapping(uri: str, mode: str = "name") -> int:
+    """Upgrade an existing table to column mapping (delta's ALTER TABLE
+    SET TBLPROPERTIES ('delta.columnMapping.mode' = 'name')).
+
+    Every field (recursively) is assigned ``delta.columnMapping.id``
+    and a ``physicalName`` equal to its CURRENT name — the same upgrade
+    delta-spark performs, so files already on disk remain readable
+    while all future writes key physically. Returns the committed
+    version."""
+    import copy
+
+    from pyspark.sql import types as T
+
+    if mode not in ("name", "id"):
+        raise ValueError(f"mode must be name|id, got {mode!r}")
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    if snapshot.column_mapping_mode != "none":
+        raise ValueError(
+            f"{uri} already has delta.columnMapping.mode="
+            f"{snapshot.column_mapping_mode!r}"
+        )
+
+    next_id = [0]
+
+    def assign(f: T.StructField) -> T.StructField:
+        next_id[0] += 1
+        meta = dict(f.metadata or {})
+        meta["delta.columnMapping.id"] = next_id[0]
+        meta["delta.columnMapping.physicalName"] = f.name
+        return T.StructField(f.name, conv_dt(f.dataType), f.nullable, meta)
+
+    def conv_dt(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([assign(sub) for sub in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(conv_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                conv_dt(dt.keyType),
+                conv_dt(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    new_schema = T.StructType([assign(f) for f in snapshot.schema.fields])
+
+    # same legacy-feature carry as _dv_feature_actions: jumping to
+    # table features must list every feature the old versions implied
+    proto = snapshot.raw_protocol or {}
+    reader_feats = set(proto.get("readerFeatures") or [])
+    writer_feats = set(proto.get("writerFeatures") or [])
+    if not writer_feats:
+        implied = {
+            2: {"appendOnly", "invariants"},
+            3: {"checkConstraints"},
+            4: {"changeDataFeed", "generatedColumns"},
+            5: {"columnMapping"},
+            6: {"identityColumns"},
+        }
+        legacy = int(proto.get("minWriterVersion", 2))
+        for v, feats in implied.items():
+            if legacy >= v:
+                writer_feats |= feats
+
+    meta = copy.deepcopy(dict(snapshot.raw_metadata or {}))
+    for k in ("format", "configuration"):
+        if meta.get(k) is not None and not isinstance(meta[k], dict):
+            meta[k] = dict(meta[k])
+    meta["schemaString"] = json.dumps(new_schema.jsonValue())
+    config = dict(meta.get("configuration") or {})
+    config["delta.columnMapping.mode"] = mode
+    config["delta.columnMapping.maxColumnId"] = str(next_id[0])
+    meta["configuration"] = config
+
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    reader_feats | {"columnMapping"}
+                ),
+                "writerFeatures": sorted(
+                    writer_feats | {"columnMapping"}
+                ),
+            }
+        },
+        {"metaData": meta},
+    ]
+    return _commit_atomically(
+        os.path.join(uri, "_delta_log"),
+        actions,
+        read_version=snapshot.version,
+        operation="SET TBLPROPERTIES",
+        operation_params={"columnMapping.mode": mode},
+    )
 
 
 class _micros_timestamps:
@@ -98,13 +268,36 @@ def _check_schema(
     declared schema would silently null out (or fail on) the drift."""
     from pyspark.sql import types as T
 
+    def strip_meta(dt: T.DataType) -> T.DataType:
+        # nested StructField equality includes field METADATA and
+        # NULLABILITY — a column-mapped table's nested mapping
+        # annotations, or a frame whose literal structs are
+        # non-nullable, must not read as a type mismatch (parquet
+        # stores the values identically either way)
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, strip_meta(f.dataType), True)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(strip_meta(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                strip_meta(dt.keyType),
+                strip_meta(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
     table_fields = {f.name: f for f in snapshot.schema.fields}
     new_fields = []
     for f in df.schema.fields:
         existing = table_fields.get(f.name)
         if existing is None:
             new_fields.append(f)
-        elif existing.dataType != f.dataType:
+        elif strip_meta(existing.dataType) != strip_meta(f.dataType):
             raise ValueError(
                 f"Column {f.name!r} type mismatch: table has "
                 f"{existing.dataType.simpleString()}, dataframe has "
@@ -384,7 +577,15 @@ def write_delta(
     partition_cols = list(partition_by)
     if exists:
         snapshot = DeltaLog(uri).snapshot()
-        _reject_column_mapping(snapshot, "write_delta")
+        if (
+            snapshot.column_mapping_mode != "none"
+            and schema_mode == "merge"
+        ):
+            raise NotImplementedError(
+                "schema_mode='merge' on a column-mapped table (new "
+                "columns need fresh physical names + a maxColumnId "
+                "bump); write with the declared schema instead"
+            )
         if txn_app_id is not None:
             last = snapshot.app_transactions.get(txn_app_id)
             if last is not None and txn_version <= last:
@@ -429,11 +630,31 @@ def write_delta(
     # live in _stage_adds.
     from pyspark.sql import types as T
 
-    file_schema = T.StructType(
-        [f for f in df.schema.fields if f.name not in set(partition_cols)]
-    )
+    if exists and snapshot.column_mapping_mode != "none":
+        # mapped table: stage under PHYSICAL names (files, directory
+        # names → partitionValues, stats keys all physical); subset
+        # writes keep only the present columns in the stats schema
+        stage_df = _remap_to_physical(df, snapshot)
+        stage_parts = _physical_partition_cols(snapshot)
+        present = set(stage_df.columns)
+        file_schema = T.StructType(
+            [
+                f
+                for f in snapshot.physical_data_schema.fields
+                if f.name in present
+            ]
+        )
+    else:
+        stage_df, stage_parts = df, partition_cols
+        file_schema = T.StructType(
+            [
+                f
+                for f in df.schema.fields
+                if f.name not in set(partition_cols)
+            ]
+        )
     adds = _stage_adds(
-        df.sparkSession, df, uri, partition_cols, file_schema,
+        df.sparkSession, stage_df, uri, stage_parts, file_schema,
         data_change=True,
     )
 
@@ -778,7 +999,13 @@ def compact(
     version is -1 when nothing needed compacting."""
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
-    _reject_column_mapping(snapshot, "compact")
+    mapped = snapshot.column_mapping_mode != "none"
+    # mapped tables compact physical-in → physical-out: the plain
+    # branch reads files under the physical schema and writes them
+    # back verbatim; the DV branch's logical read is remapped back
+    file_data_schema = (
+        snapshot.physical_data_schema if mapped else snapshot.data_schema
+    )
 
     candidates = snapshot.files
     if where is not None:
@@ -847,16 +1074,17 @@ def compact(
             # DV-aware read: soft-deleted rows must NOT survive the
             # rewrite; the output materializes the deletions and the
             # group's DV files become vacuumable orphans
-            merged = (
-                _table._read_from_log(
-                    spark, _replace(snapshot, files=list(files)), None
+            merged = _table._read_from_log(
+                spark, _replace(snapshot, files=list(files)), None
+            ).select(*[f.name for f in snapshot.data_schema.fields])
+            if mapped:
+                merged = _remap_to_physical(merged, snapshot).select(
+                    *[f.name for f in file_data_schema.fields]
                 )
-                .select(*[f.name for f in snapshot.data_schema.fields])
-                .coalesce(1)
-            )
+            merged = merged.coalesce(1)
         else:
             merged = (
-                spark.read.schema(snapshot.data_schema)
+                spark.read.schema(file_data_schema)
                 .parquet(*paths)
                 .coalesce(1)
             )
@@ -889,7 +1117,7 @@ def compact(
                     "modificationTime": 0,
                     "dataChange": False,
                 }
-                stats = collect_file_stats(dst, snapshot.data_schema)
+                stats = collect_file_stats(dst, file_data_schema)
                 if stats is not None:
                     add_action["stats"] = stats
                 actions.append({"add": add_action})
@@ -973,7 +1201,6 @@ def merge_delta(
         raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
-    _reject_column_mapping(snapshot, "merge_delta")
     if txn_app_id is not None:
         last = snapshot.app_transactions.get(txn_app_id)
         if last is not None and txn_version <= last:
@@ -1059,9 +1286,11 @@ def merge_delta(
 
     new_data = _apply_generated(new_data, snapshot)
     _enforce_constraints(new_data, snapshot)
-    part_cols = snapshot.partition_columns
+    stage_df, part_cols, file_schema = _stage_frame_for(
+        snapshot, new_data
+    )
     actions: list[dict] = _stage_adds(
-        spark, new_data, uri, part_cols, snapshot.data_schema,
+        spark, stage_df, uri, part_cols, file_schema,
         data_change=True,
     )
 
@@ -1491,15 +1720,9 @@ def delete_delta(
         return result_unchanged
     predicate = filters_to_column(dnf)
     matched_df = df.filter(predicate)
-    # CoW on a column-mapped table would stage logical names (see
-    # _reject_column_mapping); DV-only there, threshold elsewhere.
-    threshold = (
-        rewrite_threshold
-        if snapshot.column_mapping_mode == "none"
-        else None
-    )
     dv_actions, counters, rewrite_rels = _dv_soft_delete_actions(
-        spark, uri, snapshot, matched_df, rewrite_threshold=threshold
+        spark, uri, snapshot, matched_df,
+        rewrite_threshold=rewrite_threshold,
     )
     if not dv_actions:
         return result_unchanged
@@ -1508,17 +1731,22 @@ def delete_delta(
     if rewrite_rels:
         # copy-on-write: re-stage each flagged file's LIVE rows (its
         # remaining rows after the predicate; predicate-NULL rows are
-        # live) — df already excludes rows in pre-existing DVs
+        # live) — df already excludes rows in pre-existing DVs. On a
+        # mapped table the read frame is logical; _stage_frame_for
+        # remaps it back to the physical layout.
         live = df.filter(
             F.col("__delta_rel").isin(rewrite_rels)
             & ~F.coalesce(predicate, F.lit(False))
         ).drop("__delta_rel", "__delta_pos")
+        stage_df, stage_parts, file_schema = _stage_frame_for(
+            snapshot, live
+        )
         add_actions = _stage_adds(
             spark,
-            live,
+            stage_df,
             uri,
-            snapshot.partition_columns,
-            snapshot.data_schema,
+            stage_parts,
+            file_schema,
             data_change=True,
         )
 
@@ -1610,7 +1838,6 @@ def update_delta(
         raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
-    _reject_column_mapping(snapshot, "update_delta")
     if txn_app_id is not None:
         last = snapshot.app_transactions.get(txn_app_id)
         if last is not None and txn_version <= last:
@@ -1689,12 +1916,15 @@ def update_delta(
             & ~F.coalesce(predicate, F.lit(False))
         ).drop("__delta_rel", "__delta_pos")
         updated = updated.unionByName(live)
+    stage_df, stage_parts, file_schema = _stage_frame_for(
+        snapshot, updated
+    )
     add_actions = _stage_adds(
         spark,
-        updated,
+        stage_df,
         uri,
-        snapshot.partition_columns,
-        snapshot.data_schema,
+        stage_parts,
+        file_schema,
         data_change=True,
     )
 
@@ -1787,7 +2017,6 @@ def zorder_by(
         raise ValueError("zorder_by takes 1-4 columns")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
-    _reject_column_mapping(snapshot, "zorder_by")
     part_cols = snapshot.partition_columns
     bad = [c for c in columns if c in part_cols]
     if bad:
@@ -1871,8 +2100,11 @@ def zorder_by(
         .drop("__z")
     )
 
+    stage_df, stage_parts, file_schema = _stage_frame_for(
+        snapshot, clustered
+    )
     actions: list[dict] = _stage_adds(
-        spark, clustered, uri, part_cols, snapshot.data_schema,
+        spark, stage_df, uri, stage_parts, file_schema,
         data_change=False,
     )
 

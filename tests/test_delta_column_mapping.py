@@ -2,9 +2,11 @@
 
 delta-rs — the engine under the reference's DeltalakeTable — reads these;
 so must we. The fixture builds the table BY HAND (physical col-<uuid>
-parquet names + a hand-written log), because our writer deliberately
-refuses to produce mapped layouts: it stages logical names, which would
-corrupt a mapped table for conforming readers — also asserted here.
+parquet names + a hand-written log) so the READ path is proven against a
+foreign layout; the write paths (append/merge/update/compact/zorder)
+stage under physical names via _remap_to_physical, and
+enable_column_mapping upgrades plain tables in place — both asserted
+here, including the convert → enable → DML → read gauntlet.
 """
 
 import json
@@ -252,17 +254,93 @@ class TestColumnMapping:
         assert rows[0].meta.inner == "x"
         assert rows[1].meta is None  # null struct stays null, not row-of-nulls
 
-    def test_writers_refuse_mapped_tables(self, spark, tmp_path):
+    def test_append_stages_physical_names(self, spark, tmp_path):
+        """write_delta on a mapped table stages files/stats under the
+        PHYSICAL (col-<uuid>) names; reads stay logical."""
+        import json as _json
+
+        import pyarrow.parquet as pq
+
         uri = _mapped_table(spark, tmp_path)
-        src = spark.createDataFrame([(99, "z")], ["id", "name"])
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            write_delta(src, uri)
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            merge_delta(spark, uri, src, on=["id"])
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            compact(spark, uri)
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            zorder_by(spark, uri, ["id"])
+        write_delta(
+            spark.createDataFrame([(99, "z")], ["id", "name"]), uri
+        )
+        snap = DeltaLog(uri).snapshot()
+        newest = max(snap.files, key=lambda f: f.path)
+        cols = pq.read_schema(os.path.join(uri, newest.path)).names
+        assert set(cols) == {PHYS_ID, PHYS_NAME}  # physical in the file
+        stats = _json.loads(newest.stats)
+        assert PHYS_ID in stats["minValues"]  # physical in the stats
+        got = sorted(
+            (r["id"], r["name"])
+            for r in DeltalakeTable("m", uri)(spark=spark).collect()
+        )
+        assert got == [(i, f"n{i}") for i in range(10)] + [(99, "z")]
+
+    def test_merge_update_on_mapped_table(self, spark, tmp_path):
+        uri = _mapped_table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, "UPDATED"), (42, "NEW")], ["id", "name"]
+        )
+        res = merge_delta(spark, uri, src, on=["id"])
+        assert res["files_added"] >= 1
+        rows = {
+            r["id"]: r["name"]
+            for r in DeltalakeTable("m", uri)(spark=spark).collect()
+        }
+        assert rows[3] == "UPDATED" and rows[42] == "NEW"
+        assert rows[4] == "n4"
+
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        res2 = update_delta(
+            spark, uri, [Filter("id", "=", 5)], {"name": "'five'"}
+        )
+        assert res2["rows_updated"] == 1
+        rows = {
+            r["id"]: r["name"]
+            for r in DeltalakeTable("m", uri)(spark=spark).collect()
+        }
+        assert rows[5] == "five"
+
+    def test_compact_zorder_on_mapped_table(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        uri = _mapped_table(spark, tmp_path, partitioned=True)
+        # two more small files per partition so compaction triggers
+        for _ in range(2):
+            write_delta(
+                spark.createDataFrame(
+                    [(100, "x", "a"), (101, "y", "b")],
+                    ["id", "name", "part"],
+                ).coalesce(1),
+                uri,
+            )
+        stats = compact(spark, uri, min_files_per_partition=2)
+        assert stats["files_removed"] >= 2
+        snap = DeltaLog(uri).snapshot()
+        for f in snap.files:
+            cols = pq.read_schema(os.path.join(uri, f.path)).names
+            assert set(cols) == {PHYS_ID, PHYS_NAME}
+            assert set(f.partition_values) == {PHYS_PART}
+        got = sorted(
+            r["id"] for r in DeltalakeTable("m", uri)(spark=spark).collect()
+        )
+        assert got == sorted(list(range(10)) + [100, 100, 101, 101])
+
+        zorder_by(spark, uri, ["id"])
+        got2 = sorted(
+            r["id"] for r in DeltalakeTable("m", uri)(spark=spark).collect()
+        )
+        assert got2 == got
+
+    def test_schema_merge_refused_on_mapped(self, spark, tmp_path):
+        uri = _mapped_table(spark, tmp_path)
+        wide = spark.createDataFrame(
+            [(1, "a", 2.0)], ["id", "name", "extra"]
+        )
+        with pytest.raises(NotImplementedError, match="physical names"):
+            write_delta(wide, uri, schema_mode="merge")
 
     def test_unmapped_tables_unaffected(self, spark, tmp_path):
         """physical_name falls through to the logical name when no
@@ -312,3 +390,122 @@ class TestMappedDelete:
         t = DeltalakeTable("m", uri)
         got = sorted(r["id"] for r in t(spark=spark).collect())
         assert got == list(range(2, 10))
+
+
+class TestEnableColumnMapping:
+    """VERDICT r4 #6 gauntlet: convert a plain parquet lake → enable
+    mapping → run the DML surface → read back green."""
+
+    def test_upgrade_keeps_existing_files_readable(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            convert_to_delta,
+            enable_column_mapping,
+        )
+
+        plain = str(tmp_path / "lake")
+        spark.range(0, 10).selectExpr(
+            "id", "concat('n', id) AS name"
+        ).coalesce(1).write.parquet(plain)
+        convert_to_delta(spark, plain)
+        enable_column_mapping(plain)
+        snap = DeltaLog(plain).snapshot()
+        assert snap.column_mapping_mode == "name"
+        # upgrade keeps physicalName == current name (files readable)
+        assert snap.physical_name_map == {"id": "id", "name": "name"}
+        proto = snap.raw_protocol
+        assert "columnMapping" in proto["readerFeatures"]
+        assert "columnMapping" in proto["writerFeatures"]
+        got = sorted(
+            r["id"] for r in DeltalakeTable("l", plain)(spark=spark).collect()
+        )
+        assert got == list(range(10))
+
+    def test_gauntlet_convert_enable_dml_read(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            convert_to_delta,
+            delete_delta,
+            enable_column_mapping,
+            update_delta,
+        )
+
+        plain = str(tmp_path / "lake")
+        spark.range(0, 20).selectExpr(
+            "id", "concat('n', id) AS name"
+        ).coalesce(1).write.parquet(plain)
+        convert_to_delta(spark, plain)
+        enable_column_mapping(plain)
+
+        # append
+        write_delta(
+            spark.createDataFrame([(100, "a"), (101, "b")], ["id", "name"]),
+            plain,
+        )
+        # merge (upsert)
+        merge_delta(
+            spark,
+            plain,
+            spark.createDataFrame([(5, "FIVE"), (200, "c")], ["id", "name"]),
+            on=["id"],
+        )
+        # update
+        update_delta(spark, plain, [Filter("id", "=", 100)], {"name": "'A'"})
+        # DV delete
+        delete_delta(spark, plain, [Filter("id", "in", [1, 2, 3])])
+
+        rows = {
+            r["id"]: r["name"]
+            for r in DeltalakeTable("l", plain)(spark=spark).collect()
+        }
+        expect = {i: f"n{i}" for i in range(20) if i not in (1, 2, 3)}
+        expect[5] = "FIVE"
+        expect.update({100: "A", 101: "b", 200: "c"})
+        assert rows == expect
+
+    def test_double_enable_rejected(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            convert_to_delta,
+            enable_column_mapping,
+        )
+
+        plain = str(tmp_path / "lake")
+        spark.range(3).coalesce(1).write.parquet(plain)
+        convert_to_delta(spark, plain)
+        enable_column_mapping(plain)
+        with pytest.raises(ValueError, match="already"):
+            enable_column_mapping(plain)
+
+    def test_nested_struct_fields_get_ids(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            convert_to_delta,
+            enable_column_mapping,
+        )
+
+        plain = str(tmp_path / "lake")
+        spark.range(3).selectExpr(
+            "id", "named_struct('a', id, 'b', concat('x', id)) AS s"
+        ).coalesce(1).write.parquet(plain)
+        convert_to_delta(spark, plain)
+        enable_column_mapping(plain)
+        snap = DeltaLog(plain).snapshot()
+        s_field = next(f for f in snap.schema.fields if f.name == "s")
+        ids = set()
+        for f in [*snap.schema.fields, *s_field.dataType.fields]:
+            meta = f.metadata or {}
+            assert meta.get("delta.columnMapping.physicalName") == f.name
+            ids.add(meta.get("delta.columnMapping.id"))
+        assert len(ids) == 4  # unique ids, recursively assigned
+        assert (
+            snap.configuration["delta.columnMapping.maxColumnId"] == "4"
+        )
+        # write + read still round-trips with nested data
+        write_delta(
+            spark.range(3, 5).selectExpr(
+                "id", "named_struct('a', id, 'b', concat('x', id)) AS s"
+            ),
+            plain,
+        )
+        got = sorted(
+            (r["id"], r["s"]["a"], r["s"]["b"])
+            for r in DeltalakeTable("l", plain)(spark=spark).collect()
+        )
+        assert got == [(i, i, f"x{i}") for i in range(5)]
