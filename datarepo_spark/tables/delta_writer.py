@@ -1328,6 +1328,9 @@ def merge_delta(
             read_version=snapshot.version,
             operation="MERGE",
             operation_params={"predicate": on},
+            # the join reads every target key: ANY concurrent
+            # dataChange append may contain a matched key
+            read_whole_table=True,
         )
     except _TxnAlreadyLanded as landed:
         _discard_files(
@@ -1770,6 +1773,8 @@ def delete_delta(
             read_version=snapshot.version,
             operation="DELETE",
             operation_params={"predicate": [str(f) for c in dnf for f in c]},
+            read_predicate=dnf,
+            data_schema=snapshot.data_schema,
         )
     except _TxnAlreadyLanded as landed:
         _discard_files(uri, _new_dv_paths(dv_actions))
@@ -1951,6 +1956,8 @@ def update_delta(
                 "predicate": [str(f) for c in dnf for f in c],
                 "columns": sorted(assignments),
             },
+            read_predicate=dnf,
+            data_schema=snapshot.data_schema,
         )
     except _TxnAlreadyLanded as landed:
         _discard_files(uri, _new_dv_paths(dv_actions))
@@ -2220,6 +2227,9 @@ def _check_commit_conflicts(
     actions: list[dict],
     read_version: int,
     latest: int,
+    read_predicate=None,
+    read_whole_table: bool = False,
+    data_schema=None,
 ) -> Optional[int]:
     """Optimistic-concurrency validation before retrying a collided
     commit: replay the commits that landed AFTER this transaction's
@@ -2236,7 +2246,17 @@ def _check_commit_conflicts(
     - an intervening SetTransaction for OUR appId at ≥ our version →
       the work already landed (a replayed idempotent batch racing
       itself): return that committed version to short-circuit;
-    - pure concurrent appends are compatible — appends commute.
+    - a concurrent dataChange APPEND that could fall inside this
+      transaction's READ SET (delta-spark's
+      ConcurrentAppendException): when ``read_whole_table`` (MERGE —
+      the join reads every key), any such add conflicts; when
+      ``read_predicate`` (DELETE/UPDATE's DNF), an add conflicts
+      unless its stats envelope PROVES no row can match (a file
+      without stats conservatively conflicts; partition-value
+      elision is not attempted — sound, possibly over-strict).
+      ``dataChange: false`` adds (OPTIMIZE rewrites) never conflict —
+      identical rows, new layout;
+    - other concurrent appends are compatible — appends commute.
 
     Returns a version to short-circuit to, or None to proceed."""
     our_removes = {
@@ -2245,7 +2265,8 @@ def _check_commit_conflicts(
     our_txn = next(
         (a["txn"] for a in actions if "txn" in a), None
     )
-    from .delta_log import read_commit_actions
+    from .delta_log import AddFile, read_commit_actions
+    from .delta_stats import stats_prune
 
     for v in range(read_version + 1, latest + 1):
         try:
@@ -2267,6 +2288,32 @@ def _check_commit_conflicts(
                     f"snapshot — re-run the operation"
                 )
             if (
+                (read_whole_table or read_predicate)
+                and "add" in action
+                and action["add"].get("dataChange", True)
+            ):
+                add = action["add"]
+                may_match = True
+                if not read_whole_table:
+                    probe = AddFile(
+                        path=add.get("path", ""),
+                        partition_values=dict(
+                            add.get("partitionValues") or {}
+                        ),
+                        stats=add.get("stats"),
+                    )
+                    may_match = bool(
+                        stats_prune([probe], read_predicate, data_schema)
+                    )
+                if may_match:
+                    raise ConcurrentModificationError(
+                        f"Concurrent append at version {v} in {log_dir} "
+                        f"landed files inside this transaction's read "
+                        f"set (delta-spark: ConcurrentAppendException); "
+                        f"the rows it planned from are stale — re-run "
+                        f"the operation"
+                    )
+            if (
                 our_txn is not None
                 and "txn" in action
                 and action["txn"].get("appId") == our_txn.get("appId")
@@ -2285,6 +2332,9 @@ def _commit_atomically(
     operation: Optional[str] = None,
     operation_params: Optional[dict] = None,
     strict: bool = False,
+    read_predicate=None,
+    read_whole_table: bool = False,
+    data_schema=None,
 ) -> int:
     """Write the next NNN.json with O_EXCL; on collision validate the
     intervening commits against ``read_version`` (the snapshot this
@@ -2326,7 +2376,10 @@ def _commit_atomically(
             )
         if read_version is not None and version > read_version + 1:
             landed = _check_commit_conflicts(
-                log_dir, actions, read_version, version - 1
+                log_dir, actions, read_version, version - 1,
+                read_predicate=read_predicate,
+                read_whole_table=read_whole_table,
+                data_schema=data_schema,
             )
             if landed is not None:
                 raise _TxnAlreadyLanded(landed)

@@ -1322,3 +1322,162 @@ class TestCompactWhere:
         write_delta(df, uri, partition_by=["par"], checkpoint_interval=None)
         with pytest.raises(ValueError, match="partition columns only"):
             compact(spark, uri, where=[Filter("id", ">", 1)])
+
+
+class TestConcurrentAppendReadSet:
+    """ADVICE r4: WriteSerializable must raise when a concurrent
+    dataChange append lands files a DELETE/UPDATE/MERGE predicate read
+    (delta-spark's ConcurrentAppendException) — appends only commute
+    with each other."""
+
+    def _table(self, spark, tmp_path):
+        uri = str(tmp_path / "cc")
+        df = spark.range(0, 10).select(
+            F.col("id"), F.concat(F.lit("r"), "id").alias("v")
+        )
+        write_delta(df, uri, checkpoint_interval=None)
+        return uri
+
+    def _land_append(self, uri, version, lo, hi, data_change=True):
+        import json as _json
+
+        from datarepo_spark.tables.delta_log import (
+            invalidate_snapshot_cache,
+        )
+
+        stats = _json.dumps(
+            {
+                "numRecords": hi - lo,
+                "minValues": {"id": lo},
+                "maxValues": {"id": hi - 1},
+                "nullCount": {"id": 0},
+            }
+        )
+        path = os.path.join(uri, "_delta_log", f"{version:020d}.json")
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "add": {
+                            "path": f"other-{version}.parquet",
+                            "partitionValues": {},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": data_change,
+                            "stats": stats,
+                        }
+                    }
+                )
+                + "\n"
+            )
+        invalidate_snapshot_cache(uri)
+
+    def test_append_inside_predicate_conflicts(self, spark, tmp_path):
+        from datarepo_spark.core.filters import normalize_filters
+        from datarepo_spark.tables.delta_log import DeltaLog
+        from datarepo_spark.tables.delta_writer import (
+            ConcurrentModificationError,
+            _commit_atomically,
+        )
+
+        uri = self._table(spark, tmp_path)
+        snap = DeltaLog(uri).snapshot()
+        self._land_append(uri, 1, lo=2, hi=5)  # overlaps id < 5
+        with pytest.raises(
+            ConcurrentModificationError, match="read\\s*set|read set"
+        ):
+            _commit_atomically(
+                os.path.join(uri, "_delta_log"),
+                [{"remove": {"path": "x.parquet", "deletionTimestamp": 0,
+                             "dataChange": True}}],
+                read_version=0,
+                read_predicate=normalize_filters([Filter("id", "<", 5)]),
+                data_schema=snap.data_schema,
+            )
+
+    def test_append_outside_predicate_commutes(self, spark, tmp_path):
+        from datarepo_spark.core.filters import normalize_filters
+        from datarepo_spark.tables.delta_log import DeltaLog
+        from datarepo_spark.tables.delta_writer import _commit_atomically
+
+        uri = self._table(spark, tmp_path)
+        snap = DeltaLog(uri).snapshot()
+        self._land_append(uri, 1, lo=100, hi=110)  # provably not id < 5
+        v = _commit_atomically(
+            os.path.join(uri, "_delta_log"),
+            [{"add": {"path": "mine.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}}],
+            read_version=0,
+            read_predicate=normalize_filters([Filter("id", "<", 5)]),
+            data_schema=snap.data_schema,
+        )
+        assert v == 2
+
+    def test_merge_whole_table_read_conflicts_on_any_append(
+        self, spark, tmp_path
+    ):
+        from datarepo_spark.tables.delta_writer import (
+            ConcurrentModificationError,
+            _commit_atomically,
+        )
+
+        uri = self._table(spark, tmp_path)
+        self._land_append(uri, 1, lo=100, hi=110)
+        with pytest.raises(ConcurrentModificationError, match="append"):
+            _commit_atomically(
+                os.path.join(uri, "_delta_log"),
+                [{"add": {"path": "mine.parquet", "partitionValues": {},
+                          "size": 1, "modificationTime": 0,
+                          "dataChange": True}}],
+                read_version=0,
+                read_whole_table=True,
+            )
+
+    def test_optimize_rewrite_never_conflicts(self, spark, tmp_path):
+        from datarepo_spark.core.filters import normalize_filters
+        from datarepo_spark.tables.delta_log import DeltaLog
+        from datarepo_spark.tables.delta_writer import _commit_atomically
+
+        uri = self._table(spark, tmp_path)
+        snap = DeltaLog(uri).snapshot()
+        # dataChange: false rewrite (compaction) fully inside the band
+        self._land_append(uri, 1, lo=0, hi=10, data_change=False)
+        v = _commit_atomically(
+            os.path.join(uri, "_delta_log"),
+            [{"add": {"path": "mine.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}}],
+            read_version=0,
+            read_predicate=normalize_filters([Filter("id", "<", 5)]),
+            data_schema=snap.data_schema,
+        )
+        assert v == 2
+
+    def test_end_to_end_racing_append_vs_delete(self, spark, tmp_path):
+        """delete_delta planned against a snapshot; an append lands in
+        its read set before the commit → the DELETE must refuse."""
+        from datarepo_spark.tables import delta_writer as W
+        from datarepo_spark.tables.delta_writer import (
+            ConcurrentModificationError,
+            delete_delta,
+        )
+
+        uri = self._table(spark, tmp_path)
+        real = W._commit_atomically
+        raced = {"done": False}
+
+        def racing_commit(log_dir, actions, **kw):
+            if not raced["done"]:
+                raced["done"] = True
+                self._land_append(uri, 1, lo=0, hi=3)
+            return real(log_dir, actions, **kw)
+
+        W._commit_atomically = racing_commit
+        try:
+            with pytest.raises(
+                ConcurrentModificationError, match="read set"
+            ):
+                delete_delta(spark, uri, [Filter("id", "<", 5)])
+        finally:
+            W._commit_atomically = real
