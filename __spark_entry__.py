@@ -30,77 +30,62 @@ from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
 # proven green in r01. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # -- LLM-data-pipeline operators -----------------------------------
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_chunk_documents",
+    # -- r4/r5-born queries that have never held a driver CORRECTNESS
+    # row (r4 verdict #10: rotate them through the 50-query window so
+    # every operator family gains a hard driver-gated row) ------------
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "similarity_ann_index",
+    "dedup_semantic",
+    "dedup_duplicate_spans",
+    "text_perplexity",
+    "classify_nb_language",
+    "pipeline_mixture_sample",
+    "pipeline_pack_sequences",
+    "events_anomaly_zscore",
+    "events_sliding_window",
+    "text_repetition",
+    "text_normalize",
+    "join_fuzzy_editdist",
+    "join_fuzzy_link",
+    "events_funnel",
+    "events_retention",
+    "events_transition_matrix",
+    "dedup_cluster_survivors",
+    "pipeline_chunk_dedup",
+    "agg_approx_percentile",
+    "agg_sketch_rollup",
+    "profile_orders",
+    # -- Delta write/maintenance surface (r4-born, never gated) -------
+    "delta_maintenance_roundtrip",
+    "delta_merge_upsert",
+    "delta_zorder_skip",
+    "delta_dv_read",
+    "delta_dv_delete",
+    "delta_update_set",
+    "delta_table_changes",
+    "delta_restore_roundtrip",
+    "delta_convert_in_place",
+    "ivm_orders_by_status",
+    "ivm_minmax_by_status",  # r5: MIN/MAX re-derivation + derived AVG
+    # -- paths CHANGED this round: re-gate with fresh driver rows ------
+    "multimodal_features",  # r5: real PPM decode replaced the stub
+    "multimodal_frame_sample",
+    "delta_roundtrip",  # r5: DV read-path threshold switch
+    "delta_time_travel",
+    # -- one representative per already-proven family (regression) ----
     "dedup_exact_sha256",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    "similarity_knn_brute_force",
-    "similarity_ann_lsh",
     "similarity_ann_ivf",
-    "similarity_quantize_int8",
-    "multimodal_features",
-    "multimodal_frame_sample",
     "pipeline_curate_documents",
+    "q1_pricing_summary",
+    "q18_large_volume",
+    "text_token_stats",
+    "events_sessionize",
     "sample_hash_split",
-    "sample_stratified",
-    "pipeline_contamination",
-    # -- Delta scan path (write → log replay → read) -------------------
-    "delta_roundtrip",
-    "delta_time_travel",
-    # -- physical-layout operators (result-preserving rewrites) --------
     "skew_salted_agg",
     "bucketed_cobucket_join",
-    "source_csv_scan",
-    "source_json_scan",
-    # -- previously no_oracle, now gated -------------------------------
-    "agg_approx_distinct",
-    # -- TPC-H batches 2/3 ---------------------------------------------
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_priority_counting",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # -- remaining r01-unchecked shapes --------------------------------
-    "skyline_parts",
-    "fn_struct_map",
-    # -- the last two registry queries never driver-gated (r02 verdict #2)
-    "fn_date_parse_format",
-    "agg_having",
-    # -- r2-proven rows rotated out of the 50-query window to make room
-    "text_sentiment",
-    "text_top_tokens",
-    # -- one representative per family already green in r01 ------------
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "filter_in_contains_dnf",
-    "join_asof_backward",
-    "join_range_bucketed",
-    "agg_grouping_sets",
-    "window_range_7d",
-    "reshape_pivot",
-    "events_sessionize",
-    "fn_string_suite",
 ]
 
 
