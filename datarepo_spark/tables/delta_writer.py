@@ -49,14 +49,16 @@ def _reject_column_mapping(snapshot, op: str) -> None:
         )
 
 
-def _remap_to_physical(df: DataFrame, snapshot):
+def _remap_to_physical(df: DataFrame, snapshot, schema=None):
     """Inverse of delta_table._remap_to_logical: project a LOGICAL-layout
     frame into the table's PHYSICAL parquet layout (col-<uuid> names from
     ``delta.columnMapping.physicalName`` field metadata), recursing
     through structs, arrays, and map values. Pure projection — codegen,
     no shuffle. Partition columns are renamed too, so partitionBy
     staging produces physically-keyed directory names → physically-keyed
-    partitionValues, as the mapped protocol requires."""
+    partitionValues, as the mapped protocol requires. ``schema``
+    overrides the snapshot's (schema-merge writes map against the
+    MERGED, already-annotated schema)."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -91,7 +93,7 @@ def _remap_to_physical(df: DataFrame, snapshot):
         return col
 
     out = []
-    for lf in snapshot.schema.fields:
+    for lf in (schema or snapshot.schema).fields:
         if lf.name not in df.columns:
             continue  # subset writes: missing columns stay missing
         out.append(
@@ -107,6 +109,35 @@ def _physical_partition_cols(snapshot) -> list[str]:
         snapshot.physical_name(snapshot.partition_field(c))
         for c in snapshot.partition_columns
     ]
+
+
+def _physical_struct(schema, snapshot, exclude=()):
+    """An arbitrary (annotated) logical schema renamed field-by-field to
+    its physical layout — the merged-schema analogue of
+    snapshot.physical_data_schema."""
+    from pyspark.sql import types as T
+
+    def conv_dt(dt):
+        if isinstance(dt, T.StructType):
+            return T.StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(conv_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                conv_dt(dt.keyType),
+                conv_dt(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def conv_field(f):
+        return T.StructField(
+            snapshot.physical_name(f), conv_dt(f.dataType), f.nullable
+        )
+
+    return T.StructType(
+        [conv_field(f) for f in schema.fields if f.name not in set(exclude)]
+    )
 
 
 def _stage_frame_for(snapshot, df: DataFrame):
@@ -311,13 +342,49 @@ def _check_schema(
             f"DataFrame adds columns {[f.name for f in new_fields]} not in "
             f"the table schema; pass schema_mode='merge' to evolve"
         )
-    merged = T.StructType(list(snapshot.schema.fields) + new_fields)
     meta = dict(snapshot.raw_metadata or {})
-    meta["schemaString"] = json.dumps(merged.jsonValue())
     # maps replayed from a checkpoint arrive as (k, v) tuple lists
     for k in ("format", "configuration"):
         if meta.get(k) is not None and not isinstance(meta[k], dict):
             meta[k] = dict(meta[k])
+    if snapshot.column_mapping_mode != "none":
+        # mapped table evolution: every new field (recursively) gets a
+        # FRESH physical name (col-<uuid>, never a reused logical name)
+        # and the next column id; maxColumnId bumps in the same commit
+        config = dict(meta.get("configuration") or {})
+        next_id = [int(config.get("delta.columnMapping.maxColumnId", 0))]
+
+        def annotate(f: T.StructField) -> T.StructField:
+            next_id[0] += 1
+            fmeta = dict(f.metadata or {})
+            fmeta["delta.columnMapping.id"] = next_id[0]
+            fmeta["delta.columnMapping.physicalName"] = (
+                f"col-{uuid.uuid4().hex[:16]}"
+            )
+            return T.StructField(
+                f.name, annotate_dt(f.dataType), f.nullable, fmeta
+            )
+
+        def annotate_dt(dt: T.DataType) -> T.DataType:
+            if isinstance(dt, T.StructType):
+                return T.StructType([annotate(s) for s in dt.fields])
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(
+                    annotate_dt(dt.elementType), dt.containsNull
+                )
+            if isinstance(dt, T.MapType):
+                return T.MapType(
+                    annotate_dt(dt.keyType),
+                    annotate_dt(dt.valueType),
+                    dt.valueContainsNull,
+                )
+            return dt
+
+        new_fields = [annotate(f) for f in new_fields]
+        config["delta.columnMapping.maxColumnId"] = str(next_id[0])
+        meta["configuration"] = config
+    merged = T.StructType(list(snapshot.schema.fields) + new_fields)
+    meta["schemaString"] = json.dumps(merged.jsonValue())
     return {"metaData": meta}
 
 
@@ -577,15 +644,6 @@ def write_delta(
     partition_cols = list(partition_by)
     if exists:
         snapshot = DeltaLog(uri).snapshot()
-        if (
-            snapshot.column_mapping_mode != "none"
-            and schema_mode == "merge"
-        ):
-            raise NotImplementedError(
-                "schema_mode='merge' on a column-mapped table (new "
-                "columns need fresh physical names + a maxColumnId "
-                "bump); write with the declared schema instead"
-            )
         if txn_app_id is not None:
             last = snapshot.app_transactions.get(txn_app_id)
             if last is not None and txn_version <= last:
@@ -633,14 +691,26 @@ def write_delta(
     if exists and snapshot.column_mapping_mode != "none":
         # mapped table: stage under PHYSICAL names (files, directory
         # names → partitionValues, stats keys all physical); subset
-        # writes keep only the present columns in the stats schema
-        stage_df = _remap_to_physical(df, snapshot)
+        # writes keep only the present columns in the stats schema.
+        # A schema merge maps against the MERGED (freshly annotated)
+        # schema so new columns land under their new col-<uuid> names.
+        write_schema = (
+            T.StructType.fromJson(
+                json.loads(metadata_update["metaData"]["schemaString"])
+            )
+            if metadata_update
+            else snapshot.schema
+        )
+        stage_df = _remap_to_physical(df, snapshot, schema=write_schema)
         stage_parts = _physical_partition_cols(snapshot)
         present = set(stage_df.columns)
         file_schema = T.StructType(
             [
                 f
-                for f in snapshot.physical_data_schema.fields
+                for f in _physical_struct(
+                    write_schema, snapshot,
+                    exclude=snapshot.partition_columns,
+                ).fields
                 if f.name in present
             ]
         )

@@ -334,13 +334,38 @@ class TestColumnMapping:
         )
         assert got2 == got
 
-    def test_schema_merge_refused_on_mapped(self, spark, tmp_path):
+    def test_schema_merge_assigns_fresh_physical_names(self, spark, tmp_path):
+        """Evolving a mapped table mints a NEW col-<uuid> physical name
+        and bumps maxColumnId; old files read null for the new column."""
+        import pyarrow.parquet as pq
+
         uri = _mapped_table(spark, tmp_path)
         wide = spark.createDataFrame(
-            [(1, "a", 2.0)], ["id", "name", "extra"]
+            [(99, "z", 2.5)], ["id", "name", "extra"]
         )
-        with pytest.raises(NotImplementedError, match="physical names"):
-            write_delta(wide, uri, schema_mode="merge")
+        with pytest.raises(ValueError, match="schema_mode='merge'"):
+            write_delta(wide, uri)  # strict still refuses new columns
+        write_delta(wide, uri, schema_mode="merge")
+        snap = DeltaLog(uri).snapshot()
+        extra = next(f for f in snap.schema.fields if f.name == "extra")
+        phys = extra.metadata["delta.columnMapping.physicalName"]
+        assert phys.startswith("col-") and phys != "extra"
+        assert int(extra.metadata["delta.columnMapping.id"]) == 4
+        assert (
+            snap.configuration["delta.columnMapping.maxColumnId"] == "4"
+        )
+        schemas = [
+            pq.read_schema(os.path.join(uri, f.path)).names
+            for f in snap.files
+        ]
+        assert sum(phys in cols for cols in schemas) >= 1
+        assert not any("extra" in cols for cols in schemas)
+        rows = {
+            r["id"]: r["extra"]
+            for r in DeltalakeTable("m", uri)(spark=spark).collect()
+        }
+        assert rows[99] == 2.5
+        assert rows[1] is None  # old files null-fill the new column
 
     def test_unmapped_tables_unaffected(self, spark, tmp_path):
         """physical_name falls through to the logical name when no
