@@ -66,6 +66,7 @@ _PRIORITY = [
     "delta_table_changes",
     "delta_restore_roundtrip",
     "delta_convert_in_place",
+    "delta_shallow_clone",  # r5: metadata-only clone, absolute refs
     "ivm_orders_by_status",
     "ivm_minmax_by_status",  # r5: MIN/MAX re-derivation + derived AVG
     # -- paths CHANGED this round: re-gate with fresh driver rows ------
@@ -83,7 +84,6 @@ _PRIORITY = [
     "q18_large_volume",
     "text_token_stats",
     "events_sessionize",
-    "sample_hash_split",
     "skew_salted_agg",
     "bucketed_cobucket_join",
 ]

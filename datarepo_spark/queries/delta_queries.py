@@ -659,6 +659,64 @@ def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUILT_CLONE: dict[str, str] = {}
+
+
+def _clone_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Source table (orders ≤ 1500) DV-deleted, SHALLOW-cloned
+    (absolute-path references, zero data copied), then DML'd further in
+    the CLONE only — the final clone content is a pure function of
+    `orders`, and the source must remain untouched (asserted here; the
+    oracle gates the clone's content)."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_CLONE and os.path.isdir(
+        os.path.join(_BUILT_CLONE[key], "_delta_log")
+    ):
+        return _BUILT_CLONE[key]
+    from ..tables.clone import clone_delta
+    from ..tables.delta_writer import delete_delta
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_clone_")
+    src = os.path.join(base, "orders_src")
+    dst = os.path.join(base, "orders_clone")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    write_delta(orders, src, checkpoint_interval=None)
+    delete_delta(spark, src, [Filter("o_totalprice", ">", 150000.0)])
+    clone_delta(src, dst, shallow=True)
+    # DML in the clone only
+    delete_delta(spark, dst, [Filter("o_orderkey", "<=", 100)])
+    # invariant: the source never observes the clone's DML
+    n_src = DeltalakeTable("src", src)(spark=spark).count()
+    n_expect = orders.filter(
+        ~F.coalesce(F.col("o_totalprice") > 150000.0, F.lit(False))
+    ).count()
+    assert n_src == n_expect, "shallow clone mutated its source"
+    _BUILT_CLONE[key] = dst
+    return dst
+
+
+@register(
+    "delta_shallow_clone",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1500
+      AND NOT (o_totalprice > 150000)
+      AND o_orderkey > 100
+    """,
+    description="SHALLOW CLONE: metadata-only copy referencing the "
+    "source's files by absolute path (zero data moved); the clone takes "
+    "its own DV deletes while the source stays untouched",
+)
+def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dst = _clone_fixture(spark, sf_dir)
+    return DeltalakeTable("orders_clone", dst)(spark=spark)
+
+
 _BUILT_IVM_MM: dict = {}
 
 

@@ -66,8 +66,18 @@ ExtraCol = tuple[str, Union[Column, str]]
 DV_BROADCAST_MAX_CARDINALITY = 1_000_000
 
 
+def _scan_key(path: str, nseg: int) -> str:
+    """The driver-side join key matching the scan's ``__delta_rel``
+    column: the last ``nseg`` (= partition dirs + filename) segments of
+    the DECODED add path. Normalizing to the suffix makes the keying
+    identical for relative paths, deeper-nested foreign layouts, and
+    the ABSOLUTE paths a shallow clone's log references."""
+    segs = unquote(path).split("/")
+    return "/".join(segs[-nseg:])
+
+
 def _dv_filter_map_in_pandas(
-    spark: SparkSession, df: DataFrame, table_uri: str, files
+    spark: SparkSession, df: DataFrame, table_uri: str, files, nseg: int
 ) -> DataFrame:
     """Drop soft-deleted rows by per-file bitmap lookup executor-side.
 
@@ -76,7 +86,7 @@ def _dv_filter_map_in_pandas(
     files its batches touch and caches them for the task's lifetime.
     Requires ``__delta_rel`` / ``__delta_pos`` columns on ``df``."""
     dv_map = {
-        unquote(add.path): add.deletion_vector
+        _scan_key(add.path, nseg): add.deletion_vector
         for add in files
         if add.deletion_vector
     }
@@ -509,9 +519,10 @@ class DeltalakeTable:
                 [T.StructField("__delta_rel", T.StringType(), False)]
                 + part_fields
             )
+            nseg = len(snapshot.partition_columns) + 1
             rows = [
                 tuple(
-                    [unquote(add.path)]
+                    [_scan_key(add.path, nseg)]
                     + [
                         cast_partition_value(
                             # column mapping keys partitionValues by
@@ -528,7 +539,6 @@ class DeltalakeTable:
                 for add in files
             ]
             lookup = spark.createDataFrame(rows, lookup_schema)
-            nseg = len(snapshot.partition_columns) + 1
             segs = F.split(F.col("_metadata.file_path"), "/")
             rel_uri = F.concat_ws("/", F.slice(segs, -nseg, nseg))
             df = (
@@ -558,8 +568,9 @@ class DeltalakeTable:
                 # JVM-side (no Arrow transit of the data columns)
                 from .delta_dv import read_deletion_vector
 
+                dv_nseg = len(snapshot.partition_columns) + 1
                 dv_rows = [
-                    (unquote(add.path), int(pos))
+                    (_scan_key(add.path, dv_nseg), int(pos))
                     for add in files
                     if add.deletion_vector
                     for pos in read_deletion_vector(
@@ -604,7 +615,10 @@ class DeltalakeTable:
                     # positions (delete/update need unmatched rows too)
                     # or names are still physical (mapping).
                     df = df.filter(predicate)
-                df = _dv_filter_map_in_pandas(spark, df, self.uri, files)
+                df = _dv_filter_map_in_pandas(
+                    spark, df, self.uri, files,
+                    len(snapshot.partition_columns) + 1,
+                )
             if not keep_pos:
                 df = df.drop("__delta_pos")
         if "__delta_rel" in df.columns and not (keep_rel or keep_pos):

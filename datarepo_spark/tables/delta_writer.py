@@ -1320,9 +1320,14 @@ def merge_delta(
         ]
     else:
         affected_rel = []
-    # __delta_rel is the on-disk (percent-decoded) relative path; map it
-    # back to the EXACT add.path string for the remove action
-    by_disk = {unquote(f.path): f for f in snapshot.files}
+    # __delta_rel is the scan's suffix key (partition dirs + filename,
+    # percent-decoded); map it back to the EXACT add.path string for
+    # the remove action (suffix-normalized so shallow-clone ABSOLUTE
+    # add paths key identically)
+    from .delta_table import _scan_key
+
+    mseg = len(snapshot.partition_columns) + 1
+    by_disk = {_scan_key(f.path, mseg): f for f in snapshot.files}
     affected = [by_disk[rel] for rel in affected_rel]
 
     pieces = []
@@ -1588,7 +1593,10 @@ def _dv_soft_delete_actions(
     import pandas as pd
     from pyspark.sql import types as T
 
-    file_meta: dict[str, tuple[Optional[dict], Optional[int]]] = {}
+    from .delta_table import _scan_key
+
+    nseg = len(snapshot.partition_columns) + 1
+    file_meta: dict[str, tuple[Optional[dict], Optional[int], str]] = {}
     for add in snapshot.files:
         rows = None
         if add.stats:
@@ -1596,7 +1604,14 @@ def _dv_soft_delete_actions(
                 rows = _json.loads(add.stats).get("numRecords")
             except (ValueError, TypeError):
                 rows = None
-        file_meta[unquote(add.path)] = (add.deletion_vector, rows)
+        # absolute data path rides along: add.path may itself be
+        # absolute (shallow clone), where join(uri, suffix) would not
+        # resolve the file
+        file_meta[_scan_key(add.path, nseg)] = (
+            add.deletion_vector,
+            rows,
+            os.path.join(uri, unquote(add.path)),
+        )
     b_meta = spark.sparkContext.broadcast(
         (uri, file_meta, rewrite_threshold)
     )
@@ -1612,7 +1627,6 @@ def _dv_soft_delete_actions(
 
     def _emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import json as _ejson
-        import os as _os
 
         import pyarrow.parquet as _pq
 
@@ -1623,7 +1637,7 @@ def _dv_soft_delete_actions(
 
         table_uri, meta, threshold = b_meta.value
         rel = pdf["__delta_rel"].iloc[0]
-        descriptor, rows = meta[rel]
+        descriptor, rows, abs_path = meta[rel]
         new_positions = {int(p) for p in pdf["__delta_pos"]}
         existing = (
             set(read_deletion_vector(table_uri, descriptor))
@@ -1633,9 +1647,7 @@ def _dv_soft_delete_actions(
         merged = sorted(existing | new_positions)
         n_new = len(merged) - len(existing)
         if rows is None:
-            rows = _pq.read_metadata(
-                _os.path.join(table_uri, rel)
-            ).num_rows
+            rows = _pq.read_metadata(abs_path).num_rows
         if len(merged) >= int(rows):
             outcome, dv_json = "drop", None
         elif threshold is not None and len(merged) >= threshold * int(
@@ -1664,7 +1676,7 @@ def _dv_soft_delete_actions(
     )
     b_meta.unpersist()
 
-    by_disk = {unquote(f.path): f for f in snapshot.files}
+    by_disk = {_scan_key(f.path, nseg): f for f in snapshot.files}
     actions: list[dict] = []
     counters = {"rows_deleted": 0, "files_rewritten": 0, "files_removed": 0}
     rewrite_rels: list[str] = []
