@@ -74,18 +74,19 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "delta_roundtrip",  # r5: DV read-path threshold switch
     "delta_time_travel",
+    # -- r5-born ranking/mixing operators ------------------------------
+    "sample_weighted",
+    "sample_group_quota",
+    "text_tfidf_keywords",
+    "text_bm25_search",
     # -- one representative per already-proven family (regression) ----
-    "dedup_exact_sha256",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "similarity_ann_ivf",
     "pipeline_curate_documents",
     "q1_pricing_summary",
     "q18_large_volume",
-    "text_token_stats",
     "events_sessionize",
     "skew_salted_agg",
-    "bucketed_cobucket_join",
 ]
 
 

@@ -1,0 +1,133 @@
+"""Relevance ranking over a document corpus: TF-IDF and BM25.
+
+Classic lexical retrieval, expressed fully relationally so it scales
+like any aggregation and stays oracle-checkable:
+
+- tokenize = explode (the same whitespace tokenizer the dedup/text
+  operators use, so vocabularies agree across the engine);
+- TF is a (doc, token) count aggregate; DF a token aggregate over it;
+- corpus-level scalars (N, avgdl) are single-row aggregates broadcast
+  back — never a driver-side collect;
+- final per-doc top-k is a ranking window (TF-IDF) or a global
+  TakeOrdered (BM25 search).
+
+Shuffles are keyed on tokens and doc ids only — document text never
+transits an exchange. Cross-engine determinism: ln() is rounded to 9
+decimals before use (libm last-ulp differences), every score to 6.
+
+Reference: the reference library has no retrieval operators (read-only
+scans, SURVEY.md §2) — this is part of the added training-data-pipeline
+surface (BM25: Robertson & Walker 1994).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens_of
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF
+    (idf = ln(N / df), both rounded for cross-engine determinism).
+    Returns (id, token, score) with ties broken on the token."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("__n") / F.col("df_t")), 9),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_tokens: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-tokens query under BM25
+    (Robertson/Sparck-Jones idf: ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    Scale shape: the query token set is a literal broadcast; TF touches
+    only rows whose token is in the query (filter pushed below the
+    aggregate); N/avgdl are one-row aggregates; the result is a global
+    top-k (TakeOrdered), never a full sort."""
+    qtoks = sorted(set(query_tokens))
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("token")
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        F.broadcast(doclen.agg(F.avg("dl").alias("__avgdl")))
+    )
+    tf = (
+        toks.filter(F.col("token").isin(qtoks))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.round(
+        F.log(
+            (F.col("__n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            + 1.0
+        ),
+        9,
+    )
+    per_term = (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            id_col,
+            F.round(
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+                ),
+                6,
+            ).alias("__term_score"),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.round(F.sum("__term_score"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

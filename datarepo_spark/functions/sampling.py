@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_BITS = 60  # 15 hex chars: fits a signed long, exact as a double
@@ -74,6 +74,56 @@ def with_split(
     for bound, name in reversed(cases):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of size ``k`` —
+    Efraimidis–Spirakis A-Res with the deterministic sha variate in
+    place of RNG: each row ranks by ``u^(1/w)`` and the global top-k
+    wins, so inclusion probability is proportional to ``weight``.
+
+    Scale shape: one scan + a TakeOrdered top-k (no global sort, no
+    shuffle of the corpus). Reproducible across engines/partitionings;
+    the rank is rounded to 12 decimals with the key as tiebreak so the
+    cross-engine pow() last-ulp never flips the boundary row."""
+    u = hash_fraction(F.col(key_col), salt)
+    rank = F.round(
+        F.pow(u, F.lit(1.0) / weight.cast("double")), 12
+    )
+    return (
+        df.withColumn("__wrank", rank)
+        .orderBy(F.desc("__wrank"), F.asc(key_col))
+        .limit(k)
+        .drop("__wrank")
+    )
+
+
+def group_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    key_col: str,
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap each group at ``quota`` rows, chosen by deterministic hash
+    rank — the data-mixing primitive that stops one domain/source from
+    dominating a training mix. One shuffle keyed on the group; within
+    each group the window keeps the ``quota`` smallest variates (a
+    uniform random subset, reproducible everywhere)."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(key_col), salt), F.asc(key_col)
+    )
+    return (
+        df.withColumn("__qrn", F.row_number().over(w))
+        .filter(F.col("__qrn") <= quota)
+        .drop("__qrn")
+    )
 
 
 def stratified_sample(

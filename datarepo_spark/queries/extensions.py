@@ -1959,3 +1959,148 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking + mixing (functions/ranking.py, functions/sampling.py) — round 5
+# ---------------------------------------------------------------------------
+
+from ..functions import ranking as RK  # noqa: E402
+
+
+@register(
+    "sample_weighted",
+    # Efraimidis–Spirakis rank u^(1/w): pow() can differ in the last ulp
+    # across libms, so BOTH engines round the rank to 12 decimals and
+    # tiebreak on doc_id — the boundary row can never flip.
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    ORDER BY ROUND(POW({SP.sql_hash_fraction('doc_id', salt='wsample')},
+                       1.0 / (n_chars + 1)), 12) DESC, doc_id
+    LIMIT 100
+    """,
+    description="weighted sample without replacement (A-Res, "
+    "deterministic sha variate): inclusion odds proportional to doc "
+    "length; one scan + TakeOrdered, no corpus shuffle",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.weighted_sample(
+        docs, F.col("n_chars") + F.lit(1), 100, "doc_id"
+    ).select("doc_id", "n_chars")
+
+
+@register(
+    "sample_group_quota",
+    # the raw sha variate is exact in both engines (hex→int is exact,
+    # the divisor is a power of two) — no rounding needed for the order
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {SP.sql_hash_fraction('doc_id', salt='quota')},
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 10
+    """,
+    description="per-source quota cap (data-mixing primitive): keep a "
+    "deterministic uniform subset of at most N rows per group — one "
+    "shuffle keyed on the group",
+)
+def sample_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.group_quota_sample(docs, "source", 10, "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> LEN(t) > 0)) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ROUND(LN(CAST(n.n_docs AS DOUBLE) / df_t), 9),
+                   6) AS score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, token
+             ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, score FROM ranked WHERE rn <= 3
+    """,
+    description="TF-IDF characteristic terms per document: token "
+    "explode → (doc,token)/(token) aggregates → broadcast N → ranking "
+    "window; text never shuffles",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return RK.tfidf_keywords(docs, k=3)
+
+
+@register(
+    "text_bm25_search",
+    # same ln-rounding discipline as TF-IDF; per-term scores rounded
+    # before the sum so the fold is exact in both engines
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> LEN(t) > 0)) AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), corpus AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT AVG(dl) FROM dl) AS avgdl
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token IN ('hash', 'join', 'scan')
+      GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
+    ), per_term AS (
+      SELECT tf.doc_id,
+             ROUND(
+               ROUND(LN((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 9)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+               6) AS term_score
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    )
+    SELECT doc_id, ROUND(SUM(term_score), 6) AS score
+    FROM per_term
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    description="BM25 lexical search (Robertson/Walker): query-token "
+    "filtered TF, broadcast N/avgdl scalars, global top-k — the "
+    "retrieval primitive for corpus search/decontamination",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return RK.bm25_search(docs, ["hash", "join", "scan"], k=20)
