@@ -82,24 +82,37 @@ def bm25_search(
     """Top-``k`` documents for a bag-of-tokens query under BM25
     (Robertson/Sparck-Jones idf: ln((N - df + 0.5)/(df + 0.5) + 1)).
 
-    Scale shape: the query token set is a literal broadcast; TF touches
-    only rows whose token is in the query (filter pushed below the
-    aggregate); N/avgdl are one-row aggregates; the result is a global
-    top-k (TakeOrdered), never a full sort."""
+    Scale shape — exactly three corpus scans, only ONE with an explode:
+    1. TF: explode filtered to the query tokens, aggregate per
+       (doc, token) — the only exploded pass, and its result is tiny
+       (matched docs × |query|);
+    2. corpus scalars: N and avgdl as a single projection aggregate —
+       ``dl = size(tokens)`` is row-wise, no explode, no shuffle
+       (avgdl averages over ALL docs incl. token-less ones, the
+       standard convention);
+    3. doc lengths: the same projection joined to the broadcast TF
+       frame — the corpus never shuffles.
+    Document frequency derives from TF with a window (no extra pass);
+    the result is a global top-k (TakeOrdered), never a full sort."""
     qtoks = sorted(set(query_tokens))
+    dl = F.coalesce(
+        F.size(tokens_of(F.col(text_col))), F.lit(0)
+    ).cast("double")
+    corpus = df.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg(dl).alias("__avgdl")
+    )
     toks = df.select(
         F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("token")
-    )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    corpus = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
-        F.broadcast(doclen.agg(F.avg("dl").alias("__avgdl")))
     )
     tf = (
         toks.filter(F.col("token").isin(qtoks))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "df_t",
+            F.count(F.lit(1)).over(Window.partitionBy("token")),
+        )
     )
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     idf = F.round(
         F.log(
             (F.col("__n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
@@ -107,9 +120,9 @@ def bm25_search(
         ),
         9,
     )
+    doclen = df.select(F.col(id_col), dl.alias("dl"))
     per_term = (
-        tf.join(F.broadcast(docfreq), "token")
-        .join(doclen, id_col)
+        doclen.join(F.broadcast(tf), id_col)
         .crossJoin(F.broadcast(corpus))
         .select(
             id_col,

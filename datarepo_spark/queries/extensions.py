@@ -2060,34 +2060,38 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_bm25_search",
     # same ln-rounding discipline as TF-IDF; per-term scores rounded
-    # before the sum so the fold is exact in both engines
-    oracle=r"""
-    WITH tok AS (
+    # before the sum so the fold is exact in both engines. dl is a
+    # row-wise regexp token count (Spark: size(tokens) — no explode),
+    # avgdl averages over ALL docs; dl values are integer-valued, so
+    # the avg is exact under any accumulation order.
+    oracle=rf"""
+    WITH dl AS (
+      SELECT doc_id,
+             CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS DOUBLE)
+               AS dl
+      FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tok AS (
       SELECT doc_id,
              UNNEST(LIST_FILTER(
                regexp_split_to_array(lower(text), '\s+'),
                t -> LEN(t) > 0)) AS token
       FROM documents
-    ), dl AS (
-      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
-    ), corpus AS (
-      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-             (SELECT AVG(dl) FROM dl) AS avgdl
     ), tf AS (
       SELECT doc_id, token, COUNT(*) AS tf
       FROM tok WHERE token IN ('hash', 'join', 'scan')
       GROUP BY doc_id, token
-    ), dfreq AS (
-      SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
+    ), tfd AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY token) AS df_t FROM tf
     ), per_term AS (
-      SELECT tf.doc_id,
+      SELECT tfd.doc_id,
              ROUND(
                ROUND(LN((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 9)
-               * (tf.tf * 2.2)
-               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+               * (tfd.tf * 2.2)
+               / (tfd.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
                6) AS term_score
-      FROM tf
-      JOIN dfreq USING (token)
+      FROM tfd
       JOIN dl USING (doc_id)
       CROSS JOIN corpus
     )
