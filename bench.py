@@ -74,6 +74,12 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "similarity_ann_index",
     "classify_nb_language",
+    # added r5 (headline count 32 → 36): lexical retrieval + weighted
+    # sampling/mixing, and the real-codec multimodal path
+    "text_tfidf_keywords",
+    "text_bm25_search",
+    "sample_weighted",
+    "multimodal_features",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
