@@ -74,17 +74,17 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "delta_roundtrip",  # r5: DV read-path threshold switch
     "delta_time_travel",
-    # -- r5-born ranking/mixing operators ------------------------------
+    # -- r5-born ranking/mixing/graph operators -------------------------
     "sample_weighted",
     "sample_group_quota",
     "text_tfidf_keywords",
     "text_bm25_search",
+    "graph_pagerank",
     # -- one representative per already-proven family (regression) ----
     "dedup_minhash_lsh",
     "dedup_simhash",
     "pipeline_curate_documents",
     "q1_pricing_summary",
-    "q18_large_volume",
     "events_sessionize",
     "skew_salted_agg",
 ]

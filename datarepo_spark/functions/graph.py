@@ -91,3 +91,85 @@ def connected_components(
         f"connected_components did not converge in {max_iterations} "
         "iterations — edge generation is likely degenerate"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) over an edge list, fixed-iteration
+    MEAN-NORMALIZED form (ranks average 1.0; divide by node count for
+    the probability form): (node, rank) after ``iterations``
+    synchronous updates r' = (1-d) + d·Σ r/deg from a uniform 1.0
+    start.
+
+    Relational shape — per iteration ONE join (edges × current ranks on
+    the source key) and ONE aggregation (contributions by destination),
+    exactly GraphX's Pregel step flattened into Catalyst; the graph
+    never collects. Out-degrees are a one-time aggregate joined on the
+    same key as the ranks (co-partitioned, O(nodes) — never broadcast).
+
+    Determinism: the fixed point runs entirely in INTEGER micro-units
+    (1.0 = 1_000_000): per-edge contribution = floor(rank_u / deg),
+    update = (1-d)·10⁶ + floor(d·Σ) with d as an integer percentage.
+    Integer sums are order-insensitive and floor-of-quotient is
+    engine-exact (the true quotient sits ≥ 1/denominator away from any
+    integer, astronomically farther than a double's ulp at these
+    magnitudes), so two engines compute bit-identical ranks — float
+    sums and double→decimal casts both break on tie values. The mean-1
+    normalization keeps ranks O(1) so the quantum carries 6 decimals
+    of precision at any graph size.
+
+    Returns (node, rank_micro: long, rank: double = rank_micro / 10⁶).
+
+    At scale: lineage grows one plan level per iteration — fine for the
+    small fixed counts this API targets; chain
+    ``df.localCheckpoint()`` between calls for long runs (see
+    connected_components for the rationale)."""
+    UNIT = 1_000_000
+    d_pct = int(round(damping * 100))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    degrees = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    ranks = nodes.select(
+        "node", F.lit(UNIT).cast("long").alias("rank_micro")
+    )
+    teleport = (100 - d_pct) * UNIT // 100
+    for _ in range(iterations):
+        contribs = (
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("__to"))
+            .join(ranks, "node")
+            .join(degrees, "node")
+            .groupBy(F.col("__to").alias("node"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("rank_micro") / F.col("__deg")
+                    ).cast("long")
+                ).alias("__c")
+            )
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.floor(
+                    F.lit(d_pct)
+                    * F.coalesce(F.col("__c"), F.lit(0))
+                    / F.lit(100)
+                ).cast("long")
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks.select(
+        "node",
+        "rank_micro",
+        (F.col("rank_micro") / F.lit(float(UNIT))).alias("rank"),
+    )

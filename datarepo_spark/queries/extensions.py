@@ -2108,3 +2108,88 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return RK.bm25_search(docs, ["hash", "join", "scan"], k=20)
+
+
+from ..functions import graph as G  # noqa: E402
+
+
+@register(
+    "graph_pagerank",
+    # 3 synchronous iterations unrolled as CTEs, entirely in INTEGER
+    # micro-units (1.0 = 1e6): per-edge term floor(rank_u/deg), update
+    # 150000 + floor(85*sum/100) — integer sums are order-insensitive
+    # and floor-of-quotient is engine-exact, so the fixed point is
+    # bit-identical across engines (float sums / double->decimal casts
+    # both diverge on tie values). Mean-1 normalized form.
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
+    ), c1 AS (
+      SELECT e.dst AS node,
+             SUM(CAST(FLOOR(r.rank_micro / d.deg) AS BIGINT)) AS c
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.node,
+             CAST(150000 + CAST(FLOOR(85 * COALESCE(c1.c, 0) / 100)
+                                AS BIGINT) AS BIGINT) AS rank_micro
+      FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+    ), c2 AS (
+      SELECT e.dst AS node,
+             SUM(CAST(FLOOR(r.rank_micro / d.deg) AS BIGINT)) AS c
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.node,
+             CAST(150000 + CAST(FLOOR(85 * COALESCE(c2.c, 0) / 100)
+                                AS BIGINT) AS BIGINT) AS rank_micro
+      FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+    ), c3 AS (
+      SELECT e.dst AS node,
+             SUM(CAST(FLOOR(r.rank_micro / d.deg) AS BIGINT)) AS c
+      FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT n.node,
+             CAST(150000 + CAST(FLOOR(85 * COALESCE(c3.c, 0) / 100)
+                                AS BIGINT) AS BIGINT) AS rank_micro
+      FROM nodes n LEFT JOIN c3 ON n.node = c3.node
+    )
+    SELECT node, rank_micro, rank_micro / 1000000.0 AS rank
+    FROM r3 ORDER BY rank_micro DESC, node LIMIT 20
+    """,
+    description="PageRank (3 fixed iterations, mean-1 normalized) on "
+    "the bipartite customer<->supplier trade graph: per-iteration one "
+    "edges-by-ranks join + one contribution aggregate, the Pregel step "
+    "flattened into Catalyst; the graph never collects",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    pr = G.pagerank(edges, iterations=3)
+    return pr.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)

@@ -65,3 +65,50 @@ class TestConnectedComponents:
         out = connected_components(pairs)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "text#" not in plan  # label loop never touches the corpus
+
+
+class TestPageRank:
+    def test_hub_ranks_highest(self, spark):
+        from datarepo_spark.functions.graph import pagerank
+
+        # star graph: every leaf links to the hub and back
+        edges = spark.createDataFrame(
+            [(f"leaf{i}", "hub") for i in range(10)]
+            + [("hub", f"leaf{i}") for i in range(10)],
+            ["src", "dst"],
+        )
+        ranks = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+        assert ranks["hub"] > max(
+            v for k, v in ranks.items() if k != "hub"
+        )
+        # mean-1 normalization: total mass stays ~n_nodes
+        assert abs(sum(ranks.values()) - 11) < 0.5
+
+    def test_deterministic_under_repartitioning(self, spark):
+        from datarepo_spark.functions.graph import pagerank
+
+        rows = [
+            (f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(200)
+        ]
+        edges = spark.createDataFrame(rows, ["src", "dst"])
+        a = sorted(
+            (r.node, r.rank_micro)
+            for r in pagerank(edges, iterations=4).collect()
+        )
+        b = sorted(
+            (r.node, r.rank_micro)
+            for r in pagerank(edges.repartition(13), iterations=4).collect()
+        )
+        assert a == b  # integer fixed point: bit-identical
+
+    def test_dangling_nodes_hold_teleport_mass(self, spark):
+        from datarepo_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "sink"), ("b", "sink")], ["src", "dst"]
+        )
+        ranks = {r.node: r.rank for r in pagerank(edges, iterations=2).collect()}
+        # a/b have no in-edges: exactly the teleport constant
+        assert ranks["a"] == ranks["b"] == pytest.approx(0.15)
+        # iteration 2: 0.15 + 0.85 * (0.15 + 0.15) = 0.405 exactly
+        assert ranks["sink"] == pytest.approx(0.405)
