@@ -80,13 +80,13 @@ _PRIORITY = [
     "text_tfidf_keywords",
     "text_bm25_search",
     "graph_pagerank",
+    "source_orc_scan",
+    "text_bigram_perplexity",
     # -- one representative per already-proven family (regression) ----
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "pipeline_curate_documents",
     "q1_pricing_summary",
     "events_sessionize",
-    "skew_salted_agg",
 ]
 
 

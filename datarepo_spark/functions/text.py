@@ -453,3 +453,77 @@ def sql_normalize_text(expr: str) -> str:
         escaped_r = repl.replace("'", "''")
         out = f"regexp_replace({out}, '{escaped_p}', '{escaped_r}', 'g')"
     return f"TRIM({out})"
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram-LM quality filter — the sequence-aware upgrade of
+    :func:`unigram_perplexity`: p(w2|w1) = (c(w1,w2)+α) / (c(w1·)+αV),
+    perplexity over each document's adjacent-pair stream. Catches
+    shuffled/concatenated boilerplate that unigram statistics cannot
+    (same words, impossible transitions).
+
+    Relational shape — ONE corpus pass: bigrams explode from the
+    materialized token array; context counts c(w1·) derive from the
+    bigram table itself with a window (never a second tokenize), the
+    vocabulary size is a one-row aggregate broadcast back, and scoring
+    joins occurrences against the count table keyed on the pair.
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the output (no defined perplexity).
+
+    Determinism: per-pair log-probs round to 6 decimals and accumulate
+    as DECIMAL(38,6); one documented double conversion at the end.
+    Output: (id, n_bigrams, perplexity rounded to 4)."""
+    from pyspark.sql import Window
+
+    from .dedup import tokens_of
+
+    toks_arr = df.select(
+        F.col(id_col), tokens_of(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    pairs = toks_arr.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__toks) - 2), "
+                "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))"
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
+
+    counts = (
+        pairs.groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+        .withColumn(
+            "__c1", F.sum("__c12").over(Window.partitionBy("__w1"))
+        )
+    )
+    vocab = counts.agg(F.count_distinct("__w2").alias("__v"))
+    logp = F.round(
+        F.log(
+            (F.col("__c12") + F.lit(alpha))
+            / (F.col("__c1") + F.lit(alpha) * F.col("__v"))
+        ),
+        6,
+    ).cast("decimal(38,6)")
+    scored = (
+        pairs.join(counts, ["__w1", "__w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), logp.alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.exp(
+                -(
+                    F.sum("__lp").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+            ),
+            4,
+        ).alias("perplexity"),
+    )

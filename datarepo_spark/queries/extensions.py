@@ -2193,3 +2193,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     pr = G.pagerank(edges, iterations=3)
     return pr.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
+
+
+@register(
+    "text_bigram_perplexity",
+    # same decimal-exact fold as text_perplexity; context counts and
+    # vocabulary derive from the bigram table (window + scalar), so
+    # both engines train the identical model from one tokenize pass
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         x -> LEN(x) > 0) AS l
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             l[CAST(i AS INT)] AS w1,
+             l[CAST(i AS INT) + 1] AS w2
+      FROM t, UNNEST(RANGE(1, LEN(l))) AS u(i)
+      WHERE LEN(l) >= 2
+    ), counts AS (
+      SELECT w1, w2, COUNT(*) AS c12,
+             SUM(COUNT(*)) OVER (PARTITION BY w1) AS c1
+      FROM bg GROUP BY w1, w2
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS vsz FROM counts
+    ), occ AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(LN((c12 + 1.0) / (c1 + 1.0 * vsz)), 6)
+                  AS DECIMAL(38,6)) AS lp
+      FROM bg JOIN counts USING (w1, w2) CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(EXP(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4)
+             AS perplexity
+    FROM occ
+    GROUP BY doc_id
+    """,
+    description="bigram-LM perplexity filter (sequence-aware upgrade of "
+    "the CCNet-style unigram filter): one tokenize pass, context counts "
+    "via window over the bigram table, decimal-exact log-prob fold",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.bigram_perplexity(docs)

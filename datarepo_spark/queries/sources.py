@@ -47,9 +47,11 @@ def _fixture(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     paths = {
         "csv": os.path.join(base, "orders_csv"),
         "json": os.path.join(base, "orders_json"),
+        "orc": os.path.join(base, "orders_orc"),
     }
     src.write.mode("overwrite").option("header", "true").csv(paths["csv"])
     src.write.mode("overwrite").json(paths["json"])
+    src.write.mode("overwrite").orc(paths["orc"])
     _BUILT[key] = paths
     return paths
 
@@ -89,6 +91,31 @@ def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = FileTable("orders_json", paths["json"], "json", schema=_SCHEMA)
     return t(
         filters=[Filter("o_orderstatus", "=", "O")],
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        spark=spark,
+    )
+
+
+@register(
+    "source_orc_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 3000
+      AND o_custkey <= 500 AND o_totalprice < 50000
+    """,
+    description="ORC source through the table protocol: columnar format "
+    "with FULL predicate pushdown (stripe-level skipping), DNF filter, "
+    "projection — the non-parquet columnar path",
+)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = _fixture(spark, sf_dir)
+    t = FileTable("orders_orc", paths["orc"], "orc", schema=_SCHEMA)
+    return t(
+        filters=[
+            Filter("o_custkey", "<=", 500),
+            Filter("o_totalprice", "<", 50000.0),
+        ],
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
         spark=spark,
     )
