@@ -82,9 +82,9 @@ _PRIORITY = [
     "graph_pagerank",
     "source_orc_scan",
     "text_bigram_perplexity",
+    "delta_identity_append",
     # -- one representative per already-proven family (regression) ----
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "q1_pricing_summary",
     "events_sessionize",
 ]

@@ -888,3 +888,64 @@ def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
         spark=spark,
     )
+
+
+_BUILT_IDENTITY: dict[str, str] = {}
+
+
+def _identity_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Identity table seeded then appended: ids must come out dense
+    1..n across both commits (create assigns 1..n1, the append resumes
+    from the recorded high-water mark)."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_IDENTITY and os.path.isdir(
+        os.path.join(_BUILT_IDENTITY[key], "_delta_log")
+    ):
+        return _BUILT_IDENTITY[key]
+    base = tempfile.mkdtemp(prefix="datarepo_delta_identity_")
+    uri = os.path.join(base, "orders_identity")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_delta(
+        orders.filter(F.col("o_orderkey") <= 1000),
+        uri,
+        checkpoint_interval=None,
+        identity_cols={"row_id": {"start": 1, "step": 1}},
+    )
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 1500)
+        ),
+        uri,
+        checkpoint_interval=None,
+    )
+    _BUILT_IDENTITY[key] = uri
+    return uri
+
+
+@register(
+    "delta_identity_append",
+    # identity values depend on partition layout, but DENSE allocation
+    # makes the aggregate contract exact: n unique ids spanning 1..n
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS min_id,
+           CAST(COUNT(*) AS BIGINT) AS max_id,
+           CAST(COUNT(*) AS BIGINT) AS distinct_ids
+    FROM orders
+    WHERE o_orderkey <= 1500
+    """,
+    description="GENERATED ALWAYS AS IDENTITY (writer v6): dense "
+    "writer-assigned ids resume from the high-water mark across "
+    "appends — unique and exactly spanning 1..n",
+)
+def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _identity_fixture(spark, sf_dir)
+    t = DeltalakeTable("orders_identity", uri)(spark=spark)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("row_id").alias("min_id"),
+        F.max("row_id").alias("max_id"),
+        F.count_distinct("row_id").alias("distinct_ids"),
+    )

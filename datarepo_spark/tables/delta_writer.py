@@ -433,6 +433,101 @@ def _enforce_constraints(df: DataFrame, snapshot) -> None:
         )
 
 
+def _identity_fields(snapshot) -> dict[str, dict]:
+    """name → {start, step, high} for every GENERATED ALWAYS AS IDENTITY
+    column (``delta.identity.*`` field metadata, the public layout).
+    ``high`` is None before the first assignment."""
+    out = {}
+    for f in snapshot.schema.fields:
+        meta = f.metadata or {}
+        if "delta.identity.start" in meta:
+            hw = meta.get("delta.identity.highWaterMark")
+            out[f.name] = {
+                "start": int(meta["delta.identity.start"]),
+                "step": int(meta.get("delta.identity.step", 1)),
+                "high": int(hw) if hw is not None else None,
+            }
+    return out
+
+
+def _assign_identity(df: DataFrame, name: str, next_value: int, step: int):
+    """Assign dense identity values ``next_value, next_value+step, …``
+    distributed: pin the partitioning with an eager localCheckpoint
+    (two jobs must observe the same layout), take per-partition counts
+    (one tiny collect — |partitions| rows), and number rows inside each
+    partition against its cumulative offset. No global sort, no
+    single-partition window; the per-partition window shuffle is keyed
+    on the partition id. Returns (df_with_column, new_high_water).
+
+    delta-spark's own identity allocates per-task blocks (gaps
+    allowed); dense blocks per partition are a strictly stronger
+    layout."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = df.localCheckpoint(eager=True)
+    counts = (
+        df.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    offsets = []
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((int(row["__pid"]), acc))
+        acc += int(row["count"])
+    if acc == 0:
+        return df.withColumn(name, F.lit(None).cast("long")), None
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(
+        F.monotonically_increasing_id()
+    )
+    out = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            name,
+            (
+                F.lit(next_value)
+                + F.lit(step)
+                * (F.col("__off") + F.col("__rn") - F.lit(1))
+            ).cast("long"),
+        )
+        .drop("__pid", "__rn", "__off")
+    )
+    return out, next_value + step * (acc - 1)
+
+
+def _identity_metadata_update(snapshot, meta_action, highs: dict[str, int]):
+    """Fold new high-water marks into a metaData action (creating one
+    from the snapshot's if the commit had none)."""
+    import copy
+
+    from pyspark.sql import types as T
+
+    meta = (
+        copy.deepcopy(meta_action["metaData"])
+        if meta_action
+        else copy.deepcopy(dict(snapshot.raw_metadata or {}))
+    )
+    for k in ("format", "configuration"):
+        if meta.get(k) is not None and not isinstance(meta[k], dict):
+            meta[k] = dict(meta[k])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    fields = []
+    for f in schema.fields:
+        if f.name in highs:
+            fm = dict(f.metadata or {})
+            fm["delta.identity.highWaterMark"] = int(highs[f.name])
+            f = T.StructField(f.name, f.dataType, f.nullable, fm)
+        fields.append(f)
+    meta["schemaString"] = json.dumps(T.StructType(fields).jsonValue())
+    return {"metaData": meta}
+
+
 def _generation_exprs(snapshot) -> dict[str, tuple[str, object]]:
     """name → (generation SQL, declared type) for every generated
     column (``delta.generationExpression`` field metadata, the public
@@ -599,6 +694,7 @@ def write_delta(
     txn_version: Optional[int] = None,
     schema_mode: str = "strict",
     generated_cols: Optional[dict] = None,
+    identity_cols: Optional[dict] = None,
 ) -> int:
     """Write ``df`` to the Delta table at ``uri``; returns the committed
     version. ``mode``: 'append' or 'overwrite'. New tables are created with
@@ -609,6 +705,16 @@ def write_delta(
     creation, recorded as ``delta.generationExpression`` field metadata
     (writer protocol v4), and every subsequent write either computes
     them when omitted or must match the expression exactly.
+
+    ``identity_cols`` ({name: {start, step}}, table CREATION only):
+    GENERATED ALWAYS AS IDENTITY columns (writer protocol v6) — the
+    writer assigns dense LONG values from the recorded high-water mark
+    on every append (``delta.identity.*`` field metadata); explicit
+    values are refused. Racing identity appends are safe: each append
+    updates metaData, so the optimistic-concurrency check aborts the
+    loser instead of double-allocating — re-run it. Assignment pins the
+    batch with an eager localCheckpoint (one extra materialization of
+    the APPEND batch, never the table).
 
     ``checkpoint_interval``: write a checkpoint after every Nth commit
     (versions N, 2N, …) — delta's own default cadence of 10. At 100 TB
@@ -659,13 +765,49 @@ def write_delta(
                 "generated_cols may only be set at table creation "
                 "(delta's own GENERATED ALWAYS AS rule)"
             )
+        if identity_cols:
+            raise ValueError(
+                "identity_cols may only be set at table creation "
+                "(delta's own GENERATED ALWAYS AS IDENTITY rule)"
+            )
         partition_cols = snapshot.partition_columns
         previous_files = [f.path for f in snapshot.files]
         df = _apply_generated(df, snapshot)
+        identity_highs: dict[str, int] = {}
+        idents = _identity_fields(snapshot)
+        if idents:
+            provided = sorted(set(idents) & set(df.columns))
+            if provided:
+                raise ValueError(
+                    f"columns {provided} are GENERATED ALWAYS AS "
+                    f"IDENTITY — values are assigned by the writer, "
+                    f"not provided"
+                )
+            for name, spec in sorted(idents.items()):
+                next_value = (
+                    spec["start"]
+                    if spec["high"] is None
+                    else spec["high"] + spec["step"]
+                )
+                df, hw = _assign_identity(
+                    df, name, next_value, spec["step"]
+                )
+                if hw is not None:
+                    identity_highs[name] = hw
         metadata_update = _check_schema(df, snapshot, schema_mode)
+        if identity_highs:
+            metadata_update = _identity_metadata_update(
+                snapshot, metadata_update, identity_highs
+            )
         _enforce_constraints(df, snapshot)
     else:
         metadata_update = None
+        if generated_cols and identity_cols and (
+            set(generated_cols) & set(identity_cols)
+        ):
+            raise ValueError(
+                "a column cannot be both generated and identity"
+            )
         if generated_cols:
             from pyspark.sql import functions as F
 
@@ -678,6 +820,23 @@ def write_delta(
                 )
             for name, expr in generated_cols.items():
                 df = df.withColumn(name, F.expr(expr))
+        identity_highs = {}
+        if identity_cols:
+            overlapping = set(identity_cols) & set(df.columns)
+            if overlapping:
+                raise ValueError(
+                    f"identity columns already present in the frame: "
+                    f"{sorted(overlapping)} (they are assigned, not "
+                    f"provided)"
+                )
+            for name, spec in sorted(identity_cols.items()):
+                start = int((spec or {}).get("start", 1))
+                step = int((spec or {}).get("step", 1))
+                if step == 0:
+                    raise ValueError("identity step must be nonzero")
+                df, hw = _assign_identity(df, name, start, step)
+                if hw is not None:
+                    identity_highs[name] = hw
 
     # Stage data with Spark's distributed parquet writer, then move files
     # into the table and reference them from the commit. (Distributed
@@ -735,27 +894,47 @@ def write_delta(
             {
                 "protocol": {
                     "minReaderVersion": 1,
-                    # generated columns are a writer-v4 protocol feature:
-                    # a v2 writer unaware of the expressions could append
-                    # stale values
-                    "minWriterVersion": 4 if generated_cols else 2,
+                    # generated columns are a writer-v4 protocol
+                    # feature, identity columns writer-v6: an older
+                    # writer unaware of them could append stale or
+                    # colliding values
+                    "minWriterVersion": (
+                        6
+                        if identity_cols
+                        else 4 if generated_cols else 2
+                    ),
                 }
             }
         )
         create_schema = df.schema
-        if generated_cols:
+        if generated_cols or identity_cols:
+
+            def _field_meta(f):
+                if generated_cols and f.name in generated_cols:
+                    return {
+                        "delta.generationExpression":
+                            generated_cols[f.name]
+                    }
+                if identity_cols and f.name in identity_cols:
+                    spec = identity_cols[f.name] or {}
+                    m = {
+                        "delta.identity.start": int(
+                            spec.get("start", 1)
+                        ),
+                        "delta.identity.step": int(spec.get("step", 1)),
+                        "delta.identity.allowExplicitInsert": False,
+                    }
+                    if f.name in identity_highs:
+                        m["delta.identity.highWaterMark"] = int(
+                            identity_highs[f.name]
+                        )
+                    return m
+                return f.metadata
+
             create_schema = T.StructType(
                 [
                     T.StructField(
-                        f.name,
-                        f.dataType,
-                        f.nullable,
-                        {
-                            "delta.generationExpression":
-                                generated_cols[f.name]
-                        }
-                        if f.name in generated_cols
-                        else f.metadata,
+                        f.name, f.dataType, f.nullable, _field_meta(f)
                     )
                     for f in df.schema.fields
                 ]
@@ -1271,6 +1450,12 @@ def merge_delta(
         raise ValueError("txn_app_id and txn_version must be set together")
     uri = uri.rstrip("/")
     snapshot = DeltaLog(uri).snapshot()
+    if _identity_fields(snapshot):
+        raise NotImplementedError(
+            "merge_delta on a table with identity columns: the source "
+            "frame would supply identity values (explicit insert, which "
+            "the columns forbid); delete + append instead"
+        )
     if txn_app_id is not None:
         last = snapshot.app_transactions.get(txn_app_id)
         if last is not None and txn_version <= last:
@@ -1947,6 +2132,12 @@ def update_delta(
         raise ValueError(
             f"columns {gen_assigned} are GENERATED ALWAYS AS — they are "
             f"recomputed from their expressions, not assigned"
+        )
+    ident_assigned = sorted(set(assignments) & set(_identity_fields(snapshot)))
+    if ident_assigned:
+        raise ValueError(
+            f"columns {ident_assigned} are GENERATED ALWAYS AS IDENTITY "
+            f"— their values are writer-assigned and immutable"
         )
     dnf = normalize_filters(filters)
     if not dnf:

@@ -1481,3 +1481,101 @@ class TestConcurrentAppendReadSet:
                 delete_delta(spark, uri, [Filter("id", "<", 5)])
         finally:
             W._commit_atomically = real
+
+
+class TestIdentityColumns:
+    """GENERATED ALWAYS AS IDENTITY (writer protocol v6): dense
+    writer-assigned LONGs tracked by a high-water mark; explicit values
+    refused; racing allocation aborts via the metaData conflict rule."""
+
+    def test_creation_assigns_dense_ids(self, spark, tmp_path):
+        uri = str(tmp_path / "ident")
+        write_delta(
+            spark.createDataFrame([("a",), ("b",), ("c",)], ["v"]),
+            uri,
+            identity_cols={"row_id": {"start": 1, "step": 1}},
+        )
+        snap = DeltaLog(uri).snapshot()
+        assert snap.raw_protocol["minWriterVersion"] == 6
+        f = next(x for x in snap.schema.fields if x.name == "row_id")
+        assert f.metadata["delta.identity.start"] == 1
+        assert f.metadata["delta.identity.highWaterMark"] == 3
+        ids = sorted(
+            r.row_id
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        )
+        assert ids == [1, 2, 3]
+
+    def test_appends_continue_from_high_water(self, spark, tmp_path):
+        uri = str(tmp_path / "ident")
+        write_delta(
+            spark.range(5).selectExpr("concat('v', id) AS v"),
+            uri,
+            identity_cols={"row_id": {"start": 100, "step": 10}},
+        )
+        write_delta(
+            spark.range(3).selectExpr("concat('w', id) AS v"), uri
+        )
+        rows = DeltalakeTable("t", uri)(spark=spark).collect()
+        ids = sorted(r.row_id for r in rows)
+        assert ids == [100, 110, 120, 130, 140, 150, 160, 170]
+        assert len({r.row_id for r in rows}) == 8  # unique
+        snap = DeltaLog(uri).snapshot()
+        f = next(x for x in snap.schema.fields if x.name == "row_id")
+        assert f.metadata["delta.identity.highWaterMark"] == 170
+
+    def test_explicit_values_refused(self, spark, tmp_path):
+        uri = str(tmp_path / "ident")
+        write_delta(
+            spark.createDataFrame([("a",)], ["v"]),
+            uri,
+            identity_cols={"row_id": {}},
+        )
+        with pytest.raises(ValueError, match="IDENTITY"):
+            write_delta(
+                spark.createDataFrame([(99, "x")], ["row_id", "v"]), uri
+            )
+
+    def test_update_and_merge_guards(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import (
+            merge_delta,
+            update_delta,
+        )
+
+        uri = str(tmp_path / "ident")
+        write_delta(
+            spark.createDataFrame([("a",), ("b",)], ["v"]),
+            uri,
+            identity_cols={"row_id": {}},
+        )
+        with pytest.raises(ValueError, match="IDENTITY"):
+            update_delta(
+                spark, uri, [Filter("v", "=", "a")], {"row_id": "99"}
+            )
+        # updating OTHER columns preserves the assigned ids
+        update_delta(spark, uri, [Filter("v", "=", "a")], {"v": "'z'"})
+        rows = {
+            r.v: r.row_id
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        }
+        assert sorted(rows.values()) == [1, 2]
+        with pytest.raises(NotImplementedError, match="identity"):
+            merge_delta(
+                spark, uri,
+                spark.createDataFrame([(1, "q")], ["row_id", "v"]),
+                on=["row_id"],
+            )
+
+    def test_deterministic_per_sorted_input(self, spark, tmp_path):
+        """Dense block allocation: ids are unique and exactly span
+        [start, start + step*(n-1)] regardless of partitioning."""
+        uri = str(tmp_path / "ident")
+        df = spark.range(0, 97).selectExpr("concat('v', id) AS v")
+        write_delta(
+            df.repartition(7), uri, identity_cols={"row_id": {}}
+        )
+        ids = sorted(
+            r.row_id
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        )
+        assert ids == list(range(1, 98))
