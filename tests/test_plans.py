@@ -211,3 +211,35 @@ class TestSession2Plans:
         # stage-join step
         assert plan.count("CartesianProduct") == 0
         assert plan.count("Exchange hashpartitioning") <= 6
+
+
+class TestRound5Plans:
+    def test_weighted_sample_is_scan_plus_takeordered(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "sample_weighted")
+        assert "TakeOrderedAndProject" in plan
+        # zero shuffles: the rank is a projection, top-k needs no sort
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_bm25_three_scans_one_explode(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "text_bm25_search")
+        assert plan.count("Scan parquet") + plan.count("FileScan") <= 6
+        assert plan.count("Generate explode") == 1
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_tfidf_text_never_shuffles(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "text_tfidf_keywords")
+        assert "CartesianProduct" not in plan
+        # exchanges carry token/id aggregates, never the text column
+        for seg in plan.split("Exchange hashpartitioning")[1:]:
+            assert "text#" not in seg.split("+-")[0]
+
+    def test_pagerank_no_cartesian_no_global_sort(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "graph_pagerank")
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan  # top-k, not full sort
+
+    def test_group_quota_single_group_shuffle(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "sample_group_quota")
+        # one exchange: the per-source window
+        assert plan.count("Exchange hashpartitioning") == 1
