@@ -1656,6 +1656,15 @@ def _stage_adds(
                             if v == "__HIVE_DEFAULT_PARTITION__"
                             else unquote(v)
                         )
+                stats = collect_file_stats(dst, file_schema)
+                if stats is not None and json.loads(stats).get(
+                    "numRecords"
+                ) == 0:
+                    # Spark can stage an empty part file for an empty
+                    # input partition — committing it would pollute the
+                    # log with zero-row adds forever
+                    os.remove(dst)
+                    continue
                 add_action = {
                     "path": quote(
                         rel_path.replace(os.sep, "/"), safe="/="
@@ -1665,7 +1674,6 @@ def _stage_adds(
                     "modificationTime": 0,
                     "dataChange": data_change,
                 }
-                stats = collect_file_stats(dst, file_schema)
                 if stats is not None:
                     add_action["stats"] = stats
                 actions.append({"add": add_action})

@@ -266,7 +266,16 @@ class TestColumnMapping:
             spark.createDataFrame([(99, "z")], ["id", "name"]), uri
         )
         snap = DeltaLog(uri).snapshot()
-        newest = max(snap.files, key=lambda f: f.path)
+        # the appended file is the one the hand-built fixture didn't
+        # write (lexicographic max is flaky against uuid hex names);
+        # skip any empty part file the 1-row write may also stage
+        newest = next(
+            f
+            for f in snap.files
+            if "part-all" not in f.path
+            and f.stats
+            and _json.loads(f.stats).get("numRecords")
+        )
         cols = pq.read_schema(os.path.join(uri, newest.path)).names
         assert set(cols) == {PHYS_ID, PHYS_NAME}  # physical in the file
         stats = _json.loads(newest.stats)
