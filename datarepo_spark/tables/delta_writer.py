@@ -2681,6 +2681,53 @@ def _commit_atomically(
     raise RuntimeError(f"Could not commit to {log_dir} after 50 attempts")
 
 
+def describe_detail(spark, uri: str) -> "DataFrame":
+    """DESCRIBE DETAIL: one row summarizing the table's current
+    snapshot — id/format/location, schema, partitioning, active
+    file count + total bytes, properties, protocol versions. The
+    operational at-a-glance card delta-spark exposes; everything comes
+    from the already-replayed snapshot (no data scan)."""
+    from pyspark.sql import types as T
+
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    meta = dict(snapshot.raw_metadata or {})
+    proto = dict(snapshot.raw_protocol or {})
+    row = (
+        meta.get("id"),
+        (meta.get("format") or {}).get("provider", "parquet")
+        if isinstance(meta.get("format"), dict)
+        else "parquet",
+        uri,
+        int(snapshot.version),
+        len(snapshot.files),
+        sum(int(f.size or 0) for f in snapshot.files),
+        list(snapshot.partition_columns),
+        json.dumps(dict(snapshot.configuration), sort_keys=True),
+        int(proto.get("minReaderVersion", 1)),
+        int(proto.get("minWriterVersion", 2)),
+        snapshot.schema.simpleString(),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), True),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("location", T.StringType(), False),
+            T.StructField("version", T.LongType(), False),
+            T.StructField("num_files", T.LongType(), False),
+            T.StructField("size_in_bytes", T.LongType(), False),
+            T.StructField(
+                "partition_columns", T.ArrayType(T.StringType()), False
+            ),
+            T.StructField("properties", T.StringType(), False),
+            T.StructField("min_reader_version", T.LongType(), False),
+            T.StructField("min_writer_version", T.LongType(), False),
+            T.StructField("schema_string", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame([row], schema)
+
+
 def describe_history(spark, uri: str) -> "DataFrame":
     """DESCRIBE HISTORY: one row per retained commit (newest first) —
     version, operation (+ parameters, from the commitInfo provenance

@@ -1579,3 +1579,28 @@ class TestIdentityColumns:
             for r in DeltalakeTable("t", uri)(spark=spark).collect()
         )
         assert ids == list(range(1, 98))
+
+
+class TestDescribeDetail:
+    def test_snapshot_card(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import describe_detail
+
+        uri = str(tmp_path / "dd")
+        df = spark.createDataFrame(
+            [(1, "x", "a"), (2, "y", "b")], ["k", "v", "part"]
+        )
+        write_delta(df, uri, partition_by=["part"])
+        row = describe_detail(spark, uri).head()
+        assert row.format == "parquet"
+        assert row.version == 0
+        assert row.num_files == 2
+        assert row.partition_columns == ["part"]
+        assert row.size_in_bytes > 0
+        assert "k:bigint" in row.schema_string
+        # evolves with the log
+        write_delta(
+            spark.createDataFrame([(3, "z", "a")], ["k", "v", "part"]),
+            uri,
+        )
+        row2 = describe_detail(spark, uri).head()
+        assert row2.version == 1 and row2.num_files == 3
