@@ -271,3 +271,109 @@ class TestStreamJoins:
         s = SE.read_events_stream(spark, events_dir)
         with pytest.raises(ValueError, match="static"):
             enrich_stream(s, s, on="event_id")
+
+
+class TestStreamingAnomaly:
+    """Online z-score twin of events_anomaly_zscore: each event scored
+    against the running moments of everything before it."""
+
+    def _replay(self, spark, events_dir, threshold, min_n):
+        """Reference verdicts: single-threaded fold over the batch data
+        in the stream's own (per-type, ts-then-id) order."""
+        import math
+
+        e = (
+            spark.read.schema(SE.EVENTS_FILE_SCHEMA)
+            .parquet(events_dir)
+            .select("event_id", "ts", "event_type", "value")
+            .collect()
+        )
+        by_type: dict = {}
+        for r in sorted(e, key=lambda r: (r.ts, r.event_id)):
+            by_type.setdefault(r.event_type, []).append(r)
+        flagged = {}
+        for etype, rows in by_type.items():
+            n, s1, s2 = 0, 0.0, 0.0
+            for r in rows:
+                v = float(r.value)
+                if n >= min_n:
+                    mu = s1 / n
+                    var = max(s2 - s1 * s1 / n, 0.0) / (n - 1)
+                    sigma = math.sqrt(var)
+                    if sigma > 0:
+                        z = (v - mu) / sigma
+                        if abs(z) > threshold:
+                            flagged[r.event_id] = (round(z, 4), n)
+                n += 1
+                s1 += v
+                s2 += v * v
+        return flagged
+
+    def test_stream_matches_online_replay(self, spark, events_dir):
+        from datarepo_spark.streaming.anomaly import (
+            streaming_anomaly_zscore,
+        )
+
+        stream = SE.read_events_stream(
+            spark, events_dir, max_files_per_trigger=2
+        )
+        result = streaming_anomaly_zscore(
+            stream, threshold=2.5, min_n=20
+        )
+        assert result.isStreaming
+        got = SE.run_stream_to_memory(
+            result, "anomalies", output_mode="append"
+        )
+        emitted = {r.event_id: (r.z, r.n_seen) for r in got.collect()}
+        expected = self._replay(spark, events_dir, 2.5, 20)
+        assert emitted, "no anomalies emitted — threshold too strict?"
+        # batch-boundary effects cannot occur: within one type, files
+        # arrive in order and each micro-batch folds sorted — verdicts
+        # must match the sequential replay exactly
+        assert emitted == expected
+
+    def test_state_is_per_type_and_bounded(self, spark, events_dir):
+        from datarepo_spark.streaming.anomaly import make_detector
+
+        # pure-function check: a constant series then a spike
+        import pandas as pd
+
+        class FakeState:
+            exists = False
+
+            def __init__(self):
+                self.value = None
+
+            @property
+            def get(self):
+                return self.value
+
+            def update(self, v):
+                self.value = v
+                self.exists = True
+
+        det = make_detector(threshold=3.0, min_n=5)
+        ts = pd.Timestamp("2024-01-01")
+        base = pd.DataFrame(
+            {
+                "event_id": range(10),
+                "ts": [ts] * 10,
+                "event_type": ["t"] * 10,
+                "value": [10.0, 11.0] * 5,
+            }
+        )
+        spike = pd.DataFrame(
+            {
+                "event_id": [99],
+                "ts": [ts],
+                "event_type": ["t"],
+                "value": [1000.0],
+            }
+        )
+        state = FakeState()
+        out1 = list(det(("t",), [base], state))
+        assert out1 == []  # alternating baseline: nothing flags
+        out2 = list(det(("t",), [spike], state))
+        assert len(out2) == 1 and out2[0]["event_id"].iloc[0] == 99
+        n, s1, s2 = state.value
+        assert n == 11 and s1 == 10.0 * 5 + 11.0 * 5 + 1000.0
