@@ -311,3 +311,120 @@ class TestWebExport:
         events = cat["databases"]["neuro"]["tables"]["events"]
         assert events["table_type"] == "clickhouse"
         assert len(events["columns"]) == len(SCHEMA.fields)
+
+
+class TestLiveJdbcDerby:
+    """LIVE JDBC execution — no server exists for ClickHouse in this
+    environment, but Spark bundles embedded Derby: the generated SQL
+    (ANSI dialect) is executed by a REAL external SQL engine through the
+    actual spark.read.jdbc path, closing the 'mocked round trip only'
+    gap at the protocol level (the ClickHouse dialect differs only in
+    SQL text, which the golden tests pin)."""
+
+    @pytest.fixture(scope="class")
+    def derby(self, spark, tmp_path_factory):
+        db = str(tmp_path_factory.mktemp("derby") / "livedb")
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        conn = jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db};create=true"
+        )
+        st = conn.createStatement()
+        # quoted lowercase identifiers: Derby (like the SQL standard)
+        # uppercases unquoted names, and the generator always quotes
+        st.executeUpdate(
+            'CREATE TABLE "items" '
+            '("id" BIGINT, "name" VARCHAR(20), "price" DOUBLE)'
+        )
+        rows = [
+            (1, "apple", 5.0),
+            (2, "banana", 12.5),
+            (3, "cherry", 30.0),
+            (4, "o'brien", 99.9),  # quote-escaping through the wire
+            (5, "apple", 45.0),
+        ]
+        for i, n, p in rows:
+            st.executeUpdate(
+                f'INSERT INTO "items" VALUES ({i}, '
+                f"'{n.replace(chr(39), chr(39)*2)}', {p})"
+            )
+        st.close()
+        conn.close()
+        return db
+
+    def _table(self, db):
+        from pyspark.sql import types as T
+
+        from datarepo_spark.core.sql import ANSI
+        from datarepo_spark.tables.jdbc_table import JdbcConfig, JdbcTable
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        )
+        return JdbcTable(
+            "items",
+            schema,
+            JdbcConfig(
+                url=f"jdbc:derby:{db}",
+                driver="org.apache.derby.jdbc.EmbeddedDriver",
+            ),
+            dialect=ANSI,
+        )
+
+    def test_pushdown_filter_and_projection_execute(self, spark, derby):
+        t = self._table(derby)
+        got = sorted(
+            (r.id, r.price)
+            for r in t(
+                filters=[Filter("price", ">", 10.0)],
+                columns=["id", "price"],
+                spark=spark,
+            ).collect()
+        )
+        assert got == [(2, 12.5), (3, 30.0), (4, 99.9), (5, 45.0)]
+
+    def test_in_and_quote_escaping_through_the_wire(self, spark, derby):
+        t = self._table(derby)
+        got = sorted(
+            r.id
+            for r in t(
+                filters=[Filter("name", "in", ["apple", "o'brien"])],
+                columns=["id"],
+                spark=spark,
+            ).collect()
+        )
+        assert got == [1, 4, 5]
+
+    def test_partitioned_parallel_read(self, spark, derby):
+        from pyspark.sql import types as T
+
+        from datarepo_spark.core.sql import ANSI
+        from datarepo_spark.tables.jdbc_table import JdbcConfig, JdbcTable
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        )
+        t = JdbcTable(
+            "items",
+            schema,
+            JdbcConfig(
+                url=f"jdbc:derby:{derby}",
+                driver="org.apache.derby.jdbc.EmbeddedDriver",
+                partition_column="id",
+                num_partitions=3,
+                lower_bound=1,
+                upper_bound=6,
+            ),
+            dialect=ANSI,
+        )
+        df = t(spark=spark)
+        assert df.rdd.getNumPartitions() == 3  # range-split queries
+        assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4, 5]
