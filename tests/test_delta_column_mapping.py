@@ -543,3 +543,33 @@ class TestEnableColumnMapping:
             for r in DeltalakeTable("l", plain)(spark=spark).collect()
         )
         assert got == [(i, i, f"x{i}") for i in range(5)]
+
+
+class TestIdentityWithMapping:
+    def test_identity_survives_mapping_upgrade(self, spark, tmp_path):
+        """Create with identity → enable mapping → append: the identity
+        metadata (and high-water mark updates) ride the mapped
+        schemaString, physical staging included."""
+        from datarepo_spark.tables.delta_writer import (
+            enable_column_mapping,
+        )
+
+        uri = str(tmp_path / "im")
+        write_delta(
+            spark.createDataFrame([("a",), ("b",)], ["v"]),
+            uri,
+            identity_cols={"rid": {}},
+        )
+        enable_column_mapping(uri)
+        write_delta(
+            spark.createDataFrame([("c",), ("d",)], ["v"]), uri
+        )
+        rows = sorted(
+            (r.rid, r.v)
+            for r in DeltalakeTable("t", uri)(spark=spark).collect()
+        )
+        assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+        snap = DeltaLog(uri).snapshot()
+        rid = next(f for f in snap.schema.fields if f.name == "rid")
+        assert rid.metadata["delta.identity.highWaterMark"] == 4
+        assert "delta.columnMapping.physicalName" in rid.metadata
