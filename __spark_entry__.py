@@ -82,6 +82,7 @@ _PRIORITY = [
     "graph_pagerank",
     "source_orc_scan",
     "text_bigram_perplexity",
+    "dedup_lines_c4",
     "delta_identity_append",
     # -- one representative per already-proven family (regression) ----
     "dedup_minhash_lsh",

@@ -986,3 +986,90 @@ def duplicate_spans(
         F.max("end").alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select(id_col, "span_start", "span_end", "n_windows")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Cross-corpus exact LINE dedup with document reassembly — the C4
+    cleanup step: a line that repeats anywhere in the corpus (boilerplate
+    headers, nav bars, license blurbs) survives only at its FIRST
+    occurrence (minimal (doc, position)); every other copy is dropped
+    and each document is stitched back together from its surviving
+    lines. Lines shorter than ``min_tokens`` whitespace tokens never
+    participate (dropping every repeated blank or bullet would destroy
+    formatting — the same carve-out C4 makes by operating on sentence
+    spans).
+
+    Relational shape: one explode (posexplode of the line split), one
+    aggregate keyed on the LINE CONTENT choosing the winner as a
+    min-struct (no window over the corpus), one join back on content,
+    and a per-document sort_array(collect_list) reassembly — bounded by
+    a single document's line count, which is the unit that must fit
+    anywhere by definition. Shuffles carry lines and ids, never whole
+    documents.
+
+    Returns (id, text, n_lines_kept, n_lines_dropped); a document whose
+    every line was deduplicated away survives with empty text."""
+    src = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text0"),
+    )
+    lines = src.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col("__text0"), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+    eligible = F.size(tokens_of(F.col("__line"))) >= min_tokens
+    lines = lines.withColumn("__dedupable", eligible)
+
+    winners = (
+        lines.filter(F.col("__dedupable"))
+        .groupBy("__line")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w")
+        )
+        .select(
+            "__line",
+            F.col("__w")[id_col].alias("__wid"),
+            F.col("__w.__pos").alias("__wpos"),
+        )
+    )
+    kept = lines.join(winners, "__line", "left").filter(
+        (~F.col("__dedupable"))
+        | (
+            (F.col("__wid") == F.col(id_col))
+            & (F.col("__wpos") == F.col("__pos"))
+        )
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = src.select(
+        F.col(id_col),
+        F.size(F.split(F.col("__text0"), "\n")).alias("__n_total"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
+            "n_lines_kept"
+        ),
+        (
+            F.col("__n_total")
+            - F.coalesce(F.col("n_lines_kept"), F.lit(0))
+        ).cast("long").alias("n_lines_dropped"),
+    )

@@ -2238,3 +2238,61 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return X.bigram_perplexity(docs)
+
+
+@register(
+    "dedup_lines_c4",
+    # winner = lexicographic min (doc_id, pos); the oracle encodes it as
+    # doc_id*1e6+pos (positions are far below 1e6), which orders
+    # identically. Short lines (< 5 ws tokens) never dedup — C4's
+    # formatting carve-out.
+    oracle=rf"""
+    WITH src AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+    ), split AS (
+      SELECT doc_id, string_split(t, chr(10)) AS l FROM src
+    ), lines AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             l[CAST(i AS INT)] AS line
+      FROM split, UNNEST(RANGE(1, LEN(l) + 1)) AS u(i)
+    ), flagged AS (
+      SELECT *,
+             {X.sql_token_count('line', X.WS_TOKEN_RE)} >= 5 AS dedupable
+      FROM lines
+    ), winners AS (
+      SELECT line, MIN(doc_id * 1000000 + pos) AS wkey
+      FROM flagged WHERE dedupable GROUP BY line
+    ), kept AS (
+      SELECT f.doc_id, f.pos, f.line
+      FROM flagged f LEFT JOIN winners w ON f.line = w.line
+      WHERE NOT f.dedupable
+         OR (f.doc_id * 1000000 + f.pos) = w.wkey
+    ), agg AS (
+      SELECT doc_id,
+             STRING_AGG(line, chr(10) ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           SHA256(COALESCE(a.text, '')) AS text_hash,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+           CAST(LEN(string_split(s.t, chr(10))) - COALESCE(a.n_kept, 0)
+                AS BIGINT) AS n_lines_dropped
+    FROM src s LEFT JOIN agg a USING (doc_id)
+    """,
+    description="C4-style cross-corpus line dedup with document "
+    "reassembly: repeated boilerplate lines survive only at their first "
+    "(doc, position); one explode, a min-struct winner aggregate keyed "
+    "on line content, a content join, and a per-document "
+    "sort_array(collect_list) stitch — shuffles carry lines, never "
+    "documents",
+)
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = D.line_dedup(docs)
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )

@@ -953,3 +953,59 @@ class TestNormalizeText:
         }
         for i, (_, want) in enumerate(cases):
             assert got[i] == want, (i, got[i], want)
+
+
+class TestLineDedup:
+    def test_repeated_lines_survive_first_occurrence_only(self, spark):
+        boiler = "subscribe to our newsletter for daily updates"
+        docs = spark.createDataFrame(
+            [
+                (0, f"{boiler}\nunique alpha content here today"),
+                (1, f"second doc body line\n{boiler}"),
+                (2, f"{boiler}\nthird doc distinct words follow"),
+            ],
+            ["doc_id", "text"],
+        )
+        from datarepo_spark.functions.dedup import line_dedup
+
+        out = {r.doc_id: r for r in line_dedup(docs).collect()}
+        assert out[0].text == (
+            f"{boiler}\nunique alpha content here today"
+        )
+        assert out[1].text == "second doc body line"
+        assert out[2].text == "third doc distinct words follow"
+        assert out[1].n_lines_dropped == 1
+        assert out[2].n_lines_dropped == 1
+
+    def test_short_lines_never_dedup(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "hi\nbody one two three four five"),
+             (1, "hi\nother body words here now too")],
+            ["doc_id", "text"],
+        )
+        from datarepo_spark.functions.dedup import line_dedup
+
+        out = {r.doc_id: r.text for r in line_dedup(docs).collect()}
+        assert out[0].startswith("hi\n") and out[1].startswith("hi\n")
+
+    def test_fully_deduped_doc_survives_empty(self, spark):
+        line = "exactly five tokens appear here"
+        docs = spark.createDataFrame(
+            [(0, line), (1, line)], ["doc_id", "text"]
+        )
+        from datarepo_spark.functions.dedup import line_dedup
+
+        out = {r.doc_id: r for r in line_dedup(docs).collect()}
+        assert out[0].text == line
+        assert out[1].text == "" and out[1].n_lines_kept == 0
+
+    def test_null_text_handled(self, spark):
+        docs = spark.createDataFrame(
+            [(0, None), (1, "real body line with five tokens")],
+            ["doc_id", "text"],
+        )
+        from datarepo_spark.functions.dedup import line_dedup
+
+        out = {r.doc_id: r for r in line_dedup(docs).collect()}
+        assert out[0].text == "" and out[0].n_lines_kept == 1
+        assert out[1].n_lines_kept == 1
