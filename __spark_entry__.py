@@ -83,6 +83,7 @@ _PRIORITY = [
     "source_orc_scan",
     "text_bigram_perplexity",
     "dedup_lines_c4",
+    "pipeline_length_buckets",
     "delta_identity_append",
     # -- one representative per already-proven family (regression) ----
     "dedup_minhash_lsh",

@@ -2296,3 +2296,51 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_kept",
         "n_lines_dropped",
     )
+
+
+@register(
+    "pipeline_length_buckets",
+    # pad-to-multiple-of-128 batching plan: bucket = ceil(tokens/128)
+    # (capped), waste = padding tokens the batch would burn. Integer
+    # arithmetic only — no log2 float hazards near power boundaries.
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             LEAST(CAST(FLOOR((n_tokens + 15) / 16) AS BIGINT), 32) AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           CAST(bucket * 16 AS BIGINT) AS pad_to,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(bucket * 16 - n_tokens) AS padding_waste
+    FROM b
+    GROUP BY bucket
+    """,
+    description="length-bucketed batching plan (pad-to-multiple-of-16): "
+    "per bucket doc count, real tokens, and padding waste — the numbers "
+    "that size training batches; one scan, one tiny aggregate",
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = X.token_count(F.col("text"), X.WS_TOKEN_RE).cast("long")
+    bucket = F.least(
+        F.floor((n_tokens + F.lit(15)) / F.lit(16)).cast("long"),
+        F.lit(32).cast("long"),
+    )
+    b = docs.select(
+        n_tokens.alias("n_tokens"), bucket.alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        (F.col("bucket") * 16).alias("pad_to"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bucket") * 16 - F.col("n_tokens")).alias(
+            "padding_waste"
+        ),
+    )
