@@ -85,10 +85,9 @@ _PRIORITY = [
     "dedup_lines_c4",
     "pipeline_length_buckets",
     "delta_identity_append",
-    # -- one representative per already-proven family (regression) ----
+    # -- one representative per already-proven family (regression);
+    # exactly 50 entries total — the driver gates the first 50 --------
     "dedup_minhash_lsh",
-    "q1_pricing_summary",
-    "events_sessionize",
 ]
 
 

@@ -49,10 +49,17 @@ def _aggregate_cell_stats(assigned_with_sim: DataFrame) -> dict[int, tuple[int, 
 
 
 def _write_cell_stats(uri: str, stats: dict[int, tuple[int, float, int, float]]) -> None:
+    """Crash-atomic sidecar update (write + rename): a crash between the
+    Delta commit and the stats write leaves the PREVIOUS stats intact
+    rather than a torn file. Note: concurrent appenders still
+    last-write-win on this sidecar — serialize index appends (they are
+    maintenance operations), or the drift audit undercounts."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cells = sorted(stats)
+    path = os.path.join(uri.rstrip("/"), _STATS_REL)
+    tmp = path + ".tmp"
     pq.write_table(
         pa.table(
             {
@@ -67,8 +74,9 @@ def _write_cell_stats(uri: str, stats: dict[int, tuple[int, float, int, float]])
                 ),
             }
         ),
-        os.path.join(uri.rstrip("/"), _STATS_REL),
+        tmp,
     )
+    os.replace(tmp, path)
 
 
 def _read_cell_stats(uri: str) -> dict[int, tuple[int, float, int, float]]:
@@ -126,7 +134,7 @@ def build_ann_index(
     )
     assigned = index.assign(
         df, vec_col=vec_col, id_col=id_col, nprobe=1, with_sim=True
-    )
+    ).persist()  # feeds both the staging write and the stats aggregate
     write_delta(
         assigned.drop("__sim"), uri, partition_by=["cell"],
         checkpoint_interval=None,
@@ -147,6 +155,7 @@ def build_ann_index(
         cpath,
     )
     base = _aggregate_cell_stats(assigned)
+    assigned.unpersist()
     _write_cell_stats(
         uri,
         {
@@ -187,7 +196,7 @@ def append_to_ann_index(
     index = load_ann_index(uri)
     assigned = index.assign(
         df, vec_col=vec_col, id_col=id_col, nprobe=1, with_sim=True
-    )
+    ).persist()  # one assignment pass feeds the write AND the stats
     version = write_delta(
         assigned.drop("__sim"), uri, partition_by=["cell"],
         checkpoint_interval=None,
@@ -195,8 +204,10 @@ def append_to_ann_index(
     try:
         stats = _read_cell_stats(uri)
     except FileNotFoundError:
+        assigned.unpersist()
         return version  # pre-accounting index: stay readable, no audit
     batch = _aggregate_cell_stats(assigned)
+    assigned.unpersist()
     for cell, (n, s) in batch.items():
         bn, br, an, ar = stats.get(cell, (0, 0.0, 0, 0.0))
         stats[cell] = (bn, br, an + n, ar + s)

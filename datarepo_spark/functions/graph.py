@@ -101,13 +101,17 @@ def pagerank(
     damping: float = 0.85,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998) over an edge list, fixed-iteration
-    MEAN-NORMALIZED form (ranks average 1.0; divide by node count for
-    the probability form): (node, rank) after ``iterations``
-    synchronous updates r' = (1-d) + d·Σ r/deg from a uniform 1.0
-    start.
+    MEAN-NORMALIZED form (ranks average 1.0 up to integer flooring;
+    divide by node count for the probability form): (node, rank) after
+    ``iterations`` synchronous updates
+    r' = (1-d) + d·(Σ r/deg + dangling_mass/N) from a uniform 1.0
+    start. DANGLING nodes (no out-edges) redistribute their rank
+    uniformly — the standard completion; without it total mass leaks
+    every round on any graph with sinks.
 
     Relational shape — per iteration ONE join (edges × current ranks on
-    the source key) and ONE aggregation (contributions by destination),
+    the source key), ONE aggregation (contributions by destination),
+    and one scalar aggregate (the dangling mass, broadcast back),
     exactly GraphX's Pregel step flattened into Catalyst; the graph
     never collects. Out-degrees are a one-time aggregate joined on the
     same key as the ranks (co-partitioned, O(nodes) — never broadcast).
@@ -139,11 +143,24 @@ def pagerank(
     degrees = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
     ranks = nodes.select(
         "node", F.lit(UNIT).cast("long").alias("rank_micro")
     )
     teleport = (100 - d_pct) * UNIT // 100
     for _ in range(iterations):
+        with_deg = ranks.join(degrees, "node", "left")
+        # per-node share of the dangling (no-out-edge) mass — a scalar
+        dang_share = (
+            with_deg.filter(F.col("__deg").isNull())
+            .agg(F.sum("rank_micro").alias("__dang"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.floor(
+                    F.coalesce(F.col("__dang"), F.lit(0)) / F.col("__n")
+                ).cast("long").alias("__share")
+            )
+        )
         contribs = (
             edges.select(F.col(src).alias("node"), F.col(dst).alias("__to"))
             .join(ranks, "node")
@@ -157,16 +174,23 @@ def pagerank(
                 ).alias("__c")
             )
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.floor(
-                    F.lit(d_pct)
-                    * F.coalesce(F.col("__c"), F.lit(0))
-                    / F.lit(100)
-                ).cast("long")
-            ).cast("long").alias("rank_micro"),
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang_share))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.floor(
+                        F.lit(d_pct)
+                        * (
+                            F.coalesce(F.col("__c"), F.lit(0))
+                            + F.col("__share")
+                        )
+                        / F.lit(100)
+                    ).cast("long")
+                ).cast("long").alias("rank_micro"),
+            )
         )
     return ranks.select(
         "node",

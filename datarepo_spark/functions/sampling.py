@@ -91,13 +91,17 @@ def weighted_sample(
     Scale shape: one scan + a TakeOrdered top-k (no global sort, no
     shuffle of the corpus). Reproducible across engines/partitionings;
     the rank is rounded to 12 decimals with the key as tiebreak so the
-    cross-engine pow() last-ulp never flips the boundary row."""
+    cross-engine pow() last-ulp never flips the boundary row.
+
+    Rows with weight ≤ 0 are excluded (A-Res semantics: inclusion
+    probability proportional to a POSITIVE weight; a negative weight
+    would otherwise rank u^(1/w) > 1, ahead of every legitimate row)."""
     u = hash_fraction(F.col(key_col), salt)
-    rank = F.round(
-        F.pow(u, F.lit(1.0) / weight.cast("double")), 12
-    )
+    w = weight.cast("double")
+    rank = F.round(F.pow(u, F.lit(1.0) / w), 12)
     return (
-        df.withColumn("__wrank", rank)
+        df.filter(w > 0)
+        .withColumn("__wrank", rank)
         .orderBy(F.desc("__wrank"), F.asc(key_col))
         .limit(k)
         .drop("__wrank")

@@ -2120,7 +2120,10 @@ from ..functions import graph as G  # noqa: E402
     # 150000 + floor(85*sum/100) — integer sums are order-insensitive
     # and floor-of-quotient is engine-exact, so the fixed point is
     # bit-identical across engines (float sums / double->decimal casts
-    # both diverge on tie values). Mean-1 normalized form.
+    # both diverge on tie values). Mean-1 normalized form. The
+    # symmetric trade graph has NO dangling nodes, so the engine's
+    # dangling-mass redistribution term is identically zero here and
+    # the oracle omits it (pinned nonzero in tests/test_graph.py).
     oracle="""
     WITH base AS (
       SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,

@@ -49,7 +49,13 @@ ANOMALY_STATE_SCHEMA = T.StructType(
 
 def make_detector(threshold: float = 3.0, min_n: int = 30):
     """applyInPandasWithState function: flag values > threshold·σ from
-    the running mean of the events seen before them (per key)."""
+    the running mean of the events seen before them (per key).
+    ``min_n`` must be ≥ 2 — the sample variance divides by n−1."""
+    if min_n < 2:
+        raise ValueError(
+            f"min_n must be >= 2 (sample variance divides by n-1), "
+            f"got {min_n}"
+        )
 
     def detect(
         key: Tuple[Any, ...],

@@ -80,13 +80,20 @@ def clone_delta(
         }
         if add.stats is not None:
             add_action["stats"] = add.stats
+        # add.path may already be absolute (cloning a shallow clone):
+        # resolve the real source file, and derive the partition-dirs +
+        # filename suffix for deep-copy placement
+        abs_src = os.path.join(src_uri, rel)
+        nseg = len(snapshot.partition_columns) + 1
+        rel_out = "/".join(rel.split("/")[-nseg:])
         if shallow:
-            abs_path = os.path.join(src_uri, rel)
-            add_action["path"] = quote(abs_path, safe="/=")
+            add_action["path"] = quote(abs_src, safe="/=")
             if add.deletion_vector:
                 dv = dict(add.deletion_vector)
                 if dv.get("storageType") == "u":
-                    # 'u' resolves against the TABLE root — absolute it
+                    # 'u' resolves against the TABLE root — absolute it.
+                    # A missing offset means 0 (read_deletion_vector's
+                    # default), never this engine's written 1.
                     from .delta_dv import dv_relative_path
 
                     dv_abs = os.path.join(
@@ -95,21 +102,21 @@ def clone_delta(
                     dv = {
                         "storageType": "p",
                         "pathOrInlineDv": dv_abs,
-                        "offset": dv.get("offset", 1),
+                        "offset": dv.get("offset", 0),
                         "sizeInBytes": dv["sizeInBytes"],
                         "cardinality": dv["cardinality"],
                     }
                 add_action["deletionVector"] = dv
         else:
-            dst_file = os.path.join(dst_uri, rel)
+            dst_file = os.path.join(dst_uri, rel_out)
             os.makedirs(os.path.dirname(dst_file), exist_ok=True)
-            shutil.copy2(os.path.join(src_uri, rel), dst_file)
-            add_action["path"] = add.path
+            shutil.copy2(abs_src, dst_file)
+            add_action["path"] = quote(rel_out, safe="/=")
             if add.deletion_vector:
                 dv = dict(add.deletion_vector)
-                if dv.get("storageType") == "u":
-                    from .delta_dv import dv_relative_path
+                from .delta_dv import dv_relative_path
 
+                if dv.get("storageType") == "u":
                     dv_rel = dv_relative_path(dv["pathOrInlineDv"])
                     os.makedirs(
                         os.path.dirname(os.path.join(dst_uri, dv_rel))
@@ -120,6 +127,14 @@ def clone_delta(
                         os.path.join(src_uri, dv_rel),
                         os.path.join(dst_uri, dv_rel),
                     )
+                elif dv.get("storageType") == "p":
+                    # a deep clone must be SELF-CONTAINED: copy the
+                    # referenced DV blob in and re-point absolutely
+                    dv_dst = os.path.join(
+                        dst_uri, os.path.basename(dv["pathOrInlineDv"])
+                    )
+                    shutil.copy2(dv["pathOrInlineDv"], dv_dst)
+                    dv = {**dv, "pathOrInlineDv": dv_dst}
                 add_action["deletionVector"] = dv
         actions.append({"add": add_action})
 

@@ -146,3 +146,39 @@ class TestDeepClone:
 
         invalidate_snapshot_cache()
         assert _ids(spark, dst) == [i for i in range(20) if i != 2]
+
+
+class TestCloneOfClone:
+    def test_deep_clone_of_shallow_clone_is_self_contained(
+        self, spark, tmp_path
+    ):
+        """Review finding: a deep clone of a shallow clone must re-root
+        the ABSOLUTE add paths (and copy 'p' DV blobs in) or the
+        'backup' still depends on the original source."""
+        import shutil
+
+        src = _src(spark, tmp_path, partitioned=True)
+        delete_delta(spark, src, [Filter("id", "in", [4, 9])])
+        sc = str(tmp_path / "sc")
+        clone_delta(src, sc)  # shallow: absolute refs + 'p' DVs
+        deep = str(tmp_path / "deep2")
+        clone_delta(sc, deep, shallow=False)
+
+        expected = [i for i in range(20) if i not in (4, 9)]
+        assert _ids(spark, deep) == expected
+        # self-contained: remove BOTH ancestors, deep clone still reads
+        shutil.rmtree(src)
+        shutil.rmtree(sc)
+        from datarepo_spark.tables.delta_log import (
+            invalidate_snapshot_cache,
+        )
+
+        invalidate_snapshot_cache()
+        assert _ids(spark, deep) == expected
+        # partition pruning works on the re-rooted layout
+        t = DeltalakeTable("d", deep)
+        got = sorted(
+            r.id
+            for r in t(filters=[Filter("par", "=", "0")], spark=spark).collect()
+        )
+        assert got == [i for i in expected if i % 2 == 0]

@@ -101,14 +101,21 @@ class TestPageRank:
         )
         assert a == b  # integer fixed point: bit-identical
 
-    def test_dangling_nodes_hold_teleport_mass(self, spark):
+    def test_dangling_mass_redistributes(self, spark):
+        """Sinks hand their rank back uniformly (the standard PageRank
+        completion) — total mass is conserved up to integer flooring."""
         from datarepo_spark.functions.graph import pagerank
 
         edges = spark.createDataFrame(
             [("a", "sink"), ("b", "sink")], ["src", "dst"]
         )
         ranks = {r.node: r.rank for r in pagerank(edges, iterations=2).collect()}
-        # a/b have no in-edges: exactly the teleport constant
-        assert ranks["a"] == ranks["b"] == pytest.approx(0.15)
-        # iteration 2: 0.15 + 0.85 * (0.15 + 0.15) = 0.405 exactly
-        assert ranks["sink"] == pytest.approx(0.405)
+        # iter1: dangling(sink)=1.0 -> share 1/3 each;
+        #   a,b = 0.15 + 0.85*0.333333 = 0.433333
+        #   sink = 0.15 + 0.85*(2.0 + 0.333333) = 2.133333
+        # iter2: share = floor(2133333/3)/1e6 = 0.711111
+        #   a,b  = 0.15 + floor(85*711111/100)/1e6 = 0.754444
+        #   sink = 0.15 + floor(85*(433333*2 + 711111)/100)/1e6
+        assert ranks["a"] == ranks["b"] == pytest.approx(0.754444)
+        assert ranks["sink"] == pytest.approx(0.15 + 0.85 * (2 * 0.433333 + 0.711111), abs=2e-5)
+        assert sum(ranks.values()) == pytest.approx(3.0, abs=0.01)
