@@ -2320,8 +2320,8 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            CAST(bucket * 16 AS BIGINT) AS pad_to,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           SUM(bucket * 16 - n_tokens) AS padding_waste
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket * 16 - n_tokens) AS BIGINT) AS padding_waste
     FROM b
     GROUP BY bucket
     """,
