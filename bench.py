@@ -74,12 +74,15 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "similarity_ann_index",
     "classify_nb_language",
-    # added r5 (headline count 32 → 36): lexical retrieval + weighted
-    # sampling/mixing, and the real-codec multimodal path
+    # added r5 (headline count 32 → 38): lexical retrieval + weighted
+    # sampling/mixing, the real-codec multimodal path, iterative graph
+    # ranking, and cross-corpus line dedup
     "text_tfidf_keywords",
     "text_bm25_search",
     "sample_weighted",
     "multimodal_features",
+    "graph_pagerank",
+    "dedup_lines_c4",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -129,40 +129,63 @@ def pagerank(
 
     Returns (node, rank_micro: long, rank: double = rank_micro / 10⁶).
 
-    At scale: lineage grows one plan level per iteration — fine for the
-    small fixed counts this API targets; chain
-    ``df.localCheckpoint()`` between calls for long runs (see
-    connected_components for the rationale)."""
+    At scale: the edge list, node set, and degree table are
+    localCheckpoint-materialized once (loop invariants), and each
+    iteration's O(nodes) rank state is pinned before fan-out — so the
+    per-iteration cost is exactly one join + two aggregates over
+    materialized inputs, and the (possibly expensive) edge-generation
+    subtree never re-executes."""
     UNIT = 1_000_000
     d_pct = int(round(damping * 100))
+    # materialize the loop INVARIANTS once: every iteration joins the
+    # edge list, node set, and degree table — without severing their
+    # (possibly expensive) generation subtree, each of the 2 branches
+    # per iteration would recompute it (see connected_components for
+    # the localCheckpoint-vs-persist rationale)
+    sc = edges.sparkSession.sparkContext
+    par = max(sc.defaultParallelism, 1)
+    base = (
+        edges.select(F.col(src).alias("__from"), F.col(dst).alias("__to"))
+        .coalesce(par)
+        .localCheckpoint()
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        base.select(F.col("__from").alias("node"))
+        .unionByName(base.select(F.col("__to").alias("node")))
         .distinct()
+        .coalesce(par)
+        .localCheckpoint()
     )
-    degrees = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("__deg")
+    degrees = (
+        base.groupBy(F.col("__from").alias("node"))
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .coalesce(par)
+        .localCheckpoint()
     )
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    n_total = nodes.count()  # loop-constant scalar, one tiny job
     ranks = nodes.select(
         "node", F.lit(UNIT).cast("long").alias("rank_micro")
     )
     teleport = (100 - d_pct) * UNIT // 100
     for _ in range(iterations):
-        with_deg = ranks.join(degrees, "node", "left")
+        # the iteration state is O(nodes); pin it so the dangling
+        # aggregate and the contribution join share ONE computation
+        ranks = ranks.coalesce(par).localCheckpoint()
         # per-node share of the dangling (no-out-edge) mass — a scalar
         dang_share = (
-            with_deg.filter(F.col("__deg").isNull())
+            ranks.join(degrees, "node", "left_anti")
             .agg(F.sum("rank_micro").alias("__dang"))
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 F.floor(
-                    F.coalesce(F.col("__dang"), F.lit(0)) / F.col("__n")
+                    F.coalesce(F.col("__dang"), F.lit(0))
+                    / F.lit(n_total)
                 ).cast("long").alias("__share")
             )
         )
         contribs = (
-            edges.select(F.col(src).alias("node"), F.col(dst).alias("__to"))
+            base.select(
+                F.col("__from").alias("node"), F.col("__to")
+            )
             .join(ranks, "node")
             .join(degrees, "node")
             .groupBy(F.col("__to").alias("node"))
