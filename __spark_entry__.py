@@ -85,9 +85,8 @@ _PRIORITY = [
     "dedup_lines_c4",
     "pipeline_length_buckets",
     "delta_identity_append",
-    # -- one representative per already-proven family (regression);
-    # exactly 50 entries total — the driver gates the first 50 --------
-    "dedup_minhash_lsh",
+    # exactly 50 entries total — the driver gates the first 50
+    "pipeline_curate_v2",
 ]
 
 

@@ -2347,3 +2347,96 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "padding_waste"
         ),
     )
+
+
+@register(
+    "pipeline_curate_v2",
+    # the round-5 curation chain: cross-corpus line dedup (boilerplate
+    # removal) -> quality score over the CLEANED text -> exact dedup ->
+    # per-source quota mixing. Every stage reuses an already-proven SQL
+    # mirror; the stages compose as CTEs exactly as the operators
+    # compose as DataFrames.
+    oracle=rf"""
+    WITH src AS (
+      SELECT doc_id, COALESCE(text, '') AS t, source FROM documents
+    ), split AS (
+      SELECT doc_id, string_split(t, chr(10)) AS l FROM src
+    ), lines AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             l[CAST(i AS INT)] AS line
+      FROM split, UNNEST(RANGE(1, LEN(l) + 1)) AS u(i)
+    ), flagged AS (
+      SELECT *,
+             {X.sql_token_count('line', X.WS_TOKEN_RE)} >= 5 AS dedupable
+      FROM lines
+    ), winners AS (
+      SELECT line, MIN(doc_id * 1000000 + pos) AS wkey
+      FROM flagged WHERE dedupable GROUP BY line
+    ), kept AS (
+      SELECT f.doc_id, f.pos, f.line
+      FROM flagged f LEFT JOIN winners w ON f.line = w.line
+      WHERE NOT f.dedupable
+         OR (f.doc_id * 1000000 + f.pos) = w.wkey
+    ), cleaned AS (
+      SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS ct
+      FROM kept GROUP BY doc_id
+    ), q AS (
+      SELECT doc_id, source, ct,
+             ROUND(
+               0.25 * (CASE WHEN nt >= 5 AND nt <= 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN nt > 0 AND nc/nt >= 2 AND nc/nt <= 12
+                            THEN 1.0 ELSE 0.0 END)
+             + 0.2 * LEAST(1.0, (CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4)
+             + 0.2 * (CASE WHEN nc > 0 THEN na/nc ELSE 0.0 END)
+             + 0.1 * (1 - LEAST(1.0,
+                   (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) * 5)),
+             6) AS quality
+      FROM (
+        SELECT c.doc_id, s.source, c.ct,
+               CAST(LEN(c.ct) AS DOUBLE) AS nc,
+               CAST({X.sql_token_count('c.ct', X.WS_TOKEN_RE)} AS DOUBLE) AS nt,
+               CAST({X.sql_token_count('c.ct', X.PUNCT_RE)} AS DOUBLE) AS np,
+               CAST({X.sql_token_count('c.ct', '[a-zA-Z]')} AS DOUBLE) AS na,
+               CAST({X.sql_token_count('c.ct', X.LANG_PROFILES[0][1])} AS DOUBLE) AS ns
+        FROM cleaned c JOIN src s USING (doc_id)
+      )
+    ), filt AS (
+      SELECT * FROM q WHERE quality >= 0.5
+    ), ded AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM filt GROUP BY sha256(lower(trim(ct)))
+    ), surv AS (
+      SELECT f.doc_id, f.source, f.quality
+      FROM filt f JOIN ded USING (doc_id)
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {SP.sql_hash_fraction('doc_id', salt='quota')},
+                        doc_id
+             ) AS rn
+      FROM surv
+    )
+    SELECT doc_id, source, quality FROM ranked WHERE rn <= 15
+    """,
+    description="curation v2: cross-corpus line dedup -> quality on the "
+    "cleaned text -> exact dedup -> per-source quota mix — the round-5 "
+    "operators composed end-to-end, stage mirrors composed as CTEs",
+)
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cleaned = D.line_dedup(docs).filter(F.col("n_lines_kept") > 0)
+    scored = (
+        cleaned.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            X.quality_score(F.col("text")).alias("quality"),
+        )
+    )
+    filt = scored.filter(F.col("quality") >= 0.5)
+    surv = D.exact_dedup_project(filt, ["doc_id", "source", "quality"])
+    return SP.group_quota_sample(surv, "source", 15, "doc_id").select(
+        "doc_id", "source", "quality"
+    )
