@@ -71,7 +71,7 @@ _PRIORITY = [
     "ivm_minmax_by_status",  # r5: MIN/MAX re-derivation + derived AVG
     # -- paths CHANGED this round: re-gate with fresh driver rows ------
     "multimodal_features",  # r5: real PPM decode replaced the stub
-    "multimodal_frame_sample",
+    "profile_histogram",  # r5-born; frame_sample rotated out (r4-green)
     "delta_roundtrip",  # r5: DV read-path threshold switch
     "delta_time_travel",
     # -- r5-born ranking/mixing/graph operators -------------------------

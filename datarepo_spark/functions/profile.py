@@ -90,3 +90,54 @@ def profile(
         ]
     )
     return df.sparkSession.createDataFrame(out_rows, schema)
+
+
+def histogram(
+    df: "DataFrame",
+    value_col: str,
+    n_buckets: int = 16,
+) -> "DataFrame":
+    """Equi-width histogram of a numeric column — the profiling
+    companion to :func:`profile`'s min/max card: (bucket, lo, hi, n).
+
+    Two aggregates: one whole-frame (min, max) broadcast back, one
+    keyed on the bucket index floor((v - min) · k / (max - min))
+    clamped to [0, k-1]. All-double arithmetic on identical inputs is
+    engine-deterministic (no rounding needed for the INDEX; bucket
+    EDGES are reported rounded for display). NULLs are excluded; a
+    constant column lands entirely in bucket 0."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    bounds = df.filter(v.isNotNull()).agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    idx = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((v - F.col("__lo")) * n_buckets / span).cast("int"),
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(idx.alias("bucket"), "__lo", "__hi")
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.first("__lo")
+                + F.col("bucket") * (F.first("__hi") - F.first("__lo"))
+                / n_buckets,
+                6,
+            ).alias("lo"),
+            F.round(
+                F.first("__lo")
+                + (F.col("bucket") + 1)
+                * (F.first("__hi") - F.first("__lo"))
+                / n_buckets,
+                6,
+            ).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -2440,3 +2440,37 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.group_quota_sample(surv, "source", 15, "doc_id").select(
         "doc_id", "source", "quality"
     )
+
+
+@register(
+    "profile_histogram",
+    # bucket index = floor((v - min) * k / (max - min)) clamped — pure
+    # double arithmetic on identical inputs, deterministic both engines
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), idx AS (
+      SELECT LEAST(15, CAST(FLOOR(
+               (o_totalprice - b.lo) * 16 / (b.hi - b.lo)) AS INT))
+               AS bucket,
+             b.lo AS blo, b.hi AS bhi
+      FROM orders, b WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bucket,
+           ROUND(MIN(blo) + bucket * (MIN(bhi) - MIN(blo)) / 16, 6) AS lo,
+           ROUND(MIN(blo) + (bucket + 1) * (MIN(bhi) - MIN(blo)) / 16, 6)
+             AS hi,
+           COUNT(*) AS n
+    FROM idx
+    GROUP BY bucket
+    """,
+    description="equi-width histogram profile of a numeric column: one "
+    "whole-frame bounds aggregate broadcast back + one bucket-keyed "
+    "count — the distribution card next to the min/max profile",
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import histogram
+
+    orders = load(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", 16)

@@ -75,7 +75,8 @@ def _run_program(spark, tmp_path, seed, n_ops=12):
     history.append((DeltaLog(uri).snapshot().version, dict(model)))
 
     ops = ["append", "delete", "update", "merge", "compact",
-           "zorder", "checkpoint", "restore"]
+           "zorder", "checkpoint", "restore", "enable_mapping"]
+    mapped = False
     for step in range(n_ops):
         op = rng.choice(ops)
         if op == "append":
@@ -129,12 +130,24 @@ def _run_program(spark, tmp_path, seed, n_ops=12):
         elif op == "checkpoint":
             write_checkpoint(uri)
         elif op == "restore":
+            if mapped:
+                continue  # restoring past the mapping upgrade would
+                # resurrect the unmapped metaData — out of model scope
             cur = DeltaLog(uri).snapshot().version
             cands = [(v, m) for v, m in history if v < cur]
             if cands and rng.random() < 0.5:
                 version, snap_model = rng.choice(cands)
                 restore_table(spark, uri, version)
                 model = dict(snap_model)
+        elif op == "enable_mapping":
+            if not mapped:
+                from datarepo_spark.tables.delta_writer import (
+                    enable_column_mapping,
+                )
+
+                enable_column_mapping(uri)
+                mapped = True
+                # content unchanged; every later op runs MAPPED
 
         assert _read(spark, uri) == _model_rows(model), (
             f"divergence after step {step} op={op} (seed {seed})"
