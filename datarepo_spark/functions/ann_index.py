@@ -135,6 +135,21 @@ def build_ann_index(
     assigned = index.assign(
         df, vec_col=vec_col, id_col=id_col, nprobe=1, with_sim=True
     ).persist()  # feeds both the staging write and the stats aggregate
+    try:
+        return _finish_build(
+            spark, assigned, uri, index, nlist
+        )
+    finally:
+        assigned.unpersist()
+
+
+def _finish_build(spark, assigned, uri, index, nlist):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..tables.delta_writer import write_delta
+
     write_delta(
         assigned.drop("__sim"), uri, partition_by=["cell"],
         checkpoint_interval=None,
@@ -155,7 +170,6 @@ def build_ann_index(
         cpath,
     )
     base = _aggregate_cell_stats(assigned)
-    assigned.unpersist()
     _write_cell_stats(
         uri,
         {
@@ -197,17 +211,18 @@ def append_to_ann_index(
     assigned = index.assign(
         df, vec_col=vec_col, id_col=id_col, nprobe=1, with_sim=True
     ).persist()  # one assignment pass feeds the write AND the stats
-    version = write_delta(
-        assigned.drop("__sim"), uri, partition_by=["cell"],
-        checkpoint_interval=None,
-    )
     try:
-        stats = _read_cell_stats(uri)
-    except FileNotFoundError:
+        version = write_delta(
+            assigned.drop("__sim"), uri, partition_by=["cell"],
+            checkpoint_interval=None,
+        )
+        try:
+            stats = _read_cell_stats(uri)
+        except FileNotFoundError:
+            return version  # pre-accounting index: readable, no audit
+        batch = _aggregate_cell_stats(assigned)
+    finally:
         assigned.unpersist()
-        return version  # pre-accounting index: stay readable, no audit
-    batch = _aggregate_cell_stats(assigned)
-    assigned.unpersist()
     for cell, (n, s) in batch.items():
         bn, br, an, ar = stats.get(cell, (0, 0.0, 0, 0.0))
         stats[cell] = (bn, br, an + n, ar + s)

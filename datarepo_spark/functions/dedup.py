@@ -1018,13 +1018,18 @@ def line_dedup(
         F.col(id_col),
         F.coalesce(F.col(text_col), F.lit("")).alias("__text0"),
     )
+    from .text import token_count
+
     lines = src.select(
         F.col(id_col),
         F.posexplode(F.split(F.col("__text0"), "\n")).alias(
             "__pos", "__line"
         ),
     )
-    eligible = F.size(tokens_of(F.col("__line"))) >= min_tokens
+    # token_count = one codegen'd regexp_count, textually paired with
+    # the oracle's LEN(regexp_extract_all(...)) — cheaper on the hot
+    # per-line path than materializing a filtered token array
+    eligible = token_count(F.col("__line")) >= min_tokens
     lines = lines.withColumn("__dedupable", eligible)
 
     winners = (
@@ -1073,3 +1078,32 @@ def line_dedup(
             - F.coalesce(F.col("n_lines_kept"), F.lit(0))
         ).cast("long").alias("n_lines_dropped"),
     )
+
+
+def sql_line_dedup_ctes(min_tokens: int = 5) -> str:
+    """The DuckDB CTE chain mirroring :func:`line_dedup` up through the
+    per-(doc, pos) ``kept`` lines — shared by every oracle that builds
+    on line dedup (consumers append their own reassembly aggregate).
+    Expects an upstream CTE ``src(doc_id, t)``."""
+    from .text import WS_TOKEN_RE, sql_token_count
+
+    return rf"""split AS (
+      SELECT doc_id, string_split(t, chr(10)) AS l FROM src
+    ), lines AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             l[CAST(i AS INT)] AS line
+      FROM split, UNNEST(RANGE(1, LEN(l) + 1)) AS u(i)
+    ), flagged AS (
+      SELECT *,
+             {sql_token_count('line', WS_TOKEN_RE)} >= {min_tokens}
+               AS dedupable
+      FROM lines
+    ), winners AS (
+      SELECT line, MIN(doc_id * 1000000 + pos) AS wkey
+      FROM flagged WHERE dedupable GROUP BY line
+    ), kept AS (
+      SELECT f.doc_id, f.pos, f.line
+      FROM flagged f LEFT JOIN winners w ON f.line = w.line
+      WHERE NOT f.dedupable
+         OR (f.doc_id * 1000000 + f.pos) = w.wkey
+    )"""

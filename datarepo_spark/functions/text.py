@@ -527,3 +527,31 @@ def bigram_perplexity(
             4,
         ).alias("perplexity"),
     )
+
+
+# --- shared quality-score oracle text (three oracles reuse it; a
+# drifting copy would be a silently wrong gate) ------------------------
+
+SQL_QUALITY_FORMULA = """ROUND(
+        0.25 * (CASE WHEN nt >= 5 AND nt <= 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.25 * (CASE WHEN nt > 0 AND nc/nt >= 2 AND nc/nt <= 12
+                     THEN 1.0 ELSE 0.0 END)
+      + 0.2 * LEAST(1.0, (CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4)
+      + 0.2 * (CASE WHEN nc > 0 THEN na/nc ELSE 0.0 END)
+      + 0.1 * (1 - LEAST(1.0,
+            (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) * 5)),
+      6)"""
+
+
+def sql_quality_inputs(expr: str) -> str:
+    """The nc/nt/np/na/ns input columns SQL_QUALITY_FORMULA consumes,
+    computed over ``expr`` — the DuckDB mirror of quality_score's
+    Spark-side ratios."""
+    return (
+        f"CAST(LEN({expr}) AS DOUBLE) AS nc,\n"
+        f"      CAST({sql_token_count(expr, WS_TOKEN_RE)} AS DOUBLE) AS nt,\n"
+        f"      CAST({sql_token_count(expr, PUNCT_RE)} AS DOUBLE) AS np,\n"
+        f"      CAST({sql_token_count(expr, '[a-zA-Z]')} AS DOUBLE) AS na,\n"
+        f"      CAST({sql_token_count(expr, LANG_PROFILES[0][1])} AS DOUBLE)"
+        f" AS ns"
+    )

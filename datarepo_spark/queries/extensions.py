@@ -53,23 +53,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH m AS (
       SELECT doc_id,
-             CAST(LEN(text) AS DOUBLE) AS nc,
-             CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS DOUBLE) AS nt,
-             CAST({X.sql_token_count('text', X.PUNCT_RE)} AS DOUBLE) AS np,
-             CAST({X.sql_token_count('text', '[a-zA-Z]')} AS DOUBLE) AS na,
-             CAST({X.sql_token_count('text', X.LANG_PROFILES[0][1])} AS DOUBLE) AS ns
+             {X.sql_quality_inputs('text')}
       FROM documents
     )
     SELECT doc_id,
-           ROUND(
-             0.25 * (CASE WHEN nt >= 5 AND nt <= 100000 THEN 1.0 ELSE 0.0 END)
-           + 0.25 * (CASE WHEN nt > 0 AND nc/nt >= 2 AND nc/nt <= 12
-                          THEN 1.0 ELSE 0.0 END)
-           + 0.2 * LEAST(1.0, (CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4)
-           + 0.2 * (CASE WHEN nc > 0 THEN na/nc ELSE 0.0 END)
-           + 0.1 * (1 - LEAST(1.0,
-                 (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) * 5)),
-           6) AS quality
+           {X.SQL_QUALITY_FORMULA} AS quality
     FROM m
     """,
     description="heuristic quality score (Gopher/C4-style ratio filters)",
@@ -577,22 +565,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH q AS (
       SELECT doc_id, text,
-             ROUND(
-               0.25 * (CASE WHEN nt >= 5 AND nt <= 100000 THEN 1.0 ELSE 0.0 END)
-             + 0.25 * (CASE WHEN nt > 0 AND nc/nt >= 2 AND nc/nt <= 12
-                            THEN 1.0 ELSE 0.0 END)
-             + 0.2 * LEAST(1.0, (CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4)
-             + 0.2 * (CASE WHEN nc > 0 THEN na/nc ELSE 0.0 END)
-             + 0.1 * (1 - LEAST(1.0,
-                   (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) * 5)),
-             6) AS quality
+             {X.SQL_QUALITY_FORMULA} AS quality
       FROM (
         SELECT doc_id, text,
-               CAST(LEN(text) AS DOUBLE) AS nc,
-               CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS DOUBLE) AS nt,
-               CAST({X.sql_token_count('text', X.PUNCT_RE)} AS DOUBLE) AS np,
-               CAST({X.sql_token_count('text', '[a-zA-Z]')} AS DOUBLE) AS na,
-               CAST({X.sql_token_count('text', X.LANG_PROFILES[0][1])} AS DOUBLE) AS ns
+               {X.sql_quality_inputs('text')}
         FROM documents
       )
     ), filtered AS (
@@ -2252,25 +2228,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH src AS (
       SELECT doc_id, COALESCE(text, '') AS t FROM documents
-    ), split AS (
-      SELECT doc_id, string_split(t, chr(10)) AS l FROM src
-    ), lines AS (
-      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             l[CAST(i AS INT)] AS line
-      FROM split, UNNEST(RANGE(1, LEN(l) + 1)) AS u(i)
-    ), flagged AS (
-      SELECT *,
-             {X.sql_token_count('line', X.WS_TOKEN_RE)} >= 5 AS dedupable
-      FROM lines
-    ), winners AS (
-      SELECT line, MIN(doc_id * 1000000 + pos) AS wkey
-      FROM flagged WHERE dedupable GROUP BY line
-    ), kept AS (
-      SELECT f.doc_id, f.pos, f.line
-      FROM flagged f LEFT JOIN winners w ON f.line = w.line
-      WHERE NOT f.dedupable
-         OR (f.doc_id * 1000000 + f.pos) = w.wkey
-    ), agg AS (
+    ), {D.sql_line_dedup_ctes()}, agg AS (
       SELECT doc_id,
              STRING_AGG(line, chr(10) ORDER BY pos) AS text,
              COUNT(*) AS n_kept
@@ -2303,8 +2261,9 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_length_buckets",
-    # pad-to-multiple-of-128 batching plan: bucket = ceil(tokens/128)
-    # (capped), waste = padding tokens the batch would burn. Integer
+    # pad-to-multiple-of-16 batching plan: bucket = ceil(tokens/16)
+    # capped at 32 (pad_to 512); docs past the cap truncate, so their
+    # per-doc waste clamps at 0 instead of going negative. Integer
     # arithmetic only — no log2 float hazards near power boundaries.
     oracle=rf"""
     WITH t AS (
@@ -2321,7 +2280,8 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bucket * 16 AS BIGINT) AS pad_to,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(bucket * 16 - n_tokens) AS BIGINT) AS padding_waste
+           CAST(SUM(GREATEST(bucket * 16 - n_tokens, 0)) AS BIGINT)
+             AS padding_waste
     FROM b
     GROUP BY bucket
     """,
@@ -2343,9 +2303,11 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") * 16).alias("pad_to"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.col("bucket") * 16 - F.col("n_tokens")).alias(
-            "padding_waste"
-        ),
+        F.sum(
+            F.greatest(
+                F.col("bucket") * 16 - F.col("n_tokens"), F.lit(0)
+            )
+        ).alias("padding_waste"),
     )
 
 
@@ -2359,45 +2321,15 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH src AS (
       SELECT doc_id, COALESCE(text, '') AS t, source FROM documents
-    ), split AS (
-      SELECT doc_id, string_split(t, chr(10)) AS l FROM src
-    ), lines AS (
-      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             l[CAST(i AS INT)] AS line
-      FROM split, UNNEST(RANGE(1, LEN(l) + 1)) AS u(i)
-    ), flagged AS (
-      SELECT *,
-             {X.sql_token_count('line', X.WS_TOKEN_RE)} >= 5 AS dedupable
-      FROM lines
-    ), winners AS (
-      SELECT line, MIN(doc_id * 1000000 + pos) AS wkey
-      FROM flagged WHERE dedupable GROUP BY line
-    ), kept AS (
-      SELECT f.doc_id, f.pos, f.line
-      FROM flagged f LEFT JOIN winners w ON f.line = w.line
-      WHERE NOT f.dedupable
-         OR (f.doc_id * 1000000 + f.pos) = w.wkey
-    ), cleaned AS (
+    ), {D.sql_line_dedup_ctes()}, cleaned AS (
       SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS ct
       FROM kept GROUP BY doc_id
     ), q AS (
       SELECT doc_id, source, ct,
-             ROUND(
-               0.25 * (CASE WHEN nt >= 5 AND nt <= 100000 THEN 1.0 ELSE 0.0 END)
-             + 0.25 * (CASE WHEN nt > 0 AND nc/nt >= 2 AND nc/nt <= 12
-                            THEN 1.0 ELSE 0.0 END)
-             + 0.2 * LEAST(1.0, (CASE WHEN nt > 0 THEN ns/nt ELSE 0.0 END) * 4)
-             + 0.2 * (CASE WHEN nc > 0 THEN na/nc ELSE 0.0 END)
-             + 0.1 * (1 - LEAST(1.0,
-                   (CASE WHEN nc > 0 THEN np/nc ELSE 1.0 END) * 5)),
-             6) AS quality
+             {X.SQL_QUALITY_FORMULA} AS quality
       FROM (
         SELECT c.doc_id, s.source, c.ct,
-               CAST(LEN(c.ct) AS DOUBLE) AS nc,
-               CAST({X.sql_token_count('c.ct', X.WS_TOKEN_RE)} AS DOUBLE) AS nt,
-               CAST({X.sql_token_count('c.ct', X.PUNCT_RE)} AS DOUBLE) AS np,
-               CAST({X.sql_token_count('c.ct', '[a-zA-Z]')} AS DOUBLE) AS na,
-               CAST({X.sql_token_count('c.ct', X.LANG_PROFILES[0][1])} AS DOUBLE) AS ns
+               {X.sql_quality_inputs('c.ct')}
         FROM cleaned c JOIN src s USING (doc_id)
       )
     ), filt AS (

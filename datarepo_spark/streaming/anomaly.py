@@ -65,32 +65,46 @@ def make_detector(threshold: float = 3.0, min_n: int = 30):
         (event_type,) = key
         n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for event_id, ts, value in zip(
-                pdf["event_id"], pdf["ts"], pdf["value"]
-            ):
-                v = float(value)
-                if n >= min_n:
-                    mu = s1 / n
-                    var = max(s2 - s1 * s1 / n, 0.0) / (n - 1)
-                    sigma = math.sqrt(var)
-                    if sigma > 0.0:
-                        z = (v - mu) / sigma
-                        if abs(z) > threshold:
-                            out.append(
-                                (
-                                    int(event_id),
-                                    event_type,
-                                    ts,
-                                    v,
-                                    round(z, 4),
-                                    n,
-                                )
+        # concatenate BEFORE sorting: a group's micro-batch arrives as
+        # several Arrow chunks whose interleaving follows shuffle fetch
+        # order — per-chunk sorting would score later chunks' early
+        # events against moments that already include later ones (the
+        # same concat-then-sort rule the stateful sessionizer follows)
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((n, s1, s2))
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for event_id, ts, value in zip(
+            batch["event_id"], batch["ts"], batch["value"]
+        ):
+            v = float(value) if value is not None else float("nan")
+            if not math.isfinite(v):
+                continue  # null/NaN: skip like SQL SUM — a single
+                # non-finite value would otherwise poison the moments
+                # and silently disable detection for this key forever
+            if n >= min_n:
+                mu = s1 / n
+                var = max(s2 - s1 * s1 / n, 0.0) / (n - 1)
+                sigma = math.sqrt(var)
+                if sigma > 0.0:
+                    z = (v - mu) / sigma
+                    if abs(z) > threshold:
+                        out.append(
+                            (
+                                int(event_id),
+                                event_type,
+                                ts,
+                                v,
+                                round(z, 4),
+                                n,
                             )
-                n += 1
-                s1 += v
-                s2 += v * v
+                        )
+            n += 1
+            s1 += v
+            s2 += v * v
         state.update((n, s1, s2))
         if out:
             yield pd.DataFrame(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from urllib.parse import quote, unquote
@@ -128,13 +129,37 @@ def clone_delta(
                         os.path.join(dst_uri, dv_rel),
                     )
                 elif dv.get("storageType") == "p":
-                    # a deep clone must be SELF-CONTAINED: copy the
-                    # referenced DV blob in and re-point absolutely
-                    dv_dst = os.path.join(
-                        dst_uri, os.path.basename(dv["pathOrInlineDv"])
-                    )
+                    # a deep clone must be SELF-CONTAINED and
+                    # RELOCATABLE: copy the blob in and, when its name
+                    # carries the standard uuid, re-emit a RELATIVE 'u'
+                    # descriptor (an absolute 'p' into the clone would
+                    # break the moment the backup directory moves)
+                    base_name = os.path.basename(dv["pathOrInlineDv"])
+                    dv_dst = os.path.join(dst_uri, base_name)
                     shutil.copy2(dv["pathOrInlineDv"], dv_dst)
-                    dv = {**dv, "pathOrInlineDv": dv_dst}
+                    m = re.fullmatch(
+                        r"deletion_vector_(.*)\.bin", base_name
+                    )
+                    converted = None
+                    if m:
+                        try:
+                            from .delta_dv import z85_encode
+
+                            converted = z85_encode(
+                                uuid.UUID(m.group(1)).bytes
+                            )
+                        except ValueError:
+                            converted = None
+                    if converted is not None:
+                        dv = {
+                            "storageType": "u",
+                            "pathOrInlineDv": converted,
+                            "offset": dv.get("offset", 0),
+                            "sizeInBytes": dv["sizeInBytes"],
+                            "cardinality": dv["cardinality"],
+                        }
+                    else:  # foreign blob name: absolute fallback
+                        dv = {**dv, "pathOrInlineDv": dv_dst}
                 add_action["deletionVector"] = dv
         actions.append({"add": add_action})
 

@@ -182,3 +182,29 @@ class TestCloneOfClone:
             for r in t(filters=[Filter("par", "=", "0")], spark=spark).collect()
         )
         assert got == [i for i in expected if i % 2 == 0]
+
+
+def test_deep_clone_is_relocatable(spark, tmp_path):
+    """Review finding: deep-clone DV descriptors must be RELATIVE, or
+    moving the backup directory breaks every DV read."""
+    import shutil as _sh
+
+    src = _src(spark, tmp_path)
+    delete_delta(spark, src, [Filter("id", "in", [1, 5])])
+    sc = str(tmp_path / "sc")
+    clone_delta(src, sc)  # 'p' DVs
+    deep = str(tmp_path / "deep")
+    clone_delta(sc, deep, shallow=False)
+    dvs = [
+        f.deletion_vector
+        for f in DeltaLog(deep).snapshot().files
+        if f.deletion_vector
+    ]
+    assert dvs and all(d["storageType"] == "u" for d in dvs)
+    # MOVE the backup somewhere else entirely; it must still read
+    moved = str(tmp_path / "relocated")
+    _sh.move(deep, moved)
+    from datarepo_spark.tables.delta_log import invalidate_snapshot_cache
+
+    invalidate_snapshot_cache()
+    assert _ids(spark, moved) == [i for i in range(20) if i not in (1, 5)]
