@@ -30,6 +30,66 @@ from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
 # proven green in r01. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
+    # -- r6 window: the 51-query cohort whose most recent driver gate
+    # is r1/r2 (VERDICT r5 #2). Shared machinery under them (readconf,
+    # type canonicalization, session conf) changed in r3-r5; they are
+    # re-proven locally every round by tests/test_oracle_parity.py, but
+    # the hard driver-gated row is stale — refresh it. 49 of the 51 fit
+    # (deferring reshape_posexplode + set_union_distinct, whose exact
+    # siblings are in-window) plus r6-born similarity_ann_index_pq.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "filter_comparisons",
+    "filter_in_contains_dnf",
+    "filter_not_in",
+    "filter_sql_string",
+    "normalize_missing_column",
+    "join_left",
+    "join_outer_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_inequality",
+    "join_range_bucketed",
+    "join_asof_backward",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_distinct_counts",
+    "agg_median_quantile",
+    "agg_whole_frame",
+    "window_rank_topk_per_group",
+    "window_rank_variants",
+    "window_lag_lead",
+    "window_first_last",
+    "window_running_sum",
+    "window_rolling_mean",
+    "window_range_7d",
+    "fn_string_suite",
+    "fn_date_suite",
+    "fn_math_suite",
+    "fn_array_suite",
+    "fn_json_extract",
+    "fn_conditional_null",
+    "set_union_all_drift",
+    "set_except",
+    "set_intersect",
+    "reshape_explode",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "sort_topk",
+    "dedup_distinct_subset",
+    "events_tumbling_window",
+    "events_sessionize",
+    "text_sentiment",
+    "text_top_tokens",
+    "similarity_ann_index_pq",  # r6-born: persisted IVF-PQ index
+]
+
+_PRIORITY_R5 = [
     # -- r4/r5-born queries that have never held a driver CORRECTNESS
     # row (r4 verdict #10: rotate them through the 50-query window so
     # every operator family gains a hard driver-gated row) ------------
@@ -92,7 +152,7 @@ _PRIORITY = [
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
-    for name in _PRIORITY:
+    for name in _PRIORITY + _PRIORITY_R5:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():
         if name not in ordered:

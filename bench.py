@@ -141,7 +141,30 @@ def main() -> None:
         out["steady"] = steady
         out["steady_total"] = round(sum(steady.values()), 4)
 
-    print(json.dumps(out))
+    # Full per-query detail (composite + steady maps) goes to a sidecar
+    # file; the stdout line stays compact so the driver's bounded tail
+    # capture can always parse it (r5's line outgrew the capture and the
+    # driver recorded "parsed": null — no bench number for the round).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": out["sf"],
+    }
+    if "steady_total" in out:
+        compact["steady_total"] = out["steady_total"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 2800:  # stay under the driver's tail-capture window
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

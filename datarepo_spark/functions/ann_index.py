@@ -32,6 +32,7 @@ from .similarity import knn_brute_force
 
 _CENTROID_REL = os.path.join("_ann_index", "centroids.parquet")
 _STATS_REL = os.path.join("_ann_index", "cell_stats.parquet")
+_PQ_REL = os.path.join("_ann_index", "pq_codebooks.parquet")
 
 
 def _aggregate_cell_stats(assigned_with_sim: DataFrame) -> dict[int, tuple[int, float]]:
@@ -110,13 +111,25 @@ def build_ann_index(
     nlist: int = 16,
     iterations: int = 8,
     sample_size: Optional[int] = 4096,
+    pq_m: Optional[int] = None,
+    pq_ksub: int = 256,
+    pq_iterations: int = 8,
 ) -> IVFIndex:
     """Fit IVF centroids (sampled, deterministic), assign the corpus,
     and write the (id, vector, cell) table partitioned by cell.
     Also records per-cell baseline stats (count, residual mass) under
     ``_ann_index/`` so appends can be drift-audited by
     :func:`index_health`. Returns the fitted index (also persisted for
-    :func:`load_ann_index`)."""
+    :func:`load_ann_index`).
+
+    ``pq_m``: also fit an m-subspace product quantizer and store each
+    row's 1-byte-per-subspace ``codes`` column in the table — the FAISS
+    IVF-PQ layout as a lakehouse table. A :func:`query_ann_index_pq`
+    search then reads nprobe pruned cells × only the (id, codes)
+    columns; at 100 TB the two reductions (partition pruning × column
+    pruning to 8-byte codes instead of the 4·d-byte vector) compose
+    multiplicatively. Codebooks persist beside the centroids so appends
+    encode with the SAME geometry."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -134,16 +147,33 @@ def build_ann_index(
     )
     assigned = index.assign(
         df, vec_col=vec_col, id_col=id_col, nprobe=1, with_sim=True
-    ).persist()  # feeds both the staging write and the stats aggregate
+    )
+    quantizer = None
+    if pq_m is not None:
+        from .pq import ProductQuantizer
+
+        quantizer = ProductQuantizer.fit(
+            df,
+            vec_col=vec_col,
+            id_col=id_col,
+            m=pq_m,
+            ksub=pq_ksub,
+            iterations=pq_iterations,
+            sample_size=sample_size,
+        )
+        assigned = assigned.join(
+            quantizer.encode(df, vec_col=vec_col, id_col=id_col), id_col
+        )
+    assigned = assigned.persist()  # feeds the write AND the stats agg
     try:
         return _finish_build(
-            spark, assigned, uri, index, nlist
+            spark, assigned, uri, index, nlist, quantizer
         )
     finally:
         assigned.unpersist()
 
 
-def _finish_build(spark, assigned, uri, index, nlist):
+def _finish_build(spark, assigned, uri, index, nlist, quantizer=None):
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -169,6 +199,8 @@ def _finish_build(spark, assigned, uri, index, nlist):
         ),
         cpath,
     )
+    if quantizer is not None:
+        _write_pq_codebooks(uri, quantizer)
     base = _aggregate_cell_stats(assigned)
     _write_cell_stats(
         uri,
@@ -180,6 +212,67 @@ def _finish_build(spark, assigned, uri, index, nlist):
         },
     )
     return index
+
+
+def _write_pq_codebooks(uri: str, quantizer) -> None:
+    """Persist the (m, ksub, dsub) codebooks flattened to one row per
+    (subspace, code) — tiny (m × ksub rows), read back whole."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    books = quantizer.codebooks
+    m, ksub, _ = books.shape
+    path = os.path.join(uri.rstrip("/"), _PQ_REL)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "subspace": pa.array(
+                    [j for j in range(m) for _ in range(ksub)], pa.int32()
+                ),
+                "code": pa.array(
+                    [c for _ in range(m) for c in range(ksub)], pa.int32()
+                ),
+                "centroid": pa.array(
+                    [
+                        list(map(float, books[j, c]))
+                        for j in range(m)
+                        for c in range(ksub)
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        path,
+    )
+
+
+def load_pq(uri: str):
+    """Rehydrate the stored PQ codebooks, or ``None`` for a plain IVF
+    index (built without ``pq_m``)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .pq import ProductQuantizer
+
+    path = os.path.join(uri.rstrip("/"), _PQ_REL)
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    rows = sorted(
+        zip(
+            t["subspace"].to_pylist(),
+            t["code"].to_pylist(),
+            t["centroid"].to_pylist(),
+        )
+    )
+    m = rows[-1][0] + 1
+    ksub = rows[-1][1] + 1
+    dsub = len(rows[0][2])
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j, c, cent in rows:
+        books[j, c] = cent
+    return ProductQuantizer(books)
 
 
 def load_ann_index(uri: str) -> IVFIndex:
@@ -210,7 +303,13 @@ def append_to_ann_index(
     index = load_ann_index(uri)
     assigned = index.assign(
         df, vec_col=vec_col, id_col=id_col, nprobe=1, with_sim=True
-    ).persist()  # one assignment pass feeds the write AND the stats
+    )
+    quantizer = load_pq(uri)
+    if quantizer is not None:  # IVF-PQ table: encode with STORED books
+        assigned = assigned.join(
+            quantizer.encode(df, vec_col=vec_col, id_col=id_col), id_col
+        )
+    assigned = assigned.persist()  # one pass feeds the write AND stats
     try:
         version = write_delta(
             assigned.drop("__sim"), uri, partition_by=["cell"],
@@ -316,8 +415,59 @@ def query_ann_index(
     cells = index.probe_cells(list(query_vec), nprobe)
     table = DeltalakeTable(os.path.basename(uri.rstrip("/")), uri)
     candidates = table(
-        filters=[Filter("cell", "in", cells)], spark=spark
+        filters=[Filter("cell", "in", cells)],
+        columns=[id_col, vec_col],
+        spark=spark,
     )
     return knn_brute_force(
         candidates, list(query_vec), k, vec_col, id_col
     )
+
+
+def query_ann_index_pq(
+    spark: SparkSession,
+    uri: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search over a persisted index (built with ``pq_m``): the
+    production 100 TB serving shape. Three multiplicative reductions:
+
+    1. **Partition pruning** — nprobe nearest cells resolved driver-side
+       from the stored centroids; only those cell directories are read.
+    2. **Column pruning** — the ADC scan reads ONLY (id, codes): 8-byte
+       codes instead of the 4·d-byte vector (32× less I/O at d=64).
+    3. **Exact refine** — the raw vector column is read for the top
+       ``k × refine`` ADC survivors only, inside the same pruned cells,
+       then re-ranked by exact cosine.
+    """
+    from ..tables.delta_table import DeltalakeTable
+
+    index = load_ann_index(uri)
+    quantizer = load_pq(uri)
+    if quantizer is None:
+        raise ValueError(
+            f"index at {uri} has no PQ codebooks — build with pq_m= to "
+            f"enable query_ann_index_pq (or use query_ann_index)"
+        )
+    qv = [float(x) for x in query_vec]
+    cells = index.probe_cells(qv, nprobe)
+    table = DeltalakeTable(os.path.basename(uri.rstrip("/")), uri)
+    cell_filter = [Filter("cell", "in", cells)]
+    codes = table(filters=cell_filter, columns=[id_col, "codes"], spark=spark)
+    scored = quantizer.adc_scores(codes, qv)
+    cand_ids = (
+        scored.orderBy(F.desc("approx_cosine"), F.asc(id_col))
+        .limit(k * refine)
+        .select(id_col)
+    )
+    vectors = table(
+        filters=cell_filter, columns=[id_col, vec_col], spark=spark
+    )
+    # candidate set is ≤ k·refine rows — always broadcast the semi join
+    survivors = vectors.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return knn_brute_force(survivors, qv, k, vec_col, id_col)

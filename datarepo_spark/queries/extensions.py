@@ -1532,7 +1532,12 @@ def _ann_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     base = _tempfile.mkdtemp(prefix="datarepo_ann_index_")
     uri = _os.path.join(base, "embeddings_ivf")
     emb = load(spark, sf_dir, "embeddings")
-    build_ann_index(spark, emb, uri, nlist=8, iterations=4)
+    # one shared fixture serves both the plain-IVF and the IVF-PQ query:
+    # pq_m adds the 8-byte codes column; the plain query's column
+    # projection never reads it
+    build_ann_index(
+        spark, emb, uri, nlist=8, iterations=4, pq_m=8, pq_iterations=6
+    )
     _ANN_INDEX_BUILT[key] = uri
     return uri
 
@@ -1557,6 +1562,34 @@ def similarity_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = query_ann_index(spark, uri, qv, k=10, nprobe=3).filter(
         F.col("vec_id") != 0
     )
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = S.knn_brute_force(base, qv, k=10)
+    return _ann_gate(ann, exact)
+
+
+@register(
+    "similarity_ann_index_pq",
+    oracle=_ANN_ORACLE,
+    description="persisted IVF-PQ index (the production 100 TB serving "
+    "shape): cell-partitioned Delta table storing 8-byte PQ codes; a "
+    "query reads nprobe pruned cells x ONLY the (id, codes) columns "
+    "for the ADC scan, then the raw vectors for the top k*refine "
+    "survivors only — gated by exact top-3 + recall contract",
+)
+def similarity_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ann_index import query_ann_index_pq
+
+    uri = _ann_index_fixture(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    # nprobe/refine sized like similarity_ann_ivfpq: the synthetic
+    # uniform-ish embeddings are the ANN worst case for coarse cells
+    ann = query_ann_index_pq(
+        spark, uri, qv, k=10, nprobe=5, refine=8
+    ).filter(F.col("vec_id") != 0)
     base = emb.filter(F.col("vec_id") != 0)
     exact = S.knn_brute_force(base, qv, k=10)
     return _ann_gate(ann, exact)

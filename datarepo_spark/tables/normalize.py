@@ -22,6 +22,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _strip_nullability(dt: T.DataType) -> T.DataType:
+    """Same type with every nested nullability flag set True — casting is
+    about VALUES; a containsNull=false declared element type must not
+    make the cast unresolvable against a nullable-element read schema
+    (Spark refuses array<int,true> → array<int,false>)."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_nullability(dt.keyType),
+            _strip_nullability(dt.valueType),
+            True,
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def normalize_df(
     df: DataFrame,
     schema: T.StructType,
@@ -31,6 +54,7 @@ def normalize_df(
     present = set(df.columns)
     wanted = list(columns) if columns is not None else [f.name for f in schema]
     by_name = {f.name: f for f in schema.fields}
+    read_types = dict(zip(df.schema.names, [f.dataType for f in df.schema]))
     exprs = []
     for name in wanted:
         field = by_name.get(name)
@@ -40,7 +64,11 @@ def normalize_df(
                 f"(schema has: {[f.name for f in schema.fields]})"
             )
         if name in present:
-            exprs.append(F.col(name).cast(field.dataType).alias(name))
+            target = _strip_nullability(field.dataType)
+            if _strip_nullability(read_types[name]) == target:
+                exprs.append(F.col(name).alias(name))  # no-op cast elided
+            else:
+                exprs.append(F.col(name).cast(target).alias(name))
         else:
             exprs.append(F.lit(None).cast(field.dataType).alias(name))
     return df.select(*exprs)

@@ -173,3 +173,103 @@ class TestIndexHealth:
         )
         with pytest.raises(FileNotFoundError, match="cell_stats"):
             AI.index_health(uri)
+
+
+class TestAnnIndexPQ:
+    """Persisted IVF-PQ (VERDICT r5 #6): PQ codes stored as a column of
+    the cell-partitioned index table — a query reads nprobe pruned
+    cells × only the 8-byte codes for the ADC scan, raw vectors for the
+    top k·refine survivors only."""
+
+    def _build(self, spark, tmp_path):
+        uri = str(tmp_path / "idxpq")
+        build_ann_index(
+            spark, _emb(spark), uri, nlist=8, iterations=4,
+            pq_m=8, pq_iterations=4,
+        )
+        return uri
+
+    def test_build_query_recall(self, spark, tmp_path):
+        from datarepo_spark.functions.ann_index import query_ann_index_pq
+
+        uri = self._build(spark, tmp_path)
+        qv = _query_vec(spark)
+        got = query_ann_index_pq(spark, uri, qv, k=10, nprobe=4, refine=8)
+        rows = {r["vec_id"] for r in got.collect()}
+        exact = {
+            r["vec_id"]
+            for r in knn_brute_force(_emb(spark), qv, k=10).collect()
+        }
+        assert len(rows & exact) >= 5
+        assert 0 in rows
+
+    def test_adc_scan_reads_codes_not_vectors(self, spark, tmp_path):
+        """Column pruning: the ADC scan's parquet ReadSchema must carry
+        codes but NOT the raw embedding — that is the 32× I/O reduction
+        the layout exists for. The refine scan (embedding) reads only
+        the same pruned cells."""
+        from datarepo_spark.functions.ann_index import query_ann_index_pq
+
+        uri = self._build(spark, tmp_path)
+        qv = _query_vec(spark)
+        got = query_ann_index_pq(spark, uri, qv, k=5, nprobe=2, refine=4)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        schemas = [
+            seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+        ]
+        code_scans = [s for s in schemas if "codes" in s]
+        assert code_scans, plan
+        assert all("embedding" not in s for s in code_scans), schemas
+        # partition pruning holds for BOTH scans
+        touched = {
+            seg
+            for f in got.inputFiles()
+            for seg in f.split("/")
+            if seg.startswith("cell=")
+        }
+        assert len(touched) <= 2
+
+    def test_append_encodes_with_stored_codebooks(self, spark, tmp_path):
+        from datarepo_spark.functions.ann_index import (
+            load_pq,
+            query_ann_index_pq,
+        )
+
+        uri = str(tmp_path / "idxpq")
+        emb = _emb(spark)
+        base = emb.filter(F.col("vec_id") < 300)
+        extra = emb.filter(F.col("vec_id") >= 300)
+        build_ann_index(
+            spark, base, uri, nlist=8, iterations=4, pq_m=8,
+            pq_iterations=4,
+        )
+        books_before = load_pq(uri).codebooks.copy()
+        append_to_ann_index(spark, extra, uri)
+        assert (load_pq(uri).codebooks == books_before).all()
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        table = DeltalakeTable("idxpq", uri)(spark=spark)
+        assert table.count() == emb.count()
+        assert table.filter(F.col("codes").isNull()).count() == 0
+        # appended vectors are findable
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 450).head()["embedding"]
+        ]
+        got = {
+            r["vec_id"]
+            for r in query_ann_index_pq(
+                spark, uri, qv, k=5, nprobe=4, refine=8
+            ).collect()
+        }
+        assert 450 in got
+
+    def test_non_pq_index_raises(self, spark, tmp_path):
+        import pytest
+
+        from datarepo_spark.functions.ann_index import query_ann_index_pq
+
+        uri = str(tmp_path / "plain")
+        build_ann_index(spark, _emb(spark), uri, nlist=4, iterations=2)
+        with pytest.raises(ValueError, match="no PQ codebooks"):
+            query_ann_index_pq(spark, uri, _query_vec(spark), k=3)

@@ -60,12 +60,18 @@ for name in names:
         srows = sorted(
             (tuple(r[c] for c in cols) for r in sdf.collect()), key=_key
         )
-        ores = con.execute(oracles[name]).fetchdf()
-        assert sorted(ores.columns.tolist()) == cols, (
-            f"schema: spark {cols} vs oracle {sorted(ores.columns.tolist())}"
+        # fetchall(), NOT fetchdf(): pandas coerces nullable int columns
+        # to float64 (None -> NaN, 14 -> 14.0), false-alarming every row
+        # of queries like set_union_all_drift; native fetch keeps None
+        # as None and ints as ints, like the driver's value hash.
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        assert sorted(ocols) == cols, (
+            f"schema: spark {cols} vs oracle {sorted(ocols)}"
         )
+        idx = [ocols.index(c) for c in cols]
         orows = sorted(
-            (tuple(row[c] for c in cols) for _, row in ores.iterrows()),
+            (tuple(row[i] for i in idx) for row in cur.fetchall()),
             key=_key,
         )
         if len(srows) != len(orows):
