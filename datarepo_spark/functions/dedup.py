@@ -804,6 +804,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     k: int = 16,
     nprobe: int = 2,
+    max_cell_rows: int = 65536,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with spherical k-means, find
@@ -827,42 +828,129 @@ def semantic_dedup(
     - components via min-label propagation on the pair list only
       (:func:`~datarepo_spark.functions.graph.connected_components`);
     - vectors never shuffle after assignment; the component join carries
-      ids only.
+      ids only;
+    - ``max_cell_rows`` bounds per-task memory: a cell larger than the
+      cap is hash-split into ``nb = ceil(|cell|/cap)`` sub-blocks and
+      every BLOCK PAIR (i ≤ j) becomes its own task holding ≤ 2·cap
+      rows — exact within-cell semantics (every pair lands in exactly
+      one task), so a skewed mega-cell degrades into more tasks instead
+      of OOMing one executor. Normal cells have nb=1 and keep the
+      single-task shape.
     """
     from pyspark.sql import types as T
 
     from .graph import connected_components
     from .ivf import IVFIndex
 
+    if max_cell_rows < 1:
+        raise ValueError(f"max_cell_rows must be >= 1, got {max_cell_rows}")
     index = IVFIndex.fit(df, vec_col=vec_col, id_col=id_col, k=k)
     assigned = index.assign(df, vec_col=vec_col, id_col=id_col, nprobe=nprobe)
 
-    # Per-cell all-pairs as ONE numpy matmul (applyInPandas), not a
+    # Sub-block oversized cells: nb per cell from a k-row broadcast of
+    # cell counts; each row hashes to one block and replicates to the nb
+    # block-pair tasks its block participates in. The replication factor
+    # is nb — 1 for every cell under the cap, and only oversized cells
+    # pay it (the alternative is one task materializing the whole cell).
+    counts = assigned.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(max_cell_rows))
+        .cast("int")
+        .alias("__nb")
+    )
+    blocked = (
+        assigned.join(F.broadcast(counts), "cell")
+        .withColumn(
+            "__blk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__nb")).cast("int"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nb") - 1),
+                    lambda o: F.struct(
+                        F.least(F.col("__blk"), o).alias("bi"),
+                        F.greatest(F.col("__blk"), o).alias("bj"),
+                    ),
+                )
+            ).alias("__task"),
+        )
+        .select(
+            "cell",
+            F.col("__task.bi").alias("__bi"),
+            F.col("__task.bj").alias("__bj"),
+            "__blk",
+            id_col,
+            vec_col,
+        )
+    )
+
+    # Per-task all-pairs as numpy matmuls (applyInPandas), not a
     # row-level self-join: the join form evaluates an interpreted
     # higher-order dot product per candidate pair (CodegenFallback) —
-    # measured 40× slower at sf0.1. Here each cell's vectors gather to
-    # one task (the one unavoidable shuffle), U @ U.T scores every pair
-    # in a single BLAS call, and only the ≥ threshold id pairs leave.
-    def cell_pairs(pdf):
+    # measured 40× slower at sf0.1. Each task gathers at most two
+    # sub-blocks (the one unavoidable shuffle); the matmul runs in row
+    # chunks so the similarity buffer stays ≤ ~256 MB regardless of
+    # block size, and only the ≥ threshold id pairs leave the task.
+    def cell_pairs(key, pdf):
         import numpy as np
         import pandas as pd
 
-        mat = np.array(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        _, bi, bj = key
+
+        def unit_rows(frame):
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in frame[vec_col]]
+            )
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            return mat / norms[:, None]
+
+        def thresholded(unit_l, ids_l, unit_r, ids_r, intra):
+            out_a, out_b = [], []
+            chunk = max(1, (1 << 25) // max(len(ids_r), 1))
+            for s in range(0, len(ids_l), chunk):
+                sims = np.round(
+                    unit_l[s : s + chunk] @ unit_r.T, 6
+                )
+                ia, ib = np.nonzero(sims >= threshold)
+                if intra:  # strict upper triangle of the full matrix
+                    keep = (ia + s) < ib
+                    ia, ib = ia[keep], ib[keep]
+                if len(ia):
+                    out_a.append(ids_l[ia + s])
+                    out_b.append(ids_r[ib])
+            if not out_a:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                    {"id_a": ids_l.dtype, "id_b": ids_r.dtype}
+                )
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+        if bi == bj:
+            unit = unit_rows(pdf)
+            ids = pdf[id_col].to_numpy()
+            return thresholded(unit, ids, unit, ids, intra=True)
+        left = pdf[pdf["__blk"] == bi]
+        right = pdf[pdf["__blk"] == bj]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"id_a": pdf[id_col].to_numpy()[:0],
+                 "id_b": pdf[id_col].to_numpy()[:0]}
+            )
+        return thresholded(
+            unit_rows(left),
+            left[id_col].to_numpy(),
+            unit_rows(right),
+            right[id_col].to_numpy(),
+            intra=False,
         )
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0.0] = 1.0
-        unit = mat / norms[:, None]
-        sims = np.round(unit @ unit.T, 6)
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        ids = pdf[id_col].to_numpy()
-        a, b = ids[ia], ids[ib]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     id_type = df.schema[id_col].dataType
     pairs = (
-        assigned.groupBy("cell")
+        blocked.groupBy("cell", "__bi", "__bj")
         .applyInPandas(
             cell_pairs,
             schema=T.StructType(

@@ -22,8 +22,32 @@ round on label-pair rows — the standard iterative-algorithm shape
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pin(df: DataFrame, checkpoint_dir: Optional[str]) -> DataFrame:
+    """Materialize a loop invariant / iteration state, truncating its
+    lineage. Two modes:
+
+    - ``checkpoint_dir=None`` (default): ``localCheckpoint()`` — blocks
+      live on executor block managers. Fast (no DFS round-trip), but an
+      executor loss invalidates the blocks and FAILS the job; fine on
+      local[] and for short interactive jobs.
+    - ``checkpoint_dir=<path>``: reliable ``checkpoint()`` to that
+      directory (DFS in production) — survives executor loss, the safe
+      variant for long iterative jobs on a real cluster at the cost of
+      one write+read per pin. The dir is set idempotently on the
+      SparkContext (same value → no-op; Spark keeps one global dir).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint()
 
 
 def connected_components(
@@ -31,18 +55,22 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; the component id is
     the minimum node id reachable from it. Deterministic; raises if the
     diameter exceeds ``max_iterations`` (a dedup graph that deep means
-    the edge generation is broken, not that more rounds are needed)."""
-    # localCheckpoint (not persist): an iterative algorithm's lineage
+    the edge generation is broken, not that more rounds are needed).
+
+    ``checkpoint_dir``: pass a DFS path on a real cluster to pin
+    iteration state with reliable ``checkpoint()`` instead of
+    ``localCheckpoint()`` — see :func:`_pin` for the tradeoff."""
+    # checkpoint (not persist): an iterative algorithm's lineage
     # nests one whole plan per round — by round ~10 the planner itself
     # OOMs on the tree. Checkpointing truncates the lineage so every
     # round plans against a materialized leaf. It also severs the (large)
     # edge-GENERATION subtree — from here on no stage re-reads the
-    # corpus. (On a cluster, prefer reliable `checkpoint()` for
-    # fault-tolerance on long jobs; local[] has no reliable store.)
+    # corpus.
     sc = edges.sparkSession.sparkContext
     par = max(sc.defaultParallelism, 1)
     sym = (
@@ -55,8 +83,8 @@ def connected_components(
         # under a 200-shuffle-partition session every round would
         # otherwise run 200 near-empty tasks on a graph of dup pairs
         .coalesce(par)
-        .localCheckpoint()
     )
+    sym = _pin(sym, checkpoint_dir)
     labels = sym.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
@@ -69,7 +97,7 @@ def connected_components(
         # carry the previous label through the materialization so the
         # convergence check is a filter-count on the checkpointed rows —
         # not another join back to the old labels
-        updated = (
+        updated = _pin(
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
@@ -78,8 +106,8 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         changed = updated.filter(
             F.col("component") != F.col("__old")
@@ -99,6 +127,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998) over an edge list, fixed-iteration
     MEAN-NORMALIZED form (ranks average 1.0 up to integer flooring;
@@ -130,11 +159,13 @@ def pagerank(
     Returns (node, rank_micro: long, rank: double = rank_micro / 10⁶).
 
     At scale: the edge list, node set, and degree table are
-    localCheckpoint-materialized once (loop invariants), and each
+    checkpoint-materialized once (loop invariants), and each
     iteration's O(nodes) rank state is pinned before fan-out — so the
     per-iteration cost is exactly one join + two aggregates over
     materialized inputs, and the (possibly expensive) edge-generation
-    subtree never re-executes."""
+    subtree never re-executes. ``checkpoint_dir``: pass a DFS path on a
+    real cluster for reliable ``checkpoint()`` pins that survive
+    executor loss (default ``localCheckpoint()`` — see :func:`_pin`)."""
     UNIT = 1_000_000
     d_pct = int(round(damping * 100))
     # materialize the loop INVARIANTS once: every iteration joins the
@@ -144,23 +175,23 @@ def pagerank(
     # the localCheckpoint-vs-persist rationale)
     sc = edges.sparkSession.sparkContext
     par = max(sc.defaultParallelism, 1)
-    base = (
+    base = _pin(
         edges.select(F.col(src).alias("__from"), F.col(dst).alias("__to"))
-        .coalesce(par)
-        .localCheckpoint()
+        .coalesce(par),
+        checkpoint_dir,
     )
-    nodes = (
+    nodes = _pin(
         base.select(F.col("__from").alias("node"))
         .unionByName(base.select(F.col("__to").alias("node")))
         .distinct()
-        .coalesce(par)
-        .localCheckpoint()
+        .coalesce(par),
+        checkpoint_dir,
     )
-    degrees = (
+    degrees = _pin(
         base.groupBy(F.col("__from").alias("node"))
         .agg(F.count(F.lit(1)).alias("__deg"))
-        .coalesce(par)
-        .localCheckpoint()
+        .coalesce(par),
+        checkpoint_dir,
     )
     n_total = nodes.count()  # loop-constant scalar, one tiny job
     ranks = nodes.select(
@@ -170,7 +201,7 @@ def pagerank(
     for _ in range(iterations):
         # the iteration state is O(nodes); pin it so the dangling
         # aggregate and the contribution join share ONE computation
-        ranks = ranks.coalesce(par).localCheckpoint()
+        ranks = _pin(ranks.coalesce(par), checkpoint_dir)
         # per-node share of the dangling (no-out-edge) mass — a scalar
         dang_share = (
             ranks.join(degrees, "node", "left_anti")

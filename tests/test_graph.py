@@ -119,3 +119,54 @@ class TestPageRank:
         assert ranks["a"] == ranks["b"] == pytest.approx(0.754444)
         assert ranks["sink"] == pytest.approx(0.15 + 0.85 * (2 * 0.433333 + 0.711111), abs=2e-5)
         assert sum(ranks.values()) == pytest.approx(3.0, abs=0.01)
+
+
+class TestReliableCheckpoint:
+    """checkpoint_dir= switches lineage pinning from localCheckpoint to
+    reliable checkpoint() (VERDICT r5 #3): on a real cluster the former
+    dies with an executor; both modes must produce identical results."""
+
+    def test_components_identical_both_modes(self, spark, tmp_path):
+        from datarepo_spark.functions.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 20), (4, 1)],
+            ["id_a", "id_b"],
+        )
+        local = sorted(
+            (r.id, r.component)
+            for r in connected_components(edges).collect()
+        )
+        reliable = sorted(
+            (r.id, r.component)
+            for r in connected_components(
+                edges, checkpoint_dir=str(tmp_path / "ckpt")
+            ).collect()
+        )
+        assert local == reliable
+        # reliable mode actually wrote checkpoint data to the dir
+        import os
+
+        assert any(
+            files
+            for _, _, files in os.walk(str(tmp_path / "ckpt"))
+        )
+
+    def test_pagerank_identical_both_modes(self, spark, tmp_path):
+        from datarepo_spark.functions.graph import pagerank
+
+        rows = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(200)]
+        edges = spark.createDataFrame(rows, ["src", "dst"])
+        local = sorted(
+            (r.node, r.rank_micro)
+            for r in pagerank(edges, iterations=3).collect()
+        )
+        reliable = sorted(
+            (r.node, r.rank_micro)
+            for r in pagerank(
+                edges,
+                iterations=3,
+                checkpoint_dir=str(tmp_path / "ckpt2"),
+            ).collect()
+        )
+        assert local == reliable  # integer fixed point: bit-identical
