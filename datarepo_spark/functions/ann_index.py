@@ -31,7 +31,8 @@ from .ivf import IVFIndex
 from .similarity import knn_brute_force
 
 _CENTROID_REL = os.path.join("_ann_index", "centroids.parquet")
-_STATS_REL = os.path.join("_ann_index", "cell_stats.parquet")
+_STATS_REL = os.path.join("_ann_index", "cell_stats.parquet")  # pre-r6 layout
+_STATS_DIR_REL = os.path.join("_ann_index", "stats")
 _PQ_REL = os.path.join("_ann_index", "pq_codebooks.parquet")
 
 
@@ -49,29 +50,20 @@ def _aggregate_cell_stats(assigned_with_sim: DataFrame) -> dict[int, tuple[int, 
     return {int(r["cell"]): (int(r["n"]), float(r["sum_res"])) for r in rows}
 
 
-def _write_cell_stats(uri: str, stats: dict[int, tuple[int, float, int, float]]) -> None:
-    """Crash-atomic sidecar update (write + rename): a crash between the
-    Delta commit and the stats write leaves the PREVIOUS stats intact
-    rather than a torn file. Note: concurrent appenders still
-    last-write-win on this sidecar — serialize index appends (they are
-    maintenance operations), or the drift audit undercounts."""
+def _write_stats_file(path: str, stats: dict[int, tuple[int, float]]) -> None:
+    """Crash-atomic (write tmp + rename): a crash leaves no torn file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cells = sorted(stats)
-    path = os.path.join(uri.rstrip("/"), _STATS_REL)
     tmp = path + ".tmp"
     pq.write_table(
         pa.table(
             {
                 "cell": pa.array(cells, pa.int32()),
-                "base_n": pa.array([stats[c][0] for c in cells], pa.int64()),
-                "base_sum_res": pa.array(
+                "n": pa.array([stats[c][0] for c in cells], pa.int64()),
+                "sum_res": pa.array(
                     [stats[c][1] for c in cells], pa.float64()
-                ),
-                "app_n": pa.array([stats[c][2] for c in cells], pa.int64()),
-                "app_sum_res": pa.array(
-                    [stats[c][3] for c in cells], pa.float64()
                 ),
             }
         ),
@@ -80,26 +72,83 @@ def _write_cell_stats(uri: str, stats: dict[int, tuple[int, float, int, float]])
     os.replace(tmp, path)
 
 
-def _read_cell_stats(uri: str) -> dict[int, tuple[int, float, int, float]]:
+def _write_base_stats(uri: str, stats: dict[int, tuple[int, float]]) -> None:
+    path = os.path.join(uri.rstrip("/"), _STATS_DIR_REL)
+    os.makedirs(path, exist_ok=True)
+    _write_stats_file(os.path.join(path, "base.parquet"), stats)
+
+
+def _write_append_stats(uri: str, stats: dict[int, tuple[int, float]]) -> None:
+    """Each append writes its OWN immutable stats file (log-structured),
+    so two concurrent appends both land — no read-modify-write window on
+    a shared file for last-write-wins to drop (:func:`_read_cell_stats`
+    merges all files on read). The uuid+pid name cannot collide across
+    processes."""
+    import uuid
+
+    path = os.path.join(uri.rstrip("/"), _STATS_DIR_REL)
+    os.makedirs(path, exist_ok=True)
+    name = f"append-{uuid.uuid4().hex}-{os.getpid()}.parquet"
+    _write_stats_file(os.path.join(path, name), stats)
+
+
+def _read_stats_file(path: str) -> dict[int, tuple[int, float]]:
     import pyarrow.parquet as pq
 
-    path = os.path.join(uri.rstrip("/"), _STATS_REL)
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"no cell_stats at {path}; index predates drift accounting — "
-            f"rebuild with build_ann_index to enable index_health()"
-        )
     t = pq.read_table(path)
     return {
-        int(c): (int(bn), float(br), int(an), float(ar))
-        for c, bn, br, an, ar in zip(
+        int(c): (int(n), float(s))
+        for c, n, s in zip(
             t["cell"].to_pylist(),
-            t["base_n"].to_pylist(),
-            t["base_sum_res"].to_pylist(),
-            t["app_n"].to_pylist(),
-            t["app_sum_res"].to_pylist(),
+            t["n"].to_pylist(),
+            t["sum_res"].to_pylist(),
         )
     }
+
+
+def _read_cell_stats(uri: str) -> dict[int, tuple[int, float, int, float]]:
+    """{cell: (base_n, base_sum_res, appended_n, appended_sum_res)} —
+    base.parquet + the sum of every append-*.parquet. Falls back to the
+    pre-r6 single-file layout (cell_stats.parquet) for old indexes."""
+    stats_dir = os.path.join(uri.rstrip("/"), _STATS_DIR_REL)
+    base_path = os.path.join(stats_dir, "base.parquet")
+    legacy = os.path.join(uri.rstrip("/"), _STATS_REL)
+    if os.path.exists(base_path):
+        merged = {
+            c: (n, s, 0, 0.0) for c, (n, s) in _read_stats_file(base_path).items()
+        }
+    elif os.path.exists(legacy):
+        # pre-r6 single-file layout: its accumulated app_* columns are
+        # the baseline; new-style append files still merge on top
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(legacy)
+        merged = {
+            int(c): (int(bn), float(br), int(an), float(ar))
+            for c, bn, br, an, ar in zip(
+                t["cell"].to_pylist(),
+                t["base_n"].to_pylist(),
+                t["base_sum_res"].to_pylist(),
+                t["app_n"].to_pylist(),
+                t["app_sum_res"].to_pylist(),
+            )
+        }
+    else:
+        raise FileNotFoundError(
+            f"no cell_stats under {stats_dir}; index predates drift "
+            f"accounting — rebuild with build_ann_index to enable "
+            f"index_health()"
+        )
+    if os.path.isdir(stats_dir):
+        for name in sorted(os.listdir(stats_dir)):
+            if not (name.startswith("append-") and name.endswith(".parquet")):
+                continue
+            for c, (n, s) in _read_stats_file(
+                os.path.join(stats_dir, name)
+            ).items():
+                bn, br, an, ar = merged.get(c, (0, 0.0, 0, 0.0))
+                merged[c] = (bn, br, an + n, ar + s)
+    return merged
 
 
 def build_ann_index(
@@ -202,14 +251,8 @@ def _finish_build(spark, assigned, uri, index, nlist, quantizer=None):
     if quantizer is not None:
         _write_pq_codebooks(uri, quantizer)
     base = _aggregate_cell_stats(assigned)
-    _write_cell_stats(
-        uri,
-        {
-            c: (n, s, 0, 0.0)
-            for c, (n, s) in (
-                {cell: base.get(cell, (0, 0.0)) for cell in range(nlist)}
-            ).items()
-        },
+    _write_base_stats(
+        uri, {cell: base.get(cell, (0, 0.0)) for cell in range(nlist)}
     )
     return index
 
@@ -316,16 +359,15 @@ def append_to_ann_index(
             checkpoint_interval=None,
         )
         try:
-            stats = _read_cell_stats(uri)
+            _read_cell_stats(uri)
         except FileNotFoundError:
             return version  # pre-accounting index: readable, no audit
         batch = _aggregate_cell_stats(assigned)
     finally:
         assigned.unpersist()
-    for cell, (n, s) in batch.items():
-        bn, br, an, ar = stats.get(cell, (0, 0.0, 0, 0.0))
-        stats[cell] = (bn, br, an + n, ar + s)
-    _write_cell_stats(uri, stats)
+    # log-structured: this append's stats land in their OWN file, merged
+    # on read — two concurrent appends both count (no last-write-wins)
+    _write_append_stats(uri, batch)
     return version
 
 

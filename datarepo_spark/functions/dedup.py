@@ -81,6 +81,34 @@ def unpersist_intermediates() -> int:
     return n
 
 
+class dedup_scope:
+    """Automatic cache scoping for dedup/similarity pipelines::
+
+        with dedup_scope():
+            result = minhash_lsh_dedup(docs).collect()
+
+    On exit, every internal persist created INSIDE the scope is
+    released — a long-lived session running many pipelines no longer
+    accretes cached partitions unless it forgets a manual
+    :func:`unpersist_intermediates` call. Scopes nest: an inner scope
+    releases only its own caches. Collect (or write) the results before
+    the scope closes — a still-lazy DataFrame that leaves the scope will
+    recompute its severed cache on evaluation (correct, just slower)."""
+
+    def __enter__(self) -> "dedup_scope":
+        self._start = len(_LIVE_CACHES)
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        released = _LIVE_CACHES[self._start:]
+        del _LIVE_CACHES[self._start:]
+        for df in released:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------

@@ -178,17 +178,85 @@ _SUPPORTED_READER_FEATURES = {
 # the listing within the window.
 _SNAPSHOT_CACHE: dict[tuple[str, Optional[int]], tuple[tuple, float, "DeltaSnapshot"]] = {}
 
+# uri → every file_cache_path this process has used for it, so a commit
+# can also invalidate the ON-DISK entries (the reference's
+# file_cache_path semantics, deltalake_table.py:40-65). Disk entries are
+# additionally self-invalidating via the stored log-dir fingerprint, so
+# a stale file left by another process is harmless — it revalidates and
+# falls through to a replay.
+_DISK_CACHE_DIRS: dict[str, set] = {}
+
 
 def invalidate_snapshot_cache(uri: Optional[str] = None) -> None:
-    """Drop cached snapshots for ``uri`` (or all). Called by the write
+    """Drop cached snapshots for ``uri`` (or all) — the in-memory memo
+    AND any on-disk entries this process wrote. Called by the write
     path after every commit so same-process TTL reads never serve a
     pre-write snapshot."""
     if uri is None:
+        for u in list(_DISK_CACHE_DIRS):
+            invalidate_snapshot_cache(u)
         _SNAPSHOT_CACHE.clear()
         return
     uri = uri.rstrip("/")
     for key in [k for k in _SNAPSHOT_CACHE if k[0] == uri]:
         del _SNAPSHOT_CACHE[key]
+    for cache_dir in _DISK_CACHE_DIRS.get(uri, ()):
+        prefix = _disk_cache_prefix(uri)
+        try:
+            names = os.listdir(cache_dir)
+        except OSError:
+            continue
+        for name in names:
+            if name.startswith(prefix):
+                try:
+                    os.remove(os.path.join(cache_dir, name))
+                except OSError:
+                    pass
+
+
+def _disk_cache_prefix(uri: str) -> str:
+    import hashlib
+
+    return "snap-" + hashlib.sha256(
+        uri.rstrip("/").encode()
+    ).hexdigest()[:16]
+
+
+def _disk_cache_file(cache_dir: str, uri: str, version: Optional[int]) -> str:
+    tag = "latest" if version is None else f"v{version}"
+    return os.path.join(
+        cache_dir, f"{_disk_cache_prefix(uri)}-{tag}.json"
+    )
+
+
+def _snapshot_to_json(snap: "DeltaSnapshot") -> dict[str, Any]:
+    from dataclasses import asdict
+
+    return {
+        "version": snap.version,
+        "schema": snap.schema.jsonValue(),
+        "partition_columns": snap.partition_columns,
+        "files": [asdict(a) for a in snap.files],
+        "tombstones": [asdict(r) for r in snap.tombstones],
+        "configuration": snap.configuration,
+        "app_transactions": snap.app_transactions,
+        "raw_protocol": snap.raw_protocol,
+        "raw_metadata": snap.raw_metadata,
+    }
+
+
+def _snapshot_from_json(doc: dict[str, Any]) -> "DeltaSnapshot":
+    return DeltaSnapshot(
+        version=doc["version"],
+        schema=T.StructType.fromJson(doc["schema"]),
+        partition_columns=list(doc["partition_columns"]),
+        files=[AddFile(**a) for a in doc["files"]],
+        tombstones=[RemoveFile(**r) for r in doc["tombstones"]],
+        configuration=dict(doc["configuration"]),
+        app_transactions=dict(doc["app_transactions"]),
+        raw_protocol=doc["raw_protocol"],
+        raw_metadata=doc["raw_metadata"],
+    )
 
 
 class DeltaLog:
@@ -340,6 +408,7 @@ class DeltaLog:
         self,
         version: Optional[int] = None,
         cache_ttl: Optional[float] = None,
+        file_cache_path: Optional[str] = None,
     ) -> DeltaSnapshot:
         """Replay the log to ``version`` (default: latest).
 
@@ -347,7 +416,17 @@ class DeltaLog:
         one directory-listing fingerprint check (always-correct), or with
         no I/O at all within ``cache_ttl`` seconds of the last validation
         (the reference's checkpoint-valid-duration semantics — a TTL hit
-        may miss commits landed since, which is the documented trade)."""
+        may miss commits landed since, which is the documented trade).
+
+        ``file_cache_path`` (the reference's on-disk cache,
+        deltalake_table.py:40-65): persist resolved snapshots as JSON
+        under that directory so a COLD process skips the full log replay
+        — it loads the file and pays only the fingerprint listing (or
+        nothing, within ``cache_ttl`` of the file's validation stamp). A
+        commit through our write path deletes the entries; entries left
+        stale by other writers fail the fingerprint check and fall
+        through to a replay, so the disk cache can never serve a wrong
+        snapshot outside the explicit TTL window."""
         import time
 
         key = (self.uri, version)
@@ -362,9 +441,72 @@ class DeltaLog:
             if self._fingerprint() == fp:
                 _SNAPSHOT_CACHE[key] = (fp, time.time(), snap)
                 return snap
+        if file_cache_path is not None:
+            _DISK_CACHE_DIRS.setdefault(self.uri, set()).add(file_cache_path)
+            disk = self._disk_cache_load(file_cache_path, version, cache_ttl)
+            if disk is not None:
+                _SNAPSHOT_CACHE[key] = disk
+                return disk[2]
         snap = self._replay(version)
-        _SNAPSHOT_CACHE[key] = (self._fingerprint(), time.time(), snap)
+        fp, now = self._fingerprint(), time.time()
+        _SNAPSHOT_CACHE[key] = (fp, now, snap)
+        if file_cache_path is not None:
+            self._disk_cache_store(file_cache_path, version, fp, now, snap)
         return snap
+
+    def _disk_cache_load(
+        self,
+        cache_dir: str,
+        version: Optional[int],
+        cache_ttl: Optional[float],
+    ) -> Optional[tuple[tuple, float, "DeltaSnapshot"]]:
+        import time
+
+        path = _disk_cache_file(cache_dir, self.uri, version)
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+        try:
+            fp = tuple(doc["fingerprint"])
+            validated_at = float(doc["validated_at"])
+            snap = _snapshot_from_json(doc["snapshot"])
+        except (KeyError, TypeError, ValueError):
+            return None  # corrupt/old-format entry: ignore, replay
+        if cache_ttl is not None and time.time() - validated_at < cache_ttl:
+            return (fp, validated_at, snap)
+        if self._fingerprint() == fp:
+            return (fp, time.time(), snap)
+        return None
+
+    def _disk_cache_store(
+        self,
+        cache_dir: str,
+        version: Optional[int],
+        fp: tuple,
+        validated_at: float,
+        snap: "DeltaSnapshot",
+    ) -> None:
+        path = _disk_cache_file(cache_dir, self.uri, version)
+        tmp = path + ".tmp"
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "fingerprint": list(fp),
+                        "validated_at": validated_at,
+                        "snapshot": _snapshot_to_json(snap),
+                    },
+                    fh,
+                )
+            os.replace(tmp, path)  # atomic: readers never see a torn file
+        except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def _replay(self, version: Optional[int] = None) -> DeltaSnapshot:
         target = self.latest_version() if version is None else version

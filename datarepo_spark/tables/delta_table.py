@@ -131,12 +131,16 @@ class DeltaCacheOptions:
     window a table call replays no log at all; outside it a hit is
     revalidated with one directory-listing fingerprint check (see
     :meth:`DeltaLog.snapshot`). Accepts ``"300"``/``"300s"``/``"5m"``/
-    ``"2h"``. ``file_cache_path`` is accepted for API parity only: the
-    snapshot cache is in-memory (the log metadata is KBs; the
-    reference's on-disk cache exists because delta-rs re-opens the
-    table per process). Object-store retry/timeout remain hadoop-aws
-    confs (fs.s3a.attempts.maximum / fs.s3a.connection.timeout); the
-    per-call ``timeout`` argument maps onto them."""
+    ``"2h"``. ``file_cache_path`` persists resolved snapshots as JSON
+    under that directory (the reference's on-disk cache semantics,
+    deltalake_table.py:40-65): a COLD process skips the full log replay
+    — it loads the cached snapshot after one fingerprint listing (or
+    zero I/O within the TTL). Our write path invalidates the entries on
+    commit; entries made stale by other writers fail the fingerprint
+    check and fall through to a replay. Object-store retry/timeout
+    remain hadoop-aws confs (fs.s3a.attempts.maximum /
+    fs.s3a.connection.timeout); the per-call ``timeout`` argument maps
+    onto them."""
 
     file_cache_path: Optional[str] = None
     file_cache_last_checkpoint_valid_duration: Optional[str] = None
@@ -410,6 +414,9 @@ class DeltalakeTable:
                 version,
                 cache_ttl=(
                     cache_options.ttl_seconds() if cache_options else None
+                ),
+                file_cache_path=(
+                    cache_options.file_cache_path if cache_options else None
                 ),
             )
             df = self._read_from_log(session, snapshot, dnf)

@@ -167,7 +167,9 @@ class TestIndexHealth:
         emb = _emb(spark)
         build_ann_index(spark, emb.filter(F.col("vec_id") < 300), uri,
                         nlist=8, iterations=4)
-        os.remove(os.path.join(uri, AI._STATS_REL))
+        import shutil
+
+        shutil.rmtree(os.path.join(uri, AI._STATS_DIR_REL))
         append_to_ann_index(
             spark, emb.filter(F.col("vec_id") >= 300), uri
         )
@@ -273,3 +275,94 @@ class TestAnnIndexPQ:
         build_ann_index(spark, _emb(spark), uri, nlist=4, iterations=2)
         with pytest.raises(ValueError, match="no PQ codebooks"):
             query_ann_index_pq(spark, uri, _query_vec(spark), k=3)
+
+
+class TestConcurrentAppendStats:
+    """Log-structured stats sidecar (VERDICT r5 #9): every append writes
+    its own immutable file, merged on read — two interleaved appends
+    must BOTH be reflected in index_health (the old single-file sidecar
+    was last-write-wins)."""
+
+    def test_two_interleaved_appends_both_count(self, spark, tmp_path):
+        import os
+
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "concur")
+        emb = _emb(spark)
+        base = emb.filter(F.col("vec_id") < 300)
+        a = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+        b = emb.filter(F.col("vec_id") >= 400)
+        build_ann_index(spark, base, uri, nlist=4, iterations=2)
+        # interleave: both appenders aggregate their batch stats BEFORE
+        # either writes — under read-modify-write the second write would
+        # erase the first; log-structured files cannot collide
+        index = AI.load_ann_index(uri)
+        stats_a = AI._aggregate_cell_stats(
+            index.assign(a, vec_col="embedding", id_col="vec_id",
+                         nprobe=1, with_sim=True)
+        )
+        stats_b = AI._aggregate_cell_stats(
+            index.assign(b, vec_col="embedding", id_col="vec_id",
+                         nprobe=1, with_sim=True)
+        )
+        AI._write_append_stats(uri, stats_a)
+        AI._write_append_stats(uri, stats_b)
+        stats_dir = os.path.join(uri, "_ann_index", "stats")
+        append_files = [
+            n for n in os.listdir(stats_dir) if n.startswith("append-")
+        ]
+        assert len(append_files) == 2  # two immutable files, no clobber
+        health = AI.index_health(uri)
+        assert health["appended_n"] == a.count() + b.count()
+
+    def test_append_api_accumulates_across_calls(self, spark, tmp_path):
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "accum")
+        emb = _emb(spark)
+        build_ann_index(
+            spark, emb.filter(F.col("vec_id") < 300), uri,
+            nlist=4, iterations=2,
+        )
+        append_to_ann_index(
+            spark, emb.filter(
+                (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+            ), uri,
+        )
+        append_to_ann_index(
+            spark, emb.filter(F.col("vec_id") >= 400), uri
+        )
+        health = AI.index_health(uri)
+        assert health["base_n"] == 300
+        assert health["appended_n"] == emb.count() - 300
+
+    def test_legacy_single_file_layout_still_reads(self, spark, tmp_path):
+        """A pre-r6 index (single cell_stats.parquet) keeps working, and
+        new-style appends merge on top of its accumulated columns."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "legacy")
+        os.makedirs(os.path.join(uri, "_ann_index"))
+        pq.write_table(
+            pa.table(
+                {
+                    "cell": pa.array([0, 1], pa.int32()),
+                    "base_n": pa.array([10, 20], pa.int64()),
+                    "base_sum_res": pa.array([1.0, 2.0], pa.float64()),
+                    "app_n": pa.array([5, 0], pa.int64()),
+                    "app_sum_res": pa.array([0.5, 0.0], pa.float64()),
+                }
+            ),
+            os.path.join(uri, "_ann_index", "cell_stats.parquet"),
+        )
+        stats = AI._read_cell_stats(uri)
+        assert stats[0] == (10, 1.0, 5, 0.5)
+        AI._write_append_stats(uri, {0: (3, 0.3)})
+        stats = AI._read_cell_stats(uri)
+        assert stats[0] == (10, 1.0, 8, 0.8)

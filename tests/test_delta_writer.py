@@ -200,6 +200,99 @@ class TestSnapshotCache:
         assert hconf.get("fs.s3a.connection.timeout") == "30000"
 
 
+class TestDiskSnapshotCache:
+    """file_cache_path (VERDICT r5 #5, reference parity
+    deltalake_table.py:40-65): snapshots persist as JSON under the cache
+    dir — a COLD process resolves from the file (no log replay), a
+    commit through our write path invalidates, and an externally-staled
+    entry fails the fingerprint check and replays."""
+
+    def test_warm_dir_skips_replay_in_fresh_process_state(
+        self, spark, tmp_path
+    ):
+        from datarepo_spark.tables import delta_log as DL
+
+        uri = str(tmp_path / "diskcache")
+        cache_dir = str(tmp_path / "snapdir")
+        write_delta(spark.createDataFrame([(1,), (2,)], ["v"]), uri)
+        # warm the disk cache, then wipe ALL in-process state (what a
+        # new process sees)
+        DeltaLog(uri).snapshot(file_cache_path=cache_dir)
+        DL._SNAPSHOT_CACHE.clear()
+        DL._DISK_CACHE_DIRS.clear()
+        assert any(
+            n.startswith("snap-") for n in os.listdir(cache_dir)
+        )
+        log = DeltaLog(uri)
+        # replay must NOT run: the snapshot resolves purely from disk
+        log._replay = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("replayed despite warm disk cache")
+        )
+        snap = log.snapshot(file_cache_path=cache_dir)
+        assert snap.version == 0
+        assert sorted(f.name for f in snap.schema.fields) == ["v"]
+        assert len(snap.files) >= 1
+        # and the rehydrated snapshot actually reads
+        t = DeltalakeTable("diskcache", uri)
+        assert sorted(vals(t(spark=spark))) == [1, 2]
+
+    def test_commit_invalidates_disk_entries(self, spark, tmp_path):
+        from datarepo_spark.tables import delta_log as DL
+
+        uri = str(tmp_path / "diskinval")
+        cache_dir = str(tmp_path / "snapdir2")
+        write_delta(spark.createDataFrame([(1,)], ["v"]), uri)
+        DeltaLog(uri).snapshot(file_cache_path=cache_dir)
+        assert any(n.startswith("snap-") for n in os.listdir(cache_dir))
+        write_delta(spark.createDataFrame([(2,)], ["v"]), uri)
+        # the write path's invalidate_snapshot_cache removed the entry
+        assert not any(
+            n.startswith("snap-") for n in os.listdir(cache_dir)
+        )
+        snap = DeltaLog(uri).snapshot(file_cache_path=cache_dir)
+        assert snap.version == 1
+        DL.invalidate_snapshot_cache(uri)
+
+    def test_externally_stale_entry_revalidates(self, spark, tmp_path):
+        """An entry left by another process whose table moved on must
+        fail the stored-fingerprint check and fall through to replay —
+        the disk cache can never serve a wrong snapshot."""
+        from datarepo_spark.tables import delta_log as DL
+
+        uri = str(tmp_path / "diskstale")
+        cache_dir = str(tmp_path / "snapdir3")
+        write_delta(spark.createDataFrame([(1,)], ["v"]), uri)
+        DeltaLog(uri).snapshot(file_cache_path=cache_dir)
+        [entry] = [
+            n for n in os.listdir(cache_dir) if n.startswith("snap-")
+        ]
+        saved = open(os.path.join(cache_dir, entry)).read()
+        write_delta(spark.createDataFrame([(2,)], ["v"]), uri)
+        # simulate the stale file surviving (external writer: no
+        # invalidation ran)
+        with open(os.path.join(cache_dir, entry), "w") as fh:
+            fh.write(saved)
+        DL._SNAPSHOT_CACHE.clear()
+        snap = DeltaLog(uri).snapshot(file_cache_path=cache_dir)
+        assert snap.version == 1  # replayed, not the stale v0
+        DL.invalidate_snapshot_cache(uri)
+
+    def test_corrupt_entry_is_ignored(self, spark, tmp_path):
+        from datarepo_spark.tables import delta_log as DL
+
+        uri = str(tmp_path / "diskcorrupt")
+        cache_dir = str(tmp_path / "snapdir4")
+        write_delta(spark.createDataFrame([(5,)], ["v"]), uri)
+        os.makedirs(cache_dir, exist_ok=True)
+        path = DL._disk_cache_file(cache_dir, uri, None)
+        with open(path, "w") as fh:
+            fh.write("{not json")
+        DL._SNAPSHOT_CACHE.clear()
+        snap = DeltaLog(uri).snapshot(file_cache_path=cache_dir)
+        assert snap.version == 0
+        DL.invalidate_snapshot_cache(uri)
+
+
 class TestIdempotentTxn:
     def test_replayed_epoch_is_skipped(self, spark, tmp_path):
         """SetTransaction ledger: a (appId, version) write replayed after

