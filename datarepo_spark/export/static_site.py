@@ -52,6 +52,9 @@ INDEX_HTML = """<!doctype html>
            var(--line); font-size: 13px; }
   th { color: var(--muted); font-weight: 600; }
   code { background: var(--chip); padding: 1px 5px; border-radius: 4px; }
+  pre { background: var(--chip); padding: 12px 14px; border-radius: 8px;
+        overflow-x: auto; }
+  pre code { background: none; padding: 0; }
 </style>
 </head>
 <body>
@@ -122,6 +125,10 @@ function renderTable(cname, dname, tname) {
       <th>nullable</th></tr>` + tbl.columns.map(c =>
       `<tr><td>${esc(c.column)}</td><td><code>${esc(c.type)}</code></td>
        <td>${esc(c.nullable)}</td></tr>`).join("") + "</table>";
+  }
+  if (tbl.code_snippet) {
+    html += `<h3>Query this table</h3>
+      <pre><code>${esc(tbl.code_snippet)}</code></pre>`;
   }
   view.innerHTML = html;
   for (const a of nav.querySelectorAll("a"))

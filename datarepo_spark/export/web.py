@@ -57,6 +57,8 @@ def table_to_dict(name: str, table: Any) -> dict[str, Any]:
 def catalog_to_dict(
     catalog: Catalog, catalog_name: str = "default"
 ) -> dict[str, Any]:
+    from .codegen import gen_table_code
+
     databases = {}
     for db_name in catalog.dbs():
         db = catalog.db(db_name)
@@ -64,6 +66,14 @@ def catalog_to_dict(
             t_name: table_to_dict(t_name, table)
             for t_name, table in db.tables().items()
         }
+        for entry in tables.values():
+            # the per-table "how to query this" snippet the reference
+            # site codegens browser-side (codegen.ts:62-109) — emitted
+            # into data.json so any consumer (incl. our static viewer)
+            # can render it without reimplementing the formatting
+            entry["code_snippet"] = gen_table_code(
+                catalog_name, db_name, entry
+            )
         databases[db_name] = {"name": db_name, "tables": tables}
     return {
         "name": catalog_name,
