@@ -297,30 +297,29 @@ def lsh_bands(sig_col: Column, bands: int = 16, rows_per_band: int = 4) -> Colum
     )
 
 
-def minhash_lsh_candidates(
+def minhash_doc_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    with_sig: bool = False,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH bucket.
+    """(id, __bands [, __sig]) per document: MinHash the shingle set and
+    hash each band of lanes. The shared signature front-end of the LSH
+    pipeline and the persisted dedup index.
 
-    Plan shape: one scan computes signatures, explode to (band, bucket,
-    id), self-join on (band, bucket) — the only shuffle keys are 16-byte
-    band hashes. With b=16, r=4 the S-curve puts the 50% threshold at
-    s ≈ (1/16)^(1/4) ≈ 0.5."""
+    Explode-and-aggregate MinHash (the scalable construction): one row
+    per (doc, shingle), ``num_hashes`` independent xxhash64 columns,
+    then groupBy(doc).min per lane. Why not one deep array expression
+    per row: fusing shingles→64 hash lanes→16 band hashes into a single
+    projection generates a method past the JIT's ~8KB compile limit,
+    and an interpreted hot loop is ~20-100× slower (measured: 95 s vs
+    5 s at sf0.001). Here every stage's generated code is small, and
+    the hash partial-aggregate (map-side combine) shrinks the shuffle
+    to O(docs × num_hashes × 8 B) regardless of shingle count."""
     rows = num_hashes // bands
-    # Explode-and-aggregate MinHash (the scalable construction): one row
-    # per (doc, shingle), 64 independent xxhash64 columns, then
-    # groupBy(doc).min per lane. Why not one deep array expression per row:
-    # fusing shingles→64 hash lanes→16 band hashes into a single projection
-    # generates a method past the JIT's ~8KB compile limit, and an
-    # interpreted hot loop is ~20-100× slower (measured: 95 s vs 5 s at
-    # sf0.001). Here every stage's generated code is small, and the hash
-    # partial-aggregate (map-side combine) shrinks the shuffle to
-    # O(docs × num_hashes × 8 B) regardless of shingle count.
     exploded = shingle_rows(df, text_col, id_col, n)
     # One strong string hash per shingle; the 64 minhash lanes re-hash the
     # fixed-width base (xxhash64 over two longs) instead of hashing the
@@ -342,8 +341,8 @@ def minhash_lsh_candidates(
     # a pair colliding in several bands survives from exactly ONE, so
     # no global pair distinct — the pair stream's only exchange — is
     # needed. Payload cost: bands × 8 B per bucket member.
-    withbands = sig.select(
-        id_col,
+    cols = [
+        F.col(id_col),
         F.array(
             *[
                 F.xxhash64(
@@ -352,7 +351,31 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ]
         ).alias("__bands"),
-    )
+    ]
+    if with_sig:
+        cols.append(
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(
+                "__sig"
+            )
+        )
+    return sig.select(*cols)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH bucket.
+
+    Plan shape: one scan computes signatures, explode to (band, bucket,
+    id), self-join on (band, bucket) — the only shuffle keys are 16-byte
+    band hashes. With b=16, r=4 the S-curve puts the 50% threshold at
+    s ≈ (1/16)^(1/4) ≈ 0.5."""
+    withbands = minhash_doc_bands(df, text_col, id_col, n, num_hashes, bands)
     buckets = withbands.select(
         id_col,
         "__bands",

@@ -1,0 +1,303 @@
+"""Persisted MinHash-LSH dedup index: incremental corpus dedup.
+
+:func:`~datarepo_spark.functions.dedup.minhash_lsh_dedup_pairs`
+recomputes signatures for the WHOLE corpus per run — right for a
+one-shot sweep, wrong for a continuously-ingested corpus where each
+day's batch must be deduped against everything already accepted. The
+production shape (what every at-scale ingestion pipeline runs, and the
+LSH analog of :mod:`.ann_index`'s persisted IVF) is an INDEX TABLE:
+
+- ``<uri>/buckets`` — a Delta table of the corpus's exploded LSH
+  bucket membership ``(band, bucket, id, bands)``, partitioned by
+  ``band``. A probe joins the batch's buckets against it on
+  (band, bucket) — an equi-join on 16-byte keys, never a cross join;
+  each row carries its full band-hash array so a pair colliding in
+  several bands survives from exactly ONE (inline first-matching-band
+  filter — no global pair distinct).
+- ``<uri>/signatures`` — one row per doc ``(id, sig)``: the 64-lane
+  MinHash signature, for signature-estimate verification
+  (``verify="estimate"``) that never touches corpus text.
+- ``<uri>/_dedup_index/meta.json`` — the hash geometry (n, num_hashes,
+  bands, column names). Appends and probes MUST use the stored
+  geometry or buckets stop colliding; both read it and refuse nothing:
+  there is nothing to drift, unlike ANN centroids.
+
+At 100 TB: the index stores ~(16 buckets + 64 lanes) × 8 B ≈ 640 B per
+document — three orders of magnitude under the text. A batch probe
+shuffles only the batch's buckets + the matching index rows; with
+``verify="exact"`` the corpus TEXT is read for candidate ids only
+(left-semi join into the source table, typically ≪1% of the corpus).
+
+No reference counterpart (the reference stops at exact
+``unique_columns`` dedup, deltalake_table.py); composition of Broder's
+MinHash-LSH with the Delta write path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    _parallelism,
+    _scoped_persist,
+    jaccard,
+    minhash_doc_bands,
+    with_shingles,
+)
+
+_META_REL = os.path.join("_dedup_index", "meta.json")
+
+
+def _meta_path(uri: str) -> str:
+    return os.path.join(uri.rstrip("/"), _META_REL)
+
+
+def _load_meta(uri: str) -> dict:
+    path = _meta_path(uri)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no dedup-index metadata at {path}; build with "
+            f"build_dedup_index first"
+        )
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _bucket_rows(banded: DataFrame, id_col: str) -> DataFrame:
+    return banded.select(
+        F.col(id_col).alias("id"),
+        F.col("__bands").alias("bands"),
+        F.posexplode("__bands").alias("band", "bucket"),
+    )
+
+
+def build_dedup_index(
+    spark: SparkSession,
+    df: DataFrame,
+    uri: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Signature + bucket the corpus once and persist both tables.
+    One signature pass feeds both writes (persisted, then released)."""
+    from ..tables.delta_writer import write_delta
+
+    os.makedirs(uri.rstrip("/"), exist_ok=True)
+    banded = _scoped_persist(
+        minhash_doc_bands(
+            df, text_col, id_col, n, num_hashes, bands, with_sig=True
+        ).coalesce(_parallelism(df))
+    )
+    write_delta(
+        _bucket_rows(banded, id_col),
+        os.path.join(uri.rstrip("/"), "buckets"),
+        partition_by=["band"],
+        checkpoint_interval=None,
+    )
+    write_delta(
+        banded.select(F.col(id_col).alias("id"), F.col("__sig").alias("sig")),
+        os.path.join(uri.rstrip("/"), "signatures"),
+        checkpoint_interval=None,
+    )
+    os.makedirs(os.path.dirname(_meta_path(uri)), exist_ok=True)
+    tmp = _meta_path(uri) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "text_col": text_col,
+                "id_col": id_col,
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+            },
+            fh,
+        )
+    os.replace(tmp, _meta_path(uri))
+
+
+def append_to_dedup_index(
+    spark: SparkSession, df: DataFrame, uri: str
+) -> None:
+    """Index accepted new docs with the STORED hash geometry (a batch
+    indexed under different n/num_hashes/bands would silently never
+    collide with the corpus)."""
+    from ..tables.delta_writer import write_delta
+
+    meta = _load_meta(uri)
+    banded = _scoped_persist(
+        minhash_doc_bands(
+            df,
+            meta["text_col"],
+            meta["id_col"],
+            meta["n"],
+            meta["num_hashes"],
+            meta["bands"],
+            with_sig=True,
+        ).coalesce(_parallelism(df))
+    )
+    write_delta(
+        _bucket_rows(banded, meta["id_col"]),
+        os.path.join(uri.rstrip("/"), "buckets"),
+        partition_by=["band"],
+        checkpoint_interval=None,
+    )
+    write_delta(
+        banded.select(
+            F.col(meta["id_col"]).alias("id"), F.col("__sig").alias("sig")
+        ),
+        os.path.join(uri.rstrip("/"), "signatures"),
+        checkpoint_interval=None,
+    )
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    uri: str,
+    threshold: float = 0.7,
+    corpus_df: Optional[DataFrame] = None,
+    verify: str = "exact",
+) -> DataFrame:
+    """(batch_id, corpus_id, jaccard) for every batch doc near-duplicate
+    of an already-indexed corpus doc.
+
+    ``verify="exact"`` (default): candidates verified by exact shingle
+    Jaccard — batch text is at hand; corpus text is read from
+    ``corpus_df`` (REQUIRED: the table the index was built over) for
+    candidate ids only via a left-semi join. The oracle-verifiable mode.
+
+    ``verify="estimate"``: Jaccard estimated as matching-lane fraction
+    of the stored signatures — unbiased (Broder), std ≈ √(s(1-s)/64) ≈
+    0.06 at s=0.5, and never touches corpus text; the mode for probes
+    where the source table is cold storage."""
+    from ..tables.delta_table import DeltalakeTable
+
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if verify == "exact" and corpus_df is None:
+        raise ValueError(
+            "verify='exact' needs corpus_df (the table the index was "
+            "built over) to read candidate text; use verify='estimate' "
+            "for a signature-only probe"
+        )
+    meta = _load_meta(uri)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    banded = _scoped_persist(
+        minhash_doc_bands(
+            batch,
+            text_col,
+            id_col,
+            meta["n"],
+            meta["num_hashes"],
+            meta["bands"],
+            with_sig=(verify == "estimate"),
+        ).coalesce(_parallelism(batch))
+    )
+    index_buckets = DeltalakeTable("buckets", os.path.join(uri, "buckets"))(
+        spark=spark
+    )
+    probe = _bucket_rows(banded, id_col).select(
+        F.col("id").alias("batch_id"),
+        F.col("bands").alias("bands_q"),
+        "band",
+        "bucket",
+    )
+    # the probe side is the (small) batch: broadcast it so the corpus
+    # index is never shuffled — each band partition streams past the
+    # batch's bucket map
+    pairs = index_buckets.join(
+        F.broadcast(probe), ["band", "bucket"]
+    ).select(
+        "batch_id",
+        F.col("id").alias("corpus_id"),
+        "band",
+        "bands_q",
+        F.col("bands").alias("bands_i"),
+    )
+    first_band = F.lit(True)
+    for j in range(meta["bands"]):
+        first_band = first_band & ~(
+            (F.lit(j) < F.col("band"))
+            & (
+                F.element_at(F.col("bands_q"), j + 1)
+                == F.element_at(F.col("bands_i"), j + 1)
+            )
+        )
+    cands = pairs.filter(first_band).select("batch_id", "corpus_id")
+
+    if verify == "estimate":
+        sigs = DeltalakeTable(
+            "signatures", os.path.join(uri, "signatures")
+        )(spark=spark)
+        est = (
+            cands.join(
+                banded.select(
+                    F.col(id_col).alias("batch_id"),
+                    F.col("__sig").alias("sig_q"),
+                ),
+                "batch_id",
+            )
+            .join(
+                sigs.select(
+                    F.col("id").alias("corpus_id"),
+                    F.col("sig").alias("sig_i"),
+                ),
+                "corpus_id",
+            )
+            .select(
+                "batch_id",
+                "corpus_id",
+                F.round(
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                "sig_q", "sig_i", lambda a, b: a == b
+                            ),
+                            lambda m: m,
+                        )
+                    )
+                    / F.lit(float(meta["num_hashes"])),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+        return est.filter(F.col("jaccard") >= threshold)
+
+    cands = _scoped_persist(cands.coalesce(_parallelism(batch)))
+    # corpus text for CANDIDATE ids only (<<1% of the corpus under LSH)
+    corpus_ids = cands.select(F.col("corpus_id").alias(id_col)).distinct()
+    sh_corpus = with_shingles(
+        corpus_df.join(corpus_ids, id_col, "left_semi"),
+        text_col,
+        id_col,
+        meta["n"],
+        out="sh",
+    ).select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_i"))
+    batch_ids = cands.select(F.col("batch_id").alias(id_col)).distinct()
+    sh_batch = with_shingles(
+        batch.join(batch_ids, id_col, "left_semi"),
+        text_col,
+        id_col,
+        meta["n"],
+        out="sh",
+    ).select(F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_q"))
+    return (
+        cands.join(sh_batch, "batch_id")
+        .join(sh_corpus, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(jaccard(F.col("sh_q"), F.col("sh_i")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1595,6 +1595,91 @@ def similarity_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_gate(ann, exact)
 
 
+# -- persisted MinHash-LSH dedup index (incremental corpus dedup) ------------
+
+_DEDUP_INDEX_BUILT: dict[str, str] = {}
+
+
+def _dedup_index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Index the corpus slice (doc_id % 10 < 8) once per sf_dir; probes
+    dedup the remaining 20% 'new batch' against it."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..functions.dedup_index import build_dedup_index
+
+    key = _os.path.abspath(sf_dir)
+    if key in _DEDUP_INDEX_BUILT and _os.path.isdir(
+        _os.path.join(_DEDUP_INDEX_BUILT[key], "buckets", "_delta_log")
+    ):
+        return _DEDUP_INDEX_BUILT[key]
+    base = _tempfile.mkdtemp(prefix="datarepo_dedup_index_")
+    uri = _os.path.join(base, "documents_lsh")
+    corpus = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 < 8
+    )
+    build_dedup_index(spark, corpus, uri)
+    _DEDUP_INDEX_BUILT[key] = uri
+    return uri
+
+
+@register(
+    "dedup_incremental_index",
+    # Same contract (and the same 100%-recall-on-gate-corpus argument)
+    # as dedup_minhash_lsh, restricted to CROSS pairs: batch docs
+    # (doc_id % 10 >= 8) vs the indexed corpus slice (doc_id % 10 < 8).
+    # The inverted-gram join enumerates every pair that can pass the
+    # threshold, so brute-force Jaccard reproduces the result exactly.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    ), gr_b AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+      WHERE doc_id % 10 >= 8
+    ), gr_c AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+      WHERE doc_id % 10 < 8
+    ), cnts AS (
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             ANY_VALUE(b.ln) AS lb, ANY_VALUE(c.ln) AS lc,
+             COUNT(*) AS cnt
+      FROM gr_b b JOIN gr_c c ON b.g = c.g
+      GROUP BY 1, 2
+    )
+    SELECT batch_id, corpus_id,
+           ROUND(CAST(cnt AS DOUBLE) / (lb + lc - cnt), 6) AS jaccard
+    FROM cnts
+    WHERE ROUND(CAST(cnt AS DOUBLE) / (lb + lc - cnt), 6) >= 0.5
+    """,
+    description="persisted MinHash-LSH dedup index: a new batch dedups "
+    "against the already-indexed corpus (bucket-join on the stored "
+    "band table, exact-Jaccard verify on candidate text only) — the "
+    "incremental-ingestion production shape",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup_index import dedup_against_index
+
+    uri = _dedup_index_fixture(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    return dedup_against_index(
+        spark, batch, uri, threshold=0.5, corpus_df=corpus
+    )
+
+
 # -- Naive Bayes classifier (model-based filtering, relational form) ---------
 
 from ..functions import classify as CL  # noqa: E402
