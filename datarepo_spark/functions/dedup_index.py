@@ -124,11 +124,17 @@ def build_dedup_index(
 
 
 def append_to_dedup_index(
-    spark: SparkSession, df: DataFrame, uri: str
+    spark: SparkSession,
+    df: DataFrame,
+    uri: str,
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
 ) -> None:
     """Index accepted new docs with the STORED hash geometry (a batch
     indexed under different n/num_hashes/bands would silently never
-    collide with the corpus)."""
+    collide with the corpus). ``txn_app_id``/``txn_version`` thread the
+    idempotent-writer ledger through both sub-table appends so a
+    replayed streaming epoch is swallowed instead of double-indexed."""
     from ..tables.delta_writer import write_delta
 
     meta = _load_meta(uri)
@@ -143,11 +149,17 @@ def append_to_dedup_index(
             with_sig=True,
         ).coalesce(_parallelism(df))
     )
+    txn = (
+        {"txn_app_id": txn_app_id, "txn_version": txn_version}
+        if txn_app_id is not None
+        else {}
+    )
     write_delta(
         _bucket_rows(banded, meta["id_col"]),
         os.path.join(uri.rstrip("/"), "buckets"),
         partition_by=["band"],
         checkpoint_interval=None,
+        **txn,
     )
     write_delta(
         banded.select(
@@ -155,6 +167,7 @@ def append_to_dedup_index(
         ),
         os.path.join(uri.rstrip("/"), "signatures"),
         checkpoint_interval=None,
+        **txn,
     )
 
 

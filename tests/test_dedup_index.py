@@ -188,3 +188,95 @@ class TestValidation:
                 str(tmp_path / "nope"),
                 verify="estimate",
             )
+
+
+class TestStreamingAdmission:
+    """Streaming twin: each micro-batch probes the index, survivors land
+    in the curated table AND join the index, so batch N+1 dedups against
+    batch N's admissions. Exactly-once per (query, epoch)."""
+
+    NOVEL_A = (
+        "a brand new article describing adaptive query execution "
+        "and dynamic partition coalescing in painstaking detail"
+    )
+    NOVEL_B = (
+        "final unique piece on columnar storage layouts and "
+        "dictionary encoding tradeoffs for very wide tables"
+    )
+
+    def _write_stream_files(self, spark, stream_dir):
+        import os
+
+        os.makedirs(stream_dir)
+        schema = "doc_id long, text string"
+        # file 1: corpus dup (of BASE), one novel doc, an intra-batch
+        # exact-dup pair (201/202)
+        spark.createDataFrame(
+            [
+                (200, BASE),
+                (201, self.NOVEL_A),
+                (202, self.NOVEL_A),
+            ],
+            schema,
+        ).coalesce(1).write.parquet(os.path.join(stream_dir, "f1"))
+        # file 2: near-dup of file 1's admitted doc + one more novel
+        spark.createDataFrame(
+            [
+                (300, self.NOVEL_A.replace("detail", "depth")),
+                (301, self.NOVEL_B),
+            ],
+            schema,
+        ).coalesce(1).write.parquet(os.path.join(stream_dir, "f2"))
+        return schema
+
+    def test_stream_admits_only_novel(self, spark, tmp_path):
+        import glob
+        import os
+
+        from datarepo_spark.streaming.incremental_dedup import (
+            dedup_stream_against_index,
+        )
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        index_uri = str(tmp_path / "sidx")
+        build_dedup_index(spark, _corpus(spark), index_uri)
+        stream_dir = str(tmp_path / "incoming")
+        schema = self._write_stream_files(spark, stream_dir)
+        out_uri = str(tmp_path / "curated")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir + "/*")
+        )
+        q = dedup_stream_against_index(
+            stream,
+            index_uri,
+            out_uri,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.6,
+        )
+        q.awaitTermination(180)
+        admitted = {
+            r.doc_id
+            for r in DeltalakeTable("curated", out_uri)(spark=spark)
+            .select("doc_id")
+            .collect()
+        }
+        # 200 = corpus dup (dropped); 201/202 intra-batch pair -> min id
+        # 201 admitted; 300 = near-dup of the JUST-admitted 201 (dropped
+        # -- proves the index self-maintains); 301 novel -> admitted
+        assert admitted == {201, 301}
+        # replaying an epoch must not double-admit (txn ledger)
+        from datarepo_spark.streaming.incremental_dedup import (
+            admit_novel_documents,
+        )
+
+        f1 = spark.read.parquet(glob.glob(stream_dir + "/f1")[0])
+        n = admit_novel_documents(
+            f1, index_uri, out_uri, threshold=0.6, epoch_id=0
+        )
+        assert n == 0  # everything in f1 is now a known duplicate
+        after = DeltalakeTable("curated", out_uri)(spark=spark).count()
+        assert after == 2
+        unpersist_intermediates()
