@@ -251,3 +251,89 @@ def mixture_sample(
         .filter(u < F.col("__rate"))
         .select(id_col, source_col, "n_tokens")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    coarse_buckets: int = 1000,
+) -> DataFrame:
+    """Greedy corpus selection under a token budget: take documents in
+    (score DESC, id ASC) order while the running token total stays
+    ≤ ``budget`` — the "best data that fits" primitive behind
+    quality-thresholded pretraining mixes. Returns the selected rows as
+    (id, score, tokens); semantics are the exact greedy prefix (the
+    first overflowing document and everything after it are excluded).
+
+    Scale shape — the naive form is a GLOBAL sort of the corpus plus an
+    unpartitioned running-sum window (one task sees every row). Instead:
+
+      1. quantize scores into ``coarse_buckets`` integer buckets and
+         aggregate token mass per bucket (one narrow shuffle of
+         (bucket, tokens); the corpus never globally sorts);
+      2. running-sum the ≤ ``coarse_buckets``-row bucket table (a tiny
+         single-partition window) → buckets whose cumulative mass fits
+         entirely, and THE one boundary bucket where the budget lands;
+      3. fully-fitting buckets join back by bucket id (broadcast);
+         only the boundary bucket's documents — a ``1/coarse_buckets``
+         slice of the corpus — are exactly sorted (score DESC, id ASC)
+         and prefix-summed against the remaining budget.
+
+    Equivalent to the naive form because bucket id is monotone in score,
+    so the greedy order visits buckets in id order and equal scores
+    never straddle a bucket; the coarse pass only decides WHOLE buckets.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col).alias("__score"),
+        F.col(token_col).cast("long").alias("__tokens"),
+    )
+    # integer bucket, monotone DEcreasing in score so ascending bucket
+    # order == greedy (score desc) order; clamp to [0, coarse_buckets]
+    bucket = F.least(
+        F.lit(coarse_buckets),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.lit(1.0) - F.col("__score")) * coarse_buckets
+            ).cast("int"),
+        ),
+    )
+    bucketed = base.withColumn("__b", bucket)
+    mass = bucketed.groupBy("__b").agg(F.sum("__tokens").alias("__m"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = mass.select(
+        "__b",
+        F.sum("__m").over(w).alias("__cum"),
+        (F.sum("__m").over(w) - F.col("__m")).alias("__prev"),
+    )
+    full = cum.filter(F.col("__cum") <= F.lit(budget)).select("__b")
+    boundary = cum.filter(
+        (F.col("__prev") <= F.lit(budget)) & (F.col("__cum") > F.lit(budget))
+    ).select("__b", "__prev")
+    taken_full = bucketed.join(F.broadcast(full), "__b", "left_semi")
+    # the boundary slice: exact greedy prefix within ONE bucket's docs
+    # (the only place a sort + unpartitioned running sum runs, on
+    # ~corpus/coarse_buckets rows)
+    bw = Window.orderBy(F.desc("__score"), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    taken_boundary = (
+        bucketed.join(F.broadcast(boundary), "__b")
+        .withColumn("__cum", F.sum("__tokens").over(bw) + F.col("__prev"))
+        .filter(F.col("__cum") <= F.lit(budget))
+        .drop("__cum", "__prev")
+    )
+    return (
+        taken_full.unionByName(taken_boundary)
+        .select(
+            F.col(id_col),
+            F.col("__score").alias(score_col),
+            F.col("__tokens").alias(token_col),
+        )
+    )

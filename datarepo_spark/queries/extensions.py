@@ -1891,6 +1891,51 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_token_budget",
+    # The oracle is the NAIVE form (global sort + running sum); the
+    # engine runs the bucketed two-level plan (coarse token-mass cumsum
+    # over ≤1000 buckets, exact sort of the one boundary bucket only) —
+    # proven equivalent because the bucket id is monotone in score, so
+    # the greedy (quality DESC, doc_id ASC) order visits whole buckets
+    # in id order and the budget lands inside exactly one of them.
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             {X.sql_quality_inputs('text')},
+             CAST({X.sql_token_count('text', X.WS_TOKEN_RE)} AS BIGINT)
+               AS tokens
+      FROM documents
+    ), q AS (
+      SELECT doc_id, {X.SQL_QUALITY_FORMULA} AS quality, tokens FROM m
+    ), c AS (
+      SELECT doc_id, quality, tokens,
+             SUM(tokens) OVER (
+               ORDER BY quality DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q
+    )
+    SELECT doc_id, quality, tokens FROM c WHERE cum <= 10000
+    """,
+    description="token-budget corpus selection: greedy best-quality "
+    "prefix under a 10k-token budget via the two-level bucket plan "
+    "(coarse mass cumsum + exact boundary-bucket sort) — the corpus "
+    "never globally sorts",
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        X.quality_score(F.col("text")).alias("quality"),
+        X.token_count(F.col("text"), X.WS_TOKEN_RE)
+        .cast("long")
+        .alias("tokens"),
+    )
+    return SP.token_budget_select(
+        scored, budget=10_000, score_col="quality", token_col="tokens"
+    )
+
+
+@register(
     "text_normalize",
     oracle=rf"""
     WITH n AS (

@@ -283,3 +283,70 @@ class TestMixtureSample:
         )
         assert out1 == out2
         assert all(i % 2 for i in out1)
+
+
+class TestTokenBudgetSelect:
+    """Greedy corpus selection under a token budget — must equal the
+    naive global-sort prefix exactly, while the plan only fully sorts
+    the one boundary bucket."""
+
+    def _frame(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, round(rng.random(), 6), rng.randint(10, 200))
+            for i in range(400)
+        ]
+        # inject score ties to exercise the id tiebreak
+        rows += [(1000 + i, 0.5, 50) for i in range(5)]
+        return spark.createDataFrame(rows, ["doc_id", "score", "tokens"])
+
+    def _naive(self, rows, budget):
+        out, total = [], 0
+        for r in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if total + r[2] > budget:
+                break
+            total += r[2]
+            out.append(r)
+        return sorted(out)
+
+    def test_matches_naive_prefix(self, spark):
+        from datarepo_spark.functions.sampling import token_budget_select
+
+        df = self._frame(spark)
+        rows = [(r.doc_id, r.score, r.tokens) for r in df.collect()]
+        for budget in (0, 37, 5_000, 20_000, 10_000_000):
+            got = sorted(
+                (r.doc_id, r.score, r.tokens)
+                for r in token_budget_select(
+                    df, budget, "score", "tokens"
+                ).collect()
+            )
+            assert got == self._naive(rows, budget), budget
+
+    def test_coarse_bucket_count_invariance(self, spark):
+        from datarepo_spark.functions.sampling import token_budget_select
+
+        df = self._frame(spark)
+        a = sorted(
+            r.doc_id
+            for r in token_budget_select(
+                df, 8_000, "score", "tokens", coarse_buckets=10
+            ).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in token_budget_select(
+                df, 8_000, "score", "tokens", coarse_buckets=5000
+            ).collect()
+        )
+        assert a == b
+
+    def test_negative_budget_raises(self, spark):
+        import pytest
+
+        from datarepo_spark.functions.sampling import token_budget_select
+
+        with pytest.raises(ValueError, match="budget"):
+            token_budget_select(self._frame(spark), -1, "score", "tokens")
