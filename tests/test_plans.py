@@ -243,3 +243,43 @@ class TestRound5Plans:
         plan = plan_of(spark, sf_dir, "sample_group_quota")
         # one exchange: the per-source window
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRound6Plans:
+    def test_token_budget_no_global_corpus_sort(self, spark, sf_dir):
+        """The budget selection must NOT range-sort the corpus: a global
+        orderBy plans Exchange rangepartitioning; the two-level bucket
+        plan's only sorts are SinglePartition windows over the tiny
+        bucket table and the one boundary-bucket slice."""
+        plan = plan_of(spark, sf_dir, "pipeline_token_budget")
+        assert "rangepartitioning" not in plan
+        assert "CartesianProduct" not in plan
+        # both full-bucket and boundary joins broadcast the tiny side
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_dedup_index_probe_broadcasts_batch(self, spark, sf_dir):
+        """The incremental-dedup probe must broadcast the BATCH buckets
+        so the corpus index table streams past them — never a shuffle of
+        the index side on (band, bucket)."""
+        plan = plan_of(spark, sf_dir, "dedup_incremental_index")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin [band" in plan or (
+            "BroadcastHashJoin" in plan and "band" in plan
+        )
+        # no sort-merge join anywhere in the probe (index never sorts)
+        assert "SortMergeJoin [band" not in plan
+
+    def test_ann_index_pq_partition_prunes_both_scans(self, spark, sf_dir):
+        """IVF-PQ search: the ADC scan reads codes (not vectors), the
+        refine scan reads vectors — both only inside pruned cells, and
+        the candidate semi-join broadcasts."""
+        plan = plan_of(spark, sf_dir, "similarity_ann_index_pq")
+        assert "CartesianProduct" not in plan
+        schemas = [
+            seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+        ]
+        code_scans = [s for s in schemas if "codes" in s]
+        assert code_scans and all(
+            "embedding" not in s for s in code_scans
+        )
+        assert "TakeOrderedAndProject" in plan
