@@ -358,9 +358,14 @@ def append_to_ann_index(
             assigned.drop("__sim"), uri, partition_by=["cell"],
             checkpoint_interval=None,
         )
-        try:
-            _read_cell_stats(uri)
-        except FileNotFoundError:
+        # existence probe only — never read/merge the stats files here
+        # (that would be O(appends) parquet reads per append)
+        if not (
+            os.path.exists(
+                os.path.join(uri.rstrip("/"), _STATS_DIR_REL, "base.parquet")
+            )
+            or os.path.exists(os.path.join(uri.rstrip("/"), _STATS_REL))
+        ):
             return version  # pre-accounting index: readable, no audit
         batch = _aggregate_cell_stats(assigned)
     finally:
@@ -501,15 +506,13 @@ def query_ann_index_pq(
     table = DeltalakeTable(os.path.basename(uri.rstrip("/")), uri)
     cell_filter = [Filter("cell", "in", cells)]
     codes = table(filters=cell_filter, columns=[id_col, "codes"], spark=spark)
-    scored = quantizer.adc_scores(codes, qv)
-    cand_ids = (
-        scored.orderBy(F.desc("approx_cosine"), F.asc(id_col))
-        .limit(k * refine)
-        .select(id_col)
-    )
     vectors = table(
         filters=cell_filter, columns=[id_col, vec_col], spark=spark
     )
-    # candidate set is ≤ k·refine rows — always broadcast the semi join
-    survivors = vectors.join(F.broadcast(cand_ids), id_col, "left_semi")
-    return knn_brute_force(survivors, qv, k, vec_col, id_col)
+    # the ADC → top-(k·refine) → exact-refine pipeline is PQ's search;
+    # passing the stored codes skips re-encoding, and both frames carry
+    # the same pruned-cell filter
+    return quantizer.search(
+        vectors, qv, k=k, refine=refine, vec_col=vec_col,
+        id_col=id_col, codes=codes,
+    )

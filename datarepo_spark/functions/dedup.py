@@ -896,7 +896,15 @@ def semantic_dedup(
     if max_cell_rows < 1:
         raise ValueError(f"max_cell_rows must be >= 1, got {max_cell_rows}")
     index = IVFIndex.fit(df, vec_col=vec_col, id_col=id_col, k=k)
-    assigned = index.assign(df, vec_col=vec_col, id_col=id_col, nprobe=nprobe)
+    # the assignment (the Arrow-batched corpus pass) feeds BOTH the cell
+    # counts aggregate and the blocked pair generation — persist it once
+    # (registered for release via unpersist_intermediates/dedup_scope)
+    # or the most expensive stage executes twice
+    assigned = _scoped_persist(
+        index.assign(
+            df, vec_col=vec_col, id_col=id_col, nprobe=nprobe
+        ).coalesce(_parallelism(df))
+    )
 
     # Sub-block oversized cells: nb per cell from a k-row broadcast of
     # cell counts; each row hashes to one block and replicates to the nb

@@ -8,12 +8,15 @@ production shape (what every at-scale ingestion pipeline runs, and the
 LSH analog of :mod:`.ann_index`'s persisted IVF) is an INDEX TABLE:
 
 - ``<uri>/buckets`` — a Delta table of the corpus's exploded LSH
-  bucket membership ``(band, bucket, id, bands)``, partitioned by
-  ``band``. A probe joins the batch's buckets against it on
-  (band, bucket) — an equi-join on 16-byte keys, never a cross join;
-  each row carries its full band-hash array so a pair colliding in
-  several bands survives from exactly ONE (inline first-matching-band
-  filter — no global pair distinct).
+  bucket membership ``(band, bucket, id)``, partitioned by ``band``.
+  A probe joins the batch's buckets against it on (band, bucket) — an
+  equi-join on 16-byte keys, never a cross join. A pair colliding in
+  several bands is collapsed by one distinct on the (tiny) candidate
+  stream; the in-memory pipeline's inline first-matching-band trick is
+  deliberately NOT used here because it requires every stored row to
+  carry the full band-hash array — a 4× storage inflation of the index
+  to save one exchange over candidates, the wrong trade for a
+  persisted table.
 - ``<uri>/signatures`` — one row per doc ``(id, sig)``: the 64-lane
   MinHash signature, for signature-estimate verification
   (``verify="estimate"``) that never touches corpus text.
@@ -22,11 +25,12 @@ LSH analog of :mod:`.ann_index`'s persisted IVF) is an INDEX TABLE:
   geometry or buckets stop colliding; both read it and refuse nothing:
   there is nothing to drift, unlike ANN centroids.
 
-At 100 TB: the index stores ~(16 buckets + 64 lanes) × 8 B ≈ 640 B per
-document — three orders of magnitude under the text. A batch probe
-shuffles only the batch's buckets + the matching index rows; with
-``verify="exact"`` the corpus TEXT is read for candidate ids only
-(left-semi join into the source table, typically ≪1% of the corpus).
+At 100 TB: the index stores 16 × (band, bucket, id) rows ≈ 0.4 KB plus
+the 64-lane signature ≈ 0.5 KB per document — three orders of
+magnitude under the text. A batch probe shuffles only the batch's
+buckets + the matching index rows; with ``verify="exact"`` the corpus
+TEXT is read for candidate ids only (left-semi join into the source
+table, typically ≪1% of the corpus).
 
 No reference counterpart (the reference stops at exact
 ``unique_columns`` dedup, deltalake_table.py); composition of Broder's
@@ -71,7 +75,6 @@ def _load_meta(uri: str) -> dict:
 def _bucket_rows(banded: DataFrame, id_col: str) -> DataFrame:
     return banded.select(
         F.col(id_col).alias("id"),
-        F.col("__bands").alias("bands"),
         F.posexplode("__bands").alias("band", "bucket"),
     )
 
@@ -218,33 +221,17 @@ def dedup_against_index(
         spark=spark
     )
     probe = _bucket_rows(banded, id_col).select(
-        F.col("id").alias("batch_id"),
-        F.col("bands").alias("bands_q"),
-        "band",
-        "bucket",
+        F.col("id").alias("batch_id"), "band", "bucket"
     )
     # the probe side is the (small) batch: broadcast it so the corpus
     # index is never shuffled — each band partition streams past the
-    # batch's bucket map
-    pairs = index_buckets.join(
-        F.broadcast(probe), ["band", "bucket"]
-    ).select(
-        "batch_id",
-        F.col("id").alias("corpus_id"),
-        "band",
-        "bands_q",
-        F.col("bands").alias("bands_i"),
+    # batch's bucket map. Multi-band collisions collapse in one distinct
+    # over the candidate stream (candidates ≪ corpus under LSH).
+    cands = (
+        index_buckets.join(F.broadcast(probe), ["band", "bucket"])
+        .select("batch_id", F.col("id").alias("corpus_id"))
+        .distinct()
     )
-    first_band = F.lit(True)
-    for j in range(meta["bands"]):
-        first_band = first_band & ~(
-            (F.lit(j) < F.col("band"))
-            & (
-                F.element_at(F.col("bands_q"), j + 1)
-                == F.element_at(F.col("bands_i"), j + 1)
-            )
-        )
-    cands = pairs.filter(first_band).select("batch_id", "corpus_id")
 
     if verify == "estimate":
         sigs = DeltalakeTable(

@@ -27,6 +27,11 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Spark applicationId → the checkpoint dir this process last set on it
+# (applicationId, not id(sc): CPython reuses object addresses after a
+# stopped context is garbage-collected)
+_LAST_CHECKPOINT_DIR: dict[str, str] = {}
+
 
 def _pin(df: DataFrame, checkpoint_dir: Optional[str]) -> DataFrame:
     """Materialize a loop invariant / iteration state, truncating its
@@ -45,8 +50,18 @@ def _pin(df: DataFrame, checkpoint_dir: Optional[str]) -> DataFrame:
     if checkpoint_dir is None:
         return df.localCheckpoint()
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() != checkpoint_dir:
+    # setCheckpointDir appends a fresh UUID subdir on EVERY call (so
+    # getCheckpointDir never equals our argument) — memoize what we last
+    # set per application or each pin would allocate a new directory;
+    # the getCheckpointDir()-is-None guard covers a fresh context and
+    # user code having pointed the dir elsewhere between calls
+    app = sc.applicationId
+    if (
+        sc.getCheckpointDir() is None
+        or _LAST_CHECKPOINT_DIR.get(app) != checkpoint_dir
+    ):
         sc.setCheckpointDir(checkpoint_dir)
+        _LAST_CHECKPOINT_DIR[app] = checkpoint_dir
     return df.checkpoint()
 
 

@@ -237,7 +237,8 @@ class ProductQuantizer:
             .limit(k * refine)
             .select(id_col)
         )
-        survivors = df.join(cand_ids, id_col, "left_semi")
+        # candidate set is ≤ k·refine rows — always broadcast the semi join
+        survivors = df.join(F.broadcast(cand_ids), id_col, "left_semi")
         return knn_brute_force(survivors, query_vec, k, vec_col, id_col)
 
 

@@ -267,6 +267,9 @@ def token_budget_select(
     quality-thresholded pretraining mixes. Returns the selected rows as
     (id, score, tokens); semantics are the exact greedy prefix (the
     first overflowing document and everything after it are excluded).
+    Unscored rows (NULL — and NaN for float scores) sort after every
+    scored row (NaN before NULL, then id), so they are only selected
+    once every scored document fits.
 
     Scale shape — the naive form is a GLOBAL sort of the corpus plus an
     unpartitioned running-sum window (one task sees every row). Instead:
@@ -293,18 +296,34 @@ def token_budget_select(
         F.col(score_col).alias("__score"),
         F.col(token_col).cast("long").alias("__tokens"),
     )
+    # NULL/NaN scores sort LAST (after every scored row, by id) — a
+    # dedicated final bucket plus the __bad sort key keeps the bucket
+    # assignment and the boundary ordering consistent; without this,
+    # greatest(0, NULL) would silently promote unscored rows to the
+    # BEST bucket, and an ANSI NaN→int cast would error out
+    from pyspark.sql import types as _T
+
+    score_type = base.schema["__score"].dataType
+    bad = F.col("__score").isNull()
+    if isinstance(score_type, (_T.DoubleType, _T.FloatType)):
+        bad = bad | F.isnan(F.col("__score"))
     # integer bucket, monotone DEcreasing in score so ascending bucket
-    # order == greedy (score desc) order; clamp to [0, coarse_buckets]
-    bucket = F.least(
-        F.lit(coarse_buckets),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.lit(1.0) - F.col("__score")) * coarse_buckets
-            ).cast("int"),
-        ),
+    # order == greedy (score desc) order; clamp to [0, coarse_buckets],
+    # with coarse_buckets+1 reserved for unscored rows
+    bucket = F.when(bad, F.lit(coarse_buckets + 1)).otherwise(
+        F.least(
+            F.lit(coarse_buckets),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.lit(1.0) - F.col("__score")) * coarse_buckets
+                ).cast("int"),
+            ),
+        )
     )
-    bucketed = base.withColumn("__b", bucket)
+    bucketed = base.withColumn("__b", bucket).withColumn(
+        "__bad", bad.cast("int")
+    )
     mass = bucketed.groupBy("__b").agg(F.sum("__tokens").alias("__m"))
     w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
     cum = mass.select(

@@ -343,6 +343,40 @@ class TestTokenBudgetSelect:
         )
         assert a == b
 
+    def test_null_and_nan_scores_sort_last(self, spark):
+        """NULL/NaN scores must never be promoted to the best bucket:
+        they sort after every scored row (NaN before NULL, id tiebreak)
+        and are selected only once all scored docs fit."""
+        from datarepo_spark.functions.sampling import token_budget_select
+
+        rows = [
+            (1, None, 10_000),
+            (2, 0.9, 50),
+            (3, float("nan"), 60),
+            (4, 0.1, 40),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, score double, tokens long")
+        # budget fits only the scored docs
+        got = sorted(
+            r.doc_id
+            for r in token_budget_select(df, 100, "score", "tokens").collect()
+        )
+        assert got == [2, 4]
+        # budget fits scored + NaN but not the huge NULL doc
+        got = sorted(
+            r.doc_id
+            for r in token_budget_select(df, 200, "score", "tokens").collect()
+        )
+        assert got == [2, 3, 4]
+        # everything fits
+        got = sorted(
+            r.doc_id
+            for r in token_budget_select(
+                df, 20_000, "score", "tokens"
+            ).collect()
+        )
+        assert got == [1, 2, 3, 4]
+
     def test_negative_budget_raises(self, spark):
         import pytest
 
