@@ -516,3 +516,26 @@ def query_ann_index_pq(
         vectors, qv, k=k, refine=refine, vec_col=vec_col,
         id_col=id_col, codes=codes,
     )
+
+
+def optimize_ann_index(
+    spark: SparkSession,
+    uri: str,
+    cells: Optional[Sequence[int]] = None,
+    min_files_per_cell: int = 2,
+) -> dict:
+    """Bin-pack each cell's append-created small files (every
+    :func:`append_to_ann_index` lands one file set per touched cell; a
+    daily-append index accumulates hundreds of files per cell, and the
+    nprobe-cell query pays one scan task per file). One compacted file
+    per cell restores the one-task-per-probed-cell floor. ``cells``
+    scopes the pass (maintenance after appends only touches the cells
+    that grew); the commit is ``dataChange: false`` so concurrent
+    readers and streams see nothing. Centroid/PQ/stats sidecars are
+    untouched — compaction moves bytes, never geometry or counts."""
+    from ..tables.delta_writer import compact
+
+    where = [Filter("cell", "in", list(cells))] if cells is not None else None
+    return compact(
+        spark, uri, min_files_per_partition=min_files_per_cell, where=where
+    )

@@ -301,3 +301,28 @@ def dedup_against_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def optimize_dedup_index(
+    spark: SparkSession, uri: str, min_files_per_band: int = 2
+) -> dict:
+    """Bin-pack both index sub-tables (each append lands one file set
+    per band in ``buckets`` plus one in ``signatures``; a
+    daily-appended index accumulates O(appends) files per band and
+    every probe pays one scan task per file). ``dataChange: false``
+    commits — concurrent probes and the streaming admission loop see
+    identical rows."""
+    from ..tables.delta_writer import compact
+
+    return {
+        "buckets": compact(
+            spark,
+            os.path.join(uri.rstrip("/"), "buckets"),
+            min_files_per_partition=min_files_per_band,
+        ),
+        "signatures": compact(
+            spark,
+            os.path.join(uri.rstrip("/"), "signatures"),
+            min_files_per_partition=min_files_per_band,
+        ),
+    }

@@ -366,3 +366,55 @@ class TestConcurrentAppendStats:
         AI._write_append_stats(uri, {0: (3, 0.3)})
         stats = AI._read_cell_stats(uri)
         assert stats[0] == (10, 1.0, 8, 0.8)
+
+
+class TestOptimizeAnnIndex:
+    def test_compaction_shrinks_files_keeps_results(self, spark, tmp_path):
+        """Appends land one file set per touched cell; optimize bin-packs
+        them, queries return identical rows, pruning still holds."""
+        from datarepo_spark.functions.ann_index import (
+            optimize_ann_index,
+            query_ann_index,
+        )
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        uri = str(tmp_path / "opt")
+        emb = _emb(spark)
+        build_ann_index(
+            spark, emb.filter(F.col("vec_id") < 200), uri,
+            nlist=4, iterations=2,
+        )
+        for lo in (200, 300, 400):
+            append_to_ann_index(
+                spark,
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+                ),
+                uri,
+            )
+        qv = _query_vec(spark)
+        before_rows = {
+            r.vec_id
+            for r in query_ann_index(spark, uri, qv, k=8, nprobe=2).collect()
+        }
+        n_files_before = len(
+            DeltalakeTable("opt", uri)(spark=spark).inputFiles()
+        )
+        stats = optimize_ann_index(spark, uri)
+        assert stats["files_removed"] > stats["files_added"] > 0
+        after = DeltalakeTable("opt", uri)(spark=spark)
+        assert len(after.inputFiles()) < n_files_before
+        after_rows = {
+            r.vec_id
+            for r in query_ann_index(spark, uri, qv, k=8, nprobe=2).collect()
+        }
+        assert after_rows == before_rows
+        # pruning still holds post-compaction
+        probed = query_ann_index(spark, uri, qv, k=8, nprobe=1)
+        touched = {
+            seg
+            for f in probed.inputFiles()
+            for seg in f.split("/")
+            if seg.startswith("cell=")
+        }
+        assert len(touched) == 1

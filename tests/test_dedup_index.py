@@ -280,3 +280,49 @@ class TestStreamingAdmission:
         after = DeltalakeTable("curated", out_uri)(spark=spark).count()
         assert after == 2
         unpersist_intermediates()
+
+
+class TestOptimizeDedupIndex:
+    def test_compaction_keeps_probe_results(self, spark, tmp_path):
+        from datarepo_spark.functions.dedup_index import (
+            optimize_dedup_index,
+        )
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        uri = str(tmp_path / "optd")
+        build_dedup_index(spark, _corpus(spark), uri)
+        for i in range(3):
+            append_to_dedup_index(
+                spark,
+                spark.createDataFrame(
+                    [(70 + i, BASE.replace("dog", f"dog{i}"))],
+                    ["doc_id", "text"],
+                ),
+                uri,
+            )
+        before = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in dedup_against_index(
+                spark, _batch(spark), uri, threshold=0.5, verify="estimate"
+            ).collect()
+        }
+        import os
+
+        bdir = os.path.join(uri, "buckets")
+        n_before = len(
+            DeltalakeTable("buckets", bdir)(spark=spark).inputFiles()
+        )
+        stats = optimize_dedup_index(spark, uri)
+        assert stats["buckets"]["files_removed"] > 0
+        assert (
+            len(DeltalakeTable("buckets", bdir)(spark=spark).inputFiles())
+            < n_before
+        )
+        after = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in dedup_against_index(
+                spark, _batch(spark), uri, threshold=0.5, verify="estimate"
+            ).collect()
+        }
+        assert after == before
+        unpersist_intermediates()
