@@ -326,3 +326,42 @@ class TestOptimizeDedupIndex:
         }
         assert after == before
         unpersist_intermediates()
+
+
+class TestEstimateAccuracy:
+    def test_estimate_tracks_exact_on_real_corpus(self, spark, tmp_path):
+        """Contract for verify='estimate': on the sf0.001 documents
+        corpus, every candidate pair's matching-lane fraction must sit
+        within 0.25 of its exact Jaccard (64 lanes -> sigma ~0.06; 0.25
+        is >4 sigma) and the two modes must agree on every pair whose
+        exact similarity clears the threshold by the noise margin."""
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        corpus = docs.filter(F.col("doc_id") % 10 < 8)
+        batch = docs.filter(F.col("doc_id") % 10 >= 8)
+        uri = str(tmp_path / "acc")
+        build_dedup_index(spark, corpus, uri)
+        exact = {
+            (r.batch_id, r.corpus_id): r.jaccard
+            for r in dedup_against_index(
+                spark, batch, uri, threshold=0.0, corpus_df=corpus
+            ).collect()
+        }
+        est = {
+            (r.batch_id, r.corpus_id): r.jaccard
+            for r in dedup_against_index(
+                spark, batch, uri, threshold=0.0, verify="estimate"
+            ).collect()
+        }
+        assert exact, "gate corpus must produce candidate pairs"
+        assert set(est) == set(exact)  # same candidates, both modes
+        for pair, j in exact.items():
+            assert abs(est[pair] - j) <= 0.25, (pair, j, est[pair])
+        # decision agreement away from the threshold noise band
+        for pair, j in exact.items():
+            if j >= 0.75:
+                assert est[pair] >= 0.5, (pair, j, est[pair])
+            if j <= 0.25:
+                assert est[pair] <= 0.5, (pair, j, est[pair])
+        unpersist_intermediates()
