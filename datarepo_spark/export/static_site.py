@@ -130,6 +130,10 @@ function renderTable(cname, dname, tname) {
     html += `<h3>Query this table</h3>
       <pre><code>${esc(tbl.code_snippet)}</code></pre>`;
   }
+  if (tbl.code_snippet_sql) {
+    html += `<h3>Or with a SQL filter</h3>
+      <pre><code>${esc(tbl.code_snippet_sql)}</code></pre>`;
+  }
   view.innerHTML = html;
   for (const a of nav.querySelectorAll("a"))
     a.classList.toggle("active", decodeURIComponent(a.hash.slice(1)) ===

@@ -18,9 +18,15 @@ from ..catalog.catalog import Catalog
 
 
 def table_to_dict(name: str, table: Any) -> dict[str, Any]:
+    from ..tables.delta_table import DeltalakeTable
+
     meta = getattr(table, "table_metadata", None)
     entry: dict[str, Any] = {
         "name": name,
+        # reference web.py:41 — Delta tables take a raw SQL predicate
+        # string (our filters=str passthrough); the site shows the SQL
+        # snippet tab first for them
+        "supports_sql_filter": isinstance(table, DeltalakeTable),
         "table_type": getattr(meta, "table_type", "function"),
         "description": getattr(meta, "description", ""),
         "is_deprecated": bool(getattr(meta, "is_deprecated", False)),
@@ -74,6 +80,10 @@ def catalog_to_dict(
             entry["code_snippet"] = gen_table_code(
                 catalog_name, db_name, entry
             )
+            if entry.get("supports_sql_filter") and entry.get("partitions"):
+                entry["code_snippet_sql"] = gen_table_code(
+                    catalog_name, db_name, entry, format_sql_filter=True
+                )
         databases[db_name] = {"name": db_name, "tables": tables}
     return {
         "name": catalog_name,

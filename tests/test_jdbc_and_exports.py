@@ -522,3 +522,51 @@ class TestSnippetCodegen:
         assert spikes["code_snippet"].endswith("print(df.collect())")
         html = open(os.path.join(out, "index.html")).read()
         assert "code_snippet" in html  # viewer renders it
+
+
+class TestSqlFilterSnippet:
+    def test_delta_table_gets_sql_variant(self, spark, tmp_path):
+        """supports_sql_filter (reference web.py:41): Delta tables take
+        a raw SQL predicate string, so partitioned delta tables export
+        BOTH snippet forms; parquet tables export the Filter form only."""
+        from datarepo_spark.export.web import export_catalogs
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+        from datarepo_spark.tables.delta_writer import write_delta
+
+        uri = str(tmp_path / "dpart")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "us", 5.0), (2, "eu", 6.0)], ["id", "region", "v"]
+            ),
+            uri,
+            partition_by=["region"],
+        )
+        pq_table = ParquetTable(
+            "plain",
+            str(tmp_path / "plain"),
+            partitioning=[Partition("region", T.StringType())],
+            schema=T.StructType([T.StructField("v", T.LongType())]),
+        )
+        cat = Catalog(
+            {
+                "db": DictDatabase(
+                    {
+                        "dpart": DeltalakeTable("dpart", uri),
+                        "plain": pq_table,
+                    }
+                )
+            }
+        )
+        path = export_catalogs({"c": cat}, str(tmp_path / "site"))
+        with open(path) as fh:
+            data = json.load(fh)
+        tables = data["catalogs"]["c"]["databases"]["db"]["tables"]
+        assert tables["dpart"]["supports_sql_filter"] is True
+        assert "filters=\"region = '<value>'\"" in tables["dpart"][
+            "code_snippet_sql"
+        ]
+        assert tables["plain"]["supports_sql_filter"] is False
+        assert "code_snippet_sql" not in tables["plain"]
+        assert 'Filter("region", "=", "<value>")' in tables["plain"][
+            "code_snippet"
+        ]
