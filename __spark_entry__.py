@@ -89,6 +89,12 @@ _PRIORITY = [
     "similarity_ann_index_pq",  # r6-born: persisted IVF-PQ index
 ]
 
+# r7 rotation staging: queries that should take the next window's slots
+# — the two stale-cohort deferrals (reshape_posexplode,
+# set_union_distinct, still r1-gated) plus the r6-born queries without
+# a driver row yet (dedup_incremental_index, pipeline_token_budget),
+# then the r3/r4-gated cohort by age.
+
 _PRIORITY_R5 = [
     # -- r4/r5-born queries that have never held a driver CORRECTNESS
     # row (r4 verdict #10: rotate them through the 50-query window so

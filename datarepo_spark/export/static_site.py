@@ -80,12 +80,33 @@ function tables() {
   return out;
 }
 
+function subseq(needle, hay) {
+  // fuzzy subsequence: every needle char appears in order in hay
+  let i = 0;
+  for (const ch of hay) if (ch === needle[i]) i++;
+  return i === needle.length;
+}
+
+function matches(f, t) {
+  // search tables, their columns, and partition names (the reference
+  // site indexes databases/tables/columns/partitions via fuse.js; this
+  // is the dependency-free equivalent: substring OR subsequence)
+  if (!f) return true;
+  const name = t.tname.toLowerCase();
+  if (name.includes(f) || subseq(f, name)) return true;
+  for (const c of t.tbl.columns || [])
+    if (String(c.column).toLowerCase().includes(f)) return true;
+  for (const p of t.tbl.partitions || [])
+    if (String(p.column_name).toLowerCase().includes(f)) return true;
+  return t.dname.toLowerCase().includes(f);
+}
+
 function renderNav(filter) {
   nav.innerHTML = "";
   const f = (filter || "").toLowerCase();
   let last = "";
   for (const t of tables()) {
-    if (f && !t.tname.toLowerCase().includes(f)) continue;
+    if (!matches(f, t)) continue;
     const key = t.cname + "/" + t.dname;
     if (key !== last) {
       last = key;

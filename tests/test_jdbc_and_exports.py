@@ -522,6 +522,10 @@ class TestSnippetCodegen:
         assert spikes["code_snippet"].endswith("print(df.collect())")
         html = open(os.path.join(out, "index.html")).read()
         assert "code_snippet" in html  # viewer renders it
+        # fuzzy search parity: subsequence matcher + column/partition
+        # name matching are present in the shipped viewer
+        assert "function subseq" in html
+        assert "columns ||" in html and "partitions ||" in html
 
 
 class TestSqlFilterSnippet:
