@@ -43,7 +43,11 @@ if not names:
     rng = random.Random(44)
     names = rng.sample(sorted(oracles), 12)
     # always include the newest queries
-    for extra in ("delta_dv_delete",):
+    for extra in (
+        "similarity_ann_index_pq",
+        "dedup_incremental_index",
+        "pipeline_token_budget",
+    ):
         if extra in oracles and extra not in names:
             names.append(extra)
 
