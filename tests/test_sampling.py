@@ -384,3 +384,58 @@ class TestTokenBudgetSelect:
 
         with pytest.raises(ValueError, match="budget"):
             token_budget_select(self._frame(spark), -1, "score", "tokens")
+
+
+class TestTokenBudgetProperty:
+    """Hypothesis: for random (score, tokens) frames and budgets, the
+    bucketed two-level plan must equal the naive greedy prefix."""
+
+    def test_random_frames_match_naive(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from datarepo_spark.functions.sampling import token_budget_select
+
+        rows_strategy = st.lists(
+            st.tuples(
+                st.integers(min_value=-1000, max_value=1000),  # score*1e3
+                st.integers(min_value=0, max_value=500),  # tokens
+            ),
+            min_size=0,
+            max_size=25,
+        )
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            rows=rows_strategy,
+            budget=st.integers(min_value=0, max_value=3000),
+            buckets=st.sampled_from([1, 7, 1000]),
+        )
+        def run(rows, budget, buckets):
+            data = [
+                (i, s / 1000.0, t) for i, (s, t) in enumerate(rows)
+            ]
+            df = spark.createDataFrame(
+                data, "doc_id long, score double, tokens long"
+            ) if data else spark.createDataFrame(
+                [], "doc_id long, score double, tokens long"
+            )
+            got = sorted(
+                (r.doc_id, r.tokens)
+                for r in token_budget_select(
+                    df, budget, "score", "tokens", coarse_buckets=buckets
+                ).collect()
+            )
+            naive, total = [], 0
+            for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+                if total + t > budget:
+                    break
+                total += t
+                naive.append((i, t))
+            assert got == sorted(naive), (budget, buckets, data)
+
+        run()
