@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datarepo_spark.session import get_spark  # noqa: E402
 from datarepo_spark.queries.registry import REGISTRY  # noqa: E402
 from datarepo_spark.queries import extensions  # noqa: E402,F401
+from datarepo_spark.functions.dedup import unpersist_intermediates  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -114,6 +115,7 @@ def main() -> None:
     for _pass in range(2):
         # drop persisted intermediates so pass 2 re-does the WORK and
         # min-of-2 removes only environment noise, not computation
+        unpersist_intermediates()
         spark.catalog.clearCache()
         for name in names:
             start = time.perf_counter()
@@ -134,6 +136,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_STEADY", "1") != "0":
         steady: dict[str, float] = {}
         for name in names:
+            unpersist_intermediates()
             spark.catalog.clearCache()
             best = None
             for _rep in range(2):
