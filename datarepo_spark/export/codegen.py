@@ -95,7 +95,12 @@ def gen_table_code(
         )
     lines = [
         f"from {package_name or 'datarepo_catalogs'} import {catalog_name}",
-        "from datarepo_spark.core import Filter",
+    ]
+    if partitions and not format_sql_filter:
+        # only the Filter-object form uses the import; the SQL-string
+        # and no-partition snippets must not ship dead imports
+        lines.append("from datarepo_spark.core import Filter")
+    lines += [
         "",
         f'df = {catalog_name}.db("{database_name}").table{_params(params)}',
         "print(df.collect())",

@@ -90,15 +90,15 @@ function subseq(needle, hay) {
 function matches(f, t) {
   // search tables, their columns, and partition names (the reference
   // site indexes databases/tables/columns/partitions via fuse.js; this
-  // is the dependency-free equivalent: substring OR subsequence)
+  // is the dependency-free equivalent: subsequence match, which
+  // subsumes substring match, uniformly on every field)
   if (!f) return true;
-  const name = t.tname.toLowerCase();
-  if (name.includes(f) || subseq(f, name)) return true;
+  if (subseq(f, t.tname.toLowerCase())) return true;
   for (const c of t.tbl.columns || [])
-    if (String(c.column).toLowerCase().includes(f)) return true;
+    if (subseq(f, String(c.column).toLowerCase())) return true;
   for (const p of t.tbl.partitions || [])
-    if (String(p.column_name).toLowerCase().includes(f)) return true;
-  return t.dname.toLowerCase().includes(f);
+    if (subseq(f, String(p.column_name).toLowerCase())) return true;
+  return subseq(f, t.dname.toLowerCase());
 }
 
 function renderNav(filter) {
