@@ -709,7 +709,26 @@ def simhash_dedup_pairs(
     EXACTLY 100%, so the output equals the brute-force hamming filter —
     with ``portable=True`` (sha256-derived signature) that makes the whole
     pipeline oracle-checkable end to end."""
+    sh = simhash_df(df, text_col, id_col, portable=portable)
     bits = PORTABLE_SIMHASH_BITS if portable else 64
+    return hamming_band_pairs(
+        sh, id_col=id_col, bits=bits, max_hamming=max_hamming
+    )
+
+
+def hamming_band_pairs(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sh",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose ``sig_col`` signatures are within
+    ``max_hamming`` — banded exact-match over any precomputed fixed-width
+    signature (SimHash, image average-hash, …): split the bits into k+1
+    bands; any pair within distance k agrees exactly on ≥1 band
+    (pigeonhole), so candidates come from equi-joins on band keys, never
+    a cross join, and recall is EXACTLY 100%."""
     bands = max_hamming + 1
     width = bits // bands
 
@@ -728,7 +747,7 @@ def simhash_dedup_pairs(
     # signature persist and no pair-of-joins back to the signature table
     # (two fewer shuffles than the classic verify-by-id-join shape; the
     # signature pipeline is evaluated exactly once, as banding's input).
-    sh = simhash_df(df, text_col, id_col, portable=portable)
+    sh = sh_df.select(F.col(id_col), F.col(sig_col).alias("sh"))
     banded = sh.select(
         id_col,
         "sh",

@@ -318,3 +318,91 @@ def frame_sample(
             ).alias("frame_bytes"),
         )
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.StringType()),
+        T.StructField("sh", T.LongType()),
+    ]
+)
+
+
+def average_hash_bits(content: bytes, grid: int = 8) -> list[int]:
+    """Perceptual average-hash of a decoded PPM (aHash): integer luma
+    per pixel ((r+g+b)//3), average-pool to ``grid×grid`` cells (integer
+    block sums // block size — exact), then bit i = cell_i > floor(mean
+    of cells). All-integer, so an SQL oracle recomputes it bit-for-bit.
+    Returns the grid² bits row-major."""
+    import numpy as np
+
+    img = decode_ppm(content)
+    px = img["pixels"].astype("int64")
+    luma = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+    h, w = luma.shape
+    if h % grid or w % grid:
+        raise ValueError(
+            f"image {w}x{h} not divisible into a {grid}x{grid} grid"
+        )
+    bh, bw = h // grid, w // grid
+    pooled = (
+        luma.reshape(grid, bh, grid, bw).sum(axis=(1, 3)) // (bh * bw)
+    )
+    mean = int(pooled.sum()) // (grid * grid)
+    return [int(v > mean) for v in pooled.flatten()]
+
+
+def _bits_to_parts(bits: list[int]) -> tuple[str, int]:
+    """(bitstring, signed 64-bit packing with bit i at position i)."""
+    s = "".join("1" if b else "0" for b in bits)
+    val = sum(b << i for i, b in enumerate(bits))
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return s, val
+
+
+def image_hashes(df: DataFrame, grid: int = 8) -> DataFrame:
+    """(media_id, ahash bitstring, sh long) per media row — the decode
+    runs Arrow-batched in mapInPandas; the 8-byte ``sh`` packing feeds
+    banded hamming pair generation
+    (:func:`~datarepo_spark.functions.dedup.hamming_band_pairs`)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_hash, out_sh = [], []
+            for c in pdf["content"]:
+                s, val = _bits_to_parts(average_hash_bits(c, grid))
+                out_hash.append(s)
+                out_sh.append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": out_hash,
+                    "sh": out_sh,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        per_batch, schema=AHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, grid: int = 8
+) -> DataFrame:
+    """Image-level near-duplicate pairs: average-hash each media row
+    (real decode) and band the 64-bit hashes — pigeonhole-complete for
+    hamming ≤ ``max_hamming``, never a cross join. The multimodal twin
+    of text SimHash dedup: at 100 TB of media, only the 8-byte hashes
+    shuffle; image bytes never leave their scan tasks."""
+    from .dedup import hamming_band_pairs
+
+    hashed = image_hashes(df, grid)
+    return hamming_band_pairs(
+        hashed,
+        id_col="media_id",
+        sig_col="sh",
+        bits=grid * grid,
+        max_hamming=max_hamming,
+    )

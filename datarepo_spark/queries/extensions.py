@@ -555,6 +555,105 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AHASH_GATE_SQL = r"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text AS t
+      FROM documents WHERE doc_id < 50 AND LEN(text) >= 64
+      UNION ALL
+      SELECT doc_id + 1000 AS media_id,
+             '~~~~~~' || SUBSTR(text, 7) AS t
+      FROM documents WHERE doc_id < 50 AND LEN(text) >= 64
+    ), p AS (
+      SELECT media_id,
+             SUBSTR(REPEAT(t, CAST(CEIL(192.0 / LEN(t)) AS INT)), 1, 192)
+               AS px
+      FROM m
+    ), l AS (
+      SELECT media_id,
+             LIST_TRANSFORM(RANGE(0, 64), j ->
+               (ORD(SUBSTR(px, CAST(1 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(2 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(3 + j*3 AS INT), 1))) // 3) AS luma
+      FROM p
+    )
+"""
+
+
+def _ahash_gate_media(spark: SparkSession, sf_dir: str):
+    """Gate media set: each document (doc_id < 50, ≥64 chars so one
+    raster repetition ≤ 3 pixels) paired with a deterministic perturbed
+    twin (first six bytes → '~'), so image-level near-duplicates EXIST
+    by construction and both engines can rebuild the exact rasters."""
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & (F.length("text") >= 64)
+    )
+    orig = docs.select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("~~~~~~"), F.expr("substring(text, 7)")).alias(
+            "text"
+        ),
+    )
+    return M.documents_as_ppm(orig.unionByName(pert))
+
+
+@register(
+    "multimodal_ahash",
+    # Real decode → all-integer average-hash: luma = (r+g+b)//3 per
+    # pixel, bit = luma > floor(mean) — the oracle rebuilds the raster
+    # from the text (ASCII gate docs: chars == bytes) and recomputes
+    # the 64-bit hash bit-for-bit as a bitstring.
+    oracle=_AHASH_GATE_SQL
+    + """
+    SELECT media_id,
+           LIST_AGGREGATE(
+             LIST_TRANSFORM(luma, x ->
+               CASE WHEN x > LIST_SUM(luma) // 64 THEN '1' ELSE '0' END),
+             'string_agg', '') AS ahash
+    FROM l
+    """,
+    description="perceptual average-hash of decoded images (real PPM "
+    "parse, integer luma + mean threshold) — bit-exact vs the SQL "
+    "raster reconstruction",
+)
+def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _ahash_gate_media(spark, sf_dir)
+    return M.image_hashes(media).select("media_id", "ahash")
+
+
+@register(
+    "multimodal_near_dup",
+    # Banded hamming (pigeonhole-complete for <= 3) equals the
+    # brute-force pair filter — the image twin of dedup_simhash: the
+    # perturbed-twin construction guarantees near-dup pairs exist and
+    # distinct documents stay far apart.
+    oracle=_AHASH_GATE_SQL
+    + """
+    , b AS (
+      SELECT media_id,
+             LIST_TRANSFORM(luma, x ->
+               CASE WHEN x > LIST_SUM(luma) // 64 THEN 1 ELSE 0 END)
+               AS bits
+      FROM l
+    )
+    SELECT x.media_id AS id_a, y.media_id AS id_b,
+           CAST(LEN(LIST_FILTER(RANGE(1, 65),
+                i -> x.bits[i] != y.bits[i])) AS INT) AS hamming
+    FROM b x JOIN b y ON x.media_id < y.media_id
+    WHERE LEN(LIST_FILTER(RANGE(1, 65),
+          i -> x.bits[i] != y.bits[i])) <= 3
+    """,
+    description="image near-duplicate pairs: average-hash + banded "
+    "hamming join (never a cross join; only 8-byte hashes shuffle, "
+    "image bytes stay in their scan tasks)",
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _ahash_gate_media(spark, sf_dir)
+    return M.image_near_dup_pairs(media, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composite pipeline: the operators chained the way a curation job uses them
 # ---------------------------------------------------------------------------

