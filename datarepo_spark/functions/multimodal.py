@@ -406,3 +406,35 @@ def image_near_dup_pairs(
         bits=grid * grid,
         max_hamming=max_hamming,
     )
+
+
+def documents_as_wav(
+    df: DataFrame,
+    text_col: str = "text",
+    sample_rate: int = 16000,
+    limit_chars: int = 2000,
+) -> DataFrame:
+    """Test-data adapter producing REAL audio bytes: each document's
+    chars become PCM16 samples ((ord(c) - 110) * 256, so text crossing
+    'n' crosses zero) wrapped in a valid RIFF/WAVE container — the
+    decode stage walks an actual chunk list, and an SQL oracle can
+    recompute the samples from the text."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for t in pdf[text_col]:
+                t = (t or " ")[:limit_chars] or " "
+                samples = [(ord(c) - 110) * 256 for c in t]
+                contents.append(encode_wav_pcm16(samples, sample_rate))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": contents}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select("doc_id", text_col).mapInPandas(per_batch, schema=schema)

@@ -537,6 +537,54 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    # REAL audio path: text chars → PCM16 samples ((ord-110)·256) in a
+    # valid RIFF/WAVE container (python writer), decoded by the
+    # chunk-walking parser executor-side; the oracle recomputes
+    # duration / RMS / peak / zero-crossings from the text directly —
+    # integer sums + IEEE-exact sqrt, round-6 both sides.
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' '
+                  ELSE SUBSTR(text, 1, 2000) END AS t
+      FROM documents WHERE doc_id < 80
+    ), s AS (
+      SELECT media_id,
+             LIST_TRANSFORM(RANGE(1, LEN(t) + 1),
+               i -> (ORD(SUBSTR(t, CAST(i AS INT), 1)) - 110) * 256)
+               AS smp
+      FROM m
+    )
+    SELECT media_id,
+           ROUND(LEN(smp) / 16000.0, 6) AS duration,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(smp,
+                 x -> CAST(x AS BIGINT) * x))
+                 / CAST(LEN(smp) AS DOUBLE)), 6) AS rms,
+           CAST(LIST_MAX(LIST_TRANSFORM(smp, x -> ABS(x))) AS BIGINT)
+             AS peak,
+           CAST(LEN(LIST_FILTER(RANGE(1, LEN(smp)),
+                i -> (smp[i] < 0) != (smp[i + 1] < 0))) AS BIGINT)
+             AS crossings
+    FROM s
+    """,
+    description="real WAV decode (RIFF chunk walk, PCM16) → duration / "
+    "RMS / peak / zero-crossings via Arrow-batched mapInPandas",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    media = M.documents_as_wav(docs)
+    feats = M.extract_features(media, decoder=M.wav_feature_decoder)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1), 6).alias("duration"),
+        F.round(F.element_at("features", 2), 6).alias("rms"),
+        F.element_at("features", 3).cast("long").alias("peak"),
+        F.element_at("features", 4).cast("long").alias("crossings"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,
