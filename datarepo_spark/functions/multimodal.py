@@ -25,7 +25,7 @@ import struct as _struct
 from typing import Callable, Iterator, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -438,3 +438,126 @@ def documents_as_wav(
         ]
     )
     return df.select("doc_id", text_col).mapInPandas(per_batch, schema=schema)
+
+
+VIDEO_MAGIC = b"PVID"
+
+
+def documents_as_video(
+    df: DataFrame,
+    text_col: str = "text",
+    n_frames: int = 4,
+    width: int = PPM_WIDTH,
+    height: int = PPM_HEIGHT,
+) -> DataFrame:
+    """Test-data adapter producing REAL multi-frame video bytes: a
+    ``PVID`` container (magic, LE-u32 frame count, LE-u32 frame size)
+    holding ``n_frames`` binary PPMs; frame f's raster is the document
+    rotated by f characters, so frames differ deterministically and an
+    SQL oracle can rebuild every frame. Built entirely in Catalyst."""
+    need = width * height * 3
+    filler = F.coalesce(F.nullif(F.col(text_col), F.lit("")), F.lit(" "))
+    ppm_header = f"P6\n{width} {height}\n255\n"
+    frame_size = len(ppm_header) + need
+
+    def frame(f: int) -> Column:
+        rot = F.concat(
+            F.expr(f"substring({text_col}, {f + 1})"),
+            F.expr(f"substring({text_col}, 1, {f})"),
+        )
+        rot = F.coalesce(F.nullif(rot, F.lit("")), filler)
+        body = F.substring(
+            F.repeat(
+                rot, F.ceil(F.lit(need) / F.length(rot)).cast("int")
+            ),
+            1,
+            need,
+        )
+        return F.encode(F.concat(F.lit(ppm_header), body), "utf-8")
+
+    header = VIDEO_MAGIC + _struct.pack("<II", n_frames, frame_size)
+    content = F.concat(
+        F.lit(header), *[frame(f) for f in range(n_frames)]
+    )
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("video/x-pvid").alias("mime"),
+            F.lit(n_frames).cast("int").alias("n_frames"),
+            F.length(content).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_video(content: bytes) -> list[dict]:
+    """Walk a PVID container: magic, frame count, frame size, then that
+    many equal-size binary-PPM frames — each decoded by
+    :func:`decode_ppm`. Returns the decoded frames in order."""
+    if content is None or content[:4] != VIDEO_MAGIC:
+        raise ValueError("not a PVID payload")
+    n_frames, frame_size = _struct.unpack_from("<II", content, 4)
+    frames = []
+    pos = 12
+    for _ in range(n_frames):
+        chunk = content[pos : pos + frame_size]
+        if len(chunk) < frame_size:
+            raise ValueError(
+                f"PVID truncated: frame needs {frame_size} bytes, "
+                f"have {len(chunk)}"
+            )
+        frames.append(decode_ppm(chunk))
+        pos += frame_size
+    return frames
+
+
+FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("ahash", T.StringType()),
+        T.StructField("sh", T.LongType()),
+    ]
+)
+
+
+def video_frame_hashes(df: DataFrame, grid: int = 8) -> DataFrame:
+    """(media_id, frame_no, ahash, sh) per decoded frame — the video
+    dedup primitive: per-frame perceptual hashes feed either exact
+    frame-level joins or :func:`~datarepo_spark.functions.dedup.\
+hamming_band_pairs` for near-dup frames; only 8-byte hashes leave the
+    decode task, never frames."""
+    import numpy as np
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, hashes, shs = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                for fno, img in enumerate(decode_video(c)):
+                    px = img["pixels"].astype("int64")
+                    luma = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                    h, w = luma.shape
+                    bh, bw = h // grid, w // grid
+                    pooled = (
+                        luma.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+                        // (bh * bw)
+                    )
+                    mean = int(pooled.sum()) // (grid * grid)
+                    bits = [int(v > mean) for v in pooled.flatten()]
+                    s, val = _bits_to_parts(bits)
+                    ids.append(mid)
+                    fnos.append(fno)
+                    hashes.append(s)
+                    shs.append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_no": fnos,
+                    "ahash": hashes,
+                    "sh": shs,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        per_batch, schema=FRAME_HASH_SCHEMA
+    )

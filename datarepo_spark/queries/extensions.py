@@ -537,6 +537,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frame_hashes",
+    # REAL multi-frame path: a PVID container (magic + LE-u32 frame
+    # count/size) of 4 binary PPMs, frame f's raster = the document
+    # rotated by f chars; the engine WALKS the container and hashes
+    # every frame; the oracle rebuilds each rotated raster and
+    # recomputes the per-frame average-hash bit-for-bit.
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text AS t
+      FROM documents WHERE doc_id < 40 AND LEN(text) >= 64
+    ), fr AS (
+      SELECT media_id, t, CAST(UNNEST(RANGE(0, 4)) AS INT) AS frame_no
+      FROM m
+    ), r AS (
+      SELECT media_id, frame_no,
+             SUBSTR(t, frame_no + 1) || SUBSTR(t, 1, frame_no) AS rot
+      FROM fr
+    ), p AS (
+      SELECT media_id, frame_no,
+             SUBSTR(REPEAT(rot, CAST(CEIL(192.0 / LEN(rot)) AS INT)),
+                    1, 192) AS px
+      FROM r
+    ), l AS (
+      SELECT media_id, frame_no,
+             LIST_TRANSFORM(RANGE(0, 64), j ->
+               (ORD(SUBSTR(px, CAST(1 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(2 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(3 + j*3 AS INT), 1))) // 3)
+               AS luma
+      FROM p
+    )
+    SELECT media_id, frame_no,
+           LIST_AGGREGATE(
+             LIST_TRANSFORM(luma, x ->
+               CASE WHEN x > LIST_SUM(luma) // 64 THEN '1' ELSE '0' END),
+             'string_agg', '') AS ahash
+    FROM l
+    """,
+    description="video path: PVID container walk (magic, frame "
+    "count/size, N binary PPM frames) → per-frame average-hash — the "
+    "video dedup primitive; only 8-byte hashes leave the decode task",
+)
+def multimodal_video_frame_hashes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 40) & (F.length("text") >= 64)
+    )
+    media = M.documents_as_video(docs, n_frames=4)
+    return M.video_frame_hashes(media).select(
+        "media_id", "frame_no", "ahash"
+    )
+
+
+@register(
     "multimodal_audio_features",
     # REAL audio path: text chars → PCM16 samples ((ord-110)·256) in a
     # valid RIFF/WAVE container (python writer), decoded by the

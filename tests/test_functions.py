@@ -1105,3 +1105,34 @@ class TestImageAHash:
         content = b"P6\n9 9\n255\n" + bytes([7] * 243)
         with pytest.raises(ValueError, match="grid"):
             average_hash_bits(content, grid=8)
+
+
+class TestVideoFrameHashes:
+    def test_container_walk_and_frame_rotation(self, spark):
+        from datarepo_spark.functions import multimodal as M
+
+        docs = spark.createDataFrame(
+            [(1, "a" * 64 + "b" * 64)], ["doc_id", "text"]
+        )
+        media = M.documents_as_video(docs, n_frames=3)
+        rows = sorted(
+            (r.frame_no, r.ahash)
+            for r in M.video_frame_hashes(media).collect()
+        )
+        assert [f for f, _ in rows] == [0, 1, 2]
+        # rotation by 1 char of a 128-char doc shifts the raster: frame
+        # hashes need not all be equal, but each is a valid 64-bit hash
+        assert all(len(h) == 64 and set(h) <= {"0", "1"} for _, h in rows)
+
+    def test_truncated_container_raises(self):
+        import struct
+
+        import pytest
+
+        from datarepo_spark.functions.multimodal import decode_video
+
+        bogus = b"PVID" + struct.pack("<II", 2, 203) + b"P6\n8 8\n255\n" + b"x" * 192
+        with pytest.raises(ValueError, match="truncated"):
+            decode_video(bogus)
+        with pytest.raises(ValueError, match="PVID"):
+            decode_video(b"nope")
