@@ -92,8 +92,9 @@ _PRIORITY = [
 # r7 rotation staging: queries that should take the next window's slots
 # — the two stale-cohort deferrals (reshape_posexplode,
 # set_union_distinct, still r1-gated) plus the r6-born queries without
-# a driver row yet (dedup_incremental_index, pipeline_token_budget),
-# then the r3/r4-gated cohort by age.
+# a driver row yet (dedup_incremental_index, pipeline_token_budget,
+# multimodal_ahash, multimodal_near_dup, multimodal_audio_features,
+# multimodal_video_frame_hashes), then the r3/r4-gated cohort by age.
 
 _PRIORITY_R5 = [
     # -- r4/r5-born queries that have never held a driver CORRECTNESS
