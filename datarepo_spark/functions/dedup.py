@@ -722,13 +722,19 @@ def hamming_band_pairs(
     sig_col: str = "sh",
     bits: int = 64,
     max_hamming: int = 3,
+    max_bucket_size: int = 2_000,
 ) -> DataFrame:
     """All (id_a < id_b) pairs whose ``sig_col`` signatures are within
     ``max_hamming`` — banded exact-match over any precomputed fixed-width
     signature (SimHash, image average-hash, …): split the bits into k+1
     bands; any pair within distance k agrees exactly on ≥1 band
     (pigeonhole), so candidates come from equi-joins on band keys, never
-    a cross join, and recall is EXACTLY 100%."""
+    a cross join. Recall is pigeonhole-complete among pairs whose shared
+    band-buckets stay within ``max_bucket_size``; an oversized bucket
+    means a DEGENERATE key (constant signatures — blank images, empty
+    docs) and is dropped by the :func:`bucket_pairs` skew guard rather
+    than expanded into C(n,2) pairs — raise the cap if a corpus
+    legitimately clusters that hard."""
     bands = max_hamming + 1
     width = bits // bands
 
@@ -773,6 +779,7 @@ def hamming_band_pairs(
         banded,
         ["band", "key"],
         id_col,
+        max_bucket_size=max_bucket_size,
         payload_cols=["sh"],
         carry_key_cols=["band"],
         distinct_pairs=False,

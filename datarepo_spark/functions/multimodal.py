@@ -329,16 +329,19 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
-def average_hash_bits(content: bytes, grid: int = 8) -> list[int]:
-    """Perceptual average-hash of a decoded PPM (aHash): integer luma
+def _pixels_to_ahash_bits(pixels, grid: int) -> list[int]:
+    """aHash bits from a decoded (h, w, 3) uint8 raster: integer luma
     per pixel ((r+g+b)//3), average-pool to ``grid×grid`` cells (integer
     block sums // block size — exact), then bit i = cell_i > floor(mean
     of cells). All-integer, so an SQL oracle recomputes it bit-for-bit.
-    Returns the grid² bits row-major."""
-    import numpy as np
-
-    img = decode_ppm(content)
-    px = img["pixels"].astype("int64")
+    Shared by the image and per-video-frame hashers so the two can never
+    drift. Returns the grid² bits row-major."""
+    if grid < 1 or grid * grid > 64:
+        raise ValueError(
+            f"grid must satisfy 1 <= grid*grid <= 64 (the signature "
+            f"packs into one int64); got grid={grid}"
+        )
+    px = pixels.astype("int64")
     luma = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
     h, w = luma.shape
     if h % grid or w % grid:
@@ -353,8 +356,18 @@ def average_hash_bits(content: bytes, grid: int = 8) -> list[int]:
     return [int(v > mean) for v in pooled.flatten()]
 
 
+def average_hash_bits(content: bytes, grid: int = 8) -> list[int]:
+    """Perceptual average-hash of a binary PPM — see
+    :func:`_pixels_to_ahash_bits` for the (all-integer) construction."""
+    return _pixels_to_ahash_bits(decode_ppm(content)["pixels"], grid)
+
+
 def _bits_to_parts(bits: list[int]) -> tuple[str, int]:
     """(bitstring, signed 64-bit packing with bit i at position i)."""
+    if len(bits) > 64:
+        raise ValueError(
+            f"{len(bits)} bits cannot pack into one int64 signature"
+        )
     s = "".join("1" if b else "0" for b in bits)
     val = sum(b << i for i, b in enumerate(bits))
     if val >= 1 << 63:
@@ -416,16 +429,22 @@ def documents_as_wav(
 ) -> DataFrame:
     """Test-data adapter producing REAL audio bytes: each document's
     chars become PCM16 samples ((ord(c) - 110) * 256, so text crossing
-    'n' crosses zero) wrapped in a valid RIFF/WAVE container — the
-    decode stage walks an actual chunk list, and an SQL oracle can
-    recompute the samples from the text."""
+    'n' crosses zero, clamped to int16 — codepoints ≥ 238 would
+    otherwise overflow, wrapping silently on numpy<2 and raising on
+    numpy≥2) wrapped in a valid RIFF/WAVE container — the decode stage
+    walks an actual chunk list, and an SQL oracle can recompute the
+    samples from the text (mirror the clamp: GREATEST(-32768,
+    LEAST(32767, …)))."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             contents = []
             for t in pdf[text_col]:
                 t = (t or " ")[:limit_chars] or " "
-                samples = [(ord(c) - 110) * 256 for c in t]
+                samples = [
+                    max(-32768, min(32767, (ord(c) - 110) * 256))
+                    for c in t
+                ]
                 contents.append(encode_wav_pcm16(samples, sample_rate))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "content": contents}
@@ -454,16 +473,22 @@ def documents_as_video(
     ``PVID`` container (magic, LE-u32 frame count, LE-u32 frame size)
     holding ``n_frames`` binary PPMs; frame f's raster is the document
     rotated by f characters, so frames differ deterministically and an
-    SQL oracle can rebuild every frame. Built entirely in Catalyst."""
+    SQL oracle can rebuild every frame. Built entirely in Catalyst.
+
+    The container's fixed ``frame_size`` is in BYTES while frames are
+    built from characters, so non-ASCII characters (2+ bytes in utf-8)
+    are replaced with ``?`` up front — without this one 'é' would make
+    a frame overrun its slot and shift every later frame boundary."""
     need = width * height * 3
-    filler = F.coalesce(F.nullif(F.col(text_col), F.lit("")), F.lit(" "))
+    ascii_text = F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", "?")
+    filler = F.coalesce(F.nullif(ascii_text, F.lit("")), F.lit(" "))
     ppm_header = f"P6\n{width} {height}\n255\n"
     frame_size = len(ppm_header) + need
 
     def frame(f: int) -> Column:
         rot = F.concat(
-            F.expr(f"substring({text_col}, {f + 1})"),
-            F.expr(f"substring({text_col}, 1, {f})"),
+            F.substring(ascii_text, f + 1, 1 << 30),
+            F.substring(ascii_text, 1, f),
         )
         rot = F.coalesce(F.nullif(rot, F.lit("")), filler)
         body = F.substring(
@@ -496,6 +521,8 @@ def decode_video(content: bytes) -> list[dict]:
     :func:`decode_ppm`. Returns the decoded frames in order."""
     if content is None or content[:4] != VIDEO_MAGIC:
         raise ValueError("not a PVID payload")
+    if len(content) < 12:
+        raise ValueError("PVID truncated: header needs 12 bytes")
     n_frames, frame_size = _struct.unpack_from("<II", content, 4)
     frames = []
     pos = 12
@@ -526,25 +553,18 @@ def video_frame_hashes(df: DataFrame, grid: int = 8) -> DataFrame:
     dedup primitive: per-frame perceptual hashes feed either exact
     frame-level joins or :func:`~datarepo_spark.functions.dedup.\
 hamming_band_pairs` for near-dup frames; only 8-byte hashes leave the
-    decode task, never frames."""
-    import numpy as np
+    decode task, never frames. Frame hashing is the SAME
+    :func:`_pixels_to_ahash_bits` the image path uses, so image and
+    video hashes stay comparable."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fnos, hashes, shs = [], [], [], []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 for fno, img in enumerate(decode_video(c)):
-                    px = img["pixels"].astype("int64")
-                    luma = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
-                    h, w = luma.shape
-                    bh, bw = h // grid, w // grid
-                    pooled = (
-                        luma.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
-                        // (bh * bw)
+                    s, val = _bits_to_parts(
+                        _pixels_to_ahash_bits(img["pixels"], grid)
                     )
-                    mean = int(pooled.sum()) // (grid * grid)
-                    bits = [int(v > mean) for v in pooled.flatten()]
-                    s, val = _bits_to_parts(bits)
                     ids.append(mid)
                     fnos.append(fno)
                     hashes.append(s)

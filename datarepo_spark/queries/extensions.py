@@ -607,7 +607,8 @@ def multimodal_video_frame_hashes(
     ), s AS (
       SELECT media_id,
              LIST_TRANSFORM(RANGE(1, LEN(t) + 1),
-               i -> (ORD(SUBSTR(t, CAST(i AS INT), 1)) - 110) * 256)
+               i -> GREATEST(-32768, LEAST(32767,
+                    (ORD(SUBSTR(t, CAST(i AS INT), 1)) - 110) * 256)))
                AS smp
       FROM m
     )

@@ -1059,7 +1059,10 @@ class TestImageAHash:
         docs = spark.createDataFrame(
             [
                 (1, "a" * 100 + "b" * 100),
-                (2, "a" * 100 + "b" * 99 + "c"),  # near-twin of 1
+                # near-twin of 1: chars 101-103 -> '~' flips exactly
+                # one hash bit (verified numerically; the floored mean
+                # is unchanged so no threshold cascade)
+                (2, "a" * 100 + "~~~" + "b" * 97),
                 (3, "xyz" * 80),  # far from both
             ],
             ["doc_id", "text"],
@@ -1084,18 +1087,55 @@ class TestImageAHash:
                 self._media(spark), max_hamming=3
             ).collect()
         }
-        assert (1, 2) in pairs
+        assert pairs[(1, 2)] == 1  # a genuine nonzero-hamming twin
         assert all(3 not in p for p in pairs)
 
-    def test_pooling_reduces_larger_rasters(self, spark):
-        """A 16x16 PPM pools 2x2 blocks into the 8x8 grid; hashes of an
-        image and its 16x16 rendering of the SAME bytes agree when each
-        2x2 block is uniform (repeat length aligned)."""
-        from datarepo_spark.functions import multimodal as M
+    def test_pooling_matches_unpooled_on_block_uniform_raster(self):
+        """The pooling arithmetic itself: a 16x16 raster whose 2x2
+        blocks are uniform must hash IDENTICALLY to the 8x8 raster of
+        the block values — a transposed reshape or wrong divisor breaks
+        this equality."""
+        import numpy as np
 
-        big = self._media(spark, width=16, height=16)
-        rows = {r.media_id: r.ahash for r in M.image_hashes(big).collect()}
-        assert all(len(v) == 64 for v in rows.values())
+        from datarepo_spark.functions.multimodal import (
+            _pixels_to_ahash_bits,
+        )
+
+        rng = np.random.default_rng(5)
+        small = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        big = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+        assert _pixels_to_ahash_bits(big, 8) == _pixels_to_ahash_bits(
+            small, 8
+        )
+
+    def test_banding_finds_nonzero_hamming_pairs_exactly(self, spark):
+        """Direct banding contract at nonzero distances: signatures 1-3
+        bits apart are found (pigeonhole), 4+ bits apart are not
+        (max_hamming filter), independent of the image fixtures."""
+        from datarepo_spark.functions.dedup import hamming_band_pairs
+
+        base = 0x0123456789ABCDEF
+
+        def flip(v, *bits):
+            for b in bits:
+                v ^= 1 << b
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        rows = [
+            (0, base),
+            (1, flip(base, 5)),            # hamming 1
+            (2, flip(base, 5, 21, 63)),    # hamming 3 (spans bands)
+            (3, flip(base, 1, 17, 33, 49)),  # hamming 4: one per band
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, sh long")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_band_pairs(df, max_hamming=3).collect()
+        }
+        assert got[(0, 1)] == 1
+        assert got[(0, 2)] == 3
+        assert got[(1, 2)] == 2
+        assert (0, 3) not in got  # hamming 4 correctly excluded
 
     def test_indivisible_grid_raises(self):
         import pytest
