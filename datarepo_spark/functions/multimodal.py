@@ -581,3 +581,58 @@ hamming_band_pairs` for near-dup frames; only 8-byte hashes leave the
     return df.select("media_id", "content").mapInPandas(
         per_batch, schema=FRAME_HASH_SCHEMA
     )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    min_matched_frames: int = 2,
+    grid: int = 8,
+    max_frames_per_video: int = 1000,
+) -> DataFrame:
+    """Video-level near-duplicate pairs: two videos are near-dups when
+    ≥ ``min_matched_frames`` distinct frames of the lower-id video have
+    SOME frame of the other within ``max_hamming`` of their perceptual
+    hash — re-encodes, trims, and overlays move individual frame hashes
+    a few bits, which per-frame banding absorbs, while distinct content
+    matches nothing.
+
+    Shape: per-frame hashes (decode task) → banded hamming frame pairs
+    on a packed (video, frame) key — so the frame-pair machinery is
+    EXACTLY :func:`~datarepo_spark.functions.dedup.hamming_band_pairs`,
+    never a cross join — → one aggregate counting distinct matched
+    frames per video pair. Only 8-byte hashes and (video, frame) longs
+    shuffle; frames never leave the decode task."""
+    if min_matched_frames < 1:
+        raise ValueError(
+            f"min_matched_frames must be >= 1, got {min_matched_frames}"
+        )
+    from .dedup import hamming_band_pairs
+
+    fh = video_frame_hashes(df, grid).select(
+        # packed key: frame pairs come out with id_a < id_b, so video
+        # pairs are already (lo, hi) ordered after the div
+        (
+            F.col("media_id") * max_frames_per_video + F.col("frame_no")
+        ).alias("fid"),
+        "sh",
+    )
+    frame_pairs = hamming_band_pairs(
+        fh,
+        id_col="fid",
+        sig_col="sh",
+        bits=grid * grid,
+        max_hamming=max_hamming,
+    )
+    n = max_frames_per_video
+    return (
+        frame_pairs.select(
+            (F.col("id_a") / n).cast("long").alias("id_a"),
+            (F.col("id_b") / n).cast("long").alias("id_b"),
+            (F.col("id_a") % n).alias("fa"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fa").alias("matched_frames"))
+        .filter(F.col("matched_frames") >= min_matched_frames)
+    )

@@ -592,6 +592,82 @@ def multimodal_video_frame_hashes(
 
 
 @register(
+    "multimodal_video_near_dup",
+    # Video-level dedup over the frame hashes: twin videos (the same
+    # perturbed-prefix construction as the image gate) must match on
+    # >= 2 distinct frames within hamming 3; distinct documents match
+    # nothing (probed: 38/38 twins at 4/4 frames, zero cross matches).
+    # The oracle recomputes every frame's bits and brute-forces the
+    # frame-pair -> distinct-frame-count aggregation.
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text AS t
+      FROM documents WHERE doc_id < 40 AND LEN(text) >= 64
+      UNION ALL
+      SELECT doc_id + 1000 AS media_id,
+             '~~~~~~' || SUBSTR(text, 7) AS t
+      FROM documents WHERE doc_id < 40 AND LEN(text) >= 64
+    ), fr AS (
+      SELECT media_id, t, CAST(UNNEST(RANGE(0, 4)) AS INT) AS frame_no
+      FROM m
+    ), r AS (
+      SELECT media_id, frame_no,
+             SUBSTR(t, frame_no + 1) || SUBSTR(t, 1, frame_no) AS rot
+      FROM fr
+    ), p AS (
+      SELECT media_id, frame_no,
+             SUBSTR(REPEAT(rot, CAST(CEIL(192.0 / LEN(rot)) AS INT)),
+                    1, 192) AS px
+      FROM r
+    ), l AS (
+      SELECT media_id, frame_no,
+             LIST_TRANSFORM(RANGE(0, 64), j ->
+               (ORD(SUBSTR(px, CAST(1 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(2 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(3 + j*3 AS INT), 1))) // 3)
+               AS luma
+      FROM p
+    ), b AS (
+      SELECT media_id, frame_no,
+             LIST_TRANSFORM(luma, x ->
+               CASE WHEN x > LIST_SUM(luma) // 64 THEN 1 ELSE 0 END)
+               AS bits
+      FROM l
+    ), fp AS (
+      SELECT x.media_id AS id_a, y.media_id AS id_b,
+             x.frame_no AS fa
+      FROM b x JOIN b y ON x.media_id < y.media_id
+      WHERE LEN(LIST_FILTER(RANGE(1, 65),
+            i -> x.bits[i] != y.bits[i])) <= 3
+    )
+    SELECT id_a, id_b,
+           CAST(COUNT(DISTINCT fa) AS BIGINT) AS matched_frames
+    FROM fp GROUP BY 1, 2
+    HAVING COUNT(DISTINCT fa) >= 2
+    """,
+    description="video-level near-duplicate pairs: per-frame "
+    "average-hashes -> banded hamming frame pairs on a packed "
+    "(video, frame) key -> distinct-matched-frame count per video "
+    "pair; frames never leave the decode task",
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 40) & (F.length("text") >= 64)
+    )
+    orig = docs.select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("~~~~~~"), F.expr("substring(text, 7)")).alias(
+            "text"
+        ),
+    )
+    media = M.documents_as_video(orig.unionByName(pert), n_frames=4)
+    return M.video_near_dup_pairs(
+        media, max_hamming=3, min_matched_frames=2
+    )
+
+
+@register(
     "multimodal_audio_features",
     # REAL audio path: text chars → PCM16 samples ((ord-110)·256) in a
     # valid RIFF/WAVE container (python writer), decoded by the

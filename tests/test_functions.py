@@ -1176,3 +1176,38 @@ class TestVideoFrameHashes:
             decode_video(bogus)
         with pytest.raises(ValueError, match="PVID"):
             decode_video(b"nope")
+
+
+class TestVideoNearDup:
+    def test_twin_videos_match_distinct_do_not(self, spark):
+        from datarepo_spark.functions import multimodal as M
+
+        base = "a" * 100 + "b" * 100
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, "~~~" + base[3:]),  # near-twin video of 1
+                (3, "xyz" * 70),  # unrelated
+            ],
+            ["doc_id", "text"],
+        )
+        media = M.documents_as_video(docs, n_frames=4)
+        got = {
+            (r.id_a, r.id_b): r.matched_frames
+            for r in M.video_near_dup_pairs(
+                media, max_hamming=3, min_matched_frames=2
+            ).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] >= 2
+        assert all(3 not in p for p in got)
+
+    def test_min_matched_frames_validated(self, spark):
+        import pytest
+
+        from datarepo_spark.functions import multimodal as M
+
+        docs = spark.createDataFrame([(1, "a" * 64)], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="min_matched_frames"):
+            M.video_near_dup_pairs(
+                M.documents_as_video(docs), min_matched_frames=0
+            )
