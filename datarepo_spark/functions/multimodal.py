@@ -636,3 +636,81 @@ def video_near_dup_pairs(
         .agg(F.countDistinct("fa").alias("matched_frames"))
         .filter(F.col("matched_frames") >= min_matched_frames)
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.StringType()),
+        T.StructField("sh", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint_bits(samples, n_windows: int = 64) -> list[int]:
+    """Energy-delta audio fingerprint (a Shazam-lite): split the PCM
+    stream into ``n_windows`` integer-bounded windows, sum each
+    window's s² energy (exact int64 — |s| ≤ 32768 ⇒ s² ≤ 2³⁰), and emit
+    bit w = energy_w > energy_{w−1} (w = 1..n_windows−1, so
+    ``n_windows−1`` bits). Time-shifts and re-encodes move a few
+    window boundaries → a few bits; distinct audio decorrelates.
+    All-integer, so an SQL oracle recomputes it bit-for-bit."""
+    if n_windows < 2 or n_windows - 1 > 64:
+        raise ValueError(
+            f"n_windows must be in [2, 65] (bits pack into one int64); "
+            f"got {n_windows}"
+        )
+    n = len(samples)
+    energies = []
+    for w in range(n_windows):
+        lo, hi = (w * n) // n_windows, ((w + 1) * n) // n_windows
+        energies.append(int(sum(int(s) * int(s) for s in samples[lo:hi])))
+    return [
+        int(energies[w] > energies[w - 1]) for w in range(1, n_windows)
+    ]
+
+
+def audio_hashes(df: DataFrame, n_windows: int = 64) -> DataFrame:
+    """(media_id, afp bitstring, sh long) per audio row — decode runs
+    Arrow-batched; the packed ``sh`` feeds
+    :func:`~datarepo_spark.functions.dedup.hamming_band_pairs`."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_fp, out_sh = [], []
+            for c in pdf["content"]:
+                bits = audio_fingerprint_bits(
+                    decode_wav(c)["samples"], n_windows
+                )
+                s, val = _bits_to_parts(bits)
+                out_fp.append(s)
+                out_sh.append(val)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": out_fp,
+                    "sh": out_sh,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        per_batch, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, n_windows: int = 64
+) -> DataFrame:
+    """Audio near-duplicate pairs: energy-delta fingerprints + banded
+    hamming (pigeonhole-complete, never a cross join) — the audio
+    member of the multimodal dedup family; only 8-byte fingerprints
+    leave the decode task."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        audio_hashes(df, n_windows),
+        id_col="media_id",
+        sig_col="sh",
+        bits=n_windows - 1,
+        max_hamming=max_hamming,
+    )

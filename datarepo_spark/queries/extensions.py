@@ -717,6 +717,72 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_near_dup",
+    # Energy-delta fingerprints + banded hamming over the same
+    # perturbed-twin gate as the audio features: 53/53 twins match
+    # within hamming 2, zero cross matches (probed). The oracle
+    # recomputes window energies (integer bounds, s^2 sums) and
+    # brute-forces the pair filter.
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id AS media_id, SUBSTR(text, 1, 2000) AS t
+      FROM documents WHERE doc_id < 60 AND LEN(text) >= 128
+      UNION ALL
+      SELECT doc_id + 1000 AS media_id,
+             SUBSTR('~~~~~~' || SUBSTR(text, 7), 1, 2000) AS t
+      FROM documents WHERE doc_id < 60 AND LEN(text) >= 128
+    ), s AS (
+      SELECT media_id,
+             LIST_TRANSFORM(RANGE(1, LEN(t) + 1),
+               i -> GREATEST(-32768, LEAST(32767,
+                    (ORD(SUBSTR(t, CAST(i AS INT), 1)) - 110) * 256)))
+               AS smp
+      FROM m
+    ), e AS (
+      SELECT media_id,
+             LIST_TRANSFORM(RANGE(0, 64), w ->
+               COALESCE(LIST_SUM(LIST_TRANSFORM(
+                 RANGE(w * LEN(smp) // 64, (w + 1) * LEN(smp) // 64),
+                 i -> CAST(smp[CAST(i + 1 AS INT)] AS BIGINT)
+                      * smp[CAST(i + 1 AS INT)])), 0)) AS en
+      FROM s
+    ), b AS (
+      SELECT media_id,
+             LIST_TRANSFORM(RANGE(1, 64), w ->
+               CASE WHEN en[CAST(w + 1 AS INT)] > en[CAST(w AS INT)]
+                    THEN 1 ELSE 0 END) AS bits
+      FROM e
+    )
+    SELECT x.media_id AS id_a, y.media_id AS id_b,
+           CAST(LEN(LIST_FILTER(RANGE(1, 64),
+                i -> x.bits[CAST(i AS INT)] != y.bits[CAST(i AS INT)]))
+                AS INT) AS hamming
+    FROM b x JOIN b y ON x.media_id < y.media_id
+    WHERE LEN(LIST_FILTER(RANGE(1, 64),
+          i -> x.bits[CAST(i AS INT)] != y.bits[CAST(i AS INT)])) <= 3
+    """,
+    description="audio near-duplicate pairs: energy-delta fingerprint "
+    "(63 bits of window-energy deltas) + banded hamming — the audio "
+    "member of the multimodal dedup family",
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 60) & (F.length("text") >= 128)
+    )
+    orig = docs.select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("~~~~~~"), F.expr("substring(text, 7)")).alias(
+            "text"
+        ),
+    )
+    media = M.documents_as_wav(orig.unionByName(pert))
+    return M.audio_near_dup_pairs(media, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,

@@ -1211,3 +1211,54 @@ class TestVideoNearDup:
             M.video_near_dup_pairs(
                 M.documents_as_video(docs), min_matched_frames=0
             )
+
+
+class TestAudioNearDup:
+    def test_twin_audio_matches_distinct_does_not(self, spark):
+        from datarepo_spark.functions import multimodal as M
+
+        import random
+
+        base = "m" * 40 + "z" * 40 + "a" * 40 + "q" * 40
+        rng = random.Random(9)
+        varied = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz AEIOU")
+            for _ in range(160)
+        )  # ham(base, varied) = 22: genuinely distinct energy profile
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, "~~~" + base[3:]),  # near-twin (ham 1)
+                (3, varied),
+            ],
+            ["doc_id", "text"],
+        )
+        media = M.documents_as_wav(docs)
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in M.audio_near_dup_pairs(media, max_hamming=5).collect()
+        }
+        assert (1, 2) in got
+        assert all(3 not in p for p in got)
+
+    def test_fingerprint_all_integer_and_bounded(self):
+        from datarepo_spark.functions.multimodal import (
+            audio_fingerprint_bits,
+        )
+
+        bits = audio_fingerprint_bits([0, 100, -200, 300] * 50)
+        assert len(bits) == 63 and set(bits) <= {0, 1}
+        # short streams (fewer samples than windows) still fingerprint:
+        # empty windows carry zero energy
+        short = audio_fingerprint_bits([5, -7, 9])
+        assert len(short) == 63
+
+    def test_window_count_validated(self):
+        import pytest
+
+        from datarepo_spark.functions.multimodal import (
+            audio_fingerprint_bits,
+        )
+
+        with pytest.raises(ValueError, match="n_windows"):
+            audio_fingerprint_bits([1, 2, 3], n_windows=100)
