@@ -320,15 +320,6 @@ def frame_sample(
     )
 
 
-AHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("ahash", T.StringType()),
-        T.StructField("sh", T.LongType()),
-    ]
-)
-
-
 def _pixels_to_ahash_bits(pixels, grid: int) -> list[int]:
     """aHash bits from a decoded (h, w, 3) uint8 raster: integer luma
     per pixel ((r+g+b)//3), average-pool to ``grid×grid`` cells (integer
@@ -375,29 +366,53 @@ def _bits_to_parts(bits: list[int]) -> tuple[str, int]:
     return s, val
 
 
-def image_hashes(df: DataFrame, grid: int = 8) -> DataFrame:
+def _signature_hashes(
+    df: DataFrame,
+    bits_fn: Callable[[bytes], list[int]],
+    out_col: str,
+    with_bitstring: bool = True,
+) -> DataFrame:
+    """Shared Arrow-batched signature hasher behind the image/audio
+    hashers: (media_id[, <out_col> bitstring], sh long) per media row.
+    ``with_bitstring=False`` skips the per-row string build — the
+    near-dup pair paths consume only the packed long, and Spark prunes
+    mapInPandas INPUT columns, not Python-side output work."""
+    fields = [T.StructField("media_id", T.LongType())]
+    if with_bitstring:
+        fields.append(T.StructField(out_col, T.StringType()))
+    fields.append(T.StructField("sh", T.LongType()))
+    schema = T.StructType(fields)
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_str, out_sh = [], []
+            for c in pdf["content"]:
+                s, val = _bits_to_parts(bits_fn(c))
+                out_str.append(s)
+                out_sh.append(val)
+            cols = {"media_id": pdf["media_id"]}
+            if with_bitstring:
+                cols[out_col] = out_str
+            cols["sh"] = out_sh
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        per_batch, schema=schema
+    )
+
+
+def image_hashes(
+    df: DataFrame, grid: int = 8, with_bitstring: bool = True
+) -> DataFrame:
     """(media_id, ahash bitstring, sh long) per media row — the decode
     runs Arrow-batched in mapInPandas; the 8-byte ``sh`` packing feeds
     banded hamming pair generation
     (:func:`~datarepo_spark.functions.dedup.hamming_band_pairs`)."""
-
-    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_hash, out_sh = [], []
-            for c in pdf["content"]:
-                s, val = _bits_to_parts(average_hash_bits(c, grid))
-                out_hash.append(s)
-                out_sh.append(val)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "ahash": out_hash,
-                    "sh": out_sh,
-                }
-            )
-
-    return df.select("media_id", "content").mapInPandas(
-        per_batch, schema=AHASH_SCHEMA
+    return _signature_hashes(
+        df,
+        lambda c: average_hash_bits(c, grid),
+        "ahash",
+        with_bitstring,
     )
 
 
@@ -411,7 +426,7 @@ def image_near_dup_pairs(
     shuffle; image bytes never leave their scan tasks."""
     from .dedup import hamming_band_pairs
 
-    hashed = image_hashes(df, grid)
+    hashed = image_hashes(df, grid, with_bitstring=False)
     return hamming_band_pairs(
         hashed,
         id_col="media_id",
@@ -588,7 +603,6 @@ def video_near_dup_pairs(
     max_hamming: int = 3,
     min_matched_frames: int = 2,
     grid: int = 8,
-    max_frames_per_video: int = 1000,
 ) -> DataFrame:
     """Video-level near-duplicate pairs: two videos are near-dups when
     ≥ ``min_matched_frames`` distinct frames of the lower-id video have
@@ -598,10 +612,10 @@ def video_near_dup_pairs(
     matches nothing.
 
     Shape: per-frame hashes (decode task) → banded hamming frame pairs
-    on a packed (video, frame) key — so the frame-pair machinery is
+    on a (video, frame) STRUCT key — so the frame-pair machinery is
     EXACTLY :func:`~datarepo_spark.functions.dedup.hamming_band_pairs`,
     never a cross join — → one aggregate counting distinct matched
-    frames per video pair. Only 8-byte hashes and (video, frame) longs
+    frames per video pair. Only 8-byte hashes and (video, frame) keys
     shuffle; frames never leave the decode task."""
     if min_matched_frames < 1:
         raise ValueError(
@@ -609,11 +623,15 @@ def video_near_dup_pairs(
         )
     from .dedup import hamming_band_pairs
 
+    # STRUCT key, not arithmetic packing: (media_id, frame_no) structs
+    # order lexicographically through the pair machinery, so frame
+    # pairs come out (lo, hi) by video with zero collision risk —
+    # arithmetic packing silently cross-attributed frames once
+    # frame_no reached the multiplier, overflowed int64 on large ids,
+    # and mis-divided negative (hash-derived) ids.
     fh = video_frame_hashes(df, grid).select(
-        # packed key: frame pairs come out with id_a < id_b, so video
-        # pairs are already (lo, hi) ordered after the div
-        (
-            F.col("media_id") * max_frames_per_video + F.col("frame_no")
+        F.struct(
+            F.col("media_id").alias("v"), F.col("frame_no").alias("f")
         ).alias("fid"),
         "sh",
     )
@@ -624,27 +642,17 @@ def video_near_dup_pairs(
         bits=grid * grid,
         max_hamming=max_hamming,
     )
-    n = max_frames_per_video
     return (
         frame_pairs.select(
-            (F.col("id_a") / n).cast("long").alias("id_a"),
-            (F.col("id_b") / n).cast("long").alias("id_b"),
-            (F.col("id_a") % n).alias("fa"),
+            F.col("id_a.v").alias("id_a"),
+            F.col("id_b.v").alias("id_b"),
+            F.col("id_a.f").alias("fa"),
         )
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.countDistinct("fa").alias("matched_frames"))
         .filter(F.col("matched_frames") >= min_matched_frames)
     )
-
-
-AUDIO_FP_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("afp", T.StringType()),
-        T.StructField("sh", T.LongType()),
-    ]
-)
 
 
 def audio_fingerprint_bits(samples, n_windows: int = 64) -> list[int]:
@@ -660,41 +668,32 @@ def audio_fingerprint_bits(samples, n_windows: int = 64) -> list[int]:
             f"n_windows must be in [2, 65] (bits pack into one int64); "
             f"got {n_windows}"
         )
-    n = len(samples)
-    energies = []
-    for w in range(n_windows):
-        lo, hi = (w * n) // n_windows, ((w + 1) * n) // n_windows
-        energies.append(int(sum(int(s) * int(s) for s in samples[lo:hi])))
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    sq = s * s  # |s| <= 32768 => s^2 <= 2^30, exact in int64
+    bounds = [(w * n) // n_windows for w in range(n_windows + 1)]
+    csum = np.concatenate(([0], np.cumsum(sq)))
+    energies = [int(csum[bounds[w + 1]] - csum[bounds[w]]) for w in range(n_windows)]
     return [
         int(energies[w] > energies[w - 1]) for w in range(1, n_windows)
     ]
 
 
-def audio_hashes(df: DataFrame, n_windows: int = 64) -> DataFrame:
+def audio_hashes(
+    df: DataFrame, n_windows: int = 64, with_bitstring: bool = True
+) -> DataFrame:
     """(media_id, afp bitstring, sh long) per audio row — decode runs
     Arrow-batched; the packed ``sh`` feeds
     :func:`~datarepo_spark.functions.dedup.hamming_band_pairs`."""
-
-    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_fp, out_sh = [], []
-            for c in pdf["content"]:
-                bits = audio_fingerprint_bits(
-                    decode_wav(c)["samples"], n_windows
-                )
-                s, val = _bits_to_parts(bits)
-                out_fp.append(s)
-                out_sh.append(val)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "afp": out_fp,
-                    "sh": out_sh,
-                }
-            )
-
-    return df.select("media_id", "content").mapInPandas(
-        per_batch, schema=AUDIO_FP_SCHEMA
+    return _signature_hashes(
+        df,
+        lambda c: audio_fingerprint_bits(
+            decode_wav(c)["samples"], n_windows
+        ),
+        "afp",
+        with_bitstring,
     )
 
 
@@ -708,7 +707,7 @@ def audio_near_dup_pairs(
     from .dedup import hamming_band_pairs
 
     return hamming_band_pairs(
-        audio_hashes(df, n_windows),
+        audio_hashes(df, n_windows, with_bitstring=False),
         id_col="media_id",
         sig_col="sh",
         bits=n_windows - 1,
