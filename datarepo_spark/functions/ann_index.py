@@ -78,17 +78,27 @@ def _write_base_stats(uri: str, stats: dict[int, tuple[int, float]]) -> None:
     _write_stats_file(os.path.join(path, "base.parquet"), stats)
 
 
-def _write_append_stats(uri: str, stats: dict[int, tuple[int, float]]) -> None:
+def _write_append_stats(
+    uri: str,
+    stats: dict[int, tuple[int, float]],
+    stamp: Optional[str] = None,
+) -> None:
     """Each append writes its OWN immutable stats file (log-structured),
     so two concurrent appends both land — no read-modify-write window on
     a shared file for last-write-wins to drop (:func:`_read_cell_stats`
-    merges all files on read). The uuid+pid name cannot collide across
-    processes."""
+    merges all files on read). Default name: uuid+pid, collision-free
+    across processes. ``stamp`` (from a streaming epoch's txn identity)
+    makes the write IDEMPOTENT instead: a crash-replayed epoch rewrites
+    the same file with the same content rather than double-counting."""
+    import re
     import uuid
 
     path = os.path.join(uri.rstrip("/"), _STATS_DIR_REL)
     os.makedirs(path, exist_ok=True)
-    name = f"append-{uuid.uuid4().hex}-{os.getpid()}.parquet"
+    if stamp is not None:
+        name = "append-" + re.sub(r"[^A-Za-z0-9_.-]", "_", stamp) + ".parquet"
+    else:
+        name = f"append-{uuid.uuid4().hex}-{os.getpid()}.parquet"
     _write_stats_file(os.path.join(path, name), stats)
 
 
@@ -336,11 +346,18 @@ def append_to_ann_index(
     uri: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
 ) -> int:
     """Add new vectors: assign with the STORED centroids (the index's
     geometry must not drift under appends) and append to the table.
     Per-cell appended counts + residual mass accumulate in the stats
-    sidecar so :func:`index_health` can flag silent recall decay."""
+    sidecar so :func:`index_health` can flag silent recall decay.
+
+    ``txn_app_id``/``txn_version``: thread the idempotent-writer ledger
+    through the Delta append AND stamp the stats file by the same
+    identity, so a crash-replayed streaming epoch neither duplicates
+    rows nor double-counts drift statistics."""
     from ..tables.delta_writer import write_delta
 
     index = load_ann_index(uri)
@@ -352,11 +369,16 @@ def append_to_ann_index(
         assigned = assigned.join(
             quantizer.encode(df, vec_col=vec_col, id_col=id_col), id_col
         )
+    txn = (
+        {"txn_app_id": txn_app_id, "txn_version": txn_version}
+        if txn_app_id is not None
+        else {}
+    )
     assigned = assigned.persist()  # one pass feeds the write AND stats
     try:
         version = write_delta(
             assigned.drop("__sim"), uri, partition_by=["cell"],
-            checkpoint_interval=None,
+            checkpoint_interval=None, **txn,
         )
         # existence probe only — never read/merge the stats files here
         # (that would be O(appends) parquet reads per append)
@@ -371,8 +393,16 @@ def append_to_ann_index(
     finally:
         assigned.unpersist()
     # log-structured: this append's stats land in their OWN file, merged
-    # on read — two concurrent appends both count (no last-write-wins)
-    _write_append_stats(uri, batch)
+    # on read — two concurrent appends both count (no last-write-wins);
+    # under a txn identity the file name is deterministic so a replayed
+    # epoch overwrites its own stats instead of adding a second copy
+    _write_append_stats(
+        uri,
+        batch,
+        stamp=(
+            f"{txn_app_id}-{txn_version}" if txn_app_id is not None else None
+        ),
+    )
     return version
 
 
