@@ -47,6 +47,8 @@ if not names:
         "similarity_ann_index_pq",
         "dedup_incremental_index",
         "pipeline_token_budget",
+        "multimodal_video_near_dup",
+        "multimodal_audio_near_dup",
     ):
         if extra in oracles and extra not in names:
             names.append(extra)
