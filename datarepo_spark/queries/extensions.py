@@ -591,6 +591,48 @@ def multimodal_video_frame_hashes(
     )
 
 
+_AHASH_GATE_SQL = r"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text AS t
+      FROM documents WHERE doc_id < 50 AND LEN(text) >= 64
+      UNION ALL
+      SELECT doc_id + 1000 AS media_id,
+             '~~~~~~' || SUBSTR(text, 7) AS t
+      FROM documents WHERE doc_id < 50 AND LEN(text) >= 64
+    ), p AS (
+      SELECT media_id,
+             SUBSTR(REPEAT(t, CAST(CEIL(192.0 / LEN(t)) AS INT)), 1, 192)
+               AS px
+      FROM m
+    ), l AS (
+      SELECT media_id,
+             LIST_TRANSFORM(RANGE(0, 64), j ->
+               (ORD(SUBSTR(px, CAST(1 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(2 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(3 + j*3 AS INT), 1))) // 3) AS luma
+      FROM p
+    )
+"""
+
+
+def _ahash_gate_media(spark: SparkSession, sf_dir: str):
+    """Gate media set: each document (doc_id < 50, ≥64 chars so one
+    raster repetition ≤ 3 pixels) paired with a deterministic perturbed
+    twin (first six bytes → '~'), so image-level near-duplicates EXIST
+    by construction and both engines can rebuild the exact rasters."""
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & (F.length("text") >= 64)
+    )
+    orig = docs.select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("~~~~~~"), F.expr("substring(text, 7)")).alias(
+            "text"
+        ),
+    )
+    return M.documents_as_ppm(orig.unionByName(pert))
+
+
 @register(
     "multimodal_video_near_dup",
     # Video-level dedup over the frame hashes: twin videos (the same
@@ -664,6 +706,74 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.documents_as_video(orig.unionByName(pert), n_frames=4)
     return M.video_near_dup_pairs(
         media, max_hamming=3, min_matched_frames=2
+    )
+
+
+@register(
+    "pipeline_curate_multimodal",
+    # Capstone composite: the multimodal dedup + text-quality families
+    # chained the way a media-corpus curation job runs them — image
+    # near-dup pairs (real decode + banded hamming) drop every
+    # higher-id member of a pair, then the survivors' TEXT quality
+    # gates admission. The oracle composes the same CTEs.
+    oracle=_AHASH_GATE_SQL
+    + rf"""
+    , b AS (
+      SELECT media_id,
+             LIST_TRANSFORM(luma, x ->
+               CASE WHEN x > LIST_SUM(luma) // 64 THEN 1 ELSE 0 END)
+               AS bits
+      FROM l
+    ), dropped AS (
+      SELECT DISTINCT y.media_id AS media_id
+      FROM b x JOIN b y ON x.media_id < y.media_id
+      WHERE LEN(LIST_FILTER(RANGE(1, 65),
+            i -> x.bits[i] != y.bits[i])) <= 3
+    ), survivors AS (
+      SELECT m.media_id, m.t FROM m
+      WHERE m.media_id NOT IN (SELECT media_id FROM dropped)
+    ), q AS (
+      SELECT media_id,
+             {X.sql_quality_inputs('t')}
+      FROM survivors
+    )
+    SELECT media_id, {X.SQL_QUALITY_FORMULA} AS quality
+    FROM q
+    WHERE {X.SQL_QUALITY_FORMULA} >= 0.45
+    """,
+    description="multimodal curation composite: image near-dup drop "
+    "(keep the lower id of every pair) -> text-quality admission on "
+    "the survivors — the dedup and quality families composed the way "
+    "a media-corpus curation job chains them",
+)
+def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & (F.length("text") >= 64)
+    )
+    orig = docs.select("doc_id", "text")
+    pert = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("~~~~~~"), F.expr("substring(text, 7)")).alias(
+            "text"
+        ),
+    )
+    corpus = orig.unionByName(pert)
+    media = M.documents_as_ppm(corpus)
+    # drop the HIGHER id of every image near-dup pair (the single-pass
+    # canonical-keep rule; full pair-graph clustering is
+    # dedup_cluster_components' job)
+    dropped = (
+        M.image_near_dup_pairs(media, max_hamming=3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = corpus.join(dropped, "doc_id", "left_anti")
+    return (
+        survivors.select(
+            F.col("doc_id").alias("media_id"),
+            X.quality_score(F.col("text")).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.45)
     )
 
 
@@ -799,48 +909,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample(media, every_n_bytes=256).select(
         "media_id", "frame_no"
     )
-
-
-_AHASH_GATE_SQL = r"""
-    WITH m AS (
-      SELECT doc_id AS media_id, text AS t
-      FROM documents WHERE doc_id < 50 AND LEN(text) >= 64
-      UNION ALL
-      SELECT doc_id + 1000 AS media_id,
-             '~~~~~~' || SUBSTR(text, 7) AS t
-      FROM documents WHERE doc_id < 50 AND LEN(text) >= 64
-    ), p AS (
-      SELECT media_id,
-             SUBSTR(REPEAT(t, CAST(CEIL(192.0 / LEN(t)) AS INT)), 1, 192)
-               AS px
-      FROM m
-    ), l AS (
-      SELECT media_id,
-             LIST_TRANSFORM(RANGE(0, 64), j ->
-               (ORD(SUBSTR(px, CAST(1 + j*3 AS INT), 1))
-                + ORD(SUBSTR(px, CAST(2 + j*3 AS INT), 1))
-                + ORD(SUBSTR(px, CAST(3 + j*3 AS INT), 1))) // 3) AS luma
-      FROM p
-    )
-"""
-
-
-def _ahash_gate_media(spark: SparkSession, sf_dir: str):
-    """Gate media set: each document (doc_id < 50, ≥64 chars so one
-    raster repetition ≤ 3 pixels) paired with a deterministic perturbed
-    twin (first six bytes → '~'), so image-level near-duplicates EXIST
-    by construction and both engines can rebuild the exact rasters."""
-    docs = load(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 50) & (F.length("text") >= 64)
-    )
-    orig = docs.select("doc_id", "text")
-    pert = docs.select(
-        (F.col("doc_id") + 1000).alias("doc_id"),
-        F.concat(F.lit("~~~~~~"), F.expr("substring(text, 7)")).alias(
-            "text"
-        ),
-    )
-    return M.documents_as_ppm(orig.unionByName(pert))
 
 
 @register(
