@@ -51,12 +51,17 @@ def _aggregate_cell_stats(assigned_with_sim: DataFrame) -> dict[int, tuple[int, 
 
 
 def _write_stats_file(path: str, stats: dict[int, tuple[int, float]]) -> None:
-    """Crash-atomic (write tmp + rename): a crash leaves no torn file."""
+    """Crash-atomic (write unique tmp + rename): a crash leaves no torn
+    file, and two processes racing on the SAME final path (duplicate
+    epoch replays from a zombie driver) each stage in their own tmp —
+    whoever renames last wins with a complete file."""
+    import uuid
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     cells = sorted(stats)
-    tmp = path + ".tmp"
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     pq.write_table(
         pa.table(
             {
@@ -90,13 +95,22 @@ def _write_append_stats(
     across processes. ``stamp`` (from a streaming epoch's txn identity)
     makes the write IDEMPOTENT instead: a crash-replayed epoch rewrites
     the same file with the same content rather than double-counting."""
+    import hashlib
     import re
     import uuid
 
     path = os.path.join(uri.rstrip("/"), _STATS_DIR_REL)
     os.makedirs(path, exist_ok=True)
     if stamp is not None:
-        name = "append-" + re.sub(r"[^A-Za-z0-9_.-]", "_", stamp) + ".parquet"
+        # readable prefix + hash of the RAW stamp: sanitization alone
+        # would collide distinct app ids ('job/a' vs 'job_a')
+        name = (
+            "append-"
+            + re.sub(r"[^A-Za-z0-9_.-]", "_", stamp)
+            + "-"
+            + hashlib.sha256(stamp.encode()).hexdigest()[:8]
+            + ".parquet"
+        )
     else:
         name = f"append-{uuid.uuid4().hex}-{os.getpid()}.parquet"
     _write_stats_file(os.path.join(path, name), stats)
@@ -357,8 +371,22 @@ def append_to_ann_index(
     ``txn_app_id``/``txn_version``: thread the idempotent-writer ledger
     through the Delta append AND stamp the stats file by the same
     identity, so a crash-replayed streaming epoch neither duplicates
-    rows nor double-counts drift statistics."""
+    rows nor double-counts drift statistics. A replayed epoch is
+    detected against the table's SetTransaction ledger BEFORE any work:
+    neither the Delta write nor the stats file runs, so stats can never
+    record rows the ledger refused."""
+    from ..tables.delta_log import DeltaLog
     from ..tables.delta_writer import write_delta
+
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version must be set together"
+        )
+    if txn_app_id is not None:
+        snap = DeltaLog(uri).snapshot()
+        last = snap.app_transactions.get(txn_app_id)
+        if last is not None and txn_version <= last:
+            return snap.version  # replayed epoch: full no-op
 
     index = load_ann_index(uri)
     assigned = index.assign(

@@ -615,11 +615,13 @@ _AHASH_GATE_SQL = r"""
 """
 
 
-def _ahash_gate_media(spark: SparkSession, sf_dir: str):
-    """Gate media set: each document (doc_id < 50, ≥64 chars so one
-    raster repetition ≤ 3 pixels) paired with a deterministic perturbed
-    twin (first six bytes → '~'), so image-level near-duplicates EXIST
-    by construction and both engines can rebuild the exact rasters."""
+def _ahash_gate_corpus(spark: SparkSession, sf_dir: str):
+    """Gate corpus: each document (doc_id < 50, ≥64 chars so one raster
+    repetition ≤ 3 pixels) paired with a deterministic perturbed twin
+    (first six bytes → '~'), so image-level near-duplicates EXIST by
+    construction and both engines can rebuild the exact rasters. The
+    ONE definition behind every _AHASH_GATE_SQL consumer — keep it in
+    lockstep with that SQL."""
     docs = load(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 50) & (F.length("text") >= 64)
     )
@@ -630,7 +632,11 @@ def _ahash_gate_media(spark: SparkSession, sf_dir: str):
             "text"
         ),
     )
-    return M.documents_as_ppm(orig.unionByName(pert))
+    return orig.unionByName(pert)
+
+
+def _ahash_gate_media(spark: SparkSession, sf_dir: str):
+    return M.documents_as_ppm(_ahash_gate_corpus(spark, sf_dir))
 
 
 @register(
@@ -747,17 +753,7 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a media-corpus curation job chains them",
 )
 def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 50) & (F.length("text") >= 64)
-    )
-    orig = docs.select("doc_id", "text")
-    pert = docs.select(
-        (F.col("doc_id") + 1000).alias("doc_id"),
-        F.concat(F.lit("~~~~~~"), F.expr("substring(text, 7)")).alias(
-            "text"
-        ),
-    )
-    corpus = orig.unionByName(pert)
+    corpus = _ahash_gate_corpus(spark, sf_dir)
     media = M.documents_as_ppm(corpus)
     # drop the HIGHER id of every image near-dup pair (the single-pass
     # canonical-keep rule; full pair-graph clustering is

@@ -420,6 +420,25 @@ class TestOptimizeAnnIndex:
         assert len(touched) == 1
 
 
+class TestTxnValidation:
+    def test_half_specified_txn_raises(self, spark, tmp_path):
+        import pytest
+
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "halftxn")
+        emb = _emb(spark)
+        build_ann_index(
+            spark, emb.filter(F.col("vec_id") < 100), uri,
+            nlist=4, iterations=2,
+        )
+        with pytest.raises(ValueError, match="together"):
+            AI.append_to_ann_index(
+                spark, emb.filter(F.col("vec_id") >= 100), uri,
+                txn_version=3,
+            )
+
+
 class TestStreamingAppend:
     """Streaming index maintenance: arriving embeddings append into the
     persisted index exactly once per epoch — a replayed epoch neither
@@ -465,10 +484,15 @@ class TestStreamingAppend:
 
         # manual replay of epoch 0 (crash-recovery shape): ledger
         # swallows the rows, the stats stamp overwrites its own file
+        import hashlib
+
         f1 = spark.read.parquet(stream_dir + "/f1")
+        txn_app = (
+            "ann-index-append-"
+            + hashlib.sha256(str(tmp_path / "ckpt").encode()).hexdigest()[:12]
+        )
         AI.append_to_ann_index(
-            spark, f1, uri,
-            txn_app_id="ann-index-append", txn_version=0,
+            spark, f1, uri, txn_app_id=txn_app, txn_version=0
         )
         assert DeltalakeTable("sidx", uri)(spark=spark).count() == emb.count()
         assert AI.index_health(uri)["appended_n"] == emb.count() - 300
