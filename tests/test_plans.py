@@ -283,3 +283,21 @@ class TestRound6Plans:
             "embedding" not in s for s in code_scans
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestMultimodalPlans:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "multimodal_near_dup",
+            "multimodal_audio_near_dup",
+            "multimodal_video_near_dup",
+            "pipeline_curate_multimodal",
+        ],
+    )
+    def test_no_quadratic_shapes(self, spark, sf_dir, name):
+        """Every multimodal dedup path must pair via banded equi-joins
+        on 8-byte signatures — never a cross join over media rows."""
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
