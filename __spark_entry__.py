@@ -30,71 +30,78 @@ from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
 # proven green in r01. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # -- r6 window: the 51-query cohort whose most recent driver gate
-    # is r1/r2 (VERDICT r5 #2). Shared machinery under them (readconf,
-    # type canonicalization, session conf) changed in r3-r5; they are
-    # re-proven locally every round by tests/test_oracle_parity.py, but
-    # the hard driver-gated row is stale — refresh it. 49 of the 51 fit
-    # (deferring reshape_posexplode + set_union_distinct, whose exact
-    # siblings are in-window) plus r6-born similarity_ann_index_pq.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "filter_comparisons",
-    "filter_in_contains_dnf",
-    "filter_not_in",
-    "filter_sql_string",
-    "normalize_missing_column",
-    "join_left",
-    "join_outer_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_inequality",
-    "join_range_bucketed",
-    "join_asof_backward",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_distinct_counts",
-    "agg_median_quantile",
-    "agg_whole_frame",
-    "window_rank_topk_per_group",
-    "window_rank_variants",
-    "window_lag_lead",
-    "window_first_last",
-    "window_running_sum",
-    "window_rolling_mean",
-    "window_range_7d",
-    "fn_string_suite",
-    "fn_date_suite",
-    "fn_math_suite",
-    "fn_array_suite",
-    "fn_json_extract",
-    "fn_conditional_null",
-    "set_union_all_drift",
-    "set_except",
-    "set_intersect",
-    "reshape_explode",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "sort_topk",
-    "dedup_distinct_subset",
-    "events_tumbling_window",
-    "events_sessionize",
-    "text_sentiment",
-    "text_top_tokens",
-    "similarity_ann_index_pq",  # r6-born: persisted IVF-PQ index
+    # -- r7 window (VERDICT r6 #1): the 9 r6-born queries that have
+    # never held a driver CORRECTNESS row, the two r1 stragglers
+    # deliberately deferred from the r6 window, then 39 of the 47
+    # queries whose latest gate is r4 (now the oldest cohort). The 8
+    # deferred r4 shapes (q4/q12/q13/q14/q16/q19/q22/agg_having —
+    # plain join/agg/exists machinery re-proven by in-window siblings)
+    # lead the r8 staging list below.
+    "multimodal_ahash",
+    "multimodal_near_dup",
+    "multimodal_video_frame_hashes",
+    "multimodal_video_near_dup",
+    "multimodal_audio_features",
+    "multimodal_audio_near_dup",
+    "pipeline_curate_multimodal",
+    "dedup_incremental_index",
+    "pipeline_token_budget",
+    "reshape_posexplode",
+    "set_union_distinct",
+    # -- r4-cohort refresh (39 of 47) ---------------------------------
+    "agg_approx_distinct",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_chunk_documents",
+    "dedup_exact_sha256",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "similarity_knn_brute_force",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "similarity_quantize_int8",
+    "multimodal_frame_sample",
+    "pipeline_curate_documents",
+    "sample_hash_split",
+    "sample_stratified",
+    "pipeline_contamination",
+    "skew_salted_agg",
+    "bucketed_cobucket_join",
+    "source_csv_scan",
+    "source_json_scan",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "skyline_parts",
+    "fn_struct_map",
+    "fn_date_parse_format",
 ]
 
-# r7 rotation staging: queries that should take the next window's slots
-# — the two stale-cohort deferrals (reshape_posexplode,
-# set_union_distinct, still r1-gated) plus the r6-born queries without
-# a driver row yet (dedup_incremental_index, pipeline_token_budget,
-# multimodal_ahash, multimodal_near_dup, multimodal_audio_features,
-# multimodal_video_frame_hashes), then the r3/r4-gated cohort by age.
+# r8 rotation staging: the 8 r4-cohort deferrals first, then the r5
+# cohort by age. After r7 no query's latest gate is older than r5.
+_PRIORITY_R8 = [
+    "q4_order_priority",
+    "q12_priority_counting",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "agg_having",
+]
 
 _PRIORITY_R5 = [
     # -- r4/r5-born queries that have never held a driver CORRECTNESS
@@ -159,7 +166,7 @@ _PRIORITY_R5 = [
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
-    for name in _PRIORITY + _PRIORITY_R5:
+    for name in _PRIORITY + _PRIORITY_R8 + _PRIORITY_R5:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():
         if name not in ordered:
