@@ -83,6 +83,22 @@ def _write_base_stats(uri: str, stats: dict[int, tuple[int, float]]) -> None:
     _write_stats_file(os.path.join(path, "base.parquet"), stats)
 
 
+def _stamped_stats_name(stamp: str) -> str:
+    """Deterministic stats-file name for a txn identity. Readable prefix
+    + hash of the RAW stamp: sanitization alone would collide distinct
+    app ids ('job/a' vs 'job_a')."""
+    import hashlib
+    import re
+
+    return (
+        "append-"
+        + re.sub(r"[^A-Za-z0-9_.-]", "_", stamp)
+        + "-"
+        + hashlib.sha256(stamp.encode()).hexdigest()[:8]
+        + ".parquet"
+    )
+
+
 def _write_append_stats(
     uri: str,
     stats: dict[int, tuple[int, float]],
@@ -95,22 +111,12 @@ def _write_append_stats(
     across processes. ``stamp`` (from a streaming epoch's txn identity)
     makes the write IDEMPOTENT instead: a crash-replayed epoch rewrites
     the same file with the same content rather than double-counting."""
-    import hashlib
-    import re
     import uuid
 
     path = os.path.join(uri.rstrip("/"), _STATS_DIR_REL)
     os.makedirs(path, exist_ok=True)
     if stamp is not None:
-        # readable prefix + hash of the RAW stamp: sanitization alone
-        # would collide distinct app ids ('job/a' vs 'job_a')
-        name = (
-            "append-"
-            + re.sub(r"[^A-Za-z0-9_.-]", "_", stamp)
-            + "-"
-            + hashlib.sha256(stamp.encode()).hexdigest()[:8]
-            + ".parquet"
-        )
+        name = _stamped_stats_name(stamp)
     else:
         name = f"append-{uuid.uuid4().hex}-{os.getpid()}.parquet"
     _write_stats_file(os.path.join(path, name), stats)
@@ -386,7 +392,30 @@ def append_to_ann_index(
         snap = DeltaLog(uri).snapshot()
         last = snap.app_transactions.get(txn_app_id)
         if last is not None and txn_version <= last:
-            return snap.version  # replayed epoch: full no-op
+            # Replayed epoch: the Delta rows are already committed. But
+            # a crash BETWEEN that commit and the stats write would have
+            # lost this epoch's drift stats forever (the early return
+            # would skip the very file designed to survive replays) —
+            # so if accounting is enabled and the stamped file is
+            # missing, recompute the batch stats and write it now. The
+            # deterministic name makes this an idempotent overwrite.
+            stats_enabled = os.path.exists(
+                os.path.join(uri.rstrip("/"), _STATS_DIR_REL, "base.parquet")
+            ) or os.path.exists(os.path.join(uri.rstrip("/"), _STATS_REL))
+            stamp = f"{txn_app_id}-{txn_version}"
+            stamped = os.path.join(
+                uri.rstrip("/"), _STATS_DIR_REL, _stamped_stats_name(stamp)
+            )
+            if stats_enabled and not os.path.exists(stamped):
+                replay_index = load_ann_index(uri)
+                replay_assigned = replay_index.assign(
+                    df, vec_col=vec_col, id_col=id_col, nprobe=1,
+                    with_sim=True,
+                )
+                _write_append_stats(
+                    uri, _aggregate_cell_stats(replay_assigned), stamp=stamp
+                )
+            return snap.version  # replayed epoch: Delta write is a no-op
 
     index = load_ann_index(uri)
     assigned = index.assign(

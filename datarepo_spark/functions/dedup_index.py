@@ -181,6 +181,7 @@ def dedup_against_index(
     threshold: float = 0.7,
     corpus_df: Optional[DataFrame] = None,
     verify: str = "exact",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """(batch_id, corpus_id, jaccard) for every batch doc near-duplicate
     of an already-indexed corpus doc.
@@ -193,7 +194,14 @@ def dedup_against_index(
     ``verify="estimate"``: Jaccard estimated as matching-lane fraction
     of the stored signatures — unbiased (Broder), std ≈ √(s(1-s)/64) ≈
     0.06 at s=0.5, and never touches corpus text; the mode for probes
-    where the source table is cold storage."""
+    where the source table is cold storage.
+
+    ``max_broadcast_rows``: the probe's exploded bucket map (``bands``
+    rows per batch doc) is broadcast so the corpus index never shuffles
+    — the right plan for micro-batches and daily chunks. A backfill
+    chunk above this many DOCUMENTS (after the per-doc count probe)
+    falls back to a shuffled (band, bucket) equi-join instead of
+    force-broadcasting an unbounded frame through the driver."""
     from ..tables.delta_table import DeltalakeTable
 
     if verify not in ("exact", "estimate"):
@@ -227,8 +235,14 @@ def dedup_against_index(
     # index is never shuffled — each band partition streams past the
     # batch's bucket map. Multi-band collisions collapse in one distinct
     # over the candidate stream (candidates ≪ corpus under LSH).
+    # ``banded`` is scope-persisted, so this count is a cheap cached
+    # pass; above the gate the broadcast hint is dropped and Spark
+    # shuffles both sides on (band, bucket) — a backfill-sized probe
+    # must not be forced through the driver.
+    if banded.count() <= max_broadcast_rows:
+        probe = F.broadcast(probe)
     cands = (
-        index_buckets.join(F.broadcast(probe), ["band", "bucket"])
+        index_buckets.join(probe, ["band", "bucket"])
         .select("batch_id", F.col("id").alias("corpus_id"))
         .distinct()
     )

@@ -58,13 +58,15 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def documents_as_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+def documents_as_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Test-data adapter: wrap a text corpus as binary media rows so the
     multimodal plumbing has real bytes to move (utf-8 payload standing in
     for image bytes; metadata derived deterministically)."""
     content = F.encode(F.col(text_col), "utf-8")
     return df.select(
-        F.col("doc_id").alias("media_id"),
+        F.col(id_col).alias("media_id"),
         content.alias("content"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
@@ -84,6 +86,7 @@ def documents_as_ppm(
     text_col: str = "text",
     width: int = PPM_WIDTH,
     height: int = PPM_HEIGHT,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Test-data adapter producing REAL image bytes: each document
     becomes a valid binary PPM (P6) whose pixel data is the document's
@@ -102,7 +105,7 @@ def documents_as_ppm(
     header = F.lit(f"P6\n{width} {height}\n255\n")
     content = F.encode(F.concat(header, body), "utf-8")
     return df.select(
-        F.col("doc_id").alias("media_id"),
+        F.col(id_col).alias("media_id"),
         content.alias("content"),
         F.struct(
             F.lit("image/x-portable-pixmap").alias("mime"),
@@ -441,6 +444,7 @@ def documents_as_wav(
     text_col: str = "text",
     sample_rate: int = 16000,
     limit_chars: int = 2000,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Test-data adapter producing REAL audio bytes: each document's
     chars become PCM16 samples ((ord(c) - 110) * 256, so text crossing
@@ -462,7 +466,7 @@ def documents_as_wav(
                 ]
                 contents.append(encode_wav_pcm16(samples, sample_rate))
             yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "content": contents}
+                {"media_id": pdf[id_col], "content": contents}
             )
 
     schema = T.StructType(
@@ -471,7 +475,7 @@ def documents_as_wav(
             T.StructField("content", T.BinaryType()),
         ]
     )
-    return df.select("doc_id", text_col).mapInPandas(per_batch, schema=schema)
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema=schema)
 
 
 VIDEO_MAGIC = b"PVID"
@@ -483,6 +487,7 @@ def documents_as_video(
     n_frames: int = 4,
     width: int = PPM_WIDTH,
     height: int = PPM_HEIGHT,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Test-data adapter producing REAL multi-frame video bytes: a
     ``PVID`` container (magic, LE-u32 frame count, LE-u32 frame size)
@@ -520,7 +525,7 @@ def documents_as_video(
         F.lit(header), *[frame(f) for f in range(n_frames)]
     )
     return df.select(
-        F.col("doc_id").alias("media_id"),
+        F.col(id_col).alias("media_id"),
         content.alias("content"),
         F.struct(
             F.lit("video/x-pvid").alias("mime"),

@@ -506,3 +506,43 @@ class TestStreamingAppend:
             for r in AI.query_ann_index(spark, uri, qv, k=5, nprobe=3).collect()
         }
         assert 450 in got
+
+
+class TestReplayStatsRecovery:
+    """Crash window between the Delta commit and the stats write: the
+    replayed epoch must (re)write the stamped stats file instead of
+    returning early and losing the epoch's drift stats forever."""
+
+    def test_replay_restores_missing_stamped_stats(self, spark, tmp_path):
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "crash")
+        emb = _emb(spark)
+        build_ann_index(
+            spark, emb.filter(F.col("vec_id") < 300), uri,
+            nlist=4, iterations=2,
+        )
+        batch = emb.filter(F.col("vec_id") >= 300)
+        AI.append_to_ann_index(
+            spark, batch, uri, txn_app_id="crashy", txn_version=0
+        )
+        stats_dir = os.path.join(uri, "_ann_index", "stats")
+        stamped = os.path.join(
+            stats_dir, AI._stamped_stats_name("crashy-0")
+        )
+        assert os.path.exists(stamped)
+        healthy = AI.index_health(uri)["appended_n"]
+        assert healthy == batch.count()
+        # simulate the crash: commit landed, stats write did not
+        os.remove(stamped)
+        assert AI.index_health(uri)["appended_n"] == 0
+        # replay: ledger swallows the Delta write, stats come back
+        AI.append_to_ann_index(
+            spark, batch, uri, txn_app_id="crashy", txn_version=0
+        )
+        assert os.path.exists(stamped)
+        assert AI.index_health(uri)["appended_n"] == healthy
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        table = DeltalakeTable("crash", uri)(spark=spark)
+        assert table.count() == emb.count()  # no duplicate rows
