@@ -605,6 +605,144 @@ def query_ann_index_pq(
     )
 
 
+def rebuild_ann_index(
+    spark: SparkSession,
+    uri: str,
+    iterations: int = 8,
+    sample_size: Optional[int] = 4096,
+    pq_iterations: int = 8,
+    keep_previous: bool = False,
+) -> dict:
+    """Re-train the index from the CURRENT table rows and swap in the
+    new generation — the remedy :func:`index_health` recommends once
+    appended mass has drifted from the original centroids.
+
+    Geometry (nlist, PQ m/ksub, column names) is inferred from the
+    existing index so the rebuilt generation is a drop-in: same query
+    API, same schema, fresh centroids/codebooks fitted over base +
+    appended rows, and a reset stats baseline (the whole current corpus
+    becomes ``base``; health returns green until new appends drift).
+
+    Generation swap: the new index is built in a sibling directory
+    (``<uri>.rebuild-<pid>``, same filesystem), then two directory
+    renames swap it in. The gap between the renames is not atomic — a
+    reader racing the swap can transiently miss the path; run rebuilds
+    from the maintenance window that also owns appends (concurrent
+    appends during a rebuild would land in the OLD generation and be
+    dropped by the swap; this function is maintenance, not ingestion).
+    A crash between the renames leaves ``<uri>.prev-<pid>`` holding the
+    intact old generation — rename it back to recover.
+
+    Returns {rows, nlist, pq_m, previous} (``previous`` is the retained
+    old-generation path when ``keep_previous``, else None).
+    """
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..tables.delta_table import DeltalakeTable
+
+    uri = uri.rstrip("/")
+    old_index = load_ann_index(uri)
+    nlist = len(old_index.centroids)
+    old_pq = load_pq(uri)
+    table = DeltalakeTable(os.path.basename(uri), uri)(spark=spark)
+    vec_col = id_col = None
+    for f in table.schema.fields:
+        if f.name in ("cell", "codes"):
+            continue
+        if isinstance(f.dataType, T.ArrayType):
+            vec_col = f.name
+        else:
+            id_col = f.name
+    if vec_col is None or id_col is None:
+        raise ValueError(
+            f"cannot infer (id, vector) columns from index schema "
+            f"{table.schema.simpleString()}"
+        )
+    rows = table.select(id_col, vec_col)
+    n = rows.count()
+    tmp = f"{uri}.rebuild-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    build_ann_index(
+        spark,
+        rows,
+        tmp,
+        vec_col=vec_col,
+        id_col=id_col,
+        nlist=nlist,
+        iterations=iterations,
+        sample_size=sample_size,
+        pq_m=(old_pq.codebooks.shape[0] if old_pq is not None else None),
+        pq_ksub=(old_pq.codebooks.shape[1] if old_pq is not None else 256),
+        pq_iterations=pq_iterations,
+    )
+    prev = f"{uri}.prev-{os.getpid()}"
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
+    os.rename(uri, prev)
+    os.rename(tmp, uri)
+    if not keep_previous:
+        shutil.rmtree(prev)
+        prev = None
+    # the swap replaced the table under its own path: drop memoized
+    # snapshots for every path that just changed identity
+    from ..tables.delta_log import invalidate_snapshot_cache
+
+    for moved in (uri, tmp, prev):
+        if moved:
+            invalidate_snapshot_cache(moved)
+    return {
+        "rows": n,
+        "nlist": nlist,
+        "pq_m": old_pq.codebooks.shape[0] if old_pq is not None else None,
+        "previous": prev,
+    }
+
+
+def maybe_rebuild_ann_index(
+    spark: SparkSession,
+    uri: str,
+    residual_ratio_threshold: float = 1.5,
+    appended_fraction_threshold: float = 0.5,
+    new_cell_mass_threshold: float = 0.5,
+    **rebuild_kwargs,
+) -> dict:
+    """Policy helper closing the drift loop: audit with
+    :func:`index_health`; when it recommends a rebuild, run
+    :func:`rebuild_ann_index` and re-audit. Returns
+    {rebuilt, health_before, health_after, rebuild} — ``health_after``
+    / ``rebuild`` are None when nothing fired. The scheduled-maintenance
+    entry point: call it after each append window."""
+    before = index_health(
+        uri,
+        residual_ratio_threshold=residual_ratio_threshold,
+        appended_fraction_threshold=appended_fraction_threshold,
+        new_cell_mass_threshold=new_cell_mass_threshold,
+    )
+    if not before["rebuild_recommended"]:
+        return {
+            "rebuilt": False,
+            "health_before": before,
+            "health_after": None,
+            "rebuild": None,
+        }
+    result = rebuild_ann_index(spark, uri, **rebuild_kwargs)
+    after = index_health(
+        uri,
+        residual_ratio_threshold=residual_ratio_threshold,
+        appended_fraction_threshold=appended_fraction_threshold,
+        new_cell_mass_threshold=new_cell_mass_threshold,
+    )
+    return {
+        "rebuilt": True,
+        "health_before": before,
+        "health_after": after,
+        "rebuild": result,
+    }
+
+
 def optimize_ann_index(
     spark: SparkSession,
     uri: str,

@@ -402,7 +402,19 @@ class DeltaLog:
     # -- snapshot resolution -------------------------------------------------
 
     def _fingerprint(self) -> tuple:
-        return tuple(sorted(os.listdir(self.log_dir)))
+        # (name, size, mtime_ns) — names alone cannot distinguish a
+        # REPLACED table whose fresh log reuses the same version file
+        # names (e.g. an index-generation swap landing a new
+        # 00000000000000000000.json); a file deleted between listdir
+        # and stat reads as (-1, -1), which correctly fails any match
+        out = []
+        for name in sorted(os.listdir(self.log_dir)):
+            try:
+                st = os.stat(os.path.join(self.log_dir, name))
+                out.append((name, st.st_size, st.st_mtime_ns))
+            except OSError:
+                out.append((name, -1, -1))
+        return tuple(out)
 
     def snapshot(
         self,
@@ -469,7 +481,12 @@ class DeltaLog:
         except (OSError, json.JSONDecodeError):
             return None
         try:
-            fp = tuple(doc["fingerprint"])
+            # JSON round-trips the (name, size, mtime_ns) entries as
+            # lists — re-tuple each so equality with _fingerprint holds
+            fp = tuple(
+                tuple(e) if isinstance(e, list) else e
+                for e in doc["fingerprint"]
+            )
             validated_at = float(doc["validated_at"])
             snap = _snapshot_from_json(doc["snapshot"])
         except (KeyError, TypeError, ValueError):

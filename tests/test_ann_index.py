@@ -546,3 +546,121 @@ class TestReplayStatsRecovery:
 
         table = DeltalakeTable("crash", uri)(spark=spark)
         assert table.count() == emb.count()  # no duplicate rows
+
+
+class TestRebuild:
+    """index_health flags drift; rebuild_ann_index is the remedy: fresh
+    centroids over base + appended rows, swapped in as a new generation
+    with a reset stats baseline."""
+
+    def _shifted(self, spark, dim):
+        return spark.range(10_000, 10_200).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.when(i == 7, 100.0).otherwise(
+                    (F.col("id") % 13).cast("double") / 1000.0
+                ),
+            ).cast("array<float>").alias("embedding"),
+        )
+
+    def test_drift_rebuild_restores_health_and_recall(
+        self, spark, tmp_path
+    ):
+        from datarepo_spark.functions import ann_index as AI
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        uri = str(tmp_path / "idx")
+        emb = _emb(spark)
+        build_ann_index(spark, emb, uri, nlist=8, iterations=4)
+        dim = len(emb.head()["embedding"])
+        shifted = self._shifted(spark, dim)
+        append_to_ann_index(spark, shifted, uri)
+        assert AI.index_health(uri)["rebuild_recommended"] is True
+
+        res = AI.rebuild_ann_index(spark, uri)
+        assert res["rows"] == emb.count() + shifted.count()
+        assert res["nlist"] == 8 and res["previous"] is None
+
+        h = AI.index_health(uri)
+        assert h["rebuild_recommended"] is False
+        assert h["appended_n"] == 0  # whole corpus is the new baseline
+        assert h["base_n"] == res["rows"]
+        # no stale generation directories left behind
+        assert not [
+            p for p in os.listdir(tmp_path)
+            if p.startswith("idx.rebuild") or p.startswith("idx.prev")
+        ]
+        # table rows survived the swap exactly
+        assert (
+            DeltalakeTable("idx", uri)(spark=spark).count() == res["rows"]
+        )
+        # recall contract vs brute force on the FULL corpus, for a
+        # query from each distribution (original + shifted)
+        full = emb.select("vec_id", "embedding").unionByName(shifted)
+        for probe_id in (0, 10_050):
+            qv = [
+                float(x)
+                for x in full.filter(F.col("vec_id") == probe_id).head()[
+                    "embedding"
+                ]
+            ]
+            got = {
+                r["vec_id"]
+                for r in query_ann_index(
+                    spark, uri, qv, k=10, nprobe=3
+                ).collect()
+            }
+            exact = {
+                r["vec_id"]
+                for r in knn_brute_force(full, qv, k=10).collect()
+            }
+            assert len(got & exact) >= 5
+            # the shifted cluster is 200 near-identical vectors (top-10
+            # is all cosine≈1.0 ties), so require self-recall only for
+            # the original-distribution probe
+            if probe_id == 0:
+                assert probe_id in got
+
+    def test_rebuild_preserves_pq_geometry(self, spark, tmp_path):
+        from datarepo_spark.functions import ann_index as AI
+        from datarepo_spark.functions.ann_index import (
+            load_pq,
+            query_ann_index_pq,
+        )
+
+        uri = str(tmp_path / "idxpq")
+        emb = _emb(spark)
+        build_ann_index(
+            spark, emb, uri, nlist=8, iterations=4, pq_m=8,
+            pq_iterations=4,
+        )
+        res = AI.rebuild_ann_index(spark, uri, keep_previous=True)
+        assert res["pq_m"] == 8
+        assert load_pq(uri).codebooks.shape[:2] == (8, 256)
+        assert res["previous"] and os.path.isdir(res["previous"])
+        qv = _query_vec(spark)
+        got = {
+            r["vec_id"]
+            for r in query_ann_index_pq(
+                spark, uri, qv, k=5, nprobe=4, refine=8
+            ).collect()
+        }
+        assert 0 in got
+
+    def test_maybe_rebuild_policy(self, spark, tmp_path):
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "pol")
+        emb = _emb(spark)
+        build_ann_index(spark, emb, uri, nlist=8, iterations=4)
+        # healthy: no-op
+        out = AI.maybe_rebuild_ann_index(spark, uri)
+        assert out["rebuilt"] is False and out["rebuild"] is None
+        # drift, then the policy fires and the re-audit is green
+        dim = len(emb.head()["embedding"])
+        append_to_ann_index(spark, self._shifted(spark, dim), uri)
+        out = AI.maybe_rebuild_ann_index(spark, uri)
+        assert out["rebuilt"] is True
+        assert out["health_before"]["rebuild_recommended"] is True
+        assert out["health_after"]["rebuild_recommended"] is False
