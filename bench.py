@@ -89,6 +89,14 @@ HEADLINE = [
     # first timed pass includes the index build; steady reps reuse it)
     "similarity_ann_index_pq",
     "dedup_incremental_index",
+    # added r7 (headline count 40 → 45): the multimodal dedup family +
+    # curation composite — real decode inside mapInPandas; regressions
+    # in the decode path are bench-visible from this round on
+    "multimodal_ahash",
+    "multimodal_near_dup",
+    "multimodal_video_near_dup",
+    "multimodal_audio_near_dup",
+    "pipeline_curate_multimodal",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

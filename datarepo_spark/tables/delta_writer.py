@@ -31,6 +31,25 @@ from pyspark.sql import DataFrame
 from .delta_log import DeltaLog
 from .delta_stats import collect_file_stats
 
+# MERGE/UPDATE/DELETE pull ONE metadata row per affected file to the
+# driver (never row data) — bounded by file count. At pathological
+# scale (millions of affected files) that bound is still a driver-
+# memory ceiling, so the collect is capped: crossing it raises a clear
+# "partition the operation" error instead of an opaque OOM. Callers
+# can raise the cap per call (max_affected_files=).
+DEFAULT_MAX_AFFECTED_FILES = 1_000_000
+
+
+def _check_affected_cap(n_collected: int, cap: int, op: str) -> None:
+    if n_collected > cap:
+        raise ValueError(
+            f"{op} touches more than {cap} data files; collecting their "
+            f"metadata would risk driver memory. Partition the {op} "
+            f"(split the source/predicate by table partition or key "
+            f"range and run per slice), or pass a higher "
+            f"max_affected_files if the driver is sized for it."
+        )
+
 
 def _schema_string(df: DataFrame) -> str:
     return json.dumps(df.schema.jsonValue())
@@ -1407,6 +1426,7 @@ def merge_delta(
     when_not_matched: Optional[str] = "insert",
     txn_app_id: Optional[str] = None,
     txn_version: Optional[int] = None,
+    max_affected_files: Optional[int] = None,
 ) -> dict[str, int]:
     """Copy-on-write MERGE INTO: apply ``source`` to the table keyed by
     ``on``. ``when_matched``: 'update' (replace the whole row with the
@@ -1492,17 +1512,26 @@ def merge_delta(
     target = table._read_from_log(spark, snapshot, None, keep_rel=True)
 
     src_keys = source.select(*on).distinct()
+    cap = (
+        max_affected_files
+        if max_affected_files is not None
+        else DEFAULT_MAX_AFFECTED_FILES
+    )
     if target is not None and when_matched is not None:
         # files containing ≥1 matched key: the copy-on-write unit.
         # when_matched=None never rewrites — matched rows stay in place
-        # and only the insert set lands as new files.
-        affected_rel = [
-            r[0]
-            for r in target.join(src_keys, on, "left_semi")
+        # and only the insert set lands as new files. limit(cap+1)
+        # bounds the collect itself — the driver never pulls more than
+        # cap+1 rows even when the true affected count is far larger.
+        affected_rows = (
+            target.join(src_keys, on, "left_semi")
             .select("__delta_rel")
             .distinct()
+            .limit(cap + 1)
             .collect()
-        ]
+        )
+        _check_affected_cap(len(affected_rows), cap, "MERGE")
+        affected_rel = [r[0] for r in affected_rows]
     else:
         affected_rel = []
     # __delta_rel is the scan's suffix key (partition dirs + filename,
@@ -1758,6 +1787,7 @@ def _dv_soft_delete_actions(
     snapshot,
     matched_df,
     rewrite_threshold: Optional[float] = None,
+    max_affected_files: Optional[int] = None,
 ) -> tuple[list[dict], dict[str, int], list[str]]:
     """remove+add(DV) actions soft-deleting the rows of ``matched_df``
     (a DataFrame carrying ``__delta_rel`` / ``__delta_pos``).
@@ -1861,13 +1891,20 @@ def _dv_soft_delete_actions(
             ]
         )
 
+    cap = (
+        max_affected_files
+        if max_affected_files is not None
+        else DEFAULT_MAX_AFFECTED_FILES
+    )
     per_file = (
         matched_df.select("__delta_rel", "__delta_pos")
         .groupBy("__delta_rel")
         .applyInPandas(_emit, schema=out_schema)
+        .limit(cap + 1)
         .collect()
     )
     b_meta.unpersist()
+    _check_affected_cap(len(per_file), cap, "DELETE/UPDATE")
 
     by_disk = {_scan_key(f.path, nseg): f for f in snapshot.files}
     actions: list[dict] = []
@@ -1917,6 +1954,7 @@ def delete_delta(
     txn_app_id: Optional[str] = None,
     txn_version: Optional[int] = None,
     rewrite_threshold: Optional[float] = None,
+    max_affected_files: Optional[int] = None,
 ) -> dict[str, int]:
     """DELETE FROM the Delta table at ``uri`` via deletion vectors: rows
     matching ``filters`` (the engine's DNF Filter algebra) are soft-
@@ -2001,6 +2039,7 @@ def delete_delta(
     dv_actions, counters, rewrite_rels = _dv_soft_delete_actions(
         spark, uri, snapshot, matched_df,
         rewrite_threshold=rewrite_threshold,
+        max_affected_files=max_affected_files,
     )
     if not dv_actions:
         return result_unchanged
@@ -2074,6 +2113,7 @@ def update_delta(
     txn_app_id: Optional[str] = None,
     txn_version: Optional[int] = None,
     rewrite_threshold: Optional[float] = None,
+    max_affected_files: Optional[int] = None,
 ) -> dict[str, int]:
     """UPDATE ... SET on the Delta table at ``uri``: rows matching
     ``filters`` get ``assignments`` applied ({column: Column | SQL
@@ -2173,6 +2213,7 @@ def update_delta(
     dv_actions, counters, rewrite_rels = _dv_soft_delete_actions(
         spark, uri, snapshot, matched_df,
         rewrite_threshold=rewrite_threshold,
+        max_affected_files=max_affected_files,
     )
     if not dv_actions:
         return result_unchanged

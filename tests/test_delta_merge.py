@@ -175,3 +175,75 @@ class TestMerge:
         got = rows(spark, uri)
         assert (None, "null-key") in got
         assert dict(r for r in got if r[0] is not None)[5] == "new-5"
+
+
+class TestAffectedFilesCap:
+    """MERGE/UPDATE/DELETE collect one metadata row per affected file —
+    bounded by file count, but still a driver ceiling at pathological
+    scale. A lowered cap must fail with the partition-your-operation
+    error BEFORE collecting past it, and a sufficient cap must leave
+    results identical."""
+
+    def _table(self, spark, tmp_path, parts=4):
+        uri = str(tmp_path / "capped")
+        df = spark.range(400).selectExpr(
+            "id AS k", "id % 7 AS v", f"CAST(id % {parts} AS INT) AS p"
+        )
+        write_delta(
+            df.repartition(parts, "p"), uri, partition_by=["p"],
+            checkpoint_interval=None,
+        )
+        return uri
+
+    def test_merge_over_cap_raises(self, spark, tmp_path):
+        import pytest
+
+        uri = self._table(spark, tmp_path)
+        src = spark.range(400).selectExpr(
+            "id AS k", "id % 5 AS v", "CAST(id % 4 AS INT) AS p"
+        )
+        with pytest.raises(ValueError, match="[Pp]artition the MERGE"):
+            merge_delta(spark, uri, src, on=["k"], max_affected_files=1)
+        # the failed attempt must not have committed anything
+        assert DeltaLog(uri).snapshot().version == 0
+
+    def test_merge_at_cap_succeeds(self, spark, tmp_path):
+        uri = self._table(spark, tmp_path)
+        src = spark.range(10).selectExpr(
+            "id AS k", "id * 100 AS v", "CAST(id % 4 AS INT) AS p"
+        )
+        merge_delta(spark, uri, src, on=["k"], max_affected_files=64)
+        got = {
+            (r.k, r.v)
+            for r in DeltalakeTable("capped", uri)(spark=spark)
+            .filter(F.col("k") < 10)
+            .collect()
+        }
+        assert got == {(k, k * 100) for k in range(10)}
+
+    def test_delete_over_cap_raises(self, spark, tmp_path):
+        import pytest
+
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import delete_delta
+
+        uri = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="DELETE/UPDATE"):
+            delete_delta(
+                spark, uri, [Filter("v", ">=", 0)], max_affected_files=1
+            )
+        assert DeltaLog(uri).snapshot().version == 0
+
+    def test_update_over_cap_raises(self, spark, tmp_path):
+        import pytest
+
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import update_delta
+
+        uri = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="DELETE/UPDATE"):
+            update_delta(
+                spark, uri, [Filter("v", ">=", 0)], {"v": "v + 1"},
+                max_affected_files=1,
+            )
+        assert DeltaLog(uri).snapshot().version == 0
