@@ -90,9 +90,13 @@ _PRIORITY = [
     "fn_date_parse_format",
 ]
 
-# r8 rotation staging: the 8 r4-cohort deferrals first, then the r5
-# cohort by age. After r7 no query's latest gate is older than r5.
+# r8 rotation staging: the r7-born queries (never driver-gated) and
+# the 8 r4-cohort deferrals first, then the r5 cohort by age. After r7
+# no query's latest gate is older than r5.
 _PRIORITY_R8 = [
+    "pipeline_nucleus_topp",
+    "profile_winsorized",
+    "similarity_kmeans_assign",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

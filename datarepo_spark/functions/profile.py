@@ -141,3 +141,94 @@ def histogram(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def winsorized_stats(
+    df,
+    value_col: str,
+    group_cols=(),
+    lower: float = 0.05,
+    upper: float = 0.95,
+    id_col: str = "doc_id",
+):
+    """Per-group winsorized summary: clamp ``value_col`` into the
+    [lower, upper] order-statistic envelope and report robust stats —
+    the outlier-tolerant length/score profile a curation pipeline uses
+    to set admission thresholds without a handful of 100 MB documents
+    dragging the mean.
+
+    Order statistics are EXACT by rank (the value at row ``ceil(q·n)``
+    of the (value, id) ascending order), not interpolated — interpolated
+    percentiles differ across engines in the last ulp, rank-based ones
+    are bit-identical, so the DuckDB oracle reproduces them exactly.
+
+    Scale shape: one window (rank within group — the same shuffle a
+    percentile would need), one broadcast join of the |groups|-row
+    envelope, one final agg. The mean divides two exact integers once
+    (single IEEE op, engine-portable); sums accumulate in BIGINT.
+
+    Returns one row per group: (*group_cols, n_rows, lo, hi,
+    n_clamped_low, n_clamped_high, winsorized_sum, winsorized_mean).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower},{upper}")
+    groups = list(group_cols)
+    gcols = [F.col(g) for g in groups]
+    base = df.select(
+        F.col(id_col), *gcols, F.col(value_col).cast("long").alias("__v")
+    )
+    w = Window.partitionBy(*groups).orderBy("__v", id_col)
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    counts = base.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
+    lo_rank = F.ceil(F.lit(lower) * F.col("__n")).cast("int")
+    hi_rank = F.ceil(F.lit(upper) * F.col("__n")).cast("int")
+    marks = counts.select(
+        *groups,
+        "__n",
+        F.greatest(F.lit(1), lo_rank).alias("__lor"),
+        F.greatest(F.lit(1), hi_rank).alias("__hir"),
+    )
+    def _gjoin(left, right):
+        # group-keyed broadcast join; whole-frame mode (no groups) is a
+        # broadcast cross join against the single stats row
+        if groups:
+            return left.join(F.broadcast(right), groups)
+        return left.crossJoin(F.broadcast(right))
+
+    env = (
+        _gjoin(ranked, marks)
+        .filter((F.col("__rn") == F.col("__lor")) | (F.col("__rn") == F.col("__hir")))
+        .groupBy(*groups)
+        .agg(
+            F.min(F.when(F.col("__rn") == F.col("__lor"), F.col("__v"))).alias("lo"),
+            F.max(F.when(F.col("__rn") == F.col("__hir"), F.col("__v"))).alias("hi"),
+        )
+    )
+    clamped = _gjoin(base, env).select(
+        *gcols,
+        "__v",
+        "lo",
+        "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("__v"))).alias("__w"),
+    )
+    return (
+        clamped.groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum((F.col("__v") < F.col("lo")).cast("int")).alias(
+                "n_clamped_low"
+            ),
+            F.sum((F.col("__v") > F.col("hi")).cast("int")).alias(
+                "n_clamped_high"
+            ),
+            F.sum("__w").alias("winsorized_sum"),
+            F.round(
+                F.sum("__w").cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean"),
+        )
+    )

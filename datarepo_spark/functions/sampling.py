@@ -356,3 +356,112 @@ def token_budget_select(
             F.col("__tokens").alias(token_col),
         )
     )
+
+
+def nucleus_select(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    p: float,
+    id_col: str = "doc_id",
+    coarse_buckets: int = 1000,
+) -> DataFrame:
+    """Per-group nucleus (top-p) selection: within each group, take
+    documents in (score DESC, id ASC) order until the selected score
+    mass first reaches ``p`` of the group's total — i.e. a document is
+    kept iff the mass BEFORE it is < p·total, so the crossing document
+    is included (the top-p sampling convention). The per-domain
+    "highest-quality share of each source" primitive of pretraining
+    mixes — where :func:`token_budget_select` takes the best data that
+    fits a GLOBAL budget, this takes the best p-fraction of every group.
+
+    Scale shape — the naive form sorts every group and runs a running-
+    sum window over all its rows (one task per group sees the whole
+    group; a 100 TB web-crawl group is a straggler). Instead, the same
+    two-level plan as ``token_budget_select``, per group:
+
+      1. per-group (min, max) score envelope (one narrow agg,
+         broadcast back), scores quantized into ``coarse_buckets``
+         integer buckets, monotone DEcreasing in score;
+      2. score mass per (group, bucket) — a narrow shuffle of triples;
+         the per-group running sum over its ≤``coarse_buckets`` bucket
+         rows is a tiny window;
+      3. buckets whose cumulative mass stays under p·total join back
+         whole (broadcast); ONLY the one boundary bucket per group —
+         a ~1/``coarse_buckets`` slice — is exactly sorted and
+         prefix-summed.
+
+    Equivalent to the naive form: the bucket id is monotone in score
+    and equal scores share a bucket, so the greedy order visits whole
+    buckets in bucket order; whether the threshold p·total lands before
+    a doc can only change inside the single bucket whose cumulative
+    range contains it. Scores must be non-negative (mass semantics);
+    negative scores raise.
+
+    Returns the selected rows as (id, *group_cols, score).
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    groups = [F.col(g) for g in group_cols]
+    base = df.select(
+        F.col(id_col), *groups, F.col(score_col).cast("long").alias("__s")
+    )
+    neg = base.filter(F.col("__s") < 0).limit(1)
+    if not neg.isEmpty():
+        raise ValueError("nucleus_select needs non-negative scores")
+    env = base.groupBy(*group_cols).agg(
+        F.min("__s").alias("__lo"),
+        F.max("__s").alias("__hi"),
+        F.sum("__s").alias("__total"),
+    )
+    b = base.join(F.broadcast(env), list(group_cols))
+    # integer bucket, monotone decreasing in score; degenerate groups
+    # (single score value) collapse into bucket 0
+    span = F.col("__hi") - F.col("__lo") + F.lit(1)
+    bucket = F.least(
+        F.lit(coarse_buckets - 1),
+        ((F.col("__hi") - F.col("__s")) * coarse_buckets / span).cast("int"),
+    )
+    bucketed = b.withColumn("__b", bucket)
+    mass = bucketed.groupBy(*group_cols, "__b").agg(
+        F.sum("__s").alias("__m"), F.max("__total").alias("__total")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = mass.select(
+        *group_cols,
+        "__b",
+        "__total",
+        F.sum("__m").over(w).alias("__cum"),
+        (F.sum("__m").over(w) - F.col("__m")).alias("__prev"),
+    )
+    thresh = F.col("__total") * F.lit(float(p))
+    # whole bucket kept: its last doc's before-mass < its cum ≤ thresh…
+    # strictly, every doc's before-mass < bucket cum, so __cum < thresh
+    # keeps all; the boundary bucket (first with __cum >= thresh) is
+    # resolved exactly; later buckets have before-mass ≥ __prev ≥ thresh
+    full = cum.filter(F.col("__cum") < thresh).select(*group_cols, "__b")
+    boundary = cum.filter(
+        (F.col("__prev") < thresh) & (F.col("__cum") >= thresh)
+    ).select(*group_cols, "__b", "__prev", "__total")
+    keys = [*group_cols, "__b"]
+    taken_full = bucketed.join(F.broadcast(full), keys, "left_semi")
+    bw = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc("__s"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    taken_boundary = (
+        bucketed.drop("__total")
+        .join(F.broadcast(boundary), keys)
+        .withColumn("__before", F.sum("__s").over(bw) + F.col("__prev") - F.col("__s"))
+        .filter(F.col("__before") < F.col("__total") * F.lit(float(p)))
+        .select(*bucketed.columns)
+    )
+    return (
+        taken_full.unionByName(taken_boundary)
+        .select(F.col(id_col), *group_cols, F.col("__s").alias(score_col))
+    )

@@ -2978,3 +2978,179 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     return histogram(orders, "o_totalprice", 16)
+
+
+@register(
+    "pipeline_nucleus_topp",
+    # Oracle is the NAIVE per-group form (sort each group + running
+    # sum); the engine runs the bucketed two-level plan per group
+    # (coarse mass cumsum over <=1000 buckets, exact sort of the one
+    # boundary bucket per group) — equivalent because the bucket id is
+    # monotone in score and equal scores share a bucket, so the greedy
+    # order visits whole buckets in order and the p*total threshold
+    # lands inside exactly one of them.
+    oracle="""
+    WITH t AS (
+      SELECT lang, SUM(n_chars) AS total FROM documents GROUP BY lang
+    ), c AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             SUM(d.n_chars) OVER (
+               PARTITION BY d.lang
+               ORDER BY d.n_chars DESC, d.doc_id ASC
+               ROWS UNBOUNDED PRECEDING) - d.n_chars AS before_mass,
+             t.total AS total
+      FROM documents d JOIN t USING (lang)
+    )
+    SELECT doc_id, lang, n_chars FROM c WHERE before_mass < 0.5 * total
+    """,
+    description="per-group nucleus (top-p) selection: each language "
+    "keeps its highest-mass documents until p=0.5 of the group's char "
+    "mass is covered — two-level bucket plan, no group ever globally "
+    "sorts in one task",
+)
+def pipeline_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.nucleus_select(
+        docs.select("doc_id", "lang", "n_chars"),
+        group_cols=["lang"],
+        score_col="n_chars",
+        p=0.5,
+    )
+
+
+@register(
+    "profile_winsorized",
+    # Rank-based order statistics (value at CEIL(q*n) of the
+    # (value, id) ascending order) — bit-identical across engines,
+    # unlike interpolated percentiles. DuckDB SUM(int)->HUGEINT is
+    # cast back to BIGINT.
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), m AS (
+      SELECT lang, MAX(n) AS n,
+             GREATEST(1, CAST(CEIL(0.05 * MAX(n)) AS BIGINT)) AS lor,
+             GREATEST(1, CAST(CEIL(0.95 * MAX(n)) AS BIGINT)) AS hir
+      FROM r GROUP BY lang
+    ), env AS (
+      SELECT r.lang,
+             MIN(CASE WHEN r.rn = m.lor THEN r.n_chars END) AS lo,
+             MAX(CASE WHEN r.rn = m.hir THEN r.n_chars END) AS hi
+      FROM r JOIN m USING (lang)
+      WHERE r.rn = m.lor OR r.rn = m.hir
+      GROUP BY r.lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_rows,
+           MIN(e.lo) AS lo,
+           MAX(e.hi) AS hi,
+           CAST(SUM(CASE WHEN d.n_chars < e.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_low,
+           CAST(SUM(CASE WHEN d.n_chars > e.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_high,
+           CAST(SUM(GREATEST(e.lo, LEAST(e.hi, d.n_chars)))
+                AS BIGINT) AS winsorized_sum,
+           ROUND(CAST(SUM(GREATEST(e.lo, LEAST(e.hi, d.n_chars)))
+                      AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+    FROM documents d JOIN env e USING (lang)
+    GROUP BY d.lang
+    """,
+    description="per-language winsorized length profile: exact "
+    "rank-based p05/p95 envelope, clamped sums in BIGINT, one rank "
+    "window + broadcast envelope join",
+)
+def profile_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import winsorized_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return winsorized_stats(
+        docs, "n_chars", group_cols=["lang"], lower=0.05, upper=0.95
+    )
+
+
+@register(
+    "similarity_kmeans_assign",
+    # Deterministic k-means assignment step against k=8 FIXED centroids
+    # (the first 8 vectors by id): the oracle-parity twin of the IVF
+    # coarse quantizer's assign. Cosines are sequential double folds
+    # (LIST_REDUCE == Catalyst aggregate fold, same order), rounded to
+    # 6; per-cell sums accumulate in DECIMAL(38,6) so group order
+    # cannot change the result. The engine computes the argmax row-
+    # local (transform over the broadcast centroid literals +
+    # array_position, ties -> lowest cell) — no row explosion, no
+    # window; the only shuffle is the final k-row aggregate.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS nrm
+      FROM v
+    ), cents AS (
+      SELECT vec_id AS cell, e AS c, nrm AS cnrm FROM n WHERE vec_id < 8
+    ), sims AS (
+      SELECT a.vec_id, cents.cell,
+             ROUND(
+               LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                          i -> a.e[i] * cents.c[i]),
+                           (acc, x) -> acc + x) / (a.nrm * cents.cnrm),
+               6) AS sim
+      FROM n a CROSS JOIN cents
+    ), best AS (
+      SELECT vec_id, cell, sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+      FROM sims
+    )
+    SELECT cell,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(sim AS DECIMAL(38,6))) AS DECIMAL(38,6))
+             AS sum_sim
+    FROM best WHERE rn = 1
+    GROUP BY cell
+    """,
+    description="k-means assignment step vs 8 fixed centroids: "
+    "row-local argmax over broadcast centroid literals (no explode, "
+    "no window), per-cell count + DECIMAL-stable similarity mass",
+)
+def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row["embedding"]])
+            for row in cents
+        ]
+    )
+    sims = F.transform(
+        cent_arr,
+        lambda c: F.round(D.cosine_similarity(F.col("embedding"), c), 6),
+    )
+    assigned = emb.select(
+        "vec_id",
+        sims.alias("__sims"),
+    ).select(
+        "vec_id",
+        (F.array_position("__sims", F.array_max("__sims")) - 1).alias(
+            "cell"
+        ),
+        F.array_max("__sims").alias("sim"),
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.round(F.col("sim"), 6).cast("decimal(38,6)")).alias(
+            "sum_sim"
+        ),
+    )

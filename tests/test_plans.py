@@ -301,3 +301,34 @@ class TestMultimodalPlans:
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound7Plans:
+    def test_nucleus_no_global_group_sort(self, spark, sf_dir):
+        """Per-group nucleus selection must not range-sort the corpus:
+        the two-level bucket plan's only sorts are the per-group bucket
+        window (tiny) and the boundary-bucket slice; the full-bucket
+        and boundary joins broadcast."""
+        plan = plan_of(spark, sf_dir, "pipeline_nucleus_topp")
+        assert "rangepartitioning" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_kmeans_assign_no_explode_no_window(self, spark, sf_dir):
+        """The assignment step computes the argmax row-local over the
+        broadcast centroid literals: no row explosion (Generate), no
+        per-vector window, no join at all — the only exchange is the
+        final k-row aggregate."""
+        plan = plan_of(spark, sf_dir, "similarity_kmeans_assign")
+        assert "Generate" not in plan  # no posexplode of centroids
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_winsorized_envelope_broadcasts(self, spark, sf_dir):
+        """Rank window per group; the |groups|-row mark/envelope frames
+        join back broadcast — the corpus never shuffles for them."""
+        plan = plan_of(spark, sf_dir, "profile_winsorized")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "rangepartitioning" not in plan

@@ -439,3 +439,130 @@ class TestTokenBudgetProperty:
             assert got == sorted(naive), (budget, buckets, data)
 
         run()
+
+
+class TestNucleusSelect:
+    """Per-group top-p selection equals the naive per-group greedy
+    (kept iff mass-before < p*total, crossing doc included)."""
+
+    def _naive(self, rows, p):
+        # rows: (id, group, score)
+        from collections import defaultdict
+
+        by_g = defaultdict(list)
+        for r in rows:
+            by_g[r[1]].append(r)
+        out = []
+        for g, items in by_g.items():
+            total = sum(r[2] for r in items)
+            before = 0
+            for r in sorted(items, key=lambda r: (-r[2], r[0])):
+                if before < p * total:
+                    out.append(r)
+                before += r[2]
+        return sorted(out)
+
+    def _check(self, spark, rows, p, buckets=1000):
+        from datarepo_spark.functions.sampling import nucleus_select
+
+        df = spark.createDataFrame(rows, ["doc_id", "grp", "score"])
+        got = sorted(
+            (r.doc_id, r.grp, r.score)
+            for r in nucleus_select(
+                df, ["grp"], "score", p, coarse_buckets=buckets
+            ).collect()
+        )
+        assert got == self._naive(rows, p), (p, buckets)
+
+    def test_matches_naive_with_ties_and_skew(self, spark):
+        rows = [(i, "a", (i * 37) % 11) for i in range(60)]
+        rows += [(100 + i, "b", 5) for i in range(10)]  # all-tied group
+        rows += [(200, "c", 0), (201, "c", 0)]  # zero-mass group
+        rows += [(300, "d", 1000), (301, "d", 1)]  # dominant head
+        for p in (0.1, 0.5, 0.9, 1.0):
+            self._check(spark, rows, p)
+
+    def test_bucket_count_invariance(self, spark):
+        rows = [(i, "g", (i * 13) % 29 + 1) for i in range(80)]
+        for buckets in (1, 2, 7, 1000):
+            self._check(spark, rows, 0.5, buckets=buckets)
+
+    def test_random_frames_match_naive(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(3):
+            rows = [
+                (i, rng.choice("xyz"), rng.randrange(0, 50))
+                for i in range(rng.randrange(5, 120))
+            ]
+            self._check(spark, rows, rng.choice([0.25, 0.5, 0.75]))
+
+    def test_bad_inputs_raise(self, spark):
+        import pytest
+
+        from datarepo_spark.functions.sampling import nucleus_select
+
+        df = spark.createDataFrame([(1, "g", 5)], ["doc_id", "grp", "s"])
+        with pytest.raises(ValueError, match="p must be"):
+            nucleus_select(df, ["grp"], "s", 0.0)
+        neg = spark.createDataFrame([(1, "g", -5)], ["doc_id", "grp", "s"])
+        with pytest.raises(ValueError, match="non-negative"):
+            nucleus_select(neg, ["grp"], "s", 0.5)
+
+
+class TestWinsorizedStats:
+    def test_matches_numpy_clamp(self, spark):
+        import math
+
+        rows = [(i, "a", v) for i, v in enumerate(
+            [1, 2, 2, 3, 4, 5, 6, 7, 8, 1000]
+        )]
+        rows += [(100 + i, "b", 10) for i in range(3)]
+        from datarepo_spark.functions.profile import winsorized_stats
+
+        df = spark.createDataFrame(rows, ["doc_id", "grp", "v"])
+        got = {
+            r.grp: r
+            for r in winsorized_stats(
+                df, "v", group_cols=["grp"], lower=0.1, upper=0.9
+            ).collect()
+        }
+
+        def naive(vals, lo_q=0.1, hi_q=0.9):
+            s = sorted(vals)
+            n = len(s)
+            lo = s[max(1, math.ceil(lo_q * n)) - 1]
+            hi = s[max(1, math.ceil(hi_q * n)) - 1]
+            w = [min(hi, max(lo, v)) for v in vals]
+            return lo, hi, sum(w), round(sum(w) / n, 6)
+
+        for g in ("a", "b"):
+            vals = [r[2] for r in rows if r[1] == g]
+            lo, hi, sw, mean = naive(vals)
+            r = got[g]
+            assert (r.lo, r.hi, r.winsorized_sum) == (lo, hi, sw)
+            assert abs(r.winsorized_mean - mean) < 1e-9
+            assert r.n_rows == len(vals)
+        # the 1000 outlier was clamped in group a
+        assert got["a"].n_clamped_high == 1
+
+    def test_whole_frame_mode(self, spark):
+        from datarepo_spark.functions.profile import winsorized_stats
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate([1, 2, 3, 4, 100])],
+            ["doc_id", "v"],
+        )
+        row = winsorized_stats(df, "v").collect()
+        assert len(row) == 1
+        assert row[0].n_rows == 5
+
+    def test_bad_bounds_raise(self, spark):
+        import pytest
+
+        from datarepo_spark.functions.profile import winsorized_stats
+
+        df = spark.createDataFrame([(1, 5)], ["doc_id", "v"])
+        with pytest.raises(ValueError, match="lower < upper"):
+            winsorized_stats(df, "v", lower=0.9, upper=0.1)
