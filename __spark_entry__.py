@@ -97,6 +97,7 @@ _PRIORITY_R8 = [
     "pipeline_nucleus_topp",
     "profile_winsorized",
     "similarity_kmeans_assign",
+    "sample_cluster_split",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

@@ -465,3 +465,45 @@ def nucleus_select(
         taken_full.unionByName(taken_boundary)
         .select(F.col(id_col), *group_cols, F.col("__s").alias(score_col))
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "cluster-split",
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: documents connected by
+    near-duplicate ``pairs`` (id_a, id_b) always land in the SAME
+    split, because the hash-split variate keys on the near-dup
+    CLUSTER's component id rather than the document id. A plain
+    per-document split leaks evaluation data through near-duplicates —
+    the train set memorizes a 0.95-Jaccard twin of a test document;
+    keying on the component closes that channel by construction.
+
+    Scale shape: component ids via min-label propagation over the pair
+    graph only (:func:`~datarepo_spark.functions.graph
+    .connected_components` — document text never enters the
+    iteration), one left join of the |paired-docs|-row component map
+    back (paired docs are a small fraction of a deduped corpus;
+    singletons stay their own component via coalesce), then the split
+    is a pure projection (sha variate — no RNG, stable under
+    repartitioning).
+
+    Returns ``df`` + (component, split).
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias(id_col), "component"
+    )
+    annotated = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return with_split(annotated, "component", weights, salt, out)

@@ -3154,3 +3154,73 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_sim"
         ),
     )
+
+
+@register(
+    "sample_cluster_split",
+    # Leakage-safe splits: the split variate keys on the near-dup
+    # CLUSTER component, so a 0.95-Jaccard twin of a test document can
+    # never land in train. The oracle recomputes the exact pair set
+    # (inverted-index shared-gram Jaccard), closes it with a recursive
+    # CTE, and applies the same sha-fraction interval split on the
+    # component id.
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    ), gr AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+    ), cnts AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             ANY_VALUE(x.ln) AS la, ANY_VALUE(y.ln) AS lb,
+             COUNT(*) AS c
+      FROM gr x JOIN gr y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cnts
+      WHERE ROUND(CAST(c AS DOUBLE) / (la + lb - c), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    ), annotated AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), frac AS (
+      SELECT doc_id, component,
+             {SP.sql_hash_fraction('component', salt='cluster-split')} AS u
+      FROM annotated
+    )
+    SELECT doc_id, component,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                WHEN u < 1.0 THEN 'test' END AS split
+    FROM frac
+    """,
+    description="leakage-safe train/val/test split: near-dup clusters "
+    "never straddle splits (sha variate keyed on the component id; "
+    "text never enters the propagation)",
+)
+def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup_pairs(docs, threshold=0.5)
+    return SP.cluster_safe_split(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select("doc_id", "component", "split")

@@ -566,3 +566,36 @@ class TestWinsorizedStats:
         df = spark.createDataFrame([(1, 5)], ["doc_id", "v"])
         with pytest.raises(ValueError, match="lower < upper"):
             winsorized_stats(df, "v", lower=0.9, upper=0.1)
+
+
+class TestClusterSafeSplit:
+    def test_no_cluster_straddles_splits(self, spark):
+        from datarepo_spark.functions.sampling import cluster_safe_split
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(40)], ["doc_id"]
+        )
+        # chains 0-1-2, 10-11; singleton rest
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+        )
+        out = cluster_safe_split(docs, pairs).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert (
+            by_id[0].split == by_id[1].split == by_id[2].split
+        )
+        assert by_id[0].component == by_id[1].component == 0
+        assert by_id[10].split == by_id[11].split
+        assert by_id[10].component == by_id[11].component == 10
+        # singletons keep their own id as component
+        assert by_id[5].component == 5
+        # every row got a split and the variate is key-stable:
+        # same component -> same split even across repartitioning
+        assert all(r.split in ("train", "val", "test") for r in out)
+        again = {
+            r.doc_id: r.split
+            for r in cluster_safe_split(
+                docs.repartition(7), pairs
+            ).collect()
+        }
+        assert again == {r.doc_id: r.split for r in out}
