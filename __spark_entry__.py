@@ -98,6 +98,7 @@ _PRIORITY_R8 = [
     "profile_winsorized",
     "similarity_kmeans_assign",
     "sample_cluster_split",
+    "sample_diverse_cells",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

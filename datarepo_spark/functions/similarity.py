@@ -147,3 +147,42 @@ def quantize_int8(vec: Column) -> Column:
         ),
     ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
     return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def assign_cells_rowlocal(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic nearest-centroid assignment computed entirely
+    ROW-LOCAL: the k centroids travel as broadcast literals, each row's
+    k cosines are a `transform` over them (sequential double folds —
+    engine-portable, see :func:`~.dedup.cosine_similarity`), and the
+    argmax is `array_position` of the max (ties → lowest cell). No row
+    explosion, no window, no join — the plan is a pure projection, so
+    assignment composes with any downstream op at zero shuffle cost.
+
+    The oracle-parity twin of :class:`~.ivf.IVFIndex.assign` (which
+    runs numpy matmuls whose SIMD summation order is NOT cross-engine
+    reproducible); use THIS form when the result must be provable
+    against a SQL oracle, the IVF form for raw throughput.
+
+    ``centroids``: sequence of float sequences (k × dim), e.g. collected
+    rows. Returns df + (cell long, sim double rounded to 6).
+    """
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    sims = F.transform(
+        cent_arr,
+        lambda c: F.round(cosine_similarity(F.col(vec_col), c), 6),
+    )
+    return (
+        df.withColumn("__sims", sims)
+        .withColumn(
+            "cell", F.array_position("__sims", F.array_max("__sims")) - 1
+        )
+        .withColumn("sim", F.array_max("__sims"))
+        .drop("__sims")
+    )

@@ -3122,31 +3122,8 @@ def profile_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    cents = (
-        emb.filter(F.col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in row["embedding"]])
-            for row in cents
-        ]
-    )
-    sims = F.transform(
-        cent_arr,
-        lambda c: F.round(D.cosine_similarity(F.col("embedding"), c), 6),
-    )
-    assigned = emb.select(
-        "vec_id",
-        sims.alias("__sims"),
-    ).select(
-        "vec_id",
-        (F.array_position("__sims", F.array_max("__sims")) - 1).alias(
-            "cell"
-        ),
-        F.array_max("__sims").alias("sim"),
+    assigned = S.assign_cells_rowlocal(
+        emb.select("vec_id", "embedding"), _first_k_centroids(emb, 8)
     )
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -3154,6 +3131,18 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_sim"
         ),
     )
+
+
+def _first_k_centroids(emb: DataFrame, k: int) -> list:
+    """Deterministic fixture centroids: the first k vectors by id —
+    bounded k x dim driver collect, shared by the oracle CTE."""
+    return [
+        row["embedding"]
+        for row in emb.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
 
 
 @register(
@@ -3224,3 +3213,64 @@ def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.cluster_safe_split(
         docs.select("doc_id"), pairs, id_col="doc_id"
     ).select("doc_id", "component", "split")
+
+
+@register(
+    "sample_diverse_cells",
+    # Cluster-balanced (diversity-aware) subsampling: cap every k-means
+    # cell at a fixed quota so dense regions of embedding space cannot
+    # dominate the sample — the cheap structural cousin of facility-
+    # location selection, and the standard cluster-balanced variant of
+    # uniform subsampling. Assignment is the row-local argmax against
+    # fixed centroids (zero shuffle); the quota is one group-keyed
+    # window over (cell, sha variate).
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS nrm
+      FROM v
+    ), cents AS (
+      SELECT vec_id AS cell, e AS c, nrm AS cnrm FROM n WHERE vec_id < 8
+    ), sims AS (
+      SELECT a.vec_id, cents.cell,
+             ROUND(
+               LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                          i -> a.e[i] * cents.c[i]),
+                           (acc, x) -> acc + x) / (a.nrm * cents.cnrm),
+               6) AS sim
+      FROM n a CROSS JOIN cents
+    ), best AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+      FROM sims
+    ), assigned AS (
+      SELECT vec_id, cell FROM best WHERE rn = 1
+    ), quota AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY cell
+               ORDER BY {SP.sql_hash_fraction('vec_id', salt='diverse')},
+                        vec_id
+             ) AS qrn
+      FROM assigned
+    )
+    SELECT vec_id, cell FROM quota WHERE qrn <= 40
+    """,
+    description="diversity-aware subsampling: row-local k-means cell "
+    "assignment + deterministic per-cell quota — dense embedding "
+    "regions cannot dominate the sample; one group-keyed shuffle",
+)
+def sample_diverse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = S.assign_cells_rowlocal(
+        emb.select("vec_id", "embedding"), _first_k_centroids(emb, 8)
+    ).select("vec_id", "cell")
+    return SP.group_quota_sample(
+        assigned, "cell", 40, "vec_id", salt="diverse"
+    )

@@ -332,3 +332,11 @@ class TestRound7Plans:
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
         assert "rangepartitioning" not in plan
+
+    def test_diverse_cells_single_shuffle(self, spark, sf_dir):
+        """Row-local assignment composes with the quota at exactly one
+        exchange (the per-cell window); no join, no explode."""
+        plan = plan_of(spark, sf_dir, "sample_diverse_cells")
+        assert "Generate" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
