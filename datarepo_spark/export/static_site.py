@@ -163,9 +163,18 @@ function renderNav(filter) {
 }
 
 function esc(s) {
-  const d = document.createElement("div");
-  d.textContent = String(s == null ? "" : s);
-  return d.innerHTML;
+  // full HTML entity escape INCLUDING quotes: esc() output is also
+  // interpolated into double-quoted attribute values (title=, href=),
+  // where the textContent->innerHTML trick would leave '"' live and
+  // allow attribute breakout from attacker-controlled data.json
+  return String(s == null ? "" : s)
+    .replace(/&/g, "&amp;").replace(/</g, "&lt;").replace(/>/g, "&gt;")
+    .replace(/"/g, "&quot;").replace(/'/g, "&#39;");
+}
+
+function safeUrl(u) {
+  // only plain web links leave the viewer (javascript:/data: refused)
+  return /^https?:\\/\\//i.test(String(u || "")) ? String(u) : null;
 }
 
 function markActive(parts) {
@@ -243,8 +252,9 @@ function renderTable(cname, dname, tname) {
     <p class="muted">${esc(tbl.data_input)}</p>`;
   if (tbl.latency_info) html += `<h3 class="muted">Latency</h3>
     <p class="muted">${esc(tbl.latency_info)}</p>`;
-  if (tbl.example_notebook) html +=
-    `<p><a href="${esc(tbl.example_notebook)}" target="_blank">` +
+  const nb = safeUrl(tbl.example_notebook);
+  if (nb) html +=
+    `<p><a href="${esc(nb)}" target="_blank" rel="noopener">` +
     `Example Notebook</a></p>`;
   html += "<h3>Partitions</h3>";
   if ((tbl.partitions || []).length) {

@@ -642,10 +642,17 @@ def rebuild_ann_index(
 
     from ..tables.delta_table import DeltalakeTable
 
+    from ..tables.delta_log import DeltaLog
+
     uri = uri.rstrip("/")
     old_index = load_ann_index(uri)
     nlist = len(old_index.centroids)
     old_pq = load_pq(uri)
+    # the streaming appenders' exactly-once ledger must survive the
+    # generation swap: the rebuilt table's fresh log would otherwise
+    # forget every (app, epoch) and a crash-replayed epoch — whose rows
+    # the rebuild already trained on — would land a second time
+    old_txns = dict(DeltaLog(uri).snapshot().app_transactions)
     table = DeltalakeTable(os.path.basename(uri), uri)(spark=spark)
     vec_col = id_col = None
     for f in table.schema.fields:
@@ -678,6 +685,10 @@ def rebuild_ann_index(
         pq_ksub=(old_pq.codebooks.shape[1] if old_pq is not None else 256),
         pq_iterations=pq_iterations,
     )
+    if old_txns:
+        from ..tables.delta_writer import carry_transactions
+
+        carry_transactions(tmp, old_txns)
     prev = f"{uri}.prev-{os.getpid()}"
     if os.path.exists(prev):
         shutil.rmtree(prev)

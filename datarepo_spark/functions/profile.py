@@ -164,22 +164,37 @@ def winsorized_stats(
 
     Scale shape: one window (rank within group — the same shuffle a
     percentile would need), one broadcast join of the |groups|-row
-    envelope, one final agg. The mean divides two exact integers once
-    (single IEEE op, engine-portable); sums accumulate in BIGINT.
+    envelope, one final agg. Integer value columns accumulate in BIGINT
+    and the mean divides two exact integers once (single IEEE op,
+    engine-portable). FRACTIONAL value columns (float/double/decimal)
+    are handled too: values round into DECIMAL(38,6) — exact to 6
+    places and order-independent under summation, where a raw double
+    sum would depend on row order — and the outputs (lo, hi,
+    winsorized_sum) come back as DECIMAL(38,6).
 
     Returns one row per group: (*group_cols, n_rows, lo, hi,
     n_clamped_low, n_clamped_high, winsorized_sum, winsorized_mean).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1, got {lower},{upper}")
+    vtype = df.schema[value_col].dataType
+    integral = isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    vexpr = (
+        F.col(value_col).cast("long")
+        if integral
+        else F.round(F.col(value_col).cast("double"), 6).cast(
+            "decimal(38,6)"
+        )
+    )
     groups = list(group_cols)
     gcols = [F.col(g) for g in groups]
-    base = df.select(
-        F.col(id_col), *gcols, F.col(value_col).cast("long").alias("__v")
-    )
+    base = df.select(F.col(id_col), *gcols, vexpr.alias("__v"))
     w = Window.partitionBy(*groups).orderBy("__v", id_col)
     ranked = base.withColumn("__rn", F.row_number().over(w))
     counts = base.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))

@@ -395,25 +395,51 @@ def nucleus_select(
     and equal scores share a bucket, so the greedy order visits whole
     buckets in bucket order; whether the threshold p·total lands before
     a doc can only change inside the single bucket whose cumulative
-    range contains it. Scores must be non-negative (mass semantics);
-    negative scores raise.
+    range contains it.
+
+    Scores must be an INTEGER mass (token/char/byte counts — the same
+    contract as ``token_budget_select``'s token column) and
+    non-negative: fractional score types raise up front (a silent
+    long-cast would truncate quality scores in [0, 1) to zero and
+    select nothing), and negatives raise from the (tiny, already
+    computed) per-group envelope — no extra corpus pass. Fractional
+    quality scores should be quantized by the caller
+    (e.g. ``F.round(quality * 1_000_000).cast("long")``).
 
     Returns the selected rows as (id, *group_cols, score).
     """
+    from pyspark.sql import types as _T
+
     if not 0.0 < p <= 1.0:
         raise ValueError(f"p must be in (0, 1], got {p}")
+    score_type = df.schema[score_col].dataType
+    if not isinstance(
+        score_type, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+    ):
+        raise ValueError(
+            f"nucleus_select needs an integer mass score column; "
+            f"{score_col} is {score_type.simpleString()} — quantize "
+            f"first (e.g. round(score * 1e6) cast to long)"
+        )
     groups = [F.col(g) for g in group_cols]
     base = df.select(
         F.col(id_col), *groups, F.col(score_col).cast("long").alias("__s")
     )
-    neg = base.filter(F.col("__s") < 0).limit(1)
-    if not neg.isEmpty():
-        raise ValueError("nucleus_select needs non-negative scores")
-    env = base.groupBy(*group_cols).agg(
-        F.min("__s").alias("__lo"),
-        F.max("__s").alias("__hi"),
-        F.sum("__s").alias("__total"),
+    from .dedup import _scoped_persist
+
+    # the |groups|-row envelope is persisted (scope-released like every
+    # dedup-pipeline intermediate): the eager negative-mass validation
+    # below materializes it once and the broadcast join reuses the
+    # cache — validation costs no second corpus scan
+    env = _scoped_persist(
+        base.groupBy(*group_cols).agg(
+            F.min("__s").alias("__lo"),
+            F.max("__s").alias("__hi"),
+            F.sum("__s").alias("__total"),
+        )
     )
+    if not env.filter(F.col("__lo") < 0).limit(1).isEmpty():
+        raise ValueError("nucleus_select needs non-negative scores")
     b = base.join(F.broadcast(env), list(group_cols))
     # integer bucket, monotone decreasing in score; degenerate groups
     # (single score value) collapse into bucket 0

@@ -37,19 +37,15 @@ def append_stream_to_ann_index(
     already exist (built by
     :func:`~datarepo_spark.functions.ann_index.build_ann_index` — an
     append cannot invent centroids)."""
-    import hashlib
-
+    from . import checkpoint_txn_identity
     from ..functions.ann_index import append_to_ann_index
 
     # the txn app id binds to the CHECKPOINT, which defines epoch
     # numbering — a new stream with a fresh checkpoint restarts epochs
     # at 0, and a bare query_name would classify its batches as
-    # replays of the old stream's epochs and silently drop them
-    txn_app = (
-        query_name
-        + "-"
-        + hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
-    )
+    # replays of the old stream's epochs and silently drop them. The
+    # path is normalized so equivalent spellings keep one identity.
+    txn_app = checkpoint_txn_identity(query_name, checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

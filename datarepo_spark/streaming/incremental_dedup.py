@@ -290,7 +290,7 @@ def dedup_stream_against_index(
 ):
     """Run the admission loop as a streaming query (availableNow by
     default); returns the started StreamingQuery."""
-    import hashlib
+    from . import checkpoint_txn_identity
 
     # the txn app id binds to the CHECKPOINT, which defines epoch
     # numbering (mirrors incremental_ann.append_stream_to_ann_index): a
@@ -298,12 +298,10 @@ def dedup_stream_against_index(
     # bare query_name would classify its batches as replays of the old
     # stream's epochs and silently drop them from both the curated
     # table and the index; two streams sharing a query name against the
-    # same out_uri would likewise cross-swallow each other's epochs
-    txn_app = (
-        query_name
-        + "-"
-        + hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
-    )
+    # same out_uri would likewise cross-swallow each other's epochs.
+    # The path is normalized inside checkpoint_txn_identity so
+    # equivalent spellings of the SAME checkpoint keep one identity.
+    txn_app = checkpoint_txn_identity(query_name, checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         admit_novel_documents(

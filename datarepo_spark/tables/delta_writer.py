@@ -1236,6 +1236,38 @@ def write_checkpoint(uri: str, version: Optional[int] = None) -> str:
     return path
 
 
+def carry_transactions(
+    uri: str, app_transactions: dict[str, int]
+) -> Optional[int]:
+    """Copy an idempotent-writer ledger into this table as one commit
+    of SetTransaction actions. Needed when a maintenance operation
+    RE-CREATES a table (an index generation rebuild): the fresh log
+    starts with an empty ledger, so a streaming writer's crash-replayed
+    epoch would no longer be detected and would land twice. Entries the
+    table already holds at an equal-or-newer version are skipped; the
+    commit is pure ledger (no data change). Returns the committed
+    version, or None when there was nothing to carry."""
+    if not app_transactions:
+        return None
+    log_dir = os.path.join(uri.rstrip("/"), "_delta_log")
+    snap = DeltaLog(uri).snapshot()
+    actions = [
+        {"txn": {"appId": app, "version": int(v), "lastUpdated": 0}}
+        for app, v in sorted(app_transactions.items())
+        if snap.app_transactions.get(app) is None
+        or snap.app_transactions[app] < v
+    ]
+    if not actions:
+        return snap.version
+    return _commit_atomically(
+        log_dir,
+        actions,
+        read_version=snap.version,
+        operation="SET TRANSACTION",
+        operation_params={},
+    )
+
+
 def compact(
     spark,
     uri: str,

@@ -664,3 +664,42 @@ class TestRebuild:
         assert out["rebuilt"] is True
         assert out["health_before"]["rebuild_recommended"] is True
         assert out["health_after"]["rebuild_recommended"] is False
+
+
+class TestRebuildLedgerCarry:
+    """A rebuilt generation must inherit the SetTransaction ledger —
+    otherwise a crash-replayed streaming epoch whose rows the rebuild
+    already trained on would land a second time."""
+
+    def test_replayed_epoch_still_swallowed_after_rebuild(
+        self, spark, tmp_path
+    ):
+        from datarepo_spark.functions import ann_index as AI
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        uri = str(tmp_path / "carry")
+        emb = _emb(spark)
+        build_ann_index(
+            spark, emb.filter(F.col("vec_id") < 300), uri,
+            nlist=4, iterations=2,
+        )
+        batch = emb.filter(F.col("vec_id") >= 300)
+        AI.append_to_ann_index(
+            spark, batch, uri, txn_app_id="stream-x", txn_version=5
+        )
+        n_before = DeltalakeTable("carry", uri)(spark=spark).count()
+        AI.rebuild_ann_index(spark, uri)
+        # replay of epoch 5 after the rebuild: must be a no-op
+        AI.append_to_ann_index(
+            spark, batch, uri, txn_app_id="stream-x", txn_version=5
+        )
+        assert DeltalakeTable("carry", uri)(spark=spark).count() == n_before
+        # the NEXT epoch still lands
+        nxt = batch.withColumn("vec_id", F.col("vec_id") + 10_000)
+        AI.append_to_ann_index(
+            spark, nxt, uri, txn_app_id="stream-x", txn_version=6
+        )
+        assert (
+            DeltalakeTable("carry", uri)(spark=spark).count()
+            == n_before + batch.count()
+        )

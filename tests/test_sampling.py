@@ -599,3 +599,36 @@ class TestClusterSafeSplit:
             ).collect()
         }
         assert again == {r.doc_id: r.split for r in out}
+
+
+class TestNucleusTypeContract:
+    def test_fractional_scores_raise(self, spark):
+        import pytest
+
+        from datarepo_spark.functions.sampling import nucleus_select
+
+        df = spark.createDataFrame(
+            [(1, "g", 0.9), (2, "g", 0.1)], ["doc_id", "grp", "q"]
+        )
+        with pytest.raises(ValueError, match="integer mass"):
+            nucleus_select(df, ["grp"], "q", 0.5)
+
+
+class TestWinsorizedFractional:
+    def test_double_values_exact_decimal_path(self, spark):
+        from decimal import Decimal
+
+        from datarepo_spark.functions.profile import winsorized_stats
+
+        vals = [0.1, 0.2, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 99.5]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], ["doc_id", "v"]
+        )
+        row = winsorized_stats(df, "v", lower=0.1, upper=0.9).collect()[0]
+        assert row.lo == Decimal("0.100000")
+        assert row.hi == Decimal("0.800000")  # rank 9 of 10 ascending
+        assert row.n_clamped_high == 1  # the 99.5 outlier clamps
+        # winsorized sum = sum with 99.5 -> 0.8, exact in DECIMAL
+        expect = Decimal("4.600000")
+        assert row.winsorized_sum == expect
+        assert abs(row.winsorized_mean - 0.46) < 1e-9

@@ -377,3 +377,19 @@ class TestStreamingAnomaly:
         assert len(out2) == 1 and out2[0]["event_id"].iloc[0] == 99
         n, s1, s2 = state.value
         assert n == 11 and s1 == 10.0 * 5 + 11.0 * 5 + 1000.0
+
+
+class TestCheckpointTxnIdentity:
+    def test_equivalent_spellings_share_identity(self):
+        from datarepo_spark.streaming import checkpoint_txn_identity as ci
+
+        base = ci("q", "/data/ckpt")
+        assert ci("q", "/data/ckpt/") == base
+        assert ci("q", "file:///data/ckpt") == base
+        assert ci("q", "/data/../data/ckpt") == base
+        assert ci("q", "/data/ckpt2") != base
+        assert ci("other", "/data/ckpt") != base
+        # remote schemes keep scheme + host, normalize the path
+        s = ci("q", "s3a://bucket/ckpt")
+        assert ci("q", "s3a://bucket/ckpt/") == s
+        assert ci("q", "s3a://other/ckpt") != s
