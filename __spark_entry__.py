@@ -99,6 +99,7 @@ _PRIORITY_R8 = [
     "similarity_kmeans_assign",
     "sample_cluster_split",
     "sample_diverse_cells",
+    "pipeline_decontaminate_neardup",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

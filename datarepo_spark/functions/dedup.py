@@ -1280,3 +1280,111 @@ def sql_line_dedup_ctes(min_tokens: int = 5) -> str:
       WHERE NOT f.dedupable
          OR (f.doc_id * 1000000 + f.pos) = w.wkey
     )"""
+
+
+def minhash_lsh_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora — (left_id, right_id,
+    jaccard) for every left doc whose exact shingle Jaccard against
+    some right doc clears ``threshold``. The near-dup upgrade of exact
+    n-gram contamination checks: a training document that is a
+    0.8-Jaccard paraphrase-level twin of an eval document shares few
+    exact 13-grams but is still leakage.
+
+    Plan shape: both sides band independently (the shared MinHash
+    front-end), candidates come from ONE (band, bucket) equi-join —
+    never a cross join; exact verification reads shingles for
+    CANDIDATE ids only (left-semi both sides). ``broadcast_right``:
+    the right side is typically the small benchmark/eval corpus —
+    broadcast its bucket map so the big training side never shuffles
+    for candidate generation; pass False when both sides are large
+    (shuffled equi-join on the 16-byte band keys).
+    """
+    lb = _scoped_persist(
+        minhash_doc_bands(left, text_col, id_col, n, num_hashes, bands)
+        .select(
+            F.col(id_col).alias("left_id"),
+            F.posexplode("__bands").alias("band", "bucket"),
+        )
+        .coalesce(_parallelism(left))
+    )
+    rb = (
+        minhash_doc_bands(right, text_col, id_col, n, num_hashes, bands)
+        .select(
+            F.col(id_col).alias("right_id"),
+            F.posexplode("__bands").alias("band", "bucket"),
+        )
+    )
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    cands = _scoped_persist(
+        lb.join(rb, ["band", "bucket"])
+        .select("left_id", "right_id")
+        .distinct()
+        .coalesce(_parallelism(left))
+    )
+    lsh = with_shingles(
+        left.join(
+            cands.select(F.col("left_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        n,
+        out="sh",
+    ).select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l"))
+    rsh = with_shingles(
+        right.join(
+            cands.select(F.col("right_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        n,
+        out="sh",
+    ).select(F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r"))
+    return (
+        cands.join(lsh, "left_id")
+        .join(rsh, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate_near_dup(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Drop training documents near-duplicate to ANY eval document
+    (:func:`minhash_lsh_cross_pairs` under the hood) — benchmark
+    decontamination at paraphrase level, not just exact-gram overlap.
+    Returns the surviving training rows."""
+    flagged = (
+        minhash_lsh_cross_pairs(
+            train, eval_df, text_col, id_col, threshold, **kwargs
+        )
+        .select(F.col("left_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(flagged, id_col, "left_anti")

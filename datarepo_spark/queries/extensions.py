@@ -3274,3 +3274,59 @@ def sample_diverse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.group_quota_sample(
         assigned, "cell", 40, "vec_id", salt="diverse"
     )
+
+
+@register(
+    "pipeline_decontaminate_neardup",
+    # Near-dup decontamination: drop training docs that are
+    # paraphrase-level twins of eval docs — the oracle is the UNBLOCKED
+    # brute-force cross-set exact Jaccard (inverted-index shared-gram
+    # form), so parity also certifies the banded LSH candidate
+    # generation lost no cross pair at this threshold on this corpus.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    ), gr AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+    ), cnts AS (
+      SELECT x.doc_id AS tid, y.doc_id AS eid,
+             ANY_VALUE(x.ln) AS la, ANY_VALUE(y.ln) AS lb,
+             COUNT(*) AS c
+      FROM gr x JOIN gr y
+        ON x.g = y.g AND x.doc_id >= 50 AND y.doc_id < 50
+      GROUP BY 1, 2
+    ), flagged AS (
+      SELECT DISTINCT tid FROM cnts
+      WHERE ROUND(CAST(c AS DOUBLE) / (la + lb - c), 6) >= 0.5
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id >= 50
+      AND d.doc_id NOT IN (SELECT tid FROM flagged)
+    """,
+    description="benchmark decontamination at paraphrase level: "
+    "training docs near-duplicate (exact Jaccard >= 0.5 via banded "
+    "LSH candidates) to any eval doc are dropped; eval bucket map "
+    "broadcasts so the training side never shuffles for candidates",
+)
+def pipeline_decontaminate_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= 50)
+    eval_df = docs.filter(F.col("doc_id") < 50)
+    return D.decontaminate_near_dup(
+        train, eval_df, threshold=0.5
+    ).select("doc_id", "source")

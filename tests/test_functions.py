@@ -1262,3 +1262,74 @@ class TestAudioNearDup:
 
         with pytest.raises(ValueError, match="n_windows"):
             audio_fingerprint_bits([1, 2, 3], n_windows=100)
+
+
+class TestCrossNearDup:
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill nearby every single morning"
+    )
+
+    def test_flags_paraphrase_twins_only(self, spark):
+        from datarepo_spark.functions.dedup import (
+            decontaminate_near_dup,
+            minhash_lsh_cross_pairs,
+            unpersist_intermediates,
+        )
+
+        train = spark.createDataFrame(
+            [
+                (100, self.BASE.replace("lazy", "sleepy")),  # twin of 0
+                (101, "entirely novel training document about query "
+                      "optimizers and cost models in distributed engines"),
+                (102, self.BASE),                            # exact copy
+            ],
+            ["doc_id", "text"],
+        )
+        eval_df = spark.createDataFrame(
+            [(0, self.BASE),
+             (1, "unrelated benchmark question about chemistry")],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r.left_id, r.right_id)
+            for r in minhash_lsh_cross_pairs(
+                train, eval_df, threshold=0.5
+            ).collect()
+        }
+        assert (102, 0) in pairs and (100, 0) in pairs
+        assert all(lid != 101 for lid, _ in pairs)
+        survivors = {
+            r.doc_id
+            for r in decontaminate_near_dup(
+                train, eval_df, threshold=0.5
+            ).collect()
+        }
+        assert survivors == {101}
+        unpersist_intermediates()
+
+    def test_no_cross_join_and_eval_broadcasts(self, spark):
+        from datarepo_spark.functions.dedup import (
+            minhash_lsh_cross_pairs,
+            unpersist_intermediates,
+        )
+
+        train = spark.createDataFrame(
+            [(i, f"training text number {i} about topic {i % 5}")
+             for i in range(30)],
+            ["doc_id", "text"],
+        )
+        eval_df = spark.createDataFrame(
+            [(1000, "evaluation item zero"), (1001, "evaluation one")],
+            ["doc_id", "text"],
+        )
+        plan = (
+            minhash_lsh_cross_pairs(train, eval_df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin [band" in plan  # eval bucket map
+        unpersist_intermediates()
