@@ -100,6 +100,7 @@ _PRIORITY_R8 = [
     "sample_cluster_split",
     "sample_diverse_cells",
     "pipeline_decontaminate_neardup",
+    "pipeline_curriculum_shards",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

@@ -533,3 +533,90 @@ def cluster_safe_split(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     )
     return with_split(annotated, "component", weights, salt, out)
+
+
+def ntile_shards(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    coarse_buckets: int = 1000,
+) -> DataFrame:
+    """Exact NTILE(n) over (score ASC, id ASC) — equal-count shards in
+    difficulty order, the curriculum-learning layout step — WITHOUT a
+    global sort.
+
+    The naive form is a single ORDER BY window over the whole corpus
+    (one task sees every row). Instead the two-level plan:
+
+      1. quantize scores into ``coarse_buckets`` integer buckets
+         (monotone ASCENDING in score, from a per-frame min/max
+         envelope — one narrow agg);
+      2. count rows per bucket; the running bucket-prefix over the
+         ≤``coarse_buckets``-row count table is a tiny window;
+      3. rank rows WITHIN each bucket (hash exchange on the bucket id,
+         local per-bucket sort — parallel, never rangepartitioning);
+         global rank = bucket prefix + within-bucket rank, exact
+         because the bucket id is monotone in score and equal scores
+         share a bucket;
+      4. the shard is arithmetic on the global rank (the standard
+         NTILE split: the first ``N mod n`` shards take one extra row).
+
+    Ties pile equal scores into one bucket (same caveat as
+    ``token_budget_select``); a corpus where most rows share one score
+    degrades to the naive shape for that bucket.
+
+    Returns (id, score, shard) with 1-based long shards identical to
+    ``NTILE(n_shards) OVER (ORDER BY score, id)``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from .dedup import _scoped_persist
+
+    base = df.select(F.col(id_col), F.col(score_col).alias("__s"))
+    env = base.agg(
+        F.min("__s").alias("__lo"),
+        F.max("__s").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    b = base.crossJoin(F.broadcast(env))
+    span = F.col("__hi") - F.col("__lo") + F.lit(1)
+    bucket = F.least(
+        F.lit(coarse_buckets - 1),
+        ((F.col("__s") - F.col("__lo")) * coarse_buckets / span).cast(
+            "int"
+        ),
+    )
+    bucketed = _scoped_persist(
+        b.withColumn("__b", bucket).select(id_col, "__s", "__b", "__n")
+    )
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    prefix = counts.select(
+        "__b", (F.sum("__c").over(w) - F.col("__c")).alias("__prefix")
+    )
+    bw = Window.partitionBy("__b").orderBy(F.asc("__s"), F.asc(id_col))
+    ranked = (
+        bucketed.join(F.broadcast(prefix), "__b")
+        .withColumn(
+            "__rank", F.row_number().over(bw) + F.col("__prefix")
+        )
+    )
+    # NTILE arithmetic: N rows into k shards — first rem shards hold
+    # base+1 rows (rank and shard both 1-based)
+    n = F.col("__n")
+    k = F.lit(n_shards)
+    rank0 = F.col("__rank") - 1
+    base_sz = F.floor(n / k).cast("long")
+    rem = n - base_sz * k
+    cut = rem * (base_sz + 1)
+    shard = (
+        F.when(base_sz == 0, rank0 + 1)
+        .when(rank0 < cut, F.floor(rank0 / (base_sz + 1)) + 1)
+        .otherwise(rem + F.floor((rank0 - cut) / base_sz) + 1)
+    ).cast("long")
+    return ranked.select(
+        F.col(id_col),
+        F.col("__s").alias(score_col),
+        shard.alias("shard"),
+    )

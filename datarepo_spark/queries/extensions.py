@@ -3330,3 +3330,28 @@ def pipeline_decontaminate_neardup(
     return D.decontaminate_near_dup(
         train, eval_df, threshold=0.5
     ).select("doc_id", "source")
+
+
+@register(
+    "pipeline_curriculum_shards",
+    # Oracle is the NAIVE single-window NTILE; the engine computes the
+    # identical shard arithmetically from a two-level global rank
+    # (bucket prefix + within-bucket rank) — no rangepartitioning, no
+    # whole-corpus window task.
+    oracle="""
+    SELECT doc_id, n_chars AS score,
+           CAST(NTILE(16) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS shard
+    FROM documents
+    """,
+    description="curriculum sharding: exact NTILE(16) over the "
+    "difficulty proxy via bucket-prefix + within-bucket rank — "
+    "equal-count shards in difficulty order without a global sort",
+)
+def pipeline_curriculum_shards(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.ntile_shards(
+        docs.select("doc_id", "n_chars"), "n_chars", 16
+    ).withColumnRenamed("n_chars", "score")

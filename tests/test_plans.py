@@ -340,3 +340,12 @@ class TestRound7Plans:
         assert "Generate" not in plan
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_curriculum_shards_no_rangepartitioning(self, spark, sf_dir):
+        """Exact NTILE without the global sort: no rangepartitioning,
+        prefix/envelope joins broadcast; the only non-tiny exchange is
+        the bucket-keyed hash shuffle."""
+        plan = plan_of(spark, sf_dir, "pipeline_curriculum_shards")
+        assert "rangepartitioning" not in plan
+        assert "CartesianProduct" not in plan  # env cross join broadcasts
+        assert plan.count("BroadcastHashJoin") >= 1

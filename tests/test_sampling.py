@@ -632,3 +632,57 @@ class TestWinsorizedFractional:
         expect = Decimal("4.600000")
         assert row.winsorized_sum == expect
         assert abs(row.winsorized_mean - 0.46) < 1e-9
+
+
+class TestNtileShards:
+    def _naive(self, rows, k):
+        # rows: (id, score); NTILE semantics: first N%k shards get +1
+        s = sorted(rows, key=lambda r: (r[1], r[0]))
+        n = len(s)
+        base, rem = divmod(n, k)
+        out, idx = {}, 0
+        for shard in range(1, k + 1):
+            size = base + (1 if shard <= rem else 0)
+            for _ in range(size):
+                if idx < n:
+                    out[s[idx][0]] = shard
+                    idx += 1
+        return out
+
+    def test_matches_naive_ntile(self, spark):
+        rows = [(i, (i * 37) % 23) for i in range(103)]  # ties included
+        df = spark.createDataFrame(rows, ["doc_id", "s"])
+        from datarepo_spark.functions.sampling import ntile_shards
+
+        for k in (1, 3, 16, 103, 200):
+            got = {
+                r.doc_id: r.shard
+                for r in ntile_shards(df, "s", k).collect()
+            }
+            assert got == self._naive(rows, k), k
+
+    def test_bucket_count_invariance(self, spark):
+        rows = [(i, i % 7) for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "s"])
+        from datarepo_spark.functions.sampling import ntile_shards
+
+        ref = sorted(
+            (r.doc_id, r.shard) for r in ntile_shards(df, "s", 4).collect()
+        )
+        for buckets in (1, 2, 5, 1000):
+            got = sorted(
+                (r.doc_id, r.shard)
+                for r in ntile_shards(
+                    df, "s", 4, coarse_buckets=buckets
+                ).collect()
+            )
+            assert got == ref, buckets
+
+    def test_bad_shards_raise(self, spark):
+        import pytest
+
+        from datarepo_spark.functions.sampling import ntile_shards
+
+        df = spark.createDataFrame([(1, 2)], ["doc_id", "s"])
+        with pytest.raises(ValueError, match="n_shards"):
+            ntile_shards(df, "s", 0)
