@@ -101,6 +101,8 @@ _PRIORITY_R8 = [
     "sample_diverse_cells",
     "pipeline_decontaminate_neardup",
     "pipeline_curriculum_shards",
+    "text_boilerplate_fraction",
+    "text_novelty_score",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

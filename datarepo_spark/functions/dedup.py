@@ -1388,3 +1388,28 @@ def decontaminate_near_dup(
         .distinct()
     )
     return train.join(flagged, id_col, "left_anti")
+
+
+def sql_shingle_gram_ctes(table: str = "documents") -> str:
+    """DuckDB CTE text producing ``gr(doc_id, ln, g)`` — one row per
+    (doc, distinct 3-gram), the exact convention of
+    :func:`shingle_rows(distinct=True)` including the ``ELSE ['']``
+    short-document carve-out pinned by tests/test_empty_doc_parity.py.
+    Shared by oracles that score per-doc gram sets."""
+    return rf"""toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM {table}
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    ), gr AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+    )"""

@@ -555,3 +555,95 @@ def sql_quality_inputs(expr: str) -> str:
         f"      CAST({sql_token_count(expr, LANG_PROFILES[0][1])} AS DOUBLE)"
         f" AS ns"
     )
+
+
+def boilerplate_fraction(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_fraction: float = 0.05,
+):
+    """Per document: the fraction of its distinct word n-grams that are
+    corpus BOILERPLATE — grams appearing in at least
+    ``min_doc_fraction`` of all documents (navigation chrome, license
+    headers, template text). The standard cheap boilerplate signal a
+    curation pipeline thresholds on before spending model-based quality
+    scores.
+
+    Scale shape: one distinct (id, gram) explode feeds BOTH the
+    document-frequency aggregate and the per-doc count; the boilerplate
+    set (grams with df >= cutoff — tiny by Zipf: a 5% document-
+    frequency floor keeps only the head) joins back BROADCAST, so the
+    corpus gram stream shuffles once for the df aggregate and never
+    again. Output: (id, n_grams, boilerplate_grams, boilerplate_frac).
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import _scoped_persist, shingle_rows
+
+    grams = _scoped_persist(
+        shingle_rows(df, text_col, id_col, n, distinct=True)
+    )
+    n_docs = df.count()
+    cutoff = max(2, int(min_doc_fraction * n_docs))
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= cutoff)
+        .select("gram")
+    )
+    flagged = grams.join(
+        F.broadcast(boiler.withColumn("__b", F.lit(1))), "gram", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias(
+            "boilerplate_grams"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("__b"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("boilerplate_frac"),
+    )
+
+
+def novelty_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+):
+    """Per document: the fraction of its distinct n-grams FIRST seen in
+    this document under ascending id order (each gram's novelty credit
+    goes to the lowest id containing it). High-novelty documents add
+    new content to the corpus; near-zero novelty marks recombinations
+    of already-seen text — a dedup-adjacent contribution signal that
+    catches mosaic duplication pairwise Jaccard misses.
+
+    Scale shape: one distinct (id, gram) explode; each gram's owner is
+    a MIN aggregate (map-side combinable); one join back on the gram
+    stream; one per-doc count. Shuffles carry grams + ids, never
+    documents. Output: (id, n_grams, novel_grams, novelty).
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import _scoped_persist, shingle_rows
+
+    grams = _scoped_persist(
+        shingle_rows(df, text_col, id_col, n, distinct=True)
+    )
+    owner = grams.groupBy("gram").agg(F.min(id_col).alias("__owner"))
+    joined = grams.join(owner, "gram")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col(id_col) == F.col("__owner")).cast("int")).alias(
+            "novel_grams"
+        ),
+        F.round(
+            F.sum((F.col(id_col) == F.col("__owner")).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("novelty"),
+    )

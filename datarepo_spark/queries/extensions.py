@@ -3355,3 +3355,56 @@ def pipeline_curriculum_shards(
     return SP.ntile_shards(
         docs.select("doc_id", "n_chars"), "n_chars", 16
     ).withColumnRenamed("n_chars", "score")
+
+
+@register(
+    "text_boilerplate_fraction",
+    oracle=rf"""
+    WITH {D.sql_shingle_gram_ctes()},
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    dfreq AS (SELECT g, COUNT(*) AS dfc FROM gr GROUP BY g),
+    boiler AS (
+      SELECT dfreq.g FROM dfreq, nd
+      WHERE dfc >= GREATEST(2, CAST(FLOOR(0.05 * n) AS BIGINT))
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS boilerplate_grams,
+           ROUND(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS boilerplate_frac
+    FROM gr LEFT JOIN boiler b ON gr.g = b.g
+    GROUP BY gr.doc_id
+    """,
+    description="per-doc boilerplate fraction: grams in >=5% of docs "
+    "are boilerplate (Zipf head only — the set broadcasts); one gram "
+    "shuffle for document frequency, none after",
+)
+def text_boilerplate_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.boilerplate_fraction(docs)
+
+
+@register(
+    "text_novelty_score",
+    oracle=rf"""
+    WITH {D.sql_shingle_gram_ctes()},
+    owner AS (SELECT g, MIN(doc_id) AS ow FROM gr GROUP BY g)
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN gr.doc_id = o.ow THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           ROUND(SUM(CASE WHEN gr.doc_id = o.ow THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM gr JOIN owner o ON gr.g = o.g
+    GROUP BY gr.doc_id
+    """,
+    description="per-doc n-gram novelty: fraction of a doc's distinct "
+    "grams first seen at its id (min-id owner aggregate + one gram "
+    "join) — mosaic-duplication signal pairwise Jaccard misses",
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return X.novelty_score(docs)

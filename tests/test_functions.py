@@ -1333,3 +1333,44 @@ class TestCrossNearDup:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin [band" in plan  # eval bucket map
         unpersist_intermediates()
+
+
+class TestBoilerplateAndNovelty:
+    def test_boilerplate_flags_shared_template(self, spark):
+        from datarepo_spark.functions.text import boilerplate_fraction
+        from datarepo_spark.functions.dedup import unpersist_intermediates
+
+        header = "subscribe to our newsletter for updates today"
+        rows = [
+            (i, header + f" article body number {i} unique content {i*7}")
+            for i in range(20)
+        ] + [(100, "wholly original essay with none of that chrome")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: r
+            for r in boilerplate_fraction(df, min_doc_fraction=0.5).collect()
+        }
+        assert got[0].boilerplate_grams >= 4  # the header's grams
+        assert got[0].boilerplate_frac > 0.3
+        assert got[100].boilerplate_grams == 0
+        assert got[100].boilerplate_frac == 0.0
+        unpersist_intermediates()
+
+    def test_novelty_credits_first_occurrence(self, spark):
+        from datarepo_spark.functions.text import novelty_score
+        from datarepo_spark.functions.dedup import unpersist_intermediates
+
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (0, a),                       # owns all its grams
+            (1, a),                       # exact copy: zero novelty
+            (2, a + " iota kappa lambda"),  # only the tail is new
+            (3, "completely different words everywhere here now"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in novelty_score(df).collect()}
+        assert got[0].novelty == 1.0
+        assert got[1].novelty == 0.0
+        assert 0.0 < got[2].novelty < 1.0
+        assert got[3].novelty == 1.0
+        unpersist_intermediates()
