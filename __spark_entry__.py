@@ -103,6 +103,7 @@ _PRIORITY_R8 = [
     "pipeline_curriculum_shards",
     "text_boilerplate_fraction",
     "text_novelty_score",
+    "pipeline_curate_v3",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

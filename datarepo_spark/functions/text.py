@@ -563,6 +563,7 @@ def boilerplate_fraction(
     id_col: str = "doc_id",
     n: int = 3,
     min_doc_fraction: float = 0.05,
+    grams=None,
 ):
     """Per document: the fraction of its distinct word n-grams that are
     corpus BOILERPLATE — grams appearing in at least
@@ -576,15 +577,19 @@ def boilerplate_fraction(
     set (grams with df >= cutoff — tiny by Zipf: a 5% document-
     frequency floor keeps only the head) joins back BROADCAST, so the
     corpus gram stream shuffles once for the df aggregate and never
-    again. Output: (id, n_grams, boilerplate_grams, boilerplate_frac).
+    again. ``grams``: a precomputed (id, gram) frame from
+    ``shingle_rows(distinct=True)`` — pass it when composing with
+    other gram-set scorers so the explode runs once.
+    Output: (id, n_grams, boilerplate_grams, boilerplate_frac).
     """
     from pyspark.sql import functions as F
 
     from .dedup import _scoped_persist, shingle_rows
 
-    grams = _scoped_persist(
-        shingle_rows(df, text_col, id_col, n, distinct=True)
-    )
+    if grams is None:
+        grams = _scoped_persist(
+            shingle_rows(df, text_col, id_col, n, distinct=True)
+        )
     n_docs = df.count()
     cutoff = max(2, int(min_doc_fraction * n_docs))
     boiler = (
@@ -614,6 +619,7 @@ def novelty_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    grams=None,
 ):
     """Per document: the fraction of its distinct n-grams FIRST seen in
     this document under ascending id order (each gram's novelty credit
@@ -625,15 +631,18 @@ def novelty_score(
     Scale shape: one distinct (id, gram) explode; each gram's owner is
     a MIN aggregate (map-side combinable); one join back on the gram
     stream; one per-doc count. Shuffles carry grams + ids, never
-    documents. Output: (id, n_grams, novel_grams, novelty).
+    documents. ``grams``: precomputed (id, gram) frame to share the
+    explode with sibling scorers.
+    Output: (id, n_grams, novel_grams, novelty).
     """
     from pyspark.sql import functions as F
 
     from .dedup import _scoped_persist, shingle_rows
 
-    grams = _scoped_persist(
-        shingle_rows(df, text_col, id_col, n, distinct=True)
-    )
+    if grams is None:
+        grams = _scoped_persist(
+            shingle_rows(df, text_col, id_col, n, distinct=True)
+        )
     owner = grams.groupBy("gram").agg(F.min(id_col).alias("__owner"))
     joined = grams.join(owner, "gram")
     return joined.groupBy(id_col).agg(

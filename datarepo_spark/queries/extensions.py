@@ -3408,3 +3408,81 @@ def text_boilerplate_fraction(
 def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return X.novelty_score(docs)
+
+
+@register(
+    "pipeline_curate_v3",
+    # The round-7 signals composed into one curation job: boilerplate
+    # gate -> novelty gate -> per-language nucleus. One gram explode
+    # feeds BOTH gram-set scorers (shared persist); the nucleus stage
+    # runs the two-level bucket plan per language. Oracle composes the
+    # same stage CTEs over the shared shingle convention.
+    oracle=rf"""
+    WITH {D.sql_shingle_gram_ctes()},
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    dfreq AS (SELECT g, COUNT(*) AS dfc FROM gr GROUP BY g),
+    boiler AS (
+      SELECT dfreq.g FROM dfreq, nd
+      WHERE dfc >= GREATEST(2, CAST(FLOOR(0.05 * n) AS BIGINT))
+    ),
+    bfrac AS (
+      SELECT gr.doc_id,
+             SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS bf
+      FROM gr LEFT JOIN boiler b ON gr.g = b.g
+      GROUP BY gr.doc_id
+    ),
+    owner AS (SELECT g, MIN(doc_id) AS ow FROM gr GROUP BY g),
+    nov AS (
+      SELECT gr.doc_id,
+             SUM(CASE WHEN gr.doc_id = o.ow THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS nv
+      FROM gr JOIN owner o ON gr.g = o.g
+      GROUP BY gr.doc_id
+    ),
+    pool AS (
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM documents d
+      JOIN bfrac ON d.doc_id = bfrac.doc_id
+      JOIN nov ON d.doc_id = nov.doc_id
+      WHERE ROUND(bfrac.bf, 6) < 0.6 AND ROUND(nov.nv, 6) >= 0.2
+    ),
+    t AS (SELECT lang, SUM(n_chars) AS total FROM pool GROUP BY lang),
+    c AS (
+      SELECT p.doc_id, p.lang, p.n_chars,
+             SUM(p.n_chars) OVER (
+               PARTITION BY p.lang
+               ORDER BY p.n_chars DESC, p.doc_id ASC
+               ROWS UNBOUNDED PRECEDING) - p.n_chars AS before_mass,
+             t.total AS total
+      FROM pool p JOIN t USING (lang)
+    )
+    SELECT doc_id, lang, n_chars FROM c WHERE before_mass < 0.7 * total
+    """,
+    description="curation v3: boilerplate gate (<0.6) -> novelty gate "
+    "(>=0.2) -> per-language nucleus top-0.7 — the round-7 signal "
+    "family composed; one shared gram explode feeds both scorers",
+)
+def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _scoped_persist, shingle_rows
+
+    docs = load(spark, sf_dir, "documents")
+    grams = _scoped_persist(
+        shingle_rows(docs, "text", "doc_id", 3, distinct=True)
+    )
+    bf = X.boilerplate_fraction(docs, grams=grams).select(
+        "doc_id", F.round("boilerplate_frac", 6).alias("bf")
+    )
+    nv = X.novelty_score(docs, grams=grams).select(
+        "doc_id", F.round("novelty", 6).alias("nv")
+    )
+    pool = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(bf, "doc_id")
+        .join(nv, "doc_id")
+        .filter((F.col("bf") < 0.6) & (F.col("nv") >= 0.2))
+        .drop("bf", "nv")
+    )
+    return SP.nucleus_select(
+        pool, group_cols=["lang"], score_col="n_chars", p=0.7
+    ).select("doc_id", "lang", "n_chars")
