@@ -349,3 +349,42 @@ class TestRound7Plans:
         assert "rangepartitioning" not in plan
         assert "CartesianProduct" not in plan  # env cross join broadcasts
         assert plan.count("BroadcastHashJoin") >= 1
+
+    def test_gram_scorers_broadcast_head_sets(self, spark, sf_dir):
+        """Boilerplate: the Zipf-head gram set joins back broadcast;
+        novelty: min-owner joins on the gram stream; neither plan may
+        cartesian or range-sort."""
+        for name in ("text_boilerplate_fraction", "text_novelty_score"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "CartesianProduct" not in plan, name
+            assert "rangepartitioning" not in plan, name
+        plan = plan_of(spark, sf_dir, "text_boilerplate_fraction")
+        assert "BroadcastHashJoin" in plan  # the boilerplate set
+
+    def test_curate_v3_composes_without_quadratic_shapes(
+        self, spark, sf_dir
+    ):
+        plan = plan_of(spark, sf_dir, "pipeline_curate_v3")
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning" not in plan
+
+    def test_cluster_split_text_never_enters_propagation(
+        self, spark, sf_dir
+    ):
+        """The component iteration runs on the pair graph only; the
+        final frame is ids + component + split — no cartesian, no
+        range sort, and no text column in any exchange."""
+        import re
+
+        from datarepo_spark.queries.registry import REGISTRY
+
+        df = REGISTRY["sample_cluster_split"].spark_fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for cols in re.findall(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", formatted
+        ):
+            assert "text#" not in cols, cols
