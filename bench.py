@@ -97,6 +97,14 @@ HEADLINE = [
     "multimodal_video_near_dup",
     "multimodal_audio_near_dup",
     "pipeline_curate_multimodal",
+    # added r7 (headline count 45 → 49): the ordered-selection family
+    # (nucleus, curriculum NTILE) and the two cross-corpus curation
+    # jobs (near-dup decontamination, curate v3) — the round's new
+    # bucket-plan and gram-scorer paths become bench-visible
+    "pipeline_nucleus_topp",
+    "pipeline_curriculum_shards",
+    "pipeline_decontaminate_neardup",
+    "pipeline_curate_v3",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
