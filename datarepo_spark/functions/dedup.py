@@ -1309,13 +1309,15 @@ def minhash_lsh_cross_pairs(
     for candidate generation; pass False when both sides are large
     (shuffled equi-join on the 16-byte band keys).
     """
-    lb = _scoped_persist(
-        minhash_doc_bands(left, text_col, id_col, n, num_hashes, bands)
-        .select(
-            F.col(id_col).alias("left_id"),
-            F.posexplode("__bands").alias("band", "bucket"),
-        )
-        .coalesce(_parallelism(left))
+    # the training-side bucket stream has exactly ONE consumer (the
+    # candidate join) — no persist/coalesce: caching the largest
+    # intermediate in the job buys nothing, and collapsing its
+    # parallelism would bottleneck the 100 TB side
+    lb = minhash_doc_bands(
+        left, text_col, id_col, n, num_hashes, bands
+    ).select(
+        F.col(id_col).alias("left_id"),
+        F.posexplode("__bands").alias("band", "bucket"),
     )
     rb = (
         minhash_doc_bands(right, text_col, id_col, n, num_hashes, bands)

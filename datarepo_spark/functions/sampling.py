@@ -441,12 +441,23 @@ def nucleus_select(
     if not env.filter(F.col("__lo") < 0).limit(1).isEmpty():
         raise ValueError("nucleus_select needs non-negative scores")
     b = base.join(F.broadcast(env), list(group_cols))
-    # integer bucket, monotone decreasing in score; degenerate groups
-    # (single score value) collapse into bucket 0
-    span = F.col("__hi") - F.col("__lo") + F.lit(1)
-    bucket = F.least(
-        F.lit(coarse_buckets - 1),
-        ((F.col("__hi") - F.col("__s")) * coarse_buckets / span).cast("int"),
+    # bucket monotone DEcreasing in score; DOUBLE arithmetic — the
+    # (hi - s) * B long multiply would overflow for extreme mass
+    # ranges (ANSI crash / wrapped non-monotone buckets); double ops
+    # are monotone so bucket order still equals greedy order and equal
+    # scores share a bucket. Degenerate groups (one score value)
+    # collapse into bucket 0.
+    span = F.col("__hi").cast("double") - F.col("__lo").cast("double")
+    scaled = (
+        (F.col("__hi").cast("double") - F.col("__s").cast("double"))
+        * F.lit(float(coarse_buckets))
+        / span
+    )
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(coarse_buckets - 1),
+            F.greatest(F.lit(0), F.floor(scaled).cast("int")),
+        )
     )
     bucketed = b.withColumn("__b", bucket)
     mass = bucketed.groupBy(*group_cols, "__b").agg(
@@ -564,7 +575,8 @@ def ntile_shards(
 
     Ties pile equal scores into one bucket (same caveat as
     ``token_budget_select``); a corpus where most rows share one score
-    degrades to the naive shape for that bucket.
+    degrades to the naive shape for that bucket. NULL scores sort
+    FIRST (Spark's ascending-order default) into their own bucket.
 
     Returns (id, score, shard) with 1-based long shards identical to
     ``NTILE(n_shards) OVER (ORDER BY score, id)``.
@@ -580,12 +592,30 @@ def ntile_shards(
         F.count(F.lit(1)).alias("__n"),
     )
     b = base.crossJoin(F.broadcast(env))
-    span = F.col("__hi") - F.col("__lo") + F.lit(1)
-    bucket = F.least(
-        F.lit(coarse_buckets - 1),
-        ((F.col("__s") - F.col("__lo")) * coarse_buckets / span).cast(
-            "int"
-        ),
+    # bucket arithmetic in DOUBLE: (s - lo) * B on longs overflows for
+    # wide score ranges (nanosecond timestamps, hash-derived longs) —
+    # ANSI crash or wrapped non-monotone buckets; double multiply and
+    # divide are monotone in s, so bucket order still equals score
+    # order and equal scores share a bucket. A zero/tiny span (all
+    # scores equal, or doubles in a range << 1) collapses to bucket 0
+    # via the span <= 0 guard rather than a divide blowup; NULL scores
+    # take a dedicated bucket -1, ordering FIRST like Spark's
+    # ORDER BY score ASC.
+    span = F.col("__hi").cast("double") - F.col("__lo").cast("double")
+    scaled = (
+        (F.col("__s").cast("double") - F.col("__lo").cast("double"))
+        * F.lit(float(coarse_buckets))
+        / span
+    )
+    bucket = (
+        F.when(F.col("__s").isNull(), F.lit(-1))
+        .when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(coarse_buckets - 1),
+                F.greatest(F.lit(0), F.floor(scaled).cast("int")),
+            )
+        )
     )
     bucketed = _scoped_persist(
         b.withColumn("__b", bucket).select(id_col, "__s", "__b", "__n")
@@ -595,7 +625,9 @@ def ntile_shards(
     prefix = counts.select(
         "__b", (F.sum("__c").over(w) - F.col("__c")).alias("__prefix")
     )
-    bw = Window.partitionBy("__b").orderBy(F.asc("__s"), F.asc(id_col))
+    bw = Window.partitionBy("__b").orderBy(
+        F.asc_nulls_first("__s"), F.asc(id_col)
+    )
     ranked = (
         bucketed.join(F.broadcast(prefix), "__b")
         .withColumn(

@@ -590,12 +590,20 @@ def boilerplate_fraction(
         grams = _scoped_persist(
             shingle_rows(df, text_col, id_col, n, distinct=True)
         )
-    n_docs = df.count()
-    cutoff = max(2, int(min_doc_fraction * n_docs))
+    # the doc count rides the plan as a 1-row broadcast aggregate (the
+    # oracle's nd CTE shape) — an eager df.count() here would run a
+    # blocking extra pass over df's whole lineage at call time
+    nd = df.select(
+        F.greatest(
+            F.lit(2),
+            F.floor(F.lit(float(min_doc_fraction)) * F.count(F.lit(1))),
+        ).alias("__cutoff")
+    )
     boiler = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= cutoff)
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("__df") >= F.col("__cutoff"))
         .select("gram")
     )
     flagged = grams.join(

@@ -3283,24 +3283,8 @@ def sample_diverse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force cross-set exact Jaccard (inverted-index shared-gram
     # form), so parity also certifies the banded LSH candidate
     # generation lost no cross pair at this threshold on this corpus.
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id,
-             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
-                         t -> LEN(t) > 0) AS tk
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             LIST_DISTINCT(
-               CASE WHEN LEN(tk) >= 3
-                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
-                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
-               END) AS s
-      FROM toks
-    ), gr AS (
-      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
-    ), cnts AS (
+    oracle=rf"""
+    WITH {D.sql_shingle_gram_ctes()}, cnts AS (
       SELECT x.doc_id AS tid, y.doc_id AS eid,
              ANY_VALUE(x.ln) AS la, ANY_VALUE(y.ln) AS lb,
              COUNT(*) AS c
