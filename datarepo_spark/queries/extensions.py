@@ -3470,3 +3470,44 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.nucleus_select(
         pool, group_cols=["lang"], score_col="n_chars", p=0.7
     ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "text_quality_rank",
+    # Per-source percentile rank of the quality score: heterogeneous
+    # sources (web vs books vs code) have incomparable raw quality
+    # distributions — mixing recipes threshold on the WITHIN-SOURCE
+    # rank instead. percent_rank = (rank-1)/(n-1): one integer-pair
+    # division, bit-identical across engines (ties share a rank in
+    # both). One window shuffle keyed on source.
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id, source,
+             {X.sql_quality_inputs('text')}
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, {X.SQL_QUALITY_FORMULA} AS quality FROM m
+    )
+    SELECT doc_id, source, quality,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY quality, doc_id), 6)
+             AS quality_rank
+    FROM q
+    """,
+    description="within-source percentile rank of quality — the "
+    "cross-source normalization a mixing recipe thresholds on; one "
+    "source-keyed window",
+)
+def text_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return scored.withColumn(
+        "quality_rank", F.round(F.percent_rank().over(w), 6)
+    )
