@@ -105,6 +105,7 @@ _PRIORITY_R8 = [
     "text_novelty_score",
     "pipeline_curate_v3",
     "text_quality_rank",
+    "skew_salted_join",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

@@ -128,3 +128,36 @@ def bucketed_cobucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+@register(
+    "skew_salted_join",
+    # Result-preserving physical rewrite: the salted fact ⋈ exploded
+    # dim on (key, salt) must equal the plain join — salting only
+    # routes rows across reducers. The oracle is the plain SQL join;
+    # the plan-level property (dim replicated salt×, fact's hot key
+    # spread over salt partitions) is asserted in tests/test_plans.py.
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6)))
+                AS DECIMAL(38,6)) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    description="skew-safe salted equi-join (fact salted, dim "
+    "replicated saltx, join on (key, salt)) — must equal the plain "
+    "join; hot fact keys spread over salt reducers",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_broadcast_left
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_broadcast_left(
+        li, part, "l_partkey", "p_partkey", salt=8
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
+    )

@@ -6,6 +6,7 @@ partial aggregation, and no quadratic join shapes in the dedup family."""
 import pytest
 
 from datarepo_spark.queries import extensions  # noqa: F401
+from datarepo_spark.queries import physical  # noqa: F401
 from datarepo_spark.queries.registry import REGISTRY
 
 
@@ -388,3 +389,12 @@ class TestRound7Plans:
             r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", formatted
         ):
             assert "text#" not in cols, cols
+
+    def test_salted_join_replicates_dim(self, spark, sf_dir):
+        """The dim side must explode salt-times (Generate) and the join
+        keys must include the salt — spreading a hot fact key across
+        salt reducers; never a cartesian."""
+        plan = plan_of(spark, sf_dir, "skew_salted_join")
+        assert "Generate explode" in plan
+        assert "__salt" in plan
+        assert "CartesianProduct" not in plan
