@@ -106,6 +106,7 @@ _PRIORITY_R8 = [
     "pipeline_curate_v3",
     "text_quality_rank",
     "skew_salted_join",
+    "agg_mode",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

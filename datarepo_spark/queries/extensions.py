@@ -3511,3 +3511,49 @@ def text_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "quality_rank", F.round(F.percent_rank().over(w), 6)
     )
+
+
+@register(
+    "agg_mode",
+    # Deterministic statistical mode per group: highest count wins,
+    # ties break to the SMALLEST value — expressed as one extra tiny
+    # aggregate over the (group, value, count) frame via
+    # max_by-equivalent struct ordering, no window over the raw rows.
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY n DESC, o_orderpriority ASC) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    description="per-group deterministic mode (max count, ties to the "
+    "smallest value): one count aggregate + one struct-max over the "
+    "tiny (group, value) frame — never a window over raw rows",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # struct ordering: (-n nope: use n desc via max of struct(n, neg?)
+    # — struct max compares fields in order, so (n, reversed-value)
+    # would pick the LARGEST value on ties; instead min of struct
+    # (-n, value) gives (max count, smallest value) deterministically
+    best = counts.groupBy("o_orderstatus").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("o_orderpriority"))
+        ).alias("b")
+    )
+    return best.select(
+        "o_orderstatus",
+        F.col("b.o_orderpriority").alias("mode_priority"),
+        (-F.col("b.neg")).alias("mode_count"),
+    )
