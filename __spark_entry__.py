@@ -107,6 +107,7 @@ _PRIORITY_R8 = [
     "text_quality_rank",
     "skew_salted_join",
     "agg_mode",
+    "sample_kfold",
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",

@@ -3557,3 +3557,42 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.o_orderpriority").alias("mode_priority"),
         (-F.col("b.neg")).alias("mode_count"),
     )
+
+
+@register(
+    "sample_kfold",
+    # Stratified k-fold assignment: within each language, rows take
+    # folds round-robin in deterministic hash order — folds are
+    # EXACTLY balanced per stratum (sizes differ by at most 1), unlike
+    # a floor(u*k) draw whose fold sizes are only balanced in
+    # expectation. One stratum-keyed window; assignment is stable
+    # under repartitioning (sha variate + id tiebreak).
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {SP.sql_hash_fraction('doc_id', salt='kfold')},
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST((rn - 1) % 5 AS BIGINT) AS fold
+    FROM r
+    """,
+    description="stratified 5-fold assignment: round-robin over the "
+    "deterministic hash order within each language — folds exactly "
+    "balanced per stratum, stable under repartitioning",
+)
+def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        SP.hash_fraction(F.col("doc_id"), "kfold"), F.asc("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        ((F.row_number().over(w) - 1) % 5).cast("long").alias("fold"),
+    )
