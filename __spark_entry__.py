@@ -25,75 +25,16 @@ from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
 # The driver gates the first N queries() entries (N=50 of the full
 # registry — len(REGISTRY) is the authoritative count), so
 # ordering is coverage policy: one hard CORRECTNESS row per operator
-# family. LLM-pipeline operators and the Delta scan path lead (r01's gap),
-# then TPC-H batch 2/3, then one representative of each family already
-# proven green in r01. Everything not listed follows in registration
+# family per rotation. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # -- r7 window (VERDICT r6 #1): the 9 r6-born queries that have
-    # never held a driver CORRECTNESS row, the two r1 stragglers
-    # deliberately deferred from the r6 window, then 39 of the 47
-    # queries whose latest gate is r4 (now the oldest cohort). The 8
-    # deferred r4 shapes (q4/q12/q13/q14/q16/q19/q22/agg_having —
-    # plain join/agg/exists machinery re-proven by in-window siblings)
-    # lead the r8 staging list below.
-    "multimodal_ahash",
-    "multimodal_near_dup",
-    "multimodal_video_frame_hashes",
-    "multimodal_video_near_dup",
-    "multimodal_audio_features",
-    "multimodal_audio_near_dup",
-    "pipeline_curate_multimodal",
-    "dedup_incremental_index",
-    "pipeline_token_budget",
-    "reshape_posexplode",
-    "set_union_distinct",
-    # -- r4-cohort refresh (39 of 47) ---------------------------------
-    "agg_approx_distinct",
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_chunk_documents",
-    "dedup_exact_sha256",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    "similarity_knn_brute_force",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_quantize_int8",
-    "multimodal_frame_sample",
-    "pipeline_curate_documents",
-    "sample_hash_split",
-    "sample_stratified",
-    "pipeline_contamination",
-    "skew_salted_agg",
-    "bucketed_cobucket_join",
-    "source_csv_scan",
-    "source_json_scan",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "skyline_parts",
-    "fn_struct_map",
-    "fn_date_parse_format",
-]
-
-# r8 rotation staging: the r7-born queries (never driver-gated) and
-# the 8 r4-cohort deferrals first, then the r5 cohort by age. After r7
-# no query's latest gate is older than r5.
-_PRIORITY_R8 = [
+    # -- r8 window (VERDICT r7 #1): the 14 r7-born queries that have
+    # never held a driver CORRECTNESS row, the 8 r4-cohort deferrals
+    # (oldest gates in the registry, last green r4), then 28 of the 50
+    # queries whose latest gate is r5 — in registration order (age).
+    # After r8: every registry query has held a driver row and none is
+    # older than r5; the remaining 22 r5-gated queries lead the r9
+    # staging list below.
     "pipeline_nucleus_topp",
     "profile_winsorized",
     "similarity_kmeans_assign",
@@ -108,6 +49,7 @@ _PRIORITY_R8 = [
     "skew_salted_join",
     "agg_mode",
     "sample_kfold",
+    # -- deferred r4 shapes (latest gate r4 — the oldest cohort) ------
     "q4_order_priority",
     "q12_priority_counting",
     "q13_customer_distribution",
@@ -116,12 +58,7 @@ _PRIORITY_R8 = [
     "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
     "agg_having",
-]
-
-_PRIORITY_R5 = [
-    # -- r4/r5-born queries that have never held a driver CORRECTNESS
-    # row (r4 verdict #10: rotate them through the 50-query window so
-    # every operator family gains a hard driver-gated row) ------------
+    # -- r5-cohort refresh (28 of 50, by age) --------------------------
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "similarity_ann_index",
@@ -145,25 +82,28 @@ _PRIORITY_R5 = [
     "agg_approx_percentile",
     "agg_sketch_rollup",
     "profile_orders",
-    # -- Delta write/maintenance surface (r4-born, never gated) -------
     "delta_maintenance_roundtrip",
     "delta_merge_upsert",
     "delta_zorder_skip",
     "delta_dv_read",
+    # exactly 50 entries total — the driver gates the first 50
     "delta_dv_delete",
+]
+
+# r9 rotation staging: the 22 r5-gated queries not refreshed in the r8
+# window (by age), then the r6 cohort follows in registration order.
+_PRIORITY_R9 = [
     "delta_update_set",
     "delta_table_changes",
     "delta_restore_roundtrip",
     "delta_convert_in_place",
-    "delta_shallow_clone",  # r5: metadata-only clone, absolute refs
+    "delta_shallow_clone",
     "ivm_orders_by_status",
-    "ivm_minmax_by_status",  # r5: MIN/MAX re-derivation + derived AVG
-    # -- paths CHANGED this round: re-gate with fresh driver rows ------
-    "multimodal_features",  # r5: real PPM decode replaced the stub
-    "profile_histogram",  # r5-born; frame_sample rotated out (r4-green)
-    "delta_roundtrip",  # r5: DV read-path threshold switch
+    "ivm_minmax_by_status",
+    "multimodal_features",
+    "profile_histogram",
+    "delta_roundtrip",
     "delta_time_travel",
-    # -- r5-born ranking/mixing/graph operators -------------------------
     "sample_weighted",
     "sample_group_quota",
     "text_tfidf_keywords",
@@ -174,14 +114,13 @@ _PRIORITY_R5 = [
     "dedup_lines_c4",
     "pipeline_length_buckets",
     "delta_identity_append",
-    # exactly 50 entries total — the driver gates the first 50
     "pipeline_curate_v2",
 ]
 
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
-    for name in _PRIORITY + _PRIORITY_R8 + _PRIORITY_R5:
+    for name in _PRIORITY + _PRIORITY_R9:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():
         if name not in ordered:
