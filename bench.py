@@ -22,6 +22,17 @@ minimum is the query's quiet-session floor, so ROUND-OVER-ROUND
 comparisons should use ``steady`` and treat the composite as the
 end-to-end suite number (r3↔r4 showed the composite's same-code spread
 is ~28% under sandbox contention).
+
+The steady pass runs in a FRESH JVM (the composite session is stopped
+and a new one started, with a fresh sf0.001 JIT warmup): the r7 steady
+numbers were inflated up to 8× by heap/host state carried over from a
+long prior session (SCALE.md r7 note). Per query, steady is by
+construction <= composite within noise, so if the consecutive-rep
+minimum still exceeds composite by >25% the query gets up to 2 extra
+reps, and a query that never beats that bound is recorded at its
+composite time with its name appended to ``steady_contaminated`` —
+contaminated host windows are visible instead of silently inflating
+round-over-round deltas.
 """
 
 from __future__ import annotations
@@ -150,20 +161,46 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_STEADY", "1") != "0":
+        # Fresh JVM for the steady pass: composite-session heap/GC state
+        # inflated r7's steady map up to 8×. Re-warm the generated code
+        # at sf0.001 so the timed reps measure execution, not Janino.
+        spark.stop()
+        spark = get_spark(
+            app_name="datarepo-spark-bench-steady",
+            shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+            extra_conf={"spark.driver.memory": "16g"},
+        )
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        if os.path.isdir(WARMUP_DIR) and os.path.realpath(WARMUP_DIR) != (
+            os.path.realpath(sf_dir)
+        ):
+            for name in names:
+                REGISTRY[name].spark_fn(spark, WARMUP_DIR).count()
+
         steady: dict[str, float] = {}
+        contaminated: list[str] = []
         for name in names:
             unpersist_intermediates()
             spark.catalog.clearCache()
             best = None
-            for _rep in range(2):
+            # 2 base reps; up to 2 extra while the minimum still exceeds
+            # the composite floor by >25% (steady <= composite within
+            # noise by construction — a miss means host contention).
+            for rep in range(4):
+                if rep >= 2 and best <= timings[name] * 1.25:
+                    break
                 start = time.perf_counter()
                 n = REGISTRY[name].spark_fn(spark, sf_dir).count()
                 elapsed = round(time.perf_counter() - start, 4)
                 assert n >= 0
                 best = elapsed if best is None else min(best, elapsed)
+            if best > timings[name] * 1.25:
+                contaminated.append(name)
+                best = timings[name]
             steady[name] = best
         out["steady"] = steady
         out["steady_total"] = round(sum(steady.values()), 4)
+        out["steady_contaminated"] = contaminated
 
     # Full per-query detail (composite + steady maps) goes to a sidecar
     # file; the stdout line stays compact so the driver's bounded tail

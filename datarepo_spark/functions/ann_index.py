@@ -34,6 +34,48 @@ _CENTROID_REL = os.path.join("_ann_index", "centroids.parquet")
 _STATS_REL = os.path.join("_ann_index", "cell_stats.parquet")  # pre-r6 layout
 _STATS_DIR_REL = os.path.join("_ann_index", "stats")
 _PQ_REL = os.path.join("_ann_index", "pq_codebooks.parquet")
+_GENERATION_REL = os.path.join("_ann_index", "stats", "generation.json")
+_REBUILD_LOCK_REL = os.path.join("_ann_index", "rebuild.lock")
+
+
+def _write_generation_marker(uri: str, carried_txns: dict[str, int]) -> None:
+    """Record the SetTransaction ledger as of this generation's creation.
+
+    A rebuild trains on every row already in the table, so any epoch at
+    or below these versions is part of the new BASE — its stamped
+    append-stats file was intentionally reset, and a crash-replay of
+    such an epoch must NOT backfill stats against the new centroids
+    (that would double-count rows already in the baseline)."""
+    import json
+
+    path = os.path.join(uri.rstrip("/"), _GENERATION_REL)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({str(k): int(v) for k, v in carried_txns.items()}, fh)
+    os.replace(tmp, path)
+
+
+def _generation_ledger(uri: str) -> dict[str, int]:
+    import json
+
+    path = os.path.join(uri.rstrip("/"), _GENERATION_REL)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return {str(k): int(v) for k, v in json.load(fh).items()}
+
+
+def _check_rebuild_lock(uri: str) -> None:
+    lock = os.path.join(uri.rstrip("/"), _REBUILD_LOCK_REL)
+    if os.path.exists(lock):
+        raise RuntimeError(
+            f"ANN index at {uri} is being rebuilt (lock file {lock} "
+            f"present); appends during a rebuild would land in the old "
+            f"generation and be dropped by the swap. Retry after the "
+            f"rebuild, or remove the lock if it is stale (crashed "
+            f"rebuild)."
+        )
 
 
 def _aggregate_cell_stats(assigned_with_sim: DataFrame) -> dict[int, tuple[int, float]]:
@@ -388,6 +430,7 @@ def append_to_ann_index(
         raise ValueError(
             "txn_app_id and txn_version must be set together"
         )
+    _check_rebuild_lock(uri)
     if txn_app_id is not None:
         snap = DeltaLog(uri).snapshot()
         last = snap.app_transactions.get(txn_app_id)
@@ -406,6 +449,14 @@ def append_to_ann_index(
             stamped = os.path.join(
                 uri.rstrip("/"), _STATS_DIR_REL, _stamped_stats_name(stamp)
             )
+            # ... UNLESS the epoch predates the current generation: a
+            # rebuild trained on those rows (they ARE the new base) and
+            # reset the stats dir, so the stamped file is missing by
+            # design — backfilling against the NEW centroids would
+            # double-count the rows and push index_health toward a
+            # spurious rebuild.
+            if txn_version <= _generation_ledger(uri).get(txn_app_id, -1):
+                return snap.version
             if stats_enabled and not os.path.exists(stamped):
                 replay_index = load_ann_index(uri)
                 replay_assigned = replay_index.assign(
@@ -627,11 +678,16 @@ def rebuild_ann_index(
     (``<uri>.rebuild-<pid>``, same filesystem), then two directory
     renames swap it in. The gap between the renames is not atomic — a
     reader racing the swap can transiently miss the path; run rebuilds
-    from the maintenance window that also owns appends (concurrent
-    appends during a rebuild would land in the OLD generation and be
-    dropped by the swap; this function is maintenance, not ingestion).
-    A crash between the renames leaves ``<uri>.prev-<pid>`` holding the
-    intact old generation — rename it back to recover.
+    from the maintenance window that also owns appends. Two enforced
+    guards back the convention: a ``rebuild.lock`` file is taken for
+    the duration (``append_to_ann_index`` refuses while it is present,
+    so an append can't land rows the swap would drop), and the table
+    version is re-checked immediately before the swap — if a writer
+    that predates the lock committed mid-rebuild, the swap aborts
+    loudly instead of silently dropping the commit. A crash between
+    the renames leaves ``<uri>.prev-<pid>`` holding the intact old
+    generation — rename it back to recover (the lock travels with it;
+    remove it after the rename-back).
 
     Returns {rows, nlist, pq_m, previous} (``previous`` is the retained
     old-generation path when ``keep_previous``, else None).
@@ -642,65 +698,98 @@ def rebuild_ann_index(
 
     from ..tables.delta_table import DeltalakeTable
 
-    from ..tables.delta_log import DeltaLog
+    from ..tables.delta_log import DeltaLog, invalidate_snapshot_cache
 
     uri = uri.rstrip("/")
     old_index = load_ann_index(uri)
     nlist = len(old_index.centroids)
     old_pq = load_pq(uri)
-    # the streaming appenders' exactly-once ledger must survive the
-    # generation swap: the rebuilt table's fresh log would otherwise
-    # forget every (app, epoch) and a crash-replayed epoch — whose rows
-    # the rebuild already trained on — would land a second time
-    old_txns = dict(DeltaLog(uri).snapshot().app_transactions)
-    table = DeltalakeTable(os.path.basename(uri), uri)(spark=spark)
-    vec_col = id_col = None
-    for f in table.schema.fields:
-        if f.name in ("cell", "codes"):
-            continue
-        if isinstance(f.dataType, T.ArrayType):
-            vec_col = f.name
-        else:
-            id_col = f.name
-    if vec_col is None or id_col is None:
-        raise ValueError(
-            f"cannot infer (id, vector) columns from index schema "
-            f"{table.schema.simpleString()}"
-        )
-    rows = table.select(id_col, vec_col)
-    n = rows.count()
+    lock = os.path.join(uri, _REBUILD_LOCK_REL)
+    # O_EXCL: two concurrent rebuilds can't both hold the lock
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, f"pid={os.getpid()}\n".encode())
+    os.close(fd)
     tmp = f"{uri}.rebuild-{os.getpid()}"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    build_ann_index(
-        spark,
-        rows,
-        tmp,
-        vec_col=vec_col,
-        id_col=id_col,
-        nlist=nlist,
-        iterations=iterations,
-        sample_size=sample_size,
-        pq_m=(old_pq.codebooks.shape[0] if old_pq is not None else None),
-        pq_ksub=(old_pq.codebooks.shape[1] if old_pq is not None else 256),
-        pq_iterations=pq_iterations,
-    )
-    if old_txns:
-        from ..tables.delta_writer import carry_transactions
+    try:
+        # the streaming appenders' exactly-once ledger must survive the
+        # generation swap: the rebuilt table's fresh log would otherwise
+        # forget every (app, epoch) and a crash-replayed epoch — whose
+        # rows the rebuild already trained on — would land a second time
+        invalidate_snapshot_cache(uri)
+        start_snap = DeltaLog(uri).snapshot()
+        old_txns = dict(start_snap.app_transactions)
+        table = DeltalakeTable(os.path.basename(uri), uri)(spark=spark)
+        vec_col = id_col = None
+        for f in table.schema.fields:
+            if f.name in ("cell", "codes"):
+                continue
+            if isinstance(f.dataType, T.ArrayType):
+                vec_col = f.name
+            else:
+                id_col = f.name
+        if vec_col is None or id_col is None:
+            raise ValueError(
+                f"cannot infer (id, vector) columns from index schema "
+                f"{table.schema.simpleString()}"
+            )
+        rows = table.select(id_col, vec_col)
+        n = rows.count()
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        build_ann_index(
+            spark,
+            rows,
+            tmp,
+            vec_col=vec_col,
+            id_col=id_col,
+            nlist=nlist,
+            iterations=iterations,
+            sample_size=sample_size,
+            pq_m=(old_pq.codebooks.shape[0] if old_pq is not None else None),
+            pq_ksub=(
+                old_pq.codebooks.shape[1] if old_pq is not None else 256
+            ),
+            pq_iterations=pq_iterations,
+        )
+        if old_txns:
+            from ..tables.delta_writer import carry_transactions
 
-        carry_transactions(tmp, old_txns)
-    prev = f"{uri}.prev-{os.getpid()}"
-    if os.path.exists(prev):
-        shutil.rmtree(prev)
-    os.rename(uri, prev)
-    os.rename(tmp, uri)
+            carry_transactions(tmp, old_txns)
+        # epochs at/below these versions are IN the new base — the
+        # replay-stats backfill must skip them (see _generation_ledger)
+        _write_generation_marker(tmp, old_txns)
+        # final guard: a writer that predates the lock (or ignored it)
+        # may have committed while we trained — swapping now would drop
+        # that commit. Abort loudly; the old generation stays serving.
+        invalidate_snapshot_cache(uri)
+        end_version = DeltaLog(uri).snapshot().version
+        if end_version != start_snap.version:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"table at {uri} advanced during rebuild (version "
+                f"{start_snap.version} -> {end_version}); aborting the "
+                f"generation swap — re-run the rebuild from a quiesced "
+                f"maintenance window"
+            )
+        prev = f"{uri}.prev-{os.getpid()}"
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
+        os.rename(uri, prev)
+        os.rename(tmp, uri)
+    finally:
+        # on success the lock moved into prev with the old generation;
+        # on failure it is still under uri — clear both locations
+        for moved_lock in (
+            lock,
+            os.path.join(f"{uri}.prev-{os.getpid()}", _REBUILD_LOCK_REL),
+        ):
+            if os.path.exists(moved_lock):
+                os.remove(moved_lock)
     if not keep_previous:
         shutil.rmtree(prev)
         prev = None
     # the swap replaced the table under its own path: drop memoized
     # snapshots for every path that just changed identity
-    from ..tables.delta_log import invalidate_snapshot_cache
-
     for moved in (uri, tmp, prev):
         if moved:
             invalidate_snapshot_cache(moved)

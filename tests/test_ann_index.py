@@ -703,3 +703,157 @@ class TestRebuildLedgerCarry:
             DeltalakeTable("carry", uri)(spark=spark).count()
             == n_before + batch.count()
         )
+
+    def test_replay_after_rebuild_does_not_backfill_stats(
+        self, spark, tmp_path
+    ):
+        """An epoch the rebuild trained on is part of the new BASE: its
+        crash-replay must NOT recompute append-stats against the new
+        centroids (that double-counts the rows and pushes index_health
+        toward a spurious second rebuild)."""
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "genmark")
+        emb = _emb(spark)
+        build_ann_index(
+            spark, emb.filter(F.col("vec_id") < 300), uri,
+            nlist=4, iterations=2,
+        )
+        batch = emb.filter(F.col("vec_id") >= 300)
+        AI.append_to_ann_index(
+            spark, batch, uri, txn_app_id="gen-app", txn_version=3
+        )
+        AI.rebuild_ann_index(spark, uri)
+        assert AI.index_health(uri)["appended_n"] == 0
+        # replay of the pre-rebuild epoch: Delta no-op AND stats no-op
+        AI.append_to_ann_index(
+            spark, batch, uri, txn_app_id="gen-app", txn_version=3
+        )
+        stamped = os.path.join(
+            uri, "_ann_index", "stats", AI._stamped_stats_name("gen-app-3")
+        )
+        assert not os.path.exists(stamped)
+        h = AI.index_health(uri)
+        assert h["appended_n"] == 0 and h["rebuild_recommended"] is False
+        # a POST-rebuild epoch's crash-replay still backfills its stats
+        nxt = batch.withColumn("vec_id", F.col("vec_id") + 10_000)
+        AI.append_to_ann_index(
+            spark, nxt, uri, txn_app_id="gen-app", txn_version=4
+        )
+        stamped4 = os.path.join(
+            uri, "_ann_index", "stats", AI._stamped_stats_name("gen-app-4")
+        )
+        os.remove(stamped4)  # crash between commit and stats write
+        AI.append_to_ann_index(
+            spark, nxt, uri, txn_app_id="gen-app", txn_version=4
+        )
+        assert os.path.exists(stamped4)
+        assert AI.index_health(uri)["appended_n"] == nxt.count()
+
+
+class TestRebuildSwapGuards:
+    """The generation swap's two enforced guards (lock + version
+    re-check) and the in-flight-reader contract across the swap."""
+
+    def test_append_refused_while_rebuild_lock_held(self, spark, tmp_path):
+        import pytest
+
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "locked")
+        emb = _emb(spark)
+        build_ann_index(spark, emb, uri, nlist=4, iterations=2)
+        lock = os.path.join(uri, "_ann_index", "rebuild.lock")
+        open(lock, "w").close()
+        batch = emb.withColumn("vec_id", F.col("vec_id") + 10_000)
+        with pytest.raises(RuntimeError, match="being rebuilt"):
+            AI.append_to_ann_index(spark, batch, uri)
+        os.remove(lock)
+        AI.append_to_ann_index(spark, batch, uri)  # lock released: lands
+
+    def test_swap_aborts_if_table_advanced_mid_rebuild(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import pytest
+
+        from datarepo_spark.functions import ann_index as AI
+        from datarepo_spark.tables.delta_writer import write_delta
+
+        uri = str(tmp_path / "racy")
+        emb = _emb(spark)
+        build_ann_index(spark, emb, uri, nlist=4, iterations=2)
+        n0 = spark.read.parquet(
+            *[
+                os.path.join(uri, d)
+                for d in os.listdir(uri)
+                if d.startswith("cell=")
+            ]
+        ).count()
+
+        real_build = AI.build_ann_index
+
+        def build_then_racy_commit(*args, **kwargs):
+            out = real_build(*args, **kwargs)
+            # a writer that predates the lock commits mid-rebuild
+            # (low-level append: deliberately bypasses the lock check)
+            index = AI.load_ann_index(uri)
+            rogue = index.assign(
+                emb.withColumn("vec_id", F.col("vec_id") + 50_000).limit(5),
+                vec_col="embedding", id_col="vec_id", nprobe=1,
+            )
+            write_delta(
+                rogue, uri, partition_by=["cell"], checkpoint_interval=None
+            )
+            return out
+
+        monkeypatch.setattr(AI, "build_ann_index", build_then_racy_commit)
+        with pytest.raises(RuntimeError, match="advanced during rebuild"):
+            AI.rebuild_ann_index(spark, uri)
+        # old generation still serves (now including the racy commit),
+        # no tmp/prev litter, no lingering lock
+        assert not [
+            p for p in os.listdir(tmp_path)
+            if p.startswith("racy.rebuild") or p.startswith("racy.prev")
+        ]
+        assert not os.path.exists(
+            os.path.join(uri, "_ann_index", "rebuild.lock")
+        )
+        from datarepo_spark.tables.delta_table import DeltalakeTable
+
+        assert DeltalakeTable("racy", uri)(spark=spark).count() == n0 + 5
+        # and a clean retry (no racy writer this time) succeeds
+        monkeypatch.setattr(AI, "build_ann_index", real_build)
+        res = AI.rebuild_ann_index(spark, uri)
+        assert res["rows"] == n0 + 5
+
+    def test_inflight_reader_across_swap(self, spark, tmp_path):
+        """A reader holding the OLD generation mid-query while the swap
+        happens must either complete or fail cleanly (never a wrong
+        answer), and a re-open must see the new generation with the
+        recall contract intact."""
+        from py4j.protocol import Py4JJavaError
+
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "swap")
+        emb = _emb(spark)
+        build_ann_index(spark, emb, uri, nlist=8, iterations=4)
+        qv = _query_vec(spark)
+        # plan the query against the old generation but DO NOT run it
+        inflight = query_ann_index(spark, uri, qv, k=10, nprobe=3)
+        AI.rebuild_ann_index(spark, uri)
+        try:
+            rows = {r["vec_id"] for r in inflight.collect()}
+            # completed: the answer must be a valid ANN result, not junk
+            assert 0 in rows
+        except Py4JJavaError:
+            pass  # clean failure (old files gone) is within contract
+        # re-open sees the new generation and meets the recall contract
+        got = {
+            r["vec_id"]
+            for r in query_ann_index(spark, uri, qv, k=10, nprobe=3).collect()
+        }
+        exact = {
+            r["vec_id"] for r in knn_brute_force(emb, qv, k=10).collect()
+        }
+        assert len(got & exact) >= 5 and 0 in got
