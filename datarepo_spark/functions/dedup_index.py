@@ -56,6 +56,44 @@ from .dedup import (
 
 _META_REL = os.path.join("_dedup_index", "meta.json")
 
+# conservative per-row JVM overhead for a broadcast hash relation row
+# (object headers + hash-map entry) on top of the payload bytes
+_BROADCAST_ROW_OVERHEAD = 32
+
+
+def batch_probe_stats(df: DataFrame, id_col: str) -> tuple[int, float]:
+    """(row count, avg id byte width) of a probe batch — ONE job.
+
+    Feeds the broadcast budget: string ids are measured
+    (``avg(octet_length)``), fixed-width types are 8 bytes. Callers
+    that already hold the batch (the streaming admission loop) compute
+    this once and pass it to :func:`dedup_against_index` so the probe
+    adds no extra job of its own."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[id_col].dataType, T.StringType):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.octet_length(id_col)).alias("w"),
+        ).head()
+        return int(row["n"]), float(row["w"] if row["w"] is not None else 8.0)
+    return int(df.agg(F.count(F.lit(1)).alias("n")).head()["n"]), 8.0
+
+
+def _within_broadcast_budget(
+    rows: int,
+    row_payload_bytes: float,
+    max_rows: int,
+    max_bytes: int,
+) -> bool:
+    """True when a frame of ``rows`` rows (payload bytes each, plus the
+    per-row relation overhead) fits BOTH the row and byte budgets. The
+    byte budget is the operative bound: a row cap alone lets a batch of
+    wide ids blow the driver even while the row count looks small."""
+    return rows <= max_rows and (
+        rows * (row_payload_bytes + _BROADCAST_ROW_OVERHEAD) <= max_bytes
+    )
+
 
 def _meta_path(uri: str) -> str:
     return os.path.join(uri.rstrip("/"), _META_REL)
@@ -182,6 +220,8 @@ def dedup_against_index(
     corpus_df: Optional[DataFrame] = None,
     verify: str = "exact",
     max_broadcast_rows: int = 2_000_000,
+    max_broadcast_bytes: int = 128 * 2**20,
+    batch_stats: Optional[tuple[int, float]] = None,
 ) -> DataFrame:
     """(batch_id, corpus_id, jaccard) for every batch doc near-duplicate
     of an already-indexed corpus doc.
@@ -196,12 +236,21 @@ def dedup_against_index(
     0.06 at s=0.5, and never touches corpus text; the mode for probes
     where the source table is cold storage.
 
-    ``max_broadcast_rows``: the probe's exploded bucket map (``bands``
-    rows per batch doc) is broadcast so the corpus index never shuffles
-    — the right plan for micro-batches and daily chunks. A backfill
-    chunk above this many DOCUMENTS (after the per-doc count probe)
-    falls back to a shuffled (band, bucket) equi-join instead of
-    force-broadcasting an unbounded frame through the driver."""
+    ``max_broadcast_rows`` / ``max_broadcast_bytes``: the probe's
+    exploded bucket map (``bands`` rows per batch doc — the frame
+    actually broadcast) is broadcast so the corpus index never shuffles
+    — the right plan for micro-batches and daily chunks. The gate
+    budgets the BROADCAST frame: its row count (docs × bands) must fit
+    ``max_broadcast_rows`` AND its estimated bytes (rows × (id width +
+    key payload + relation overhead)) must fit ``max_broadcast_bytes``
+    — a row cap alone under-counts by the band factor and ignores id
+    width. Above either budget the hint is dropped and Spark shuffles
+    both sides on (band, bucket) instead of forcing an unbounded frame
+    through the driver.
+
+    ``batch_stats``: optional precomputed ``(row count, avg id bytes)``
+    of ``batch`` (see :func:`batch_probe_stats`) — pass it when the
+    caller already measured the batch so the probe adds no extra job."""
     from ..tables.delta_table import DeltalakeTable
 
     if verify not in ("exact", "estimate"):
@@ -235,11 +284,19 @@ def dedup_against_index(
     # index is never shuffled — each band partition streams past the
     # batch's bucket map. Multi-band collisions collapse in one distinct
     # over the candidate stream (candidates ≪ corpus under LSH).
-    # ``banded`` is scope-persisted, so this count is a cheap cached
-    # pass; above the gate the broadcast hint is dropped and Spark
-    # shuffles both sides on (band, bucket) — a backfill-sized probe
-    # must not be forced through the driver.
-    if banded.count() <= max_broadcast_rows:
+    # ``banded`` is scope-persisted, so measuring it here is one cached
+    # pass (skipped entirely when the caller passed batch_stats).
+    if batch_stats is None:
+        batch_stats = batch_probe_stats(banded, id_col)
+    n_docs, id_bytes = batch_stats
+    # the broadcast frame is the EXPLODED bucket map: bands rows per
+    # doc, each (batch_id, band int, bucket long)
+    if _within_broadcast_budget(
+        n_docs * int(meta["bands"]),
+        id_bytes + 12,
+        max_broadcast_rows,
+        max_broadcast_bytes,
+    ):
         probe = F.broadcast(probe)
     cands = (
         index_buckets.join(probe, ["band", "bucket"])

@@ -61,6 +61,8 @@ def _probe_duplicate_ids(
     threshold: float,
     borderline_exact: bool,
     max_broadcast_rows: int,
+    max_broadcast_bytes: int,
+    batch_stats: tuple[int, float],
     meta: dict,
 ) -> DataFrame:
     """ids of batch docs near-duplicate to the indexed corpus.
@@ -93,6 +95,8 @@ def _probe_duplicate_ids(
                 threshold=threshold,
                 verify="estimate",
                 max_broadcast_rows=max_broadcast_rows,
+                max_broadcast_bytes=max_broadcast_bytes,
+                batch_stats=batch_stats,
             )
             .select(F.col("batch_id").alias(id_col))
             .distinct()
@@ -111,6 +115,8 @@ def _probe_duplicate_ids(
             threshold=lo,
             verify="estimate",
             max_broadcast_rows=max_broadcast_rows,
+            max_broadcast_bytes=max_broadcast_bytes,
+            batch_stats=batch_stats,
         )
     )
     border = est.filter(F.col("jaccard") < hi)
@@ -174,6 +180,7 @@ def admit_novel_documents(
     borderline_exact: bool = True,
     within_batch_near_dup: bool = False,
     max_broadcast_rows: int = 2_000_000,
+    max_broadcast_bytes: int = 128 * 2**20,
 ) -> int:
     """One micro-batch (or one backfill chunk) of the loop: probe →
     drop near-dups of the indexed corpus → exact-dedup within the batch
@@ -183,11 +190,15 @@ def admit_novel_documents(
     — streaming callers MUST bind it to the checkpoint (see
     :func:`dedup_stream_against_index`).
 
-    ``max_broadcast_rows``: broadcast hints on batch-derived frames
-    (the index probe's bucket map, the within-batch winners set) apply
-    only while the batch row count is at or under this gate — a
-    backfill chunk above it falls back to shuffled joins instead of
-    forcing an unbounded frame through the driver.
+    ``max_broadcast_rows`` / ``max_broadcast_bytes``: broadcast hints
+    on batch-derived frames (the index probe's exploded bucket map, the
+    within-batch winners set) apply only while the frame's row count
+    AND its estimated bytes (measured id/key widths + per-row relation
+    overhead) fit both budgets — a backfill chunk, or a narrow-but-wide
+    batch, falls back to shuffled joins instead of forcing an unbounded
+    frame through the driver. The batch is measured ONCE here (count +
+    avg id width in one job) and the measurement is reused by the probe
+    and the winners gate — no per-stage count jobs.
     """
     from ..functions.dedup import (
         _scoped_persist,
@@ -195,7 +206,12 @@ def admit_novel_documents(
         dedup_scope,
         minhash_lsh_dedup_pairs,
     )
-    from ..functions.dedup_index import _load_meta, append_to_dedup_index
+    from ..functions.dedup_index import (
+        _load_meta,
+        _within_broadcast_budget,
+        append_to_dedup_index,
+        batch_probe_stats,
+    )
     from ..tables.delta_writer import write_delta
 
     spark = batch.sparkSession
@@ -206,6 +222,7 @@ def admit_novel_documents(
     # micro-batch finishes — a long-running stream must not accrete one
     # cache per epoch
     with dedup_scope():
+        batch_stats = batch_probe_stats(batch, id_col)
         dup_ids = _probe_duplicate_ids(
             batch,
             index_uri,
@@ -213,6 +230,8 @@ def admit_novel_documents(
             threshold,
             borderline_exact,
             max_broadcast_rows,
+            max_broadcast_bytes,
+            batch_stats,
             meta,
         )
         survivors = batch.join(dup_ids, id_col, "left_anti")
@@ -222,9 +241,15 @@ def admit_novel_documents(
             survivors.withColumn("__ck", content_key(F.col(text_col)))
         )
         winners = keyed.groupBy("__ck").agg(F.min(id_col).alias(id_col))
-        # the winners set is one row per distinct batch content key —
-        # batch-bounded, so gate the broadcast the same way as the probe
-        if keyed.count() <= max_broadcast_rows:
+        # the winners set is one (64-char sha256 hex, id) row per
+        # distinct surviving content key — bounded above by the batch
+        # doc count already measured, so the gate costs no extra job
+        if _within_broadcast_budget(
+            batch_stats[0],
+            batch_stats[1] + 64,
+            max_broadcast_rows,
+            max_broadcast_bytes,
+        ):
             winners = F.broadcast(winners)
         admitted = keyed.join(
             winners, ["__ck", id_col], "left_semi"
@@ -286,6 +311,8 @@ def dedup_stream_against_index(
     query_name: str = "incremental-dedup",
     borderline_exact: bool = True,
     within_batch_near_dup: bool = False,
+    max_broadcast_rows: int = 2_000_000,
+    max_broadcast_bytes: int = 128 * 2**20,
     **trigger_kwargs,
 ):
     """Run the admission loop as a streaming query (availableNow by
@@ -314,6 +341,8 @@ def dedup_stream_against_index(
             txn_app_id=txn_app,
             borderline_exact=borderline_exact,
             within_batch_near_dup=within_batch_near_dup,
+            max_broadcast_rows=max_broadcast_rows,
+            max_broadcast_bytes=max_broadcast_bytes,
         )
 
     writer = (

@@ -182,6 +182,58 @@ class TestBroadcastSizeGate:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         unpersist_intermediates()
 
+    def test_byte_budget_forces_shuffle_below_row_cap(
+        self, spark, tmp_path
+    ):
+        """A batch of WIDE rows (long string ids) must fall back to the
+        shuffled join even though its row count is far below the row
+        cap — the byte budget, not the row cap, is the operative bound
+        (r7 advice: the row gate under-counted by the band factor and
+        ignored id width)."""
+        uri = str(tmp_path / "wide")
+        wide_id = lambda i: f"doc-{i:04d}-" + "x" * 500  # noqa: E731
+        corpus = spark.createDataFrame(
+            [
+                (wide_id(0), BASE),
+                (wide_id(1), "completely different text about spark "
+                             "shuffles and partition pruning strategies"),
+            ],
+            ["doc_id", "text"],
+        )
+        build_dedup_index(spark, corpus, uri)
+        batch = spark.createDataFrame(
+            [
+                (wide_id(100), BASE.replace("morning", "evening")),
+                (wide_id(101), NOVEL_A),
+            ],
+            ["doc_id", "text"],
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # 2 docs x 16 bands = 32 rows << the 2M row cap, but each
+            # row carries a ~508-byte id: a 4 KiB byte budget must drop
+            # the hint
+            narrow = dedup_against_index(
+                spark, batch, uri, threshold=0.5, verify="estimate",
+            )
+            plan_n = narrow._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin [band" in plan_n
+            capped = dedup_against_index(
+                spark, batch, uri, threshold=0.5, verify="estimate",
+                max_broadcast_bytes=4096,
+            )
+            plan_c = capped._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin [band" not in plan_c
+            rows = lambda df: {  # noqa: E731
+                (r.batch_id, r.corpus_id, r.jaccard) for r in df.collect()
+            }
+            assert rows(narrow) == rows(capped)
+            assert rows(narrow)  # non-vacuous
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        unpersist_intermediates()
+
     def test_admit_large_chunk_same_admissions(self, spark, tmp_path):
         """admit_novel_documents above the gate (max_broadcast_rows=0:
         every broadcast falls back to a shuffled join) admits exactly
