@@ -18,17 +18,31 @@ def checkpoint_txn_identity(query_name: str, checkpoint_dir: str) -> str:
     'file:///data/ckpt') must produce the SAME identity, or a restart
     with a differently-spelled path would miss the ledger and re-land
     every replayed epoch. Scheme-less paths are resolved absolute;
-    'file:' URIs are reduced to their path; other schemes (hdfs, s3a)
-    keep scheme + normalized path; trailing slashes are stripped
-    everywhere."""
+    'file:' URIs with an empty or 'localhost' authority are reduced to
+    their path (RFC 8089 — they name the same local location as the
+    bare path); a 'file://<host>/...' URI with any other authority
+    keeps scheme + host + normalized path, like the generic scheme
+    branch (hdfs, s3a); trailing slashes are stripped everywhere.
+
+    MIGRATION HAZARD (pre-r8 identities): before normalization existed
+    (r7), the identity hashed the RAW spelling. A stream whose
+    checkpoint was spelled non-canonically (trailing slash, relative
+    path, 'file://' prefix) therefore changes identity across the
+    upgrade, and a crash-replayed epoch straddling the upgrade would be
+    re-admitted under the new identity. When upgrading a live stream
+    whose checkpoint spelling was non-canonical, either restart it from
+    a clean stop (no in-flight epoch), or start it with a FRESH
+    checkpoint (new epochs, new identity — no ledger to miss).
+    Canonically-spelled absolute paths are unaffected."""
     d = checkpoint_dir.strip()
-    if d.startswith("file://"):
-        d = d[len("file://"):] or "/"
     if "://" in d:
         scheme, _, rest = d.partition("://")
         host, _, path = rest.partition("/")
         norm = os.path.normpath("/" + path) if path else "/"
-        d = f"{scheme}://{host}{norm}"
+        if scheme == "file" and host in ("", "localhost"):
+            d = norm  # same local location as the bare-path spelling
+        else:
+            d = f"{scheme}://{host}{norm}"
     else:
         d = os.path.normpath(os.path.abspath(d))
     d = d.rstrip("/") or "/"

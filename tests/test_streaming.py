@@ -393,3 +393,25 @@ class TestCheckpointTxnIdentity:
         s = ci("q", "s3a://bucket/ckpt")
         assert ci("q", "s3a://bucket/ckpt/") == s
         assert ci("q", "s3a://other/ckpt") != s
+
+    def test_file_uri_authority_handling(self):
+        """RFC 8089: empty/localhost authority names the local path; a
+        real host is kept as an authority (never folded into a relative
+        path, which would make the identity cwd-dependent)."""
+        import os
+
+        from datarepo_spark.streaming import checkpoint_txn_identity as ci
+
+        base = ci("q", "/data/ckpt")
+        assert ci("q", "file://localhost/data/ckpt") == base
+        h = ci("q", "file://nfs-host/data/ckpt")
+        assert h != base
+        assert ci("q", "file://nfs-host/data/ckpt/") == h
+        assert ci("q", "file://other-host/data/ckpt") != h
+        # cwd-independence of the host form
+        cwd = os.getcwd()
+        try:
+            os.chdir("/tmp")
+            assert ci("q", "file://nfs-host/data/ckpt") == h
+        finally:
+            os.chdir(cwd)
