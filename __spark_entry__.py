@@ -90,9 +90,15 @@ _PRIORITY = [
     "delta_dv_delete",
 ]
 
-# r9 rotation staging: the 22 r5-gated queries not refreshed in the r8
-# window (by age), then the r6 cohort follows in registration order.
+# r9 rotation staging: the r8-born queries (never driver-gated) first,
+# then the 22 r5-gated queries not refreshed in the r8 window (by age);
+# the r6 cohort follows in registration order.
 _PRIORITY_R9 = [
+    "dedup_ngram_containment",
+    "text_char_entropy",
+    "pipeline_mixture_temperature",
+    "profile_correlation",
+    "events_debounce",
     "delta_update_set",
     "delta_table_changes",
     "delta_restore_roundtrip",

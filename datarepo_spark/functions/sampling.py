@@ -652,3 +652,34 @@ def ntile_shards(
         F.col("__s").alias(score_col),
         shard.alias("shard"),
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source: w_i = n_i^α / Σ n_j^α.
+
+    α < 1 flattens the natural source distribution (the multilingual /
+    multi-corpus sampling rule from mBERT/XLM-R and the LLaMA data
+    recipe): head sources are down-weighted, tail sources up-weighted,
+    α=1 recovers proportional sampling and α=0 uniform. Output:
+    (group, n, weight, expected_rows = weight × budget).
+
+    Shape: one grouped count (the only corpus-sized exchange), then a
+    whole-frame window over the GROUP frame — a handful of rows, so the
+    single-partition window is free. pow is libm (last-ulp variance
+    across engines): results are rounded to 6."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    p = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    w = p / F.sum(p).over(Window.partitionBy())
+    return counts.select(
+        group_col,
+        "n",
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.lit(float(budget)), 3).alias("expected_rows"),
+    )

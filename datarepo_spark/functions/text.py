@@ -664,3 +664,42 @@ def novelty_score(
             6,
         ).alias("novelty"),
     )
+
+
+def char_entropy(chars: Column) -> Column:
+    """Shannon entropy (bits/char) of a character-array column —
+    ROW-LOCAL (no shuffle, no gram explode): the right shape for a
+    per-document quality signal at corpus scale. Low entropy flags
+    repetitive/boilerplate text; ~4.1 bits is typical English prose.
+
+    H = log2(n) - Σ c_i·log2(c_i) / n over per-character counts — one
+    pass over the (sorted) distinct-character list. The distinct list
+    is SORTED so the double fold visits addends in an engine-identical
+    order; log2 is libm (last-ulp variance across engines), so callers
+    round the result (the registry oracle rounds to 6).
+
+    ``chars`` must be a MATERIALIZED array column reference (stage it
+    with ``split(lower(text), '')`` in a prior projection): the
+    higher-order lambdas reference it per distinct character, and Spark
+    inlines expression arguments into every reference site."""
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_sort(F.array_distinct(chars)),
+        lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double"),
+    )
+    s = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c * F.log2(c),
+    )
+    return F.when(
+        n > 0, F.log2(n.cast("double")) - s / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def chars_of(text: Column) -> Column:
+    """Non-empty character array of lowercased text (split on the empty
+    pattern keeps Unicode code points intact in both Spark and DuckDB)."""
+    return F.filter(
+        F.split(F.lower(text), ""), lambda c: F.length(c) > 0
+    )

@@ -3596,3 +3596,226 @@ def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         ((F.row_number().over(w) - 1) % 5).cast("long").alias("fold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: containment dedup, row-local entropy, temperature mixing,
+# cross-engine-exact correlation, event debounce
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_containment",
+    # Containment C(A,B) = |A∩B| / min(|A|,|B|) — the asymmetric
+    # doc-in-doc duplication signal Jaccard under-scores (Broder '97).
+    # Inverted-index form on BOTH sides: shared-gram COUNT is the
+    # intersection (grams are distinct), so no per-pair list ops; every
+    # pair with containment > 0 shares a gram, so enumeration is exact.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(regexp_split_to_array(lower(text), '\s+'),
+                         t -> LEN(t) > 0) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(
+               CASE WHEN LEN(tk) >= 3
+                 THEN LIST_TRANSFORM(RANGE(1, LEN(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [COALESCE(LIST_AGGREGATE(tk, 'string_agg', ' '), '')]
+               END) AS s
+      FROM toks
+    ), gr AS (
+      SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
+    ), cnts AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             ANY_VALUE(x.ln) AS la, ANY_VALUE(y.ln) AS lb,
+             COUNT(*) AS c
+      FROM gr x JOIN gr y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / LEAST(la, lb), 6) AS containment
+    FROM cnts
+    WHERE ROUND(CAST(c AS DOUBLE) / LEAST(la, lb), 6) >= 0.2
+    """,
+    description="exact 3-gram containment pairs (doc-in-doc duplication "
+    "signal); inverted-index join, no per-pair list intersections",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+@register(
+    "text_char_entropy",
+    # Row-local Shannon entropy: a shuffle-free quality signal (low
+    # entropy = repetitive/boilerplate text). Sorted distinct-char fold
+    # order makes the double sum engine-identical; log2 is libm, so
+    # both sides round to 6.
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             LIST_FILTER(string_split(lower(text), ''),
+                         ch -> LEN(ch) > 0) AS chars
+      FROM documents
+    ), k AS (
+      SELECT doc_id, LEN(chars) AS n,
+             LIST_TRANSFORM(
+               LIST_SORT(LIST_DISTINCT(chars)),
+               x -> CAST(LEN(LIST_FILTER(chars, ch -> ch = x)) AS DOUBLE)
+             ) AS cnts
+      FROM c
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN n > 0 THEN
+             LOG2(CAST(n AS DOUBLE))
+             - LIST_AGGREGATE(
+                 LIST_TRANSFORM(cnts, cc -> cc * LOG2(cc)), 'sum') / n
+           ELSE 0.0 END, 6) AS entropy
+    FROM k
+    """,
+    description="per-document character Shannon entropy — row-local "
+    "(no shuffle, no explode): the scale-right per-doc quality signal",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", X.chars_of(F.col("text")).alias("__chars")
+    )
+    return staged.select(
+        "doc_id",
+        F.round(X.char_entropy(F.col("__chars")), 6).alias("entropy"),
+    )
+
+
+@register(
+    "pipeline_mixture_temperature",
+    # w_i = n_i^0.7 / Σ n_j^0.7 — the temperature-flattened source
+    # mixture (mBERT/XLM-R, LLaMA recipe). One grouped count is the
+    # only corpus exchange; the window runs over the tiny group frame.
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+    SELECT source, n,
+           ROUND(POW(CAST(n AS DOUBLE), 0.7)
+                 / SUM(POW(CAST(n AS DOUBLE), 0.7)) OVER (), 6) AS weight,
+           ROUND(POW(CAST(n AS DOUBLE), 0.7)
+                 / SUM(POW(CAST(n AS DOUBLE), 0.7)) OVER ()
+                 * 10000.0, 3) AS expected_rows
+    FROM c
+    """,
+    description="temperature-scaled (alpha=0.7) per-source mixture "
+    "weights + expected rows for a 10k budget",
+)
+def pipeline_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.temperature_weights(docs, "source", alpha=0.7, budget=10_000)
+
+
+@register(
+    "profile_correlation",
+    # Pearson correlation per group, CROSS-ENGINE EXACT: built-in
+    # corr() accumulates co-moments in engine-specific order, so the
+    # five sums are taken in DECIMAL(38,6) (order-independent, exact —
+    # every product has <= 4 decimal digits) and the closed form
+    # (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) runs as a fixed
+    # sequence of IEEE ops: bit-identical in Spark and DuckDB.
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {SQL_DSUM('l_quantity')} AS sx,
+             {SQL_DSUM('l_extendedprice')} AS sy,
+             {SQL_DSUM('l_quantity * l_extendedprice')} AS sxy,
+             {SQL_DSUM('l_quantity * l_quantity')} AS sxx,
+             {SQL_DSUM('l_extendedprice * l_extendedprice')} AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                 9) AS corr_qty_price
+    FROM s
+    """,
+    description="per-group Pearson correlation via DECIMAL(38,6) "
+    "co-moments — order-independent and bit-identical across engines",
+)
+def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(num / den, 9).alias("corr_qty_price")
+    )
+
+
+@register(
+    "events_debounce",
+    # Telemetry duplicate suppression: collapse each burst of same-type
+    # events per user with inter-event gaps <= 60 s to one row (burst
+    # head + collapsed count). Same lag-gap + cumulative-sum shape as
+    # sessionization — one (user, type)-keyed window, µs-exact gaps.
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id)
+                     > INTERVAL '60 seconds'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), b AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_new) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM gaps
+    )
+    SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+           MIN(ts) AS first_ts, COUNT(*) AS n_collapsed
+    FROM b GROUP BY user_id, event_type, burst_id
+    """,
+    description="event debounce: collapse <=60s same-type bursts per "
+    "user to their first event — lag-gap + cumulative-sum, one window",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    is_new = F.when(gap.isNull() | (gap > 60 * 1_000_000), 1).otherwise(0)
+    b = e.withColumn(
+        "burst_id",
+        F.sum(is_new).over(
+            Window.partitionBy("user_id", "event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return b.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).alias("n_collapsed"),
+    )

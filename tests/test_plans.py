@@ -398,3 +398,49 @@ class TestRound7Plans:
         assert "Generate explode" in plan
         assert "__salt" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound8Plans:
+    def test_char_entropy_is_shuffle_free(self, spark, sf_dir):
+        """Entropy is row-local: a pure projection over the scan — no
+        exchange, no join, no explode. The per-doc quality signal must
+        cost a single map stage at 100 TB."""
+        plan = plan_of(spark, sf_dir, "text_char_entropy")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Generate" not in plan
+
+    def test_containment_is_inverted_index_join(self, spark, sf_dir):
+        """Containment pairs come from the gram equi-join: no cartesian
+        product, no per-pair list intersections (no array_intersect in
+        the plan), shared-gram COUNT is a partial aggregate."""
+        plan = plan_of(spark, sf_dir, "dedup_ngram_containment")
+        assert "CartesianProduct" not in plan
+        assert "array_intersect" not in plan
+        assert "partial_count" in plan
+
+    def test_temperature_weights_single_corpus_exchange(
+        self, spark, sf_dir
+    ):
+        """The grouped count is the only corpus-sized exchange; the
+        window runs on the tiny group frame (single partition is fine
+        there), and nothing joins."""
+        plan = plan_of(spark, sf_dir, "pipeline_mixture_temperature")
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_correlation_is_partial_agg_only(self, spark, sf_dir):
+        """Five decimal co-moments in ONE grouped aggregate: partial
+        aggregation map-side, a single hash exchange on the group key,
+        no window, no join."""
+        plan = plan_of(spark, sf_dir, "profile_correlation")
+        assert "partial_sum" in plan or "partial_count" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan and "Window" not in plan
+
+    def test_debounce_single_window_exchange(self, spark, sf_dir):
+        """lag + cumulative sum + burst aggregate all share the
+        (user, type) partitioning: exactly one hash exchange."""
+        plan = plan_of(spark, sf_dir, "events_debounce")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
