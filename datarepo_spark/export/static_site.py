@@ -29,67 +29,110 @@ INDEX_HTML = """<!doctype html>
 <meta name="viewport" content="width=device-width, initial-scale=1">
 <title>datarepo catalog</title>
 <style>
-  :root { --fg: #1a1d21; --muted: #5f6a75; --line: #e3e7eb;
-          --accent: #0b6bcb; --bg: #ffffff; --chip: #f1f4f7;
-          --warn: #a15c07; --warnbg: #fdf0d9; --info: #0b6bcb;
-          --infobg: #e3effb; }
-  @media (prefers-color-scheme: dark) {
-    :root { --fg: #e6e9ec; --muted: #9aa5b0; --line: #2c333a;
-            --accent: #66b2ff; --bg: #14171a; --chip: #20262c;
-            --warn: #f0b05a; --warnbg: #3a2c13; --info: #66b2ff;
-            --infobg: #12283d; }
+  /* Radix-themes-inspired tokens matching the reference app's
+     Theme appearance='dark' accentColor='blue' (pages/index.tsx);
+     gray/blue steps approximate @radix-ui/themes dark scales. A
+     light scheme stays available for prefers-color-scheme: light. */
+  :root { --fg: #edeef0; --muted: #9ba1a6; --line: #2a2d31;
+          --accent: #70b8ff; --accent-solid: #0090ff; --bg: #111113;
+          --panel: #18191b; --chip: #212225; --hover: #1c1d1f;
+          --warn: #f0b05a; --warnbg: #3a2c13; --info: #70b8ff;
+          --infobg: #12283d; --shadow: rgba(0,0,0,.35); }
+  @media (prefers-color-scheme: light) {
+    :root { --fg: #1c2024; --muted: #60646c; --line: #e0e1e6;
+            --accent: #0b6bcb; --accent-solid: #0090ff; --bg: #ffffff;
+            --panel: #f9f9fb; --chip: #f0f0f3; --hover: #f4f5f7;
+            --warn: #a15c07; --warnbg: #fdf0d9; --info: #0b6bcb;
+            --infobg: #e3effb; --shadow: rgba(0,0,0,.08); }
   }
   * { box-sizing: border-box; }
   body { margin: 0; background: var(--bg); color: var(--fg);
-         font: 14px/1.5 system-ui, sans-serif; }
-  header { padding: 16px 24px; border-bottom: 1px solid var(--line);
-           display: flex; gap: 16px; align-items: baseline; }
-  header h1 { font-size: 18px; margin: 0; }
-  #q { margin-left: auto; padding: 6px 10px; border: 1px solid var(--line);
+         font: 14px/1.5 -apple-system, BlinkMacSystemFont, 'Segoe UI',
+         Roboto, system-ui, sans-serif;
+         -webkit-font-smoothing: antialiased; }
+  header { padding: 10px 20px; border-bottom: 1px solid var(--line);
+           display: flex; gap: 14px; align-items: center;
+           background: var(--panel); position: sticky; top: 0; }
+  header h1 { font-size: 16px; margin: 0; letter-spacing: -.01em; }
+  #stats { font-size: 12px; }
+  #qwrap { margin-left: auto; position: relative; }
+  #q { padding: 7px 54px 7px 12px; border: 1px solid var(--line);
        border-radius: 6px; background: var(--bg); color: var(--fg);
-       min-width: 240px; }
+       min-width: 280px; font-size: 13px; outline: none; }
+  #q:focus { border-color: var(--accent-solid);
+             box-shadow: 0 0 0 2px var(--infobg); }
+  #qwrap kbd { position: absolute; right: 8px; top: 50%;
+       transform: translateY(-50%); font: 11px/1 inherit;
+       color: var(--muted); border: 1px solid var(--line);
+       border-radius: 4px; padding: 2px 5px; background: var(--chip);
+       pointer-events: none; }
   main { display: grid; grid-template-columns: 280px 1fr; min-height:
          calc(100vh - 57px); }
-  nav { border-right: 1px solid var(--line); padding: 12px 0;
-        overflow-y: auto; }
+  nav { border-right: 1px solid var(--line); padding: 12px;
+        overflow-y: auto; background: var(--panel); }
   nav .cat a, nav .db a { text-decoration: none; color: inherit; }
-  nav .cat { padding: 6px 24px; font-weight: 600; color: var(--muted);
-             text-transform: uppercase; font-size: 11px; }
-  nav .db { padding: 4px 24px; font-weight: 600; }
+  nav .cat { padding: 10px 8px 0; font-weight: 500; color: var(--muted);
+             text-transform: uppercase; font-size: 11px;
+             letter-spacing: .04em; }
+  nav .db { padding: 2px 8px 6px; font-weight: 700; font-size: 15px;
+            letter-spacing: -.01em; }
   nav .cat a:hover, nav .db a:hover { color: var(--accent); }
-  nav a.tbl { display: block; padding: 3px 24px 3px 40px; color: var(--fg);
-          text-decoration: none; border-left: 2px solid transparent; }
-  nav a.tbl:hover, nav a.tbl.active { color: var(--accent);
-          border-left-color: var(--accent); background: var(--chip); }
-  section { padding: 20px 28px; overflow-x: auto; }
-  h2 { margin: 0 0 4px; } .muted { color: var(--muted); }
+  /* RadioCards.Item look (reference Sidebar.tsx): bordered card rows */
+  nav a.tbl { display: block; padding: 8px 12px; margin: 4px 0;
+          color: var(--fg); text-decoration: none; font-size: 13px;
+          border: 1px solid var(--line); border-radius: 6px;
+          background: var(--bg); }
+  nav a.tbl:hover { border-color: var(--accent-solid);
+          background: var(--hover); }
+  nav a.tbl.active { border-color: var(--accent-solid);
+          box-shadow: inset 0 0 0 1px var(--accent-solid); }
+  section { padding: 24px 32px; overflow-x: auto; max-width: 980px; }
+  h2 { margin: 0 0 4px; font-size: 24px; letter-spacing: -.015em; }
+  h3 { font-size: 15px; margin: 22px 0 6px; }
+  .muted { color: var(--muted); }
+  .crumbs { margin: 0 0 10px; font-size: 12px; }
   .crumbs a { color: var(--muted); text-decoration: none; }
   .crumbs a:hover { color: var(--accent); }
   .chip { display: inline-block; background: var(--chip); border-radius:
-          10px; padding: 1px 8px; margin-right: 6px; font-size: 12px; }
-  .badge { display: inline-block; border-radius: 4px; padding: 0 6px;
-           margin-left: 6px; font-size: 11px; cursor: help; }
+          4px; padding: 2px 8px; margin-right: 6px; font-size: 12px;
+          color: var(--muted); vertical-align: middle; }
+  .badge { display: inline-block; border-radius: 4px; padding: 1px 7px;
+           margin-left: 6px; font-size: 11px; font-weight: 500;
+           cursor: help; vertical-align: middle; }
   .badge.warn { color: var(--warn); background: var(--warnbg); }
   .badge.info { color: var(--info); background: var(--infobg); }
-  table { border-collapse: collapse; margin-top: 12px; width: 100%; }
-  th, td { text-align: left; padding: 6px 10px; border-bottom: 1px solid
+  table { border-collapse: collapse; margin-top: 12px; width: 100%;
+          border: 1px solid var(--line); border-radius: 8px; }
+  th, td { text-align: left; padding: 8px 12px; border-bottom: 1px solid
            var(--line); font-size: 13px; }
-  th { color: var(--muted); font-weight: 600; }
-  code { background: var(--chip); padding: 1px 5px; border-radius: 4px; }
-  pre { background: var(--chip); padding: 12px 14px; border-radius: 8px;
-        overflow-x: auto; }
-  pre code { background: none; padding: 0; }
+  tr:last-child td { border-bottom: none; }
+  tr:hover td { background: var(--hover); }
+  th { color: var(--muted); font-weight: 500; font-size: 12px;
+       background: var(--panel); }
+  code { background: var(--chip); padding: 1px 6px; border-radius: 4px;
+         font-family: ui-monospace, 'SF Mono', Menlo, Consolas,
+         monospace; font-size: 12px; }
+  pre { background: var(--panel); border: 1px solid var(--line);
+        padding: 14px 16px; border-radius: 8px; overflow-x: auto;
+        box-shadow: 0 1px 3px var(--shadow); }
+  pre code { background: none; padding: 0; font-size: 12.5px;
+             line-height: 1.6; }
   ul.cards { list-style: none; margin: 12px 0 0; padding: 0; }
   ul.cards li { border: 1px solid var(--line); border-radius: 8px;
-                padding: 10px 14px; margin-bottom: 8px; }
+                padding: 12px 16px; margin-bottom: 10px;
+                background: var(--panel); }
+  ul.cards li:hover { border-color: var(--accent-solid); }
   ul.cards a { color: var(--accent); text-decoration: none;
                font-weight: 600; }
 </style>
 </head>
 <body>
-<header><h1>datarepo catalog</h1>
+<header><h1>datarepo</h1>
   <span class="muted" id="stats"></span>
-  <input id="q" placeholder="filter tables…" autocomplete="off">
+  <span id="qwrap">
+    <input id="q" placeholder="Search tables…" autocomplete="off">
+    <kbd>⌘K</kbd>
+  </span>
 </header>
 <main><nav id="nav"></nav><section id="view">
   <p class="muted">Select a table.</p></section></main>
@@ -307,6 +350,17 @@ fetch("data.json").then(r => r.json()).then(d => {
 });
 q.addEventListener("input", () => renderNav(q.value));
 window.addEventListener("hashchange", route);
+// search shortcuts: '/' and mod+k, matching the reference's
+// FuzzySearchBox useHotkeys(['/', 'mod+k']) binding
+window.addEventListener("keydown", (e) => {
+  const mod = e.metaKey || e.ctrlKey;
+  if ((e.key === "/" && !mod) || (e.key.toLowerCase() === "k" && mod)) {
+    if (document.activeElement !== q) {
+      e.preventDefault();
+      if (q.focus) q.focus();
+    }
+  }
+});
 </script>
 </body>
 </html>
