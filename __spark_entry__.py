@@ -99,6 +99,9 @@ _PRIORITY_R9 = [
     "pipeline_mixture_temperature",
     "profile_correlation",
     "events_debounce",
+    "similarity_radius_search",
+    "events_sequence_ngrams",
+    "agg_weighted_avg",
     "delta_update_set",
     "delta_table_changes",
     "delta_restore_roundtrip",

@@ -609,6 +609,40 @@ def query_ann_index(
     )
 
 
+def query_ann_index_radius(
+    spark: SparkSession,
+    uri: str,
+    query_vec: Sequence[float],
+    threshold: float = 0.8,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """RANGE search over the persisted index: every indexed vector with
+    cosine ≥ threshold (FAISS range_search over the IVF layout). Same
+    partition-pruned plan as :func:`query_ann_index` — nprobe cells
+    resolved driver-side, exact row-local cosine filter inside — but
+    the result set is data-dependent instead of top-k, the shape
+    near-dup sweeps want ("everything this similar to the probe").
+    Recall is bounded by the nprobe cells, exactly like top-k; pass
+    ``nprobe = nlist`` for exhaustive (exact) range search."""
+    from .similarity import radius_search
+
+    from ..tables.delta_table import DeltalakeTable
+
+    index = load_ann_index(uri)
+    cells = index.probe_cells(list(query_vec), nprobe)
+    table = DeltalakeTable(os.path.basename(uri.rstrip("/")), uri)
+    candidates = table(
+        filters=[Filter("cell", "in", cells)],
+        columns=[id_col, vec_col],
+        spark=spark,
+    )
+    return radius_search(
+        candidates, list(query_vec), threshold, vec_col, id_col
+    )
+
+
 def query_ann_index_pq(
     spark: SparkSession,
     uri: str,

@@ -47,6 +47,29 @@ def knn_brute_force(
     )
 
 
+def radius_search(
+    df: DataFrame,
+    query_vec: list[float],
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact RANGE search: every vector with cosine ≥ threshold of the
+    query — the "find all near-duplicates of this item" serving shape,
+    complement of :func:`knn_brute_force`'s top-k (FAISS range_search).
+
+    Row-local cosine against the broadcast literal + a filter: a pure
+    map stage — no exchange, no sort, no join — so it scales linearly
+    and composes with partition pruning upstream. The result set is
+    data-dependent (unlike top-k); callers wanting a bound compose
+    ``.limit`` on top (which plans as TakeOrdered)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 class RandomHyperplaneLSH:
     """Sign-random-projection LSH bucketer for cosine similarity."""
 

@@ -3819,3 +3819,112 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.count(F.lit(1)).alias("n_collapsed"),
     )
+
+
+@register(
+    "similarity_radius_search",
+    # Exact range search — "everything with cosine >= 0.25 of the
+    # probe": row-local cosine vs the broadcast literal + filter, a
+    # pure map stage (plan-asserted shuffle-free). Complement of the
+    # top-k baseline; FAISS range_search semantics.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS qn
+      FROM v WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), i -> e[i] * qe[i]),
+                         (acc, x) -> acc + x)
+             / (SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                                 (a, x) -> a + x)) * qn),
+             6) AS cosine
+    FROM v, q
+    WHERE ROUND(
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), i -> e[i] * qe[i]),
+                         (acc, x) -> acc + x)
+             / (SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                                 (a, x) -> a + x)) * qn),
+             6) >= 0.25
+    """,
+    description="exact cosine range search (all vectors within the "
+    "radius) — shuffle-free map stage; FAISS range_search semantics",
+)
+def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return S.radius_search(
+        emb, [float(x) for x in query], threshold=0.25
+    )
+
+
+@register(
+    "events_sequence_ngrams",
+    # User-journey mining: the 20 most common 3-step event-type
+    # sequences. lead(1)/lead(2) over the per-user time order — ONE
+    # (user)-keyed window exchange — then a count and TakeOrdered
+    # top-k; journeys never materialize as arrays.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, COUNT(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    description="top-20 3-step event-type journeys: lead window + "
+    "count + TakeOrdered — no array materialization",
+)
+def events_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    # Weighted mean per group with DECIMAL(38,6) numerator/denominator
+    # sums (order-independent, engine-exact): avg unit price weighted
+    # by quantity. One grouped aggregate, partial map-side.
+    oracle=f"""
+    SELECT l_returnflag,
+           {SQL_DSUM('l_extendedprice * l_quantity')}
+             / {SQL_DSUM('l_quantity')} AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="per-group weighted average via exact decimal sums — "
+    "one partial-aggregated exchange",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            dsum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / dsum(F.col("l_quantity"))
+        ).alias("wavg_price")
+    )

@@ -57,6 +57,46 @@ class TestAnnIndex:
         }
         assert len(touched) <= 2  # nprobe partitions only
 
+    def test_radius_search_recall_and_pruning(self, spark, tmp_path):
+        """Range search over the index: exhaustive nprobe reproduces
+        brute-force radius EXACTLY; pruned nprobe returns a subset that
+        still recovers the high-similarity head and touches only the
+        probed partitions."""
+        from datarepo_spark.functions.ann_index import (
+            query_ann_index_radius,
+        )
+        from datarepo_spark.functions.similarity import radius_search
+
+        uri = str(tmp_path / "idx")
+        emb = _emb(spark)
+        build_ann_index(spark, emb, uri, nlist=8, iterations=4)
+        qv = _query_vec(spark)
+        exact = {
+            (r["vec_id"], r["cosine"])
+            for r in radius_search(emb, qv, threshold=0.25).collect()
+        }
+        assert exact  # non-vacuous radius at this threshold
+        exhaustive = {
+            (r["vec_id"], r["cosine"])
+            for r in query_ann_index_radius(
+                spark, uri, qv, threshold=0.25, nprobe=8
+            ).collect()
+        }
+        assert exhaustive == exact
+        pruned_df = query_ann_index_radius(
+            spark, uri, qv, threshold=0.25, nprobe=2
+        )
+        touched = {
+            seg
+            for f in pruned_df.inputFiles()
+            for seg in f.split("/")
+            if seg.startswith("cell=")
+        }
+        assert len(touched) <= 2  # partition pruning held
+        pruned = {(r["vec_id"], r["cosine"]) for r in pruned_df.collect()}
+        assert pruned <= exact
+        assert 0 in {v for v, _ in pruned}  # probe's own cell is probed
+
     def test_append_uses_stored_centroids(self, spark, tmp_path):
         uri = str(tmp_path / "idx")
         emb = _emb(spark)

@@ -444,3 +444,24 @@ class TestRound8Plans:
         plan = plan_of(spark, sf_dir, "events_debounce")
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan
+
+    def test_radius_search_is_shuffle_free(self, spark, sf_dir):
+        """Range search is a pure map stage: row-local cosine vs the
+        broadcast literal + filter — no exchange, no join, no sort."""
+        plan = plan_of(spark, sf_dir, "similarity_radius_search")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Sort" not in plan
+
+    def test_sequence_ngrams_one_window_then_topk(self, spark, sf_dir):
+        """lead×2 shares one (user)-keyed window exchange; the final
+        top-20 is TakeOrdered, never a global sort."""
+        plan = plan_of(spark, sf_dir, "events_sequence_ngrams")
+        assert plan.count("Window") == 1
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan
+
+    def test_weighted_avg_partial_agg(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "agg_weighted_avg")
+        assert "partial_sum" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
