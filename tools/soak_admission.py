@@ -57,13 +57,30 @@ def main() -> None:
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
     )
+    def _jobs():
+        # total scheduler jobs so far — streaming foreachBatch jobs run
+        # under a per-stream job group, so group-scoped APIs miss them
+        return (
+            spark._jsparkSession.sparkContext().statusStore()
+            .jobsList(None).size()
+        )
+
+    jobs_before = _jobs()
     q = dedup_stream_against_index(
         stream, idx, out,
         checkpoint_dir=os.path.join(root, "ck1"), threshold=0.6,
     )
     q.awaitTermination(300)
+    jobs_run = _jobs() - jobs_before
     n1 = DeltalakeTable("c", out)(spark=spark).count()
     print(f"after 8-epoch stream: {n1} admitted")
+    # per-micro-batch job budget line: ~27/epoch at r8 (the loop
+    # measures the batch once and reuses it for both broadcast gates;
+    # the hard regression gate for that reuse is
+    # test_dedup_index.py::TestBatchStatsReuse). Watch this number —
+    # per-stage count jobs creeping back in shows up here first.
+    print(f"scheduler jobs for the 8 epochs: {jobs_run} "
+          f"({jobs_run / 8:.1f}/epoch)")
     assert n1 <= 330, "corpus dups leaked into the curated table"
 
     # fresh checkpoint: epochs renumber from 0 — admissions must land
