@@ -116,6 +116,13 @@ HEADLINE = [
     "pipeline_curriculum_shards",
     "pipeline_decontaminate_neardup",
     "pipeline_curate_v3",
+    # added r8 (headline count 49 → 53): the row-local entropy pass,
+    # the containment gram join, burst debounce, and range search —
+    # the round's new per-doc, pair-join, window, and scan shapes
+    "text_char_entropy",
+    "dedup_ngram_containment",
+    "events_debounce",
+    "similarity_radius_search",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

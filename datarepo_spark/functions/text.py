@@ -703,3 +703,67 @@ def chars_of(text: Column) -> Column:
     return F.filter(
         F.split(F.lower(text), ""), lambda c: F.length(c) > 0
     )
+
+
+def gram_set_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_fraction: float = 0.05,
+    grams=None,
+):
+    """:func:`boilerplate_fraction` + :func:`novelty_score` FUSED: both
+    are per-gram aggregates (document frequency / min owner) joined
+    back onto the same distinct (id, gram) stream and re-aggregated per
+    document, so a pipeline that wants both signals (curation v3) pays
+    ONE gram-keyed aggregate, ONE join-back, and ONE doc-keyed
+    aggregate instead of two of each — the gram stream exchanges twice
+    total instead of four times. Arithmetic is identical to the
+    standalone scorers (same counts, single division, round 6).
+
+    Output: (id, n_grams, boilerplate_grams, boilerplate_frac,
+    novel_grams, novelty)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import _scoped_persist, shingle_rows
+
+    if grams is None:
+        grams = _scoped_persist(
+            shingle_rows(df, text_col, id_col, n, distinct=True)
+        )
+    nd = df.select(
+        F.greatest(
+            F.lit(2),
+            F.floor(F.lit(float(min_doc_fraction)) * F.count(F.lit(1))),
+        ).alias("__cutoff")
+    )
+    stats = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("__df"),
+            F.min(id_col).alias("__owner"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "gram",
+            (F.col("__df") >= F.col("__cutoff")).cast("int").alias("__b"),
+            "__owner",
+        )
+    )
+    joined = grams.join(stats, "gram")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("__b").alias("boilerplate_grams"),
+        F.round(
+            F.sum("__b") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("boilerplate_frac"),
+        F.sum((F.col(id_col) == F.col("__owner")).cast("int")).alias(
+            "novel_grams"
+        ),
+        F.round(
+            F.sum((F.col(id_col) == F.col("__owner")).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("novelty"),
+    )

@@ -3448,22 +3448,18 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "family composed; one shared gram explode feeds both scorers",
 )
 def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.dedup import _scoped_persist, shingle_rows
-
     docs = load(spark, sf_dir, "documents")
-    grams = _scoped_persist(
-        shingle_rows(docs, "text", "doc_id", 3, distinct=True)
-    )
-    bf = X.boilerplate_fraction(docs, grams=grams).select(
-        "doc_id", F.round("boilerplate_frac", 6).alias("bf")
-    )
-    nv = X.novelty_score(docs, grams=grams).select(
-        "doc_id", F.round("novelty", 6).alias("nv")
+    # r8: both gram-set signals come from ONE fused aggregate pipeline
+    # (one gram-keyed agg, one join-back, one doc-keyed agg) — the gram
+    # stream exchanges twice total instead of four times
+    scores = X.gram_set_scores(docs).select(
+        "doc_id",
+        F.round("boilerplate_frac", 6).alias("bf"),
+        F.round("novelty", 6).alias("nv"),
     )
     pool = (
         docs.select("doc_id", "lang", "n_chars")
-        .join(bf, "doc_id")
-        .join(nv, "doc_id")
+        .join(scores, "doc_id")
         .filter((F.col("bf") < 0.6) & (F.col("nv") >= 0.2))
         .drop("bf", "nv")
     )

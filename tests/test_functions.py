@@ -1374,3 +1374,42 @@ class TestBoilerplateAndNovelty:
         assert 0.0 < got[2].novelty < 1.0
         assert got[3].novelty == 1.0
         unpersist_intermediates()
+
+
+class TestGramSetScoresFusion:
+    def test_fused_matches_standalone_scorers(self, spark):
+        """gram_set_scores must reproduce boilerplate_fraction and
+        novelty_score exactly — it is the same arithmetic over a fused
+        plan (one gram agg, one join-back, one doc agg)."""
+        from datarepo_spark.functions.dedup import unpersist_intermediates
+        from datarepo_spark.functions.text import (
+            boilerplate_fraction,
+            gram_set_scores,
+            novelty_score,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        fused = {
+            r["doc_id"]: (
+                r["n_grams"], r["boilerplate_grams"],
+                r["boilerplate_frac"], r["novel_grams"], r["novelty"],
+            )
+            for r in gram_set_scores(docs).collect()
+        }
+        bf = {
+            r["doc_id"]: (
+                r["n_grams"], r["boilerplate_grams"], r["boilerplate_frac"]
+            )
+            for r in boilerplate_fraction(docs).collect()
+        }
+        nv = {
+            r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+            for r in novelty_score(docs).collect()
+        }
+        assert set(fused) == set(bf) == set(nv)
+        for d, (ng, bg, bfr, ngr, nvy) in fused.items():
+            assert (ng, bg, bfr) == bf[d], d
+            assert (ng, ngr, nvy) == nv[d], d
+        unpersist_intermediates()
