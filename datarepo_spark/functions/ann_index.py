@@ -739,8 +739,15 @@ def rebuild_ann_index(
     nlist = len(old_index.centroids)
     old_pq = load_pq(uri)
     lock = os.path.join(uri, _REBUILD_LOCK_REL)
-    # O_EXCL: two concurrent rebuilds can't both hold the lock
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        # O_EXCL: two concurrent rebuilds can't both hold the lock
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"rebuild lock already held at {lock} — another rebuild is "
+            f"running, or a crashed one left it behind (remove the file "
+            f"after confirming no rebuild process is alive)"
+        ) from None
     os.write(fd, f"pid={os.getpid()}\n".encode())
     os.close(fd)
     tmp = f"{uri}.rebuild-{os.getpid()}"

@@ -897,3 +897,17 @@ class TestRebuildSwapGuards:
             r["vec_id"] for r in knn_brute_force(emb, qv, k=10).collect()
         }
         assert len(got & exact) >= 5 and 0 in got
+
+    def test_concurrent_rebuild_lock_message(self, spark, tmp_path):
+        import pytest
+
+        from datarepo_spark.functions import ann_index as AI
+
+        uri = str(tmp_path / "dbl")
+        build_ann_index(spark, _emb(spark), uri, nlist=4, iterations=2)
+        lock = os.path.join(uri, "_ann_index", "rebuild.lock")
+        open(lock, "w").close()  # crashed/concurrent rebuild holds it
+        with pytest.raises(RuntimeError, match="rebuild lock already"):
+            AI.rebuild_ann_index(spark, uri)
+        os.remove(lock)
+        AI.rebuild_ann_index(spark, uri)  # released: proceeds
