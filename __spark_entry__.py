@@ -102,6 +102,7 @@ _PRIORITY_R9 = [
     "similarity_radius_search",
     "events_sequence_ngrams",
     "agg_weighted_avg",
+    "pipeline_temperature_sample",
     "delta_update_set",
     "delta_table_changes",
     "delta_restore_roundtrip",

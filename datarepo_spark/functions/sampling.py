@@ -683,3 +683,38 @@ def temperature_weights(
         F.round(w, 6).alias("weight"),
         F.round(w * F.lit(float(budget)), 3).alias("expected_rows"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.7,
+    budget: int = 10_000,
+    salt: str = "temp",
+) -> DataFrame:
+    """Draw a temperature-flattened mixture: each group contributes
+    round(w_i × budget) rows (w_i from :func:`temperature_weights`),
+    chosen by deterministic hash rank — :func:`group_quota_sample` with
+    a PER-GROUP quota instead of a flat cap. The executable form of the
+    mBERT/XLM-R α-mixing recipe: one grouped count, the tiny weight
+    frame broadcast back, one group-keyed window. The quota rounds the
+    6-digit weight × budget half-away-from-zero — identical in Spark
+    and DuckDB, and a .5 boundary is an exact binary double so neither
+    engine drifts."""
+    weights = temperature_weights(df, group_col, alpha=alpha, budget=budget)
+    quota = weights.select(
+        group_col,
+        F.round(F.col("weight") * F.lit(float(budget)), 0)
+        .cast("long")
+        .alias("__quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(key_col), salt), F.asc(key_col)
+    )
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn("__trn", F.row_number().over(w))
+        .filter(F.col("__trn") <= F.col("__quota"))
+        .drop("__trn", "__quota")
+    )

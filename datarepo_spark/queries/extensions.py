@@ -3770,7 +3770,7 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessionization — one (user, type)-keyed window, µs-exact gaps.
     oracle="""
     WITH gaps AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type
                                      ORDER BY ts, event_id) IS NULL
                   OR ts - LAG(ts) OVER (PARTITION BY user_id, event_type
@@ -3781,7 +3781,7 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
       SELECT user_id, event_type, ts,
              SUM(is_new) OVER (PARTITION BY user_id, event_type
-                               ORDER BY ts
+                               ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS burst_id
       FROM gaps
     )
@@ -3924,3 +3924,40 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / dsum(F.col("l_quantity"))
         ).alias("wavg_price")
     )
+
+
+@register(
+    "pipeline_temperature_sample",
+    # The temperature weights made executable: each source contributes
+    # round(w_i x budget) documents, chosen by deterministic hash rank.
+    # One grouped count, the tiny quota frame broadcast back, one
+    # source-keyed window — the alpha-mixing draw end to end.
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (
+      SELECT source,
+             ROUND(POW(CAST(n AS DOUBLE), 0.7)
+                   / SUM(POW(CAST(n AS DOUBLE), 0.7)) OVER (), 6) AS wt
+      FROM c
+    ), q AS (
+      SELECT source, CAST(ROUND(wt * 300.0, 0) AS BIGINT) AS quota FROM w
+    ), r AS (
+      SELECT d.doc_id, d.source, q.quota,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY {SP.sql_hash_fraction('d.doc_id', salt='temp')},
+                        d.doc_id) AS rn
+      FROM documents d JOIN q USING (source)
+    )
+    SELECT doc_id, source FROM r WHERE rn <= quota
+    """,
+    description="temperature-mixture draw (alpha=0.7, 300-doc budget): "
+    "per-source quota = round(weight x budget), hash-rank selection",
+)
+def pipeline_temperature_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.temperature_sample(
+        docs, "source", "doc_id", alpha=0.7, budget=300, salt="temp"
+    ).select("doc_id", "source")

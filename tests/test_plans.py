@@ -465,3 +465,14 @@ class TestRound8Plans:
         plan = plan_of(spark, sf_dir, "agg_weighted_avg")
         assert "partial_sum" in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_temperature_sample_broadcast_quota_one_window(
+        self, spark, sf_dir
+    ):
+        """The per-source quota frame joins back broadcast (corpus never
+        shuffles for it); the only corpus exchanges are the grouped
+        count and the source-keyed selection window."""
+        plan = plan_of(spark, sf_dir, "pipeline_temperature_sample")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning" not in plan
