@@ -128,6 +128,53 @@ HEADLINE = [
 WARMUP_DIR = "/root/testdata/sf0.001"
 
 
+def _steady_child(plan_path: str) -> None:
+    """Steady pass, executed in a CHILD PROCESS (its own JVM — in-process
+    spark.stop()+getOrCreate() would reuse the parent's py4j JVM and
+    carry its heap/JIT state, the exact contamination the steady series
+    exists to remove). Reads {sf_dir, names, timings} from ``plan_path``,
+    writes {steady, contaminated} back to the same file."""
+    with open(plan_path) as fh:
+        plan = json.load(fh)
+    sf_dir, names, timings = plan["sf_dir"], plan["names"], plan["timings"]
+    spark = get_spark(
+        app_name="datarepo-spark-bench-steady",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if os.path.isdir(WARMUP_DIR) and os.path.realpath(WARMUP_DIR) != (
+        os.path.realpath(sf_dir)
+    ):
+        for name in names:  # compile the generated code in THIS JVM
+            REGISTRY[name].spark_fn(spark, WARMUP_DIR).count()
+
+    steady: dict[str, float] = {}
+    contaminated: list[str] = []
+    for name in names:
+        unpersist_intermediates()
+        spark.catalog.clearCache()
+        best = None
+        # 2 base reps; up to 2 extra while the minimum still exceeds
+        # the composite floor by >25% (steady <= composite within
+        # noise by construction — a miss means host contention).
+        for rep in range(4):
+            if rep >= 2 and best <= timings[name] * 1.25:
+                break
+            start = time.perf_counter()
+            n = REGISTRY[name].spark_fn(spark, sf_dir).count()
+            elapsed = round(time.perf_counter() - start, 4)
+            assert n >= 0
+            best = elapsed if best is None else min(best, elapsed)
+        if best > timings[name] * 1.25:
+            contaminated.append(name)
+            best = timings[name]
+        steady[name] = best
+    with open(plan_path, "w") as fh:
+        json.dump({"steady": steady, "contaminated": contaminated}, fh)
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -169,45 +216,35 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_STEADY", "1") != "0":
         # Fresh JVM for the steady pass: composite-session heap/GC state
-        # inflated r7's steady map up to 8×. Re-warm the generated code
-        # at sf0.001 so the timed reps measure execution, not Janino.
-        spark.stop()
-        spark = get_spark(
-            app_name="datarepo-spark-bench-steady",
-            shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
-            extra_conf={"spark.driver.memory": "16g"},
-        )
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
-        if os.path.isdir(WARMUP_DIR) and os.path.realpath(WARMUP_DIR) != (
-            os.path.realpath(sf_dir)
-        ):
-            for name in names:
-                REGISTRY[name].spark_fn(spark, WARMUP_DIR).count()
+        # inflated r7's steady map up to 8×. A CHILD PROCESS gives a
+        # genuinely new JVM (in-process stop()+getOrCreate() reuses the
+        # parent's py4j gateway JVM); the composite session stops FIRST
+        # so the two never compete for cores.
+        import subprocess
+        import tempfile
 
-        steady: dict[str, float] = {}
-        contaminated: list[str] = []
-        for name in names:
-            unpersist_intermediates()
-            spark.catalog.clearCache()
-            best = None
-            # 2 base reps; up to 2 extra while the minimum still exceeds
-            # the composite floor by >25% (steady <= composite within
-            # noise by construction — a miss means host contention).
-            for rep in range(4):
-                if rep >= 2 and best <= timings[name] * 1.25:
-                    break
-                start = time.perf_counter()
-                n = REGISTRY[name].spark_fn(spark, sf_dir).count()
-                elapsed = round(time.perf_counter() - start, 4)
-                assert n >= 0
-                best = elapsed if best is None else min(best, elapsed)
-            if best > timings[name] * 1.25:
-                contaminated.append(name)
-                best = timings[name]
-            steady[name] = best
-        out["steady"] = steady
-        out["steady_total"] = round(sum(steady.values()), 4)
-        out["steady_contaminated"] = contaminated
+        spark.stop()
+        fd, plan_path = tempfile.mkstemp(suffix=".json", prefix="steady-")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "names": names, "timings": timings}, fh
+            )
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--steady-child",
+                 plan_path],
+                check=True,
+                env={**os.environ, "SPARK_GRAFT_STEADY": "0"},
+            )
+            with open(plan_path) as fh:
+                child = json.load(fh)
+            out["steady"] = child["steady"]
+            out["steady_total"] = round(sum(child["steady"].values()), 4)
+            out["steady_contaminated"] = child["contaminated"]
+        finally:
+            os.unlink(plan_path)
+    else:
+        spark.stop()
 
     # Full per-query detail (composite + steady maps) goes to a sidecar
     # file; the stdout line stays compact so the driver's bounded tail
@@ -233,8 +270,10 @@ def main() -> None:
         compact.pop("queries", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--steady-child":
+        _steady_child(sys.argv[2])
+    else:
+        main()

@@ -582,6 +582,29 @@ def index_health(
     }
 
 
+def _pruned_candidates(
+    spark: SparkSession,
+    uri: str,
+    query_vec: Sequence[float],
+    nprobe: int,
+    columns: list[str],
+) -> DataFrame:
+    """Partition-pruned candidate scan shared by every index query:
+    resolve the nprobe nearest cells driver-side (nprobe × d matmul on
+    the stored centroids) and read ONLY those cell partitions through
+    the Delta table's partition pruning."""
+    from ..tables.delta_table import DeltalakeTable
+
+    index = load_ann_index(uri)
+    cells = index.probe_cells(list(query_vec), nprobe)
+    table = DeltalakeTable(os.path.basename(uri.rstrip("/")), uri)
+    return table(
+        filters=[Filter("cell", "in", cells)],
+        columns=columns,
+        spark=spark,
+    )
+
+
 def query_ann_index(
     spark: SparkSession,
     uri: str,
@@ -591,18 +614,10 @@ def query_ann_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Top-k by cosine: resolve the nprobe nearest cells driver-side
-    (k × d matmul on the stored centroids), read ONLY those partitions
-    through the Delta table's partition pruning, exact re-rank inside."""
-    from ..tables.delta_table import DeltalakeTable
-
-    index = load_ann_index(uri)
-    cells = index.probe_cells(list(query_vec), nprobe)
-    table = DeltalakeTable(os.path.basename(uri.rstrip("/")), uri)
-    candidates = table(
-        filters=[Filter("cell", "in", cells)],
-        columns=[id_col, vec_col],
-        spark=spark,
+    """Top-k by cosine over the nprobe-pruned candidate partitions,
+    exact re-rank inside (see :func:`_pruned_candidates`)."""
+    candidates = _pruned_candidates(
+        spark, uri, query_vec, nprobe, [id_col, vec_col]
     )
     return knn_brute_force(
         candidates, list(query_vec), k, vec_col, id_col
@@ -620,23 +635,15 @@ def query_ann_index_radius(
 ) -> DataFrame:
     """RANGE search over the persisted index: every indexed vector with
     cosine ≥ threshold (FAISS range_search over the IVF layout). Same
-    partition-pruned plan as :func:`query_ann_index` — nprobe cells
-    resolved driver-side, exact row-local cosine filter inside — but
-    the result set is data-dependent instead of top-k, the shape
-    near-dup sweeps want ("everything this similar to the probe").
-    Recall is bounded by the nprobe cells, exactly like top-k; pass
-    ``nprobe = nlist`` for exhaustive (exact) range search."""
+    partition-pruned plan as :func:`query_ann_index` but the result set
+    is data-dependent instead of top-k — the shape near-dup sweeps want
+    ("everything this similar to the probe"). Recall is bounded by the
+    nprobe cells, exactly like top-k; pass ``nprobe = nlist`` for
+    exhaustive (exact) range search."""
     from .similarity import radius_search
 
-    from ..tables.delta_table import DeltalakeTable
-
-    index = load_ann_index(uri)
-    cells = index.probe_cells(list(query_vec), nprobe)
-    table = DeltalakeTable(os.path.basename(uri.rstrip("/")), uri)
-    candidates = table(
-        filters=[Filter("cell", "in", cells)],
-        columns=[id_col, vec_col],
-        spark=spark,
+    candidates = _pruned_candidates(
+        spark, uri, query_vec, nprobe, [id_col, vec_col]
     )
     return radius_search(
         candidates, list(query_vec), threshold, vec_col, id_col

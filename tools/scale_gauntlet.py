@@ -63,9 +63,10 @@ def build_scaled(spark, replicas: int, out: str) -> None:
     os.makedirs(out)
     rep = spark.range(replicas).select(F.col("id").cast("int").alias("__r"))
 
-    def save(df, name, parts=None):
-        w = df.write.mode("overwrite")
-        (w.parquet(os.path.join(out, f"{name}.parquet")))
+    def save(df, name):
+        df.write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
 
     # dims: straight copy
     for t in ("region", "nation", "customer", "supplier", "part"):
