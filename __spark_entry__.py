@@ -103,6 +103,8 @@ _PRIORITY_R9 = [
     "events_sequence_ngrams",
     "agg_weighted_avg",
     "pipeline_temperature_sample",
+    "join_asof_forward",
+    "profile_skew_kurtosis",
     "delta_update_set",
     "delta_table_changes",
     "delta_restore_roundtrip",

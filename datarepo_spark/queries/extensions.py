@@ -3961,3 +3961,100 @@ def pipeline_temperature_sample(
     return SP.temperature_sample(
         docs, "source", "doc_id", alpha=0.7, budget=300, salt="temp"
     ).select("doc_id", "source")
+
+
+@register(
+    "join_asof_forward",
+    # The forward direction of the as-of operator (pandas merge_asof
+    # direction='forward'): earliest event at-or-after each order —
+    # the attribution shape ("first activity after purchase"). DuckDB
+    # native ASOF with the <= inequality is the oracle.
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, e.ts AS first_event_ts
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    """,
+    description="as-of join (forward): earliest event at-or-after each "
+    "order, per customer — vs DuckDB native ASOF",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    return asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        e,
+        left_on="o_orderdate",
+        right_on="ts",
+        left_by="o_custkey",
+        right_by="user_id",
+        payload=F.col("ts"),
+        payload_name="first_event_ts",
+        direction="forward",
+    ).select("o_orderkey", "o_custkey", "first_event_ts")
+
+
+@register(
+    "profile_skew_kurtosis",
+    # Higher central moments, CROSS-ENGINE EXACT like profile_correlation:
+    # built-in skewness()/kurtosis() accumulate engine-specific float
+    # streams, so the four power sums are taken in DECIMAL(38,6)
+    # (x^4 of a 1e5-magnitude price x 6e5 rows ~ 1e26 << 1e32 — exact)
+    # and the closed central-moment forms run as a fixed IEEE sequence.
+    # Spark/DuckDB built-ins also disagree on the ESTIMATOR (sample vs
+    # population); computing from sums pins the population form.
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {SQL_DSUM('l_extendedprice')} AS s1,
+             {SQL_DSUM('l_extendedprice * l_extendedprice')} AS s2,
+             {SQL_DSUM('l_extendedprice * l_extendedprice * l_extendedprice')} AS s3,
+             {SQL_DSUM('l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice')} AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3))
+                 / POW(SQRT(s2 / n - (s1 / n) * (s1 / n)), 3), 9)
+             AS skewness_pop,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * POW(s1 / n, 4))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 9)
+             AS excess_kurtosis_pop
+    FROM s
+    """,
+    description="population skewness + excess kurtosis per group from "
+    "DECIMAL(38,6) power sums — order-independent, engine-exact "
+    "estimator (built-ins disagree on sample-vs-population)",
+)
+def profile_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x).alias("s2"),
+        dsum(x * x * x).alias("s3"),
+        dsum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * F.pow(m1, F.lit(3.0))) / F.pow(
+        F.sqrt(var), F.lit(3.0)
+    )
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * F.pow(m1, F.lit(4.0))
+    ) / F.pow(var, F.lit(2.0)) - 3
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(skew, 9).alias("skewness_pop"),
+        F.round(kurt, 9).alias("excess_kurtosis_pop"),
+    )

@@ -476,3 +476,17 @@ class TestRound8Plans:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "rangepartitioning" not in plan
+
+    def test_asof_forward_no_nested_loop(self, spark, sf_dir):
+        """The forward as-of composes from the same union +
+        carry-window as backward: no cartesian/nested-loop join, no
+        rangepartitioning of the corpus."""
+        plan = plan_of(spark, sf_dir, "join_asof_forward")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_skew_kurtosis_partial_agg_only(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "profile_skew_kurtosis")
+        assert "partial_sum" in plan or "partial_count" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan and "Window" not in plan
