@@ -1413,3 +1413,45 @@ class TestGramSetScoresFusion:
             assert (ng, bg, bfr) == bf[d], d
             assert (ng, ngr, nvy) == nv[d], d
         unpersist_intermediates()
+
+
+class TestContainmentPairs:
+    def test_doc_in_doc_flags_where_jaccard_cannot(self, spark):
+        """A paragraph quoted inside a much longer page: containment is
+        ~1.0 while Jaccard is small — the asymmetric signal the
+        operator exists for."""
+        from datarepo_spark.functions.dedup import (
+            containment_pairs,
+            unpersist_intermediates,
+        )
+
+        para = " ".join(f"tok{i}" for i in range(30))
+        page = para + " " + " ".join(f"pad{i}" for i in range(400))
+        other = " ".join(f"zzz{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, para), (2, page), (3, other)], ["doc_id", "text"]
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(
+                df, "text", "doc_id", threshold=0.5
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 0.9
+        assert not any(3 in p for p in pairs)
+        # the same pair under Jaccard sits far below the threshold
+        from datarepo_spark.functions.dedup import jaccard, shingles
+        from pyspark.sql import functions as F
+
+        j = (
+            df.filter("doc_id = 1")
+            .select(shingles(F.col("text"), 3).alias("a"))
+            .crossJoin(
+                df.filter("doc_id = 2")
+                .select(shingles(F.col("text"), 3).alias("b"))
+            )
+            .select(jaccard(F.col("a"), F.col("b")).alias("j"))
+            .head()["j"]
+        )
+        assert j < 0.2
+        unpersist_intermediates()

@@ -740,3 +740,75 @@ class TestNtileEdgeCases:
         env = base.agg(F.min("__s").alias("lo"), F.max("__s").alias("hi"))
         r = env.collect()[0]
         assert r.hi > r.lo  # sanity: the guard path is NOT what ran
+
+
+class TestTemperatureMixture:
+    def test_weights_flatten_and_sum_to_one(self, spark):
+        from datarepo_spark.functions.sampling import temperature_weights
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        rows = temperature_weights(docs, "source", alpha=0.7).collect()
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+        total = sum(r["n"] for r in rows)
+        # alpha=1 recovers proportional sampling
+        prop = temperature_weights(docs, "source", alpha=1.0).collect()
+        for r in prop:
+            assert abs(r["weight"] - r["n"] / total) < 1e-5
+        # alpha<1 flattens a SKEWED distribution: the head source's
+        # weight share drops below its count share, the tail's rises
+        # (documents' sources are uniform, where flattening is a no-op
+        # — build a 900/90/10 frame instead)
+        from pyspark.sql import functions as F
+
+        skewed = spark.range(1000).select(
+            F.when(F.col("id") < 900, "web")
+            .when(F.col("id") < 990, "books")
+            .otherwise("code")
+            .alias("source")
+        )
+        srows = {
+            r["source"]: r
+            for r in temperature_weights(
+                skewed, "source", alpha=0.7
+            ).collect()
+        }
+        assert srows["web"]["weight"] < 0.9
+        assert srows["code"]["weight"] > 0.01
+
+    def test_sample_respects_quotas_and_determinism(self, spark):
+        from datarepo_spark.functions.sampling import (
+            temperature_sample,
+            temperature_weights,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        got = temperature_sample(
+            docs, "source", "doc_id", alpha=0.7, budget=100
+        )
+        per_source = {
+            r["source"]: r["n"]
+            for r in got.groupBy("source").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        expect = {
+            r["source"]: round(r["weight"] * 100)
+            for r in temperature_weights(
+                docs, "source", alpha=0.7, budget=100
+            ).collect()
+        }
+        for src, quota in expect.items():
+            assert per_source.get(src, 0) == min(quota, expect[src]), src
+        # deterministic under repartitioning
+        ids1 = {r["doc_id"] for r in got.collect()}
+        ids2 = {
+            r["doc_id"]
+            for r in temperature_sample(
+                docs.repartition(13), "source", "doc_id",
+                alpha=0.7, budget=100,
+            ).collect()
+        }
+        assert ids1 == ids2
