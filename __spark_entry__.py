@@ -105,6 +105,7 @@ _PRIORITY_R9 = [
     "pipeline_temperature_sample",
     "join_asof_forward",
     "profile_skew_kurtosis",
+    "dedup_rate_by_source",
     "delta_update_set",
     "delta_table_changes",
     "delta_restore_roundtrip",

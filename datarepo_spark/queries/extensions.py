@@ -4058,3 +4058,34 @@ def profile_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 9).alias("skewness_pop"),
         F.round(kurt, 9).alias("excess_kurtosis_pop"),
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    # The curation dashboard number: per source, how much of the corpus
+    # is exact-duplicate mass. COUNT(DISTINCT sha256) over the 32-byte
+    # content key — text never shuffles; one grouped aggregate.
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(lower(trim(text)))) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT sha256(lower(trim(text))))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
+    FROM documents
+    GROUP BY source
+    """,
+    description="per-source exact-duplicate rate: count distinct over "
+    "the 32-byte content key — text never shuffles",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ck = D.content_key(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(ck).alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(ck) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )
