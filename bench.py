@@ -128,6 +128,25 @@ HEADLINE = [
 WARMUP_DIR = "/root/testdata/sf0.001"
 
 
+def _warm_session(app_name: str, names: list, sf_dir: str):
+    """Shared measurement bootstrap for BOTH the composite and steady
+    passes (one definition so the two can't silently desynchronize):
+    session confs, JVM warmup, and the sf0.001 compile pass for every
+    headline query's generated code."""
+    spark = get_spark(
+        app_name=app_name,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if os.path.isdir(WARMUP_DIR) and os.path.realpath(WARMUP_DIR) != (
+        os.path.realpath(sf_dir)
+    ):
+        for name in names:
+            REGISTRY[name].spark_fn(spark, WARMUP_DIR).count()
+    return spark
+
+
 def _steady_child(plan_path: str) -> None:
     """Steady pass, executed in a CHILD PROCESS (its own JVM — in-process
     spark.stop()+getOrCreate() would reuse the parent's py4j JVM and
@@ -137,17 +156,7 @@ def _steady_child(plan_path: str) -> None:
     with open(plan_path) as fh:
         plan = json.load(fh)
     sf_dir, names, timings = plan["sf_dir"], plan["names"], plan["timings"]
-    spark = get_spark(
-        app_name="datarepo-spark-bench-steady",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
-        extra_conf={"spark.driver.memory": "16g"},
-    )
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    if os.path.isdir(WARMUP_DIR) and os.path.realpath(WARMUP_DIR) != (
-        os.path.realpath(sf_dir)
-    ):
-        for name in names:  # compile the generated code in THIS JVM
-            REGISTRY[name].spark_fn(spark, WARMUP_DIR).count()
+    spark = _warm_session("datarepo-spark-bench-steady", names, sf_dir)
 
     steady: dict[str, float] = {}
     contaminated: list[str] = []
@@ -178,19 +187,8 @@ def _steady_child(plan_path: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(
-        app_name="datarepo-spark-bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
-        extra_conf={"spark.driver.memory": "16g"},
-    )
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
-
     names = [n for n in HEADLINE if n in REGISTRY]
-    if os.path.isdir(WARMUP_DIR) and os.path.realpath(WARMUP_DIR) != (
-        os.path.realpath(sf_dir)
-    ):
-        for name in names:  # compile all generated code paths
-            REGISTRY[name].spark_fn(spark, WARMUP_DIR).count()
+    spark = _warm_session("datarepo-spark-bench", names, sf_dir)
 
     timings: dict[str, float] = {}
     for _pass in range(2):

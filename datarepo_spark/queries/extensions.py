@@ -3717,20 +3717,27 @@ def pipeline_mixture_temperature(
     "profile_correlation",
     # Pearson correlation per group, CROSS-ENGINE EXACT: built-in
     # corr() accumulates co-moments in engine-specific order, so the
-    # five sums are taken in DECIMAL(38,6) (order-independent, exact —
-    # every product has <= 4 decimal digits) and the closed form
-    # (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) runs as a fixed
-    # sequence of IEEE ops: bit-identical in Spark and DuckDB.
+    # five sums are taken in DECIMAL(38,6) (order-independent) and the
+    # closed form (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))
+    # runs as a fixed sequence of IEEE ops: bit-identical in Spark and
+    # DuckDB. The price is downscaled by 1000 (correlation is invariant
+    # under per-variable scaling) so y² stays inside the
+    # engine-identical double->decimal cast range — value*10^6 must be
+    # < 2^53, and a raw price² ~ 1e10 * 10^6 sits just beyond it.
     oracle=f"""
-    WITH s AS (
+    WITH u AS (
+      SELECT l_returnflag, l_quantity AS x,
+             l_extendedprice / 1000.0 AS y
+      FROM lineitem
+    ), s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             {SQL_DSUM('l_quantity')} AS sx,
-             {SQL_DSUM('l_extendedprice')} AS sy,
-             {SQL_DSUM('l_quantity * l_extendedprice')} AS sxy,
-             {SQL_DSUM('l_quantity * l_quantity')} AS sxx,
-             {SQL_DSUM('l_extendedprice * l_extendedprice')} AS syy
-      FROM lineitem GROUP BY l_returnflag
+             {SQL_DSUM('x')} AS sx,
+             {SQL_DSUM('y')} AS sy,
+             {SQL_DSUM('x * y')} AS sxy,
+             {SQL_DSUM('x * x')} AS sxx,
+             {SQL_DSUM('y * y')} AS syy
+      FROM u GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
            ROUND((n * sxy - sx * sy)
@@ -3743,7 +3750,9 @@ def pipeline_mixture_temperature(
 )
 def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # correlation is scale-invariant: downscale the price so y² stays
+    # in the engine-identical double->decimal cast range (oracle note)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice") / F.lit(1000.0)
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         dsum(x).alias("sx"),
@@ -4000,20 +4009,28 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_skew_kurtosis",
     # Higher central moments, CROSS-ENGINE EXACT like profile_correlation:
     # built-in skewness()/kurtosis() accumulate engine-specific float
-    # streams, so the four power sums are taken in DECIMAL(38,6)
-    # (x^4 of a 1e5-magnitude price x 6e5 rows ~ 1e26 << 1e32 — exact)
-    # and the closed central-moment forms run as a fixed IEEE sequence.
+    # streams, so the four power sums are taken in DECIMAL(38,6) and the
+    # closed central-moment forms run as a fixed IEEE sequence.
     # Spark/DuckDB built-ins also disagree on the ESTIMATOR (sample vs
     # population); computing from sums pins the population form.
+    # The price is DOWNSCALED by 1000 first: the double->DECIMAL(38,6)
+    # cast is only engine-identical while value*10^6 < 2^53 (Spark casts
+    # via shortest-string, DuckDB via scaled binary — they diverge
+    # beyond the double's integer range), and a raw price^4 ~ 1e20 is
+    # far outside it. Standardized moments are scale-invariant, so
+    # u = price/1000 (u^4 <= ~1.2e8, *10^6 well under 2^53) gives the
+    # SAME skewness/kurtosis with bit-identical accumulation.
     oracle=f"""
-    WITH s AS (
+    WITH u AS (
+      SELECT l_returnflag, l_extendedprice / 1000.0 AS x FROM lineitem
+    ), s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             {SQL_DSUM('l_extendedprice')} AS s1,
-             {SQL_DSUM('l_extendedprice * l_extendedprice')} AS s2,
-             {SQL_DSUM('l_extendedprice * l_extendedprice * l_extendedprice')} AS s3,
-             {SQL_DSUM('l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice')} AS s4
-      FROM lineitem GROUP BY l_returnflag
+             {SQL_DSUM('x')} AS s1,
+             {SQL_DSUM('x * x')} AS s2,
+             {SQL_DSUM('x * x * x')} AS s3,
+             {SQL_DSUM('x * x * x * x')} AS s4
+      FROM u GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
            ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3))
@@ -4032,7 +4049,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    x = F.col("l_extendedprice")
+    # scale-invariant moments: downscale so every power sum stays in
+    # the engine-identical double->decimal cast range (see oracle note)
+    x = F.col("l_extendedprice") / F.lit(1000.0)
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         dsum(x).alias("s1"),

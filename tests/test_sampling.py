@@ -789,19 +789,28 @@ class TestTemperatureMixture:
         got = temperature_sample(
             docs, "source", "doc_id", alpha=0.7, budget=100
         )
+        import math
+
         per_source = {
             r["source"]: r["n"]
             for r in got.groupBy("source").count()
             .withColumnRenamed("count", "n").collect()
         }
+        sizes = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").count()
+            .withColumnRenamed("count", "n").collect()
+        }
         expect = {
-            r["source"]: round(r["weight"] * 100)
+            # half-AWAY rounding to match F.round — Python round() is
+            # half-even and diverges at any .5 quota boundary
+            r["source"]: math.floor(r["weight"] * 100 + 0.5)
             for r in temperature_weights(
                 docs, "source", alpha=0.7, budget=100
             ).collect()
         }
         for src, quota in expect.items():
-            assert per_source.get(src, 0) == min(quota, expect[src]), src
+            assert per_source.get(src, 0) == min(quota, sizes[src]), src
         # deterministic under repartitioning
         ids1 = {r["doc_id"] for r in got.collect()}
         ids2 = {
