@@ -490,3 +490,12 @@ class TestRound8Plans:
         assert "partial_sum" in plan or "partial_count" in plan
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan and "Window" not in plan
+
+    def test_dedup_rate_shuffles_hash_not_text(self, spark, sf_dir):
+        """COUNT(DISTINCT sha256) per source: the two-phase distinct
+        aggregate exchanges on (source, 64-char key) — never the text —
+        and nothing joins."""
+        plan = plan_of(spark, sf_dir, "dedup_rate_by_source")
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "Join" not in plan
+        assert "partial_count" in plan
