@@ -204,3 +204,135 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("first_ts", T.TimestampNTZType()),
+        T.StructField("n_collapsed", T.LongType()),
+    ]
+)
+
+# State: (burst_start_us, last_ts_us, n_collapsed)
+DEBOUNCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _burst_row(
+    user_id: int, event_type: str, start_us: int, n: int
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "first_ts": [pd.Timestamp(start_us * 1_000)],
+            "n_collapsed": [n],
+        }
+    )
+
+
+def make_debouncer(gap_seconds: int = 60):
+    """(key, pdf_iter, state) callback collapsing same-type bursts —
+    the streaming twin of the batch ``events_debounce`` query: a chain
+    of events per (user, type) with inter-event gaps <= gap collapses
+    to its FIRST event plus a count, emitted when the burst closes
+    (next event beyond the gap, or event-time timeout past
+    last_ts + gap). Same state-machine shape as the sessionizer:
+    O(active (user, type)) state, append-mode output, exactly-once per
+    closed burst."""
+    gap_us = gap_seconds * _US
+
+    def debounce(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _burst_row(user_id, event_type, start_us, n)
+            return
+
+        def arm_timeout(last: int) -> None:
+            state.setTimeoutTimestamp(
+                max(
+                    (last + gap_us) // 1_000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            if state.exists:
+                arm_timeout(state.get[1])
+            return
+        events = pd.concat(frames, ignore_index=True)
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if wm_us > 0:
+            ts_us = (events["ts"] - pd.Timestamp(0)) // pd.Timedelta(
+                microseconds=1
+            )
+            events = events[ts_us >= wm_us]
+            if len(events) == 0:
+                if state.exists:
+                    arm_timeout(state.get[1])
+                return
+        events = events.sort_values(["ts", "event_id"], ignore_index=True)
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+
+        closed: list[pd.DataFrame] = []
+        for ts in events["ts"]:
+            t = _us(ts)
+            if n > 0 and t - last_us > gap_us:  # strict >, like batch
+                closed.append(
+                    _burst_row(user_id, event_type, start_us, n)
+                )
+                n = 0
+            if n == 0:
+                start_us = last_us = t
+            else:
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+            n += 1
+
+        state.update((start_us, last_us, n))
+        arm_timeout(last_us)
+        for frame in closed:
+            yield frame
+
+    return debounce
+
+
+def stateful_debounce(
+    events: DataFrame,
+    gap_seconds: int = 60,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Closed (collapsed) bursts per (user, event type) from a
+    (streaming) events frame — the live path of ``events_debounce``.
+    Output is append-mode: one immutable row per closed burst."""
+    return (
+        events.select("event_id", "ts", "user_id", "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            make_debouncer(gap_seconds),
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -415,3 +415,78 @@ class TestCheckpointTxnIdentity:
             assert ci("q", "file://nfs-host/data/ckpt") == h
         finally:
             os.chdir(cwd)
+
+
+class TestStatefulDebounce:
+    """Streaming twin of the batch events_debounce query: every
+    data-closed burst must match the batch lag-gap collapse exactly on
+    (user, type, first_ts, count)."""
+
+    def _batch_bursts(self, spark, events_dir):
+        e = spark.read.schema(SE.EVENTS_FILE_SCHEMA).parquet(events_dir)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        gap = F.unix_micros(F.col("ts")) - F.lag(
+            F.unix_micros(F.col("ts"))
+        ).over(w)
+        is_new = F.when(gap.isNull() | (gap > 60 * 1_000_000), 1).otherwise(0)
+        b = e.withColumn(
+            "burst_id",
+            F.sum(is_new).over(
+                Window.partitionBy("user_id", "event_type")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return (
+            b.groupBy("user_id", "event_type", "burst_id")
+            .agg(
+                F.min("ts").alias("first_ts"),
+                F.count(F.lit(1)).alias("n_collapsed"),
+            )
+            .collect()
+        )
+
+    def test_closed_bursts_match_batch(self, spark, events_dir):
+        from datarepo_spark.streaming.stateful import stateful_debounce
+
+        stream = SE.read_events_stream(
+            spark, events_dir, max_files_per_trigger=1
+        )
+        result = stateful_debounce(
+            stream, gap_seconds=60, watermark="1 minute"
+        )
+        assert result.isStreaming
+        got = SE.run_stream_to_memory(
+            result, "stateful_debounce", output_mode="append"
+        )
+        emitted = got.collect()
+        assert len(emitted) > 0
+
+        batch = self._batch_bursts(spark, events_dir)
+        bmap = {
+            (r.user_id, r.event_type, r.first_ts): r for r in batch
+        }
+        for r in emitted:
+            key = (r.user_id, r.event_type, r.first_ts)
+            assert key in bmap, f"spurious burst {key}"
+            assert r.n_collapsed == bmap[key].n_collapsed, key
+        keys = [(r.user_id, r.event_type, r.first_ts) for r in emitted]
+        assert len(keys) == len(set(keys))  # exactly-once per burst
+        # bursts closed BY DATA (a later burst exists for the same
+        # (user, type)) must all have been emitted
+        last = {}
+        for r in batch:
+            cur = last.get((r.user_id, r.event_type))
+            if cur is None or r.first_ts > cur.first_ts:
+                last[(r.user_id, r.event_type)] = r
+        non_last = [
+            (r.user_id, r.event_type, r.first_ts)
+            for r in batch
+            if last[(r.user_id, r.event_type)].first_ts != r.first_ts
+        ]
+        missing = set(non_last) - set(keys)
+        assert not missing, f"{len(missing)} data-closed bursts missing"
