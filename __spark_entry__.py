@@ -28,72 +28,14 @@ from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
 # family per rotation. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 _PRIORITY = [
-    # -- r8 window (VERDICT r7 #1): the 14 r7-born queries that have
-    # never held a driver CORRECTNESS row, the 8 r4-cohort deferrals
-    # (oldest gates in the registry, last green r4), then 28 of the 50
-    # queries whose latest gate is r5 — in registration order (age).
-    # After r8: every registry query has held a driver row and none is
-    # older than r5; the remaining 22 r5-gated queries lead the r9
-    # staging list below.
-    "pipeline_nucleus_topp",
-    "profile_winsorized",
-    "similarity_kmeans_assign",
-    "sample_cluster_split",
-    "sample_diverse_cells",
-    "pipeline_decontaminate_neardup",
-    "pipeline_curriculum_shards",
-    "text_boilerplate_fraction",
-    "text_novelty_score",
-    "pipeline_curate_v3",
-    "text_quality_rank",
-    "skew_salted_join",
-    "agg_mode",
-    "sample_kfold",
-    # -- deferred r4 shapes (latest gate r4 — the oldest cohort) ------
-    "q4_order_priority",
-    "q12_priority_counting",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_cnt",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    "agg_having",
-    # -- r5-cohort refresh (28 of 50, by age) --------------------------
-    "similarity_ann_pq",
-    "similarity_ann_ivfpq",
-    "similarity_ann_index",
-    "dedup_semantic",
-    "dedup_duplicate_spans",
-    "text_perplexity",
-    "classify_nb_language",
-    "pipeline_mixture_sample",
-    "pipeline_pack_sequences",
-    "events_anomaly_zscore",
-    "events_sliding_window",
-    "text_repetition",
-    "text_normalize",
-    "join_fuzzy_editdist",
-    "join_fuzzy_link",
-    "events_funnel",
-    "events_retention",
-    "events_transition_matrix",
-    "dedup_cluster_survivors",
-    "pipeline_chunk_dedup",
-    "agg_approx_percentile",
-    "agg_sketch_rollup",
-    "profile_orders",
-    "delta_maintenance_roundtrip",
-    "delta_merge_upsert",
-    "delta_zorder_skip",
-    "delta_dv_read",
-    # exactly 50 entries total — the driver gates the first 50
-    "delta_dv_delete",
-]
-
-# r9 rotation staging: the r8-born queries (never driver-gated) first,
-# then the 22 r5-gated queries not refreshed in the r8 window (by age);
-# the r6 cohort follows in registration order.
-_PRIORITY_R9 = [
+    # -- r9 window (VERDICT r8 #2): the 12 r8-born queries that have
+    # never held a driver CORRECTNESS row, then the 22 queries whose
+    # latest gate is r5 (oldest cohort, registration order), then
+    # skew_salted_join re-gated after the deterministic-salt fix
+    # (VERDICT r8 #1), then 15 of the 50 r6-gated queries by
+    # registration order. After r9: every registry query has held a
+    # driver row and none is older than r6; the remaining 35 r6-gated
+    # queries lead the r10 staging list below.
     "dedup_ngram_containment",
     "text_char_entropy",
     "pipeline_mixture_temperature",
@@ -106,6 +48,7 @@ _PRIORITY_R9 = [
     "join_asof_forward",
     "profile_skew_kurtosis",
     "dedup_rate_by_source",
+    # -- r5-cohort stragglers (latest gate r5 — the oldest cohort) ----
     "delta_update_set",
     "delta_table_changes",
     "delta_restore_roundtrip",
@@ -128,12 +71,72 @@ _PRIORITY_R9 = [
     "pipeline_length_buckets",
     "delta_identity_append",
     "pipeline_curate_v2",
+    # -- re-gate after the deterministic-salt fix (functions/skew.py) --
+    "skew_salted_join",
+    # -- r6-cohort refresh (15 of 50, registration order) --------------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "filter_comparisons",
+    "filter_in_contains_dnf",
+    "filter_not_in",
+    "filter_sql_string",
+    "join_semi",
+    "join_anti",
+    "join_outer_full",
+    "join_cross",
+    "join_theta_inequality",
+    # exactly 50 entries total — the driver gates the first 50
+    "join_range_bucketed",
+]
+
+# r10 rotation staging: any r9-born queries lead (inserted when they
+# land), then the 35 r6-gated queries not refreshed in the r9 window,
+# in registration order.
+_PRIORITY_R10 = [
+    "agg_distinct_counts",
+    "agg_whole_frame",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_median_quantile",
+    "window_rank_topk_per_group",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_rolling_mean",
+    "sort_topk",
+    "dedup_distinct_subset",
+    "set_except",
+    "set_intersect",
+    "fn_string_suite",
+    "fn_date_suite",
+    "fn_math_suite",
+    "fn_array_suite",
+    "fn_json_extract",
+    "fn_conditional_null",
+    "reshape_explode",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "events_tumbling_window",
+    "events_sessionize",
+    "join_left",
+    "join_asof_backward",
+    "window_rank_variants",
+    "window_first_last",
+    "window_range_7d",
+    "set_union_all_drift",
+    "normalize_missing_column",
+    "text_sentiment",
+    "text_top_tokens",
+    "similarity_ann_index_pq",
 ]
 
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
-    for name in _PRIORITY + _PRIORITY_R9:
+    for name in _PRIORITY + _PRIORITY_R10:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():
         if name not in ordered:

@@ -723,9 +723,14 @@ def rebuild_ann_index(
     guards back the convention: a ``rebuild.lock`` file is taken for
     the duration (``append_to_ann_index`` refuses while it is present,
     so an append can't land rows the swap would drop), and the table
-    version is re-checked immediately before the swap — if a writer
-    that predates the lock committed mid-rebuild, the swap aborts
-    loudly instead of silently dropping the commit. A crash between
+    version is re-checked TWICE — immediately before the swap, and
+    again after the first rename (reading the log now at ``prev``).
+    The first check catches a writer that predates the lock and
+    committed mid-rebuild; the second closes the check-then-act window
+    between the first check and the rename (a commit after the rename
+    fails outright — the directory is gone), rolling the rename back
+    and aborting instead of silently dropping the commit. A crash
+    between
     the renames leaves ``<uri>.prev-<pid>`` holding the intact old
     generation — rename it back to recover (the lock travels with it;
     remove it after the rename-back).
@@ -823,6 +828,25 @@ def rebuild_ann_index(
         if os.path.exists(prev):
             shutil.rmtree(prev)
         os.rename(uri, prev)
+        # the guard above is check-then-act: an append that passed the
+        # lock check just before the lock was taken can commit in the
+        # window between the end_version re-check and the rename. The
+        # rename itself closes the window going forward (a commit after
+        # it fails — the directory is gone), so re-reading the version
+        # of the log now sitting at `prev` catches exactly the straggler
+        # commit; roll the rename back and abort rather than silently
+        # dropping it.
+        invalidate_snapshot_cache(prev)
+        post_version = DeltaLog(prev).snapshot().version
+        if post_version != start_snap.version:
+            os.rename(prev, uri)
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"table at {uri} advanced during the generation swap "
+                f"(version {start_snap.version} -> {post_version}); the "
+                f"swap was rolled back — re-run the rebuild from a "
+                f"quiesced maintenance window"
+            )
         os.rename(tmp, uri)
     finally:
         # on success the lock moved into prev with the old generation;

@@ -61,8 +61,10 @@ def radius_search(
     Row-local cosine against the broadcast literal + a filter: a pure
     map stage — no exchange, no sort, no join — so it scales linearly
     and composes with partition pruning upstream. The result set is
-    data-dependent (unlike top-k); callers wanting a bound compose
-    ``.limit`` on top (which plans as TakeOrdered)."""
+    data-dependent (unlike top-k); callers wanting a deterministic
+    bound compose ``.orderBy(F.desc("cosine")).limit(k)`` on top (which
+    plans as TakeOrderedAndProject — a bare ``.limit`` plans as
+    CollectLimit and returns arbitrary rows of the set)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return df.select(
         F.col(id_col),

@@ -14,6 +14,17 @@ skew at runtime; these helpers cover the cases AQE can't re-plan:
 At 100 TB a single hot key (empty string, null-ish sentinel, viral doc)
 can hold a 1000-executor job hostage on one straggler task — salting
 bounds any reducer's share of a key at 1/SALT of its rows.
+
+Salt determinism: the salt MUST be a deterministic function of row
+content, never ``F.rand``. A random salt is re-rolled when a shuffle map
+task is retried or speculatively re-executed; if some reducers already
+fetched the first attempt's output, re-rolled salts route rows to
+different (key, salt) partitions and matches are silently duplicated or
+dropped. On a 1000-executor cluster task retry is routine, so a
+rand-salt is a correctness defect, not a style issue. We derive the salt
+as ``pmod(xxhash64(payload columns), salt)`` — payloads differ within a
+hot key, so the spreading is the same, and identical full rows
+collapsing to one salt is acceptable (they aggregate/join identically).
 """
 
 from __future__ import annotations
@@ -22,6 +33,19 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _content_salt(df: DataFrame, exclude: Sequence[str], salt: int) -> Column:
+    """Deterministic salt in [0, salt): hash of every column NOT in
+    ``exclude`` (the grouping/join keys). Falling back to the full row if
+    everything is excluded keeps the expression total; that degenerate
+    case means each distinct key gets one salt, i.e. no spreading — the
+    caller has no payload to spread by."""
+    payload = [c for c in df.columns if c not in set(exclude)]
+    cols = payload if payload else list(df.columns)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt)).cast(
+        "int"
+    )
 
 
 def salted_agg(
@@ -39,10 +63,9 @@ def salted_agg(
     ``salt`` reducers; phase 2 merges the ``salt`` partials per key.
     ``aggs`` maps output name → phase-1 aggregate expression, where the
     name must start with sum_/count_/min_/max_ so the merge function is
-    known."""
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=42) * salt).cast("int")
-    )
+    known. The salt is a deterministic content hash (module docstring) —
+    safe under task retry/speculation, unlike ``F.rand``."""
+    salted = df.withColumn("__salt", _content_salt(df, keys, salt))
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
@@ -73,9 +96,11 @@ def salted_broadcast_left(
     """Skew-safe equi-join: salt the fact side, explode the dim side
     ``salt``× with matching salts, join on (key, salt). Use when the dim
     is too big to broadcast outright but a hot fact key overwhelms one
-    shuffle partition. Result columns = fact ⋈ dim as usual."""
+    shuffle partition. Result columns = fact ⋈ dim as usual. The salt is
+    a deterministic content hash (module docstring) — safe under task
+    retry/speculation, unlike ``F.rand``."""
     salted_fact = fact.withColumn(
-        "__salt", (F.rand(seed=42) * salt).cast("int")
+        "__salt", _content_salt(fact, [on_fact], salt)
     )
     exploded_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

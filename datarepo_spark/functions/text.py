@@ -672,28 +672,51 @@ def char_entropy(chars: Column) -> Column:
     per-document quality signal at corpus scale. Low entropy flags
     repetitive/boilerplate text; ~4.1 bits is typical English prose.
 
-    H = log2(n) - Σ c_i·log2(c_i) / n over per-character counts — one
-    pass over the (sorted) distinct-character list. The distinct list
-    is SORTED so the double fold visits addends in an engine-identical
-    order; log2 is libm (last-ulp variance across engines), so callers
-    round the result (the registry oracle rounds to 6).
+    H = log2(n) - Σ c_i·log2(c_i) / n over per-character run counts —
+    ONE run-length fold over the sorted character array, O(length) per
+    row (the previous per-distinct-char ``F.filter`` rescan was
+    O(alphabet × length)). The array is SORTED so runs are contiguous
+    AND the c·log2(c) addends accumulate in the same ascending-char
+    order as before — bit-identical doubles, same oracle. log2 is libm
+    (last-ulp variance across engines), so callers round the result
+    (the registry oracle rounds to 6).
 
     ``chars`` must be a MATERIALIZED array column reference (stage it
-    with ``split(lower(text), '')`` in a prior projection): the
-    higher-order lambdas reference it per distinct character, and Spark
+    with ``split(lower(text), '')`` in a prior projection): Spark
     inlines expression arguments into every reference site."""
+
+    def _close_run(acc: Column) -> Column:
+        # fold the finished run's c·log2(c) into the partial sum
+        return F.when(
+            acc["run"] > 0.0, acc["s"] + acc["run"] * F.log2(acc["run"])
+        ).otherwise(acc["s"])
+
     n = F.size(chars)
-    counts = F.transform(
-        F.array_sort(F.array_distinct(chars)),
-        lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double"),
-    )
-    s = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + c * F.log2(c),
+    acc = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0.0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, c: F.when(
+            c == acc["prev"],  # null prev (first element) falls through
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1.0).alias("run"),
+                acc["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                c.alias("prev"),
+                F.lit(1.0).alias("run"),
+                _close_run(acc).alias("s"),
+            )
+        ),
+        _close_run,
     )
     return F.when(
-        n > 0, F.log2(n.cast("double")) - s / n.cast("double")
+        n > 0, F.log2(n.cast("double")) - acc / n.cast("double")
     ).otherwise(F.lit(0.0))
 
 

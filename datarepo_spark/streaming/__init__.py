@@ -35,7 +35,14 @@ def checkpoint_txn_identity(query_name: str, checkpoint_dir: str) -> str:
     checkpoint (new epochs, new identity — no ledger to miss).
     Canonically-spelled absolute paths are unaffected."""
     d = checkpoint_dir.strip()
-    if "://" in d:
+    if d.startswith("file:") and "://" not in d:
+        # RFC 8089 minimal form 'file:/data/ckpt' (the spelling Hadoop/
+        # Spark itself renders) — no authority at all; same local
+        # location as the bare path. Without this branch the '://' check
+        # misses it and the path would resolve cwd-RELATIVE below.
+        d = d[len("file:"):] or "/"
+        d = os.path.normpath("/" + d.lstrip("/"))
+    elif "://" in d:
         scheme, _, rest = d.partition("://")
         host, _, path = rest.partition("/")
         norm = os.path.normpath("/" + path) if path else "/"

@@ -246,7 +246,14 @@ def make_debouncer(gap_seconds: int = 60):
     (next event beyond the gap, or event-time timeout past
     last_ts + gap). Same state-machine shape as the sessionizer:
     O(active (user, type)) state, append-mode output, exactly-once per
-    closed burst."""
+    closed burst.
+
+    Out-of-order arrival: above-watermark events earlier than the open
+    burst's start minus one gap are chained separately and either
+    reconnect to the burst or close as their own burst(s) — matching
+    the batch lag-gap collapse. The residual append-mode divergence is
+    a pre-chain already emitted closed that a still-later arrival would
+    have bridged; widen the watermark if that matters."""
     gap_us = gap_seconds * _US
 
     def debounce(
@@ -294,19 +301,45 @@ def make_debouncer(gap_seconds: int = 60):
             n = 0
 
         closed: list[pd.DataFrame] = []
+        # Chain the batch's events among themselves (sorted; strict >
+        # gap splits, like batch), then merge each chain against the
+        # open burst INTERVAL [start, last]. This keeps batch semantics
+        # under out-of-order arrival: an above-watermark event more than
+        # one gap before the burst's start is its own earlier burst —
+        # merging it against last_us alone (the pre-r9 rule) silently
+        # absorbed it — while a late chain whose tail reaches within one
+        # gap of start reconnects (possibly through other events of this
+        # batch). Residual append-mode limit: a chain closed here is
+        # emitted now; a still-later arrival that would have bridged it
+        # can no longer merge — widen the watermark if that matters.
+        chains: list[list] = []  # [chain_start, chain_last, count]
         for ts in events["ts"]:
             t = _us(ts)
-            if n > 0 and t - last_us > gap_us:  # strict >, like batch
+            if chains and t - chains[-1][1] <= gap_us:
+                chains[-1][1] = t
+                chains[-1][2] += 1
+            else:
+                chains.append([t, t, 1])
+        for cs, cl, cn in chains:
+            if n == 0:
+                start_us, last_us, n = cs, cl, cn
+            elif cl < start_us - gap_us:
+                # entirely more than one gap before the open burst:
+                # a late chain — its own earlier burst, like batch
+                closed.append(_burst_row(user_id, event_type, cs, cn))
+            elif cs <= last_us + gap_us:
+                # adjoins/overlaps the burst (a straddling chain's
+                # internal gaps are <= gap, so edge adjacency implies
+                # connection under batch order)
+                start_us = min(start_us, cs)
+                last_us = max(last_us, cl)
+                n += cn
+            else:
+                # disconnected after the burst: close it, open anew
                 closed.append(
                     _burst_row(user_id, event_type, start_us, n)
                 )
-                n = 0
-            if n == 0:
-                start_us = last_us = t
-            else:
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-            n += 1
+                start_us, last_us, n = cs, cl, cn
 
         state.update((start_us, last_us, n))
         arm_timeout(last_us)

@@ -50,6 +50,48 @@ class TestSaltedAgg:
             salted_agg(skewed, ["k"], {"avg_v": F.avg("v")}).collect()
 
 
+class TestSaltDeterminism:
+    """The salt must be a deterministic function of row content — a rand
+    salt is re-rolled on task retry/speculative re-execution and silently
+    duplicates or drops (key, salt) routes mid-shuffle (VERDICT r8 #1)."""
+
+    def test_no_rand_in_plan(self, spark, skewed):
+        out = salted_agg(skewed, ["k"], {"sum_v": F.sum("v")}, salt=8)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "rand(" not in plan.lower()
+        dim = spark.createDataFrame([("hot", "HOT")], ["dk", "label"])
+        joined = salted_broadcast_left(skewed, dim, "k", "dk", salt=4)
+        jplan = joined._jdf.queryExecution().analyzed().toString()
+        assert "rand(" not in jplan.lower()
+
+    def test_salt_stable_across_partitionings(self, spark, skewed):
+        from datarepo_spark.functions.skew import _content_salt
+
+        def salts(df):
+            return sorted(
+                (r.k, r.v, r.s)
+                for r in df.withColumn(
+                    "s", _content_salt(df, ["k"], 8)
+                ).collect()
+            )
+
+        one = salts(skewed.repartition(1))
+        many = salts(skewed.repartition(64))
+        assert one == many
+
+    def test_hot_key_spreads_over_salts(self, spark, skewed):
+        from datarepo_spark.functions.skew import _content_salt
+
+        distinct = (
+            skewed.filter(F.col("k") == "hot")
+            .withColumn("s", _content_salt(skewed, ["k"], 8))
+            .select("s")
+            .distinct()
+            .count()
+        )
+        assert distinct == 8  # 5000 distinct payloads cover all 8 salts
+
+
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark, skewed):
         dim = spark.createDataFrame(

@@ -404,6 +404,16 @@ class TestCheckpointTxnIdentity:
 
         base = ci("q", "/data/ckpt")
         assert ci("q", "file://localhost/data/ckpt") == base
+        # RFC 8089 minimal form (no authority) — the spelling Hadoop/
+        # Spark itself renders; must NOT resolve cwd-relative
+        assert ci("q", "file:/data/ckpt") == base
+        assert ci("q", "file:///data/ckpt") == base
+        cwd0 = os.getcwd()
+        try:
+            os.chdir("/tmp")
+            assert ci("q", "file:/data/ckpt") == base
+        finally:
+            os.chdir(cwd0)
         h = ci("q", "file://nfs-host/data/ckpt")
         assert h != base
         assert ci("q", "file://nfs-host/data/ckpt/") == h
@@ -490,3 +500,87 @@ class TestStatefulDebounce:
         ]
         missing = set(non_last) - set(keys)
         assert not missing, f"{len(missing)} data-closed bursts missing"
+
+
+class TestDebouncerOutOfOrder:
+    """make_debouncer must keep batch lag-gap semantics under
+    out-of-order arrival across batches (ADVICE r8): an above-watermark
+    event more than one gap before the open burst's start is its own
+    earlier burst, and a late chain reconnects through other events of
+    its batch when its tail reaches within one gap of the start."""
+
+    class _FakeState:
+        def __init__(self):
+            self._val = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._val is not None
+
+        @property
+        def get(self):
+            return self._val
+
+        def update(self, v):
+            self._val = tuple(v)
+
+        def remove(self):
+            self._val = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    def _feed(self, db, state, ts_seconds):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "event_id": list(range(len(ts_seconds))),
+                "ts": [pd.Timestamp(s, unit="s") for s in ts_seconds],
+            }
+        )
+        out = list(db(("u1", "click"), [pdf], state))
+        return sorted(
+            (int(r["first_ts"][0].timestamp()), int(r["n_collapsed"][0]))
+            for r in out
+        )
+
+    def test_late_singleton_is_its_own_burst(self):
+        from datarepo_spark.streaming.stateful import make_debouncer
+
+        db = make_debouncer(gap_seconds=60)
+        st = self._FakeState()
+        assert self._feed(db, st, [1000, 1010]) == []
+        assert st.get == (1000_000000, 1010_000000, 2)
+        # 800 < 1000 - 60: batch places it in its own earlier burst
+        assert self._feed(db, st, [800]) == [(800, 1)]
+        assert st.get == (1000_000000, 1010_000000, 2)
+
+    def test_late_chain_reconnects_through_batch(self):
+        from datarepo_spark.streaming.stateful import make_debouncer
+
+        db = make_debouncer(gap_seconds=60)
+        st = self._FakeState()
+        assert self._feed(db, st, [1000, 1010]) == []
+        # 930 alone is > gap before start, but chains to 990 (gap 60)
+        # which reaches the burst — batch merges ALL into one burst
+        assert self._feed(db, st, [930, 990]) == []
+        assert st.get == (930_000000, 1010_000000, 4)
+        # a later disconnected event closes the merged burst
+        assert self._feed(db, st, [1200]) == [(930, 4)]
+        assert st.get == (1200_000000, 1200_000000, 1)
+
+    def test_disconnected_late_chain_closes_alone(self):
+        from datarepo_spark.streaming.stateful import make_debouncer
+
+        db = make_debouncer(gap_seconds=60)
+        st = self._FakeState()
+        assert self._feed(db, st, [1000]) == []
+        # two late chains: {700, 750} and {850}; 850 is > gap from both
+        # 750 and 1000-60=940 — batch yields bursts {700,750} and {850}
+        assert self._feed(db, st, [700, 750, 850]) == [(700, 2), (850, 1)]
+        assert st.get == (1000_000000, 1000_000000, 1)
