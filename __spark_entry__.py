@@ -92,10 +92,16 @@ _PRIORITY = [
     "join_range_bucketed",
 ]
 
-# r10 rotation staging: any r9-born queries lead (inserted when they
-# land), then the 35 r6-gated queries not refreshed in the r9 window,
-# in registration order.
+# r10 rotation staging: the r9-born queries lead (never driver-gated;
+# each driver-sim-verified green at sf0.01 when it landed), then the 35
+# r6-gated queries not refreshed in the r9 window, in registration
+# order.
 _PRIORITY_R10 = [
+    "events_ewma",
+    "events_resample_ffill",
+    "join_asof_nearest",
+    "profile_entropy_by_source",
+    "ivm_join_by_nation",
     "agg_distinct_counts",
     "agg_whole_frame",
     "agg_rollup",

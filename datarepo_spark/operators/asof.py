@@ -35,11 +35,13 @@ def asof_join(
     right_by: str,
     payload: Column,
     payload_name: str = "asof_value",
-    direction: Literal["backward", "forward"] = "backward",
+    direction: Literal["backward", "forward", "nearest"] = "backward",
 ) -> DataFrame:
     """Append ``payload_name`` (from the right side's ``payload`` expr) to
     every left row: the payload of the right row closest at-or-before
-    (backward) / at-or-after (forward) the left row's ``left_on``, within
+    (backward) / at-or-after (forward) / closest in either direction
+    (nearest; exact distance via epoch micros, ties prefer backward —
+    pandas ``merge_asof`` semantics) the left row's ``left_on``, within
     the same ``by`` key. Left rows with no match get NULL."""
     left_cols = left.columns
     payload_type = _payload_type(right, payload)
@@ -59,6 +61,8 @@ def asof_join(
     )
     unioned = lefts.unionByName(rights_padded)
 
+    if direction == "nearest":
+        return _nearest(unioned, left_cols, payload_name)
     if direction == "backward":
         # Rights sort before lefts at equal ts → an exactly-equal right row
         # is visible (>= semantics); last() carries the newest prior value.
@@ -78,6 +82,58 @@ def asof_join(
     )
     return filled.filter(F.col("__is_left") == 1).select(
         *left_cols, payload_name
+    )
+
+
+def _nearest(
+    unioned: DataFrame, left_cols: list, payload_name: str
+) -> DataFrame:
+    """Nearest-in-either-direction: one exchange on the key, then two
+    window sorts (asc carries the backward candidate, desc the forward
+    one — the second Window re-sorts but does NOT re-shuffle, the
+    hash partitioning is reused), then a row-local pick of the closer
+    candidate. Distances are exact integers (epoch micros / days), so
+    the tie rule (backward wins, as in pandas merge_asof) is exact."""
+    ts_type = unioned.schema["__ts"].dataType.typeName()
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        def dist(c):  # exact integer microseconds
+            return F.unix_micros(F.col(c).cast("timestamp"))
+    elif ts_type == "date":
+        def dist(c):  # exact integer days
+            return F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+    else:
+        def dist(c):
+            return F.col(c).cast("double")
+
+    right_ts = F.when(F.col("__is_left") == 0, F.col("__ts"))
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__ts"), F.asc("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.desc("__ts"), F.asc("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        unioned.withColumn("__bpay", F.last("__payload", ignorenulls=True).over(wb))
+        .withColumn("__bts", F.last(right_ts, ignorenulls=True).over(wb))
+        .withColumn("__fpay", F.last("__payload", ignorenulls=True).over(wf))
+        .withColumn("__fts", F.last(right_ts, ignorenulls=True).over(wf))
+    )
+    bdist = dist("__ts") - dist("__bts")
+    fdist = dist("__fts") - dist("__ts")
+    pick_backward = F.col("__bts").isNotNull() & (
+        F.col("__fts").isNull() | (bdist <= fdist)  # tie -> backward
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .withColumn(
+            payload_name,
+            F.when(pick_backward, F.col("__bpay")).otherwise(F.col("__fpay")),
+        )
+        .select(*left_cols, payload_name)
     )
 
 

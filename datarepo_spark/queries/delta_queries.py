@@ -581,6 +581,9 @@ def cleanup() -> None:
     for agg in _BUILT_IVM.values():
         shutil.rmtree(os.path.dirname(agg.dest_uri), ignore_errors=True)
     _BUILT_IVM.clear()
+    for agg in _BUILT_IVM_JOIN.values():
+        shutil.rmtree(os.path.dirname(agg.dest_uri), ignore_errors=True)
+    _BUILT_IVM_JOIN.clear()
     for uri in _BUILT_RESTORE.values():
         shutil.rmtree(os.path.dirname(uri), ignore_errors=True)
     _BUILT_RESTORE.clear()
@@ -948,4 +951,99 @@ def delta_identity_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_id").alias("min_id"),
         F.max("row_id").alias("max_id"),
         F.count_distinct("row_id").alias("distinct_ids"),
+    )
+
+
+_BUILT_IVM_JOIN: dict = {}
+
+
+def _ivm_join_fixture(spark: SparkSession, sf_dir: str):
+    """Join-view IVM: the fact (orders subset) is driven through
+    append -> append + delete while an ``IncrementalJoinAggregate``
+    maintains revenue-by-nation THROUGH the customer->nation dim —
+    every change batch is enriched with the broadcast dim before the
+    signed fold (delta rule: d(view) = d(fact) JOIN dim). The delete
+    removes each nation's stored maximum so the enriched bounded
+    re-derivation path runs too."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_IVM_JOIN:
+        agg = _BUILT_IVM_JOIN[key]
+        if os.path.isdir(os.path.join(agg.dest_uri, "_delta_log")):
+            return agg
+    from ..tables.delta_writer import delete_delta
+    from ..tables.ivm import IncrementalJoinAggregate
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_ivm_join_")
+    src = os.path.join(base, "orders_src")
+    dst = os.path.join(base, "revenue_by_nation")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def dim_fn(s):
+        cust = load(s, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        nat = load(s, sf_dir, "nation").select("n_nationkey", "n_name")
+        return cust.join(
+            nat, cust.c_nationkey == nat.n_nationkey
+        ).select("c_custkey", "n_name")
+
+    agg = IncrementalJoinAggregate(
+        src,
+        dst,
+        os.path.join(base, "cursor.json"),
+        dim_fn=dim_fn,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        group_cols=["n_name"],
+        sum_cols=["o_totalprice"],
+        minmax_cols=["o_totalprice"],
+    )
+    write_delta(
+        orders.filter(F.col("o_orderkey") <= 1200), src,
+        checkpoint_interval=None,
+    )
+    agg.advance(spark)
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") > 1200) & (F.col("o_orderkey") <= 1800)
+        ),
+        src, checkpoint_interval=None,
+    )
+    # removes stored maxima -> the dim-enriched re-derivation path runs
+    delete_delta(spark, src, [Filter("o_totalprice", ">", 150000.0)])
+    agg.advance(spark)
+    assert agg.advance(spark) is None
+    _BUILT_IVM_JOIN[key] = agg
+    return agg
+
+
+@register(
+    "ivm_join_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                      AS DOUBLE), 2) AS sum_totalprice,
+           MAX(o.o_totalprice) AS max_totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderkey <= 1800 AND NOT (o.o_totalprice > 150000)
+    GROUP BY n.n_name
+    """,
+    description="incremental JOIN-VIEW maintenance: revenue-by-nation "
+    "(fact JOIN customer->nation dim) kept in sync from the fact's "
+    "change feed — each batch enriched with the broadcast dim before "
+    "the signed fold; must equal the from-scratch join aggregate of "
+    "the source's final state",
+)
+def ivm_join_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _ivm_join_fixture(spark, sf_dir)
+    return agg.read(spark).select(
+        "n_name",
+        "n_rows",
+        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias(
+            "sum_totalprice"
+        ),
+        F.col("max_o_totalprice").alias("max_totalprice"),
     )

@@ -4108,3 +4108,252 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r9: time-series resampling, EWMA, nearest as-of, corpus-composition entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ewma",
+    # Truncated exponentially-weighted moving average (decay w=0.8 over
+    # the last 16 events per user). Both engines fold the SAME ordered
+    # window list left-to-right (acc*w + v), so the double sequence is
+    # bit-identical; the final division is rounded. The window list is
+    # ordered by (ts, event_id) — fully deterministic.
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(
+             list_reduce(vals, (acc, x) -> acc * 0.8 + x)
+             / list_reduce(list_transform(vals, x -> CAST(1.0 AS DOUBLE)),
+                           (acc, x) -> acc * 0.8 + x),
+             9) AS ewma
+    FROM w
+    """,
+    description="per-user EWMA (decay 0.8, 16-event horizon) via an "
+    "ordered window list + one left fold — one keyed exchange, O(16) "
+    "per row",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event values per user.
+
+    Scale shape: ONE exchange on user_id, one window sort; the fold is
+    row-local over a bounded 16-element frame (collect_list over a
+    rowsBetween frame preserves frame order). The truncated horizon is
+    deliberate: the untruncated recursive EWMA needs w^(-rownum)
+    rescaling that overflows doubles after ~1500 rows per key, and a
+    16-step tail at w=0.8 already carries >97% of the mass.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    e = e.select("event_id", "user_id", vals.alias("__vals"))
+    rest = F.slice(
+        F.col("__vals"), 2, F.greatest(F.size("__vals") - 1, F.lit(0))
+    )
+    num = F.aggregate(
+        rest,
+        F.element_at("__vals", 1),
+        lambda acc, v: acc * F.lit(0.8) + v,
+    )
+    den = F.aggregate(
+        rest,
+        F.lit(1.0),
+        lambda acc, _v: acc * F.lit(0.8) + F.lit(1.0),
+    )
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 9).alias("ewma")
+    )
+
+
+@register(
+    "events_resample_ffill",
+    # Gap-filling resample: a daily grid per user from the first event's
+    # day to the last event, forward-filled with the latest value
+    # at-or-before each grid point (the hypertable/time_bucket rollup
+    # shape). Events are pre-aggregated to one row per (user, ts) so the
+    # carried payload is deterministic under timestamp ties. DuckDB's
+    # native ASOF JOIN is the oracle for our union-and-carry asof.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, MAX(value) AS v FROM events GROUP BY user_id, ts
+    ), b AS (
+      SELECT user_id,
+             CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS t0,
+             MAX(ts) AS t1
+      FROM e GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(t0, t1, INTERVAL 1 DAY)) AS grid_ts
+      FROM b
+    )
+    SELECT g.user_id, g.grid_ts, e.v AS v_ffill
+    FROM grid g ASOF LEFT JOIN e
+      ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+    """,
+    description="daily-grid resample + forward fill per user (sequence "
+    "explode + backward as-of carry) — vs DuckDB native ASOF",
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an event stream onto a fixed daily grid with forward
+    fill — the feature-store/training-window shape ("the value in force
+    at each grid point").
+
+    Scale shape: the grid is generated per key with sequence+explode
+    (row-local, no driver loop); the fill is ONE backward as-of join —
+    one exchange on user_id, one window sort, no range-bucket tuning.
+    Grid points before a user's first event stay NULL (nothing to carry).
+    """
+    from ..operators.asof import asof_join
+
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("interval 1 day"))
+            ).alias("grid_ts"),
+        )
+    )
+    return asof_join(
+        grid,
+        e,
+        left_on="grid_ts",
+        right_on="ts",
+        left_by="user_id",
+        right_by="user_id",
+        payload=F.col("v"),
+        payload_name="v_ffill",
+        direction="backward",
+    ).select("user_id", "grid_ts", "v_ffill")
+
+
+@register(
+    "join_asof_nearest",
+    # The nearest direction (pandas merge_asof direction='nearest'):
+    # closest event on either side of each order date, ties backward.
+    # DuckDB has no nearest ASOF, so the oracle is the same
+    # union-and-carry construction in SQL with exact integer-microsecond
+    # distances — an independent engine executing an independent
+    # spelling of the algorithm.
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey,
+             CAST(NULL AS TIMESTAMP) AS ets, 1 AS is_left
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS BIGINT), ts, 0 FROM events
+    ), f AS (
+      SELECT k, ts, o_orderkey, is_left,
+        last_value(ets IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY ts, is_left
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+        last_value(ets IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY ts DESC, is_left
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fts
+      FROM u
+    )
+    SELECT o_orderkey, k AS o_custkey,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                  epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+                THEN bts ELSE fts END AS nearest_event_ts
+    FROM f WHERE is_left = 1
+    """,
+    description="as-of join (nearest): closest event in either time "
+    "direction per customer, exact micros distance, ties backward",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    return asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        e,
+        left_on="o_orderdate",
+        right_on="ts",
+        left_by="o_custkey",
+        right_by="user_id",
+        payload=F.col("ts"),
+        payload_name="nearest_event_ts",
+        direction="nearest",
+    ).select("o_orderkey", "o_custkey", "nearest_event_ts")
+
+
+@register(
+    "profile_entropy_by_source",
+    # Corpus-composition diagnostic: Shannon entropy of each source's
+    # language distribution (0 = monolingual source, log2(k) = uniform
+    # over k languages). ENGINE-EXACT by construction: per-(source,lang)
+    # counts are exact integers, and BOTH engines fold c*log2(c) in the
+    # same lang-sorted order (Spark sort_array fold / DuckDB ordered
+    # list_reduce — a 0.0-seeded fold and a first-element-seeded reduce
+    # agree bit-exactly because 0.0 + x == x); log2 is libm, so the
+    # result rounds to 9.
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT source, list(cnt ORDER BY lang) AS l FROM c GROUP BY source
+    )
+    SELECT source,
+           CAST(list_reduce(l, (a, b) -> a + b) AS BIGINT) AS n_docs,
+           ROUND(LOG2(list_reduce(l, (a, b) -> a + b))
+                 - list_reduce(list_transform(l, x -> x * LOG2(x)),
+                               (a, b) -> a + b)
+                   / list_reduce(l, (a, b) -> a + b),
+                 9) AS lang_entropy
+    FROM t
+    """,
+    description="per-source Shannon entropy of the language mix — "
+    "two-level exact-count aggregate, lang-ordered entropy fold",
+)
+def profile_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(source) = log2(N) - sum c*log2(c) / N over per-language counts.
+
+    Scale shape: two hash aggregates (source x lang, then source), both
+    map-side combinable; only (source, lang, count) tuples shuffle. The
+    per-source language list is tiny (the alphabet of langs), so the
+    sorted fold is O(k) row-local work after the aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    t = c.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("lang", "cnt"))).alias("__l")
+    )
+    counts = F.transform("__l", lambda x: x["cnt"])
+    n = F.aggregate(counts, F.lit(0.0), lambda a, b: a + b)
+    s = F.aggregate(
+        counts, F.lit(0.0), lambda a, b: a + b * F.log2(b)
+    )
+    return t.select(
+        "source",
+        n.cast("long").alias("n_docs"),
+        F.round(F.log2(n) - s / n, 9).alias("lang_entropy"),
+    )

@@ -112,7 +112,14 @@ class IncrementalAggregate:
             "__group_key", F.sha2(F.concat(*parts), 256)
         )
 
+    def _prepare(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Hook: transform source/change rows before keying+folding.
+        Identity here; :class:`IncrementalJoinAggregate` enriches with
+        the static dim so the same fold maintains a join view."""
+        return df
+
     def _delta_frame(self, changes: DataFrame) -> DataFrame:
+        changes = self._prepare(changes.sparkSession, changes)
         is_insert = F.col(CHANGE_TYPE) == "insert"
         sign = F.when(is_insert, F.lit(1)).otherwise(F.lit(-1))
         aggs = [
@@ -261,7 +268,7 @@ class IncrementalAggregate:
         source = DeltalakeTable(
             os.path.basename(self.source_uri), self.source_uri
         )(spark=spark, version=version)
-        keyed = self._with_group_key(source).join(
+        keyed = self._with_group_key(self._prepare(spark, source)).join(
             affected, "__group_key", "left_semi"
         )
         rederived = keyed.groupBy("__group_key").agg(
@@ -358,3 +365,61 @@ class IncrementalAggregate:
                 )
         self.stream.ack(version)
         return version
+
+
+class IncrementalJoinAggregate(IncrementalAggregate):
+    """A fact ⋈ static-dim JOIN VIEW kept in sync from the FACT's change
+    feed: ``SELECT <dim attrs>, COUNT(*)/SUM/MIN/MAX(fact cols) FROM
+    fact JOIN dim ON fact.fk = dim.pk GROUP BY <dim attrs>``.
+
+    Delta rule for a join with one changing side and a static dim
+    unique on its key: Δ(view) = Δ(fact) ⋈ dim. Each change batch is
+    therefore enriched with the (broadcast) dim before the signed fold
+    the base class already does, and the bounded MIN/MAX re-derivation
+    enriches its source-at-version read identically — maintenance cost
+    still tracks change volume, never fact or view size. Inner-join
+    semantics: a fact change whose key has no dim row leaves the view
+    untouched (both on insert and on delete — the enrichment is applied
+    symmetrically, so the signs still cancel).
+
+    ``dim_fn(spark)`` must return the SAME dim content on every call
+    while a view is being maintained — a changing dim breaks the delta
+    rule (Δ(view) would need Δ(dim) ⋈ fact too); rebuild the view to
+    pick up dim changes.
+    """
+
+    def __init__(
+        self,
+        source_uri: str,
+        dest_uri: str,
+        checkpoint_path: str,
+        dim_fn,
+        fact_key: str,
+        dim_key: str,
+        group_cols: Sequence[str],
+        sum_cols: Sequence[str] = (),
+        minmax_cols: Sequence[str] = (),
+        avg_cols: Sequence[str] = (),
+    ):
+        super().__init__(
+            source_uri,
+            dest_uri,
+            checkpoint_path,
+            group_cols=group_cols,
+            sum_cols=sum_cols,
+            minmax_cols=minmax_cols,
+            avg_cols=avg_cols,
+        )
+        self._dim_fn = dim_fn
+        self.fact_key = fact_key
+        self.dim_key = dim_key
+
+    def _prepare(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        dim = self._dim_fn(spark).select(self.dim_key, *self.group_cols)
+        if self.fact_key == self.dim_key:
+            return df.join(F.broadcast(dim), on=self.fact_key, how="inner")
+        return df.join(
+            F.broadcast(dim),
+            df[self.fact_key] == dim[self.dim_key],
+            "inner",
+        ).drop(self.dim_key)

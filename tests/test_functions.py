@@ -1455,3 +1455,78 @@ class TestContainmentPairs:
         )
         assert j < 0.2
         unpersist_intermediates()
+
+
+class TestAsofNearest:
+    """Nearest as-of: closest right row in either time direction, exact
+    integer distance, ties prefer backward (pandas merge_asof)."""
+
+    def _run(self, spark, left_rows, right_rows):
+        from datarepo_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(left_rows, "k long, lts long, lid long")
+        right = spark.createDataFrame(right_rows, "k long, rts long")
+        out = asof_join(
+            left, right,
+            left_on="lts", right_on="rts", left_by="k", right_by="k",
+            payload=F.col("rts"), payload_name="m", direction="nearest",
+        )
+        return {r.lid: r.m for r in out.collect()}
+
+    def test_picks_closer_side(self, spark):
+        got = self._run(
+            spark,
+            [(1, 10, 0), (1, 24, 1)],
+            [(1, 5), (1, 20)],
+        )
+        # lid 0: |10-5|=5 < |20-10|=10 -> 5; lid 1: |24-20|=4 -> 20
+        assert got == {0: 5, 1: 20}
+
+    def test_tie_prefers_backward(self, spark):
+        got = self._run(spark, [(1, 10, 0)], [(1, 5), (1, 15)])
+        assert got == {0: 5}
+
+    def test_exact_match_wins(self, spark):
+        got = self._run(spark, [(1, 10, 0)], [(1, 10), (1, 11)])
+        assert got == {0: 10}
+
+    def test_one_sided_and_missing_key(self, spark):
+        got = self._run(
+            spark,
+            [(1, 10, 0), (2, 10, 1), (3, 10, 2)],
+            [(1, 99), (2, 1)],  # only-forward, only-backward, no rows
+        )
+        assert got == {0: 99, 1: 1, 2: None}
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+
+        rng = np.random.RandomState(7)
+        left_rows = [
+            (int(k), int(t), i)
+            for i, (k, t) in enumerate(
+                zip(rng.randint(0, 5, 200), rng.randint(0, 1000, 200))
+            )
+        ]
+        right_rows = list(
+            {
+                (int(k), int(t))
+                for k, t in zip(
+                    rng.randint(0, 5, 300), rng.randint(0, 1000, 300)
+                )
+            }
+        )
+        got = self._run(spark, left_rows, right_rows)
+        lp = pd.DataFrame(left_rows, columns=["k", "lts", "lid"]).sort_values(
+            "lts", kind="mergesort"
+        )
+        rp = pd.DataFrame(right_rows, columns=["k", "rts"]).sort_values(
+            "rts", kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k",
+            direction="nearest",
+        )
+        for _, row in merged.iterrows():
+            want = None if pd.isna(row["rts"]) else int(row["rts"])
+            assert got[row["lid"]] == want, row["lid"]

@@ -353,3 +353,108 @@ class TestMinMaxAvg:
         )
         plan = combined._jdf.queryExecution().optimizedPlan().toString()
         assert "src" not in plan.replace(str(tmp_path), "")
+
+
+class TestIncrementalJoinAggregate:
+    """Join-view IVM (fact JOIN static dim): each change batch is
+    enriched with the broadcast dim before the fold, so the maintained
+    view must always equal a from-scratch join-aggregate of the
+    source's current content."""
+
+    def _dim_fn(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "alpha")],
+            "pk long, region string",
+        )
+
+    def _make(self, spark, tmp_path):
+        from datarepo_spark.tables.ivm import IncrementalJoinAggregate
+
+        src = str(tmp_path / "fact")
+        return src, IncrementalJoinAggregate(
+            src,
+            str(tmp_path / "view"),
+            str(tmp_path / "cursor.json"),
+            dim_fn=self._dim_fn,
+            fact_key="fk",
+            dim_key="pk",
+            group_cols=["region"],
+            sum_cols=["x"],
+            minmax_cols=["x"],
+        )
+
+    def _fact(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, fk long, x double")
+
+    def _recompute(self, spark, src):
+        fact = DeltalakeTable("fact", src)(spark=spark)
+        dim = self._dim_fn(spark)
+        rows = (
+            fact.join(dim, fact.fk == dim.pk)
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+            )
+            .collect()
+        )
+        return sorted(
+            (r["region"], r["n_rows"], str(r["sum_x"]), r["min_x"], r["max_x"])
+            for r in rows
+        )
+
+    def _view(self, spark, agg):
+        df = agg.read(spark)
+        return sorted(
+            (r["region"], r["n_rows"], str(r["sum_x"]),
+             r["min_x"], r["max_x"])
+            for r in df.collect()
+        )
+
+    def test_tracks_join_view_through_changes(self, spark, tmp_path):
+        src, agg = self._make(spark, tmp_path)
+        write_delta(
+            self._fact(spark, [(1, 1, 5.0), (2, 2, 7.0), (3, 3, 1.0)]),
+            src, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        assert self._view(spark, agg) == self._recompute(spark, src)
+        # append + delete of a stored extremum (x=7.0 is beta's max) in
+        # one advance window: exercises the dim-enriched re-derivation
+        write_delta(
+            self._fact(spark, [(4, 2, 2.0), (5, 1, 9.0)]), src,
+            checkpoint_interval=None,
+        )
+        delete_delta(spark, src, [Filter("x", ">", 6.0)])
+        agg.advance(spark)
+        assert self._view(spark, agg) == self._recompute(spark, src)
+
+    def test_fact_rows_without_dim_match_are_ignored(self, spark, tmp_path):
+        """Inner-join semantics: fk=99 has no dim row — neither its
+        insert nor its delete may touch the view."""
+        src, agg = self._make(spark, tmp_path)
+        write_delta(
+            self._fact(spark, [(1, 1, 5.0), (2, 99, 100.0)]), src,
+            checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        assert self._view(spark, agg) == self._recompute(spark, src)
+        assert all(r[0] is not None for r in self._view(spark, agg))
+        delete_delta(spark, src, [Filter("fk", "=", 99)])
+        agg.advance(spark)
+        assert self._view(spark, agg) == self._recompute(spark, src)
+
+    def test_group_vanishes_when_emptied(self, spark, tmp_path):
+        src, agg = self._make(spark, tmp_path)
+        write_delta(
+            self._fact(spark, [(1, 1, 5.0), (2, 2, 7.0)]), src,
+            checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        delete_delta(spark, src, [Filter("fk", "=", 2)])
+        agg.advance(spark)
+        got = self._view(spark, agg)
+        assert [r[0] for r in got] == ["alpha"]
+        assert got == self._recompute(spark, src)

@@ -499,3 +499,40 @@ class TestRound8Plans:
         assert plan.count("Exchange hashpartitioning") == 2
         assert "Join" not in plan
         assert "partial_count" in plan
+
+
+class TestRound9Plans:
+    def test_ewma_single_exchange_no_join(self, spark, sf_dir):
+        """EWMA is one keyed window + a row-local bounded fold: exactly
+        one exchange, no join, no generate."""
+        plan = plan_of(spark, sf_dir, "events_ewma")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan and "Generate" not in plan
+
+    def test_resample_ffill_no_join_grid_is_generate(self, spark, sf_dir):
+        """The grid is sequence+explode (Generate — row-local, never a
+        driver loop) and the fill is the union-carry as-of: no join
+        operator of any kind appears."""
+        plan = plan_of(spark, sf_dir, "events_resample_ffill")
+        assert "Generate" in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 3
+
+    def test_asof_nearest_single_exchange_two_sorts(self, spark, sf_dir):
+        """Nearest needs both time directions: the desc-ordered window
+        must REUSE the asc window's hash partitioning (one exchange,
+        two sorts), not shuffle again."""
+        plan = plan_of(spark, sf_dir, "join_asof_nearest")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Sort") == 2
+        assert "Join" not in plan
+
+    def test_entropy_by_source_two_level_agg(self, spark, sf_dir):
+        """Two map-side-combinable aggregates; only (source, lang,
+        count) tuples shuffle — no join, no window, no text columns
+        past the first partial aggregate."""
+        plan = plan_of(spark, sf_dir, "profile_entropy_by_source")
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert plan.count("HashAggregate") == 4
+        assert "Join" not in plan and "Window" not in plan
