@@ -102,6 +102,8 @@ _PRIORITY_R10 = [
     "join_asof_nearest",
     "profile_entropy_by_source",
     "ivm_join_by_nation",
+    "pipeline_shuffle_shards",
+    "multimodal_phash",
     "agg_distinct_counts",
     "agg_whole_frame",
     "agg_rollup",

@@ -123,6 +123,14 @@ HEADLINE = [
     "dedup_ngram_containment",
     "events_debounce",
     "similarity_radius_search",
+    # added r9 (headline count 53 → 57): the time-series family (EWMA
+    # fold, grid resample + as-of fill, nearest as-of) and the
+    # deterministic corpus shuffle — the round's new window/fold and
+    # shard-sort shapes
+    "events_ewma",
+    "events_resample_ffill",
+    "join_asof_nearest",
+    "pipeline_shuffle_shards",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

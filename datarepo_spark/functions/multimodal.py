@@ -718,3 +718,75 @@ def audio_near_dup_pairs(
         bits=n_windows - 1,
         max_hamming=max_hamming,
     )
+
+
+# -- pHash: fixed-point DCT perceptual hash ---------------------------------
+#
+# Classic pHash thresholds low-frequency DCT coefficients at their median.
+# A float DCT is not bit-portable across engines (libm cos differs in the
+# last ulp), so the transform here is FIXED-POINT: the cosine basis is
+# rounded once to integers at 2^14 scale (the JPEG-style integer-DCT
+# trick) and everything after is exact int64 arithmetic — the SQL oracle
+# inlines the SAME table and recomputes the hash bit-for-bit.
+
+DCT_SCALE = 1 << 14
+
+
+def dct_cos_table(n: int = 8) -> list[list[int]]:
+    """Integer DCT-II basis: C[u][x] = round(cos(pi*(2x+1)*u/(2n)) * 2^14).
+    The ONE definition both the Python hasher and the SQL oracle use."""
+    import math
+
+    return [
+        [
+            round(math.cos(math.pi * (2 * x + 1) * u / (2 * n)) * DCT_SCALE)
+            for x in range(n)
+        ]
+        for u in range(n)
+    ]
+
+
+def phash_bits(content: bytes, n: int = 8) -> list[int]:
+    """Perceptual DCT hash of a binary PPM: integer luma raster (n x n),
+    fixed-point 2D DCT (C @ L @ C^T, exact int64), drop the DC term,
+    threshold the remaining n^2-1 coefficients at their exact median
+    (strict >), pad with one 0 bit to n^2. Captures low-frequency
+    structure aHash's plain mean-threshold misses (global brightness
+    shifts flip aHash bits but barely move AC coefficients)."""
+    import numpy as np
+
+    px = decode_ppm(content)["pixels"].astype("int64")
+    luma = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+    if luma.shape != (n, n):
+        raise ValueError(
+            f"phash_bits expects an {n}x{n} raster, got {luma.shape}"
+        )
+    c = np.asarray(dct_cos_table(n), dtype="int64")
+    d = c @ luma @ c.T
+    coeffs = d.flatten()[1:]  # row-major; [0] is the DC term
+    med = int(np.sort(coeffs)[(len(coeffs) - 1) // 2])
+    return [int(v > med) for v in coeffs] + [0]
+
+
+def phash_hashes(
+    df: DataFrame, n: int = 8, with_bitstring: bool = True
+) -> DataFrame:
+    """(media_id, phash bitstring, sh long) per media row — same
+    Arrow-batched shape as :func:`image_hashes`; the packed ``sh``
+    feeds banded hamming pair generation."""
+    return _signature_hashes(
+        df, lambda c: phash_bits(c, n), "phash", with_bitstring
+    )
+
+
+def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs under the DCT hash — banded hamming,
+    pigeonhole-complete, never a cross join (only 8-byte signatures
+    shuffle)."""
+    from .dedup import hamming_band_pairs
+
+    hashed = phash_hashes(df, with_bitstring=False)
+    return hamming_band_pairs(
+        hashed, id_col="media_id", sig_col="sh", bits=64,
+        max_hamming=max_hamming,
+    )

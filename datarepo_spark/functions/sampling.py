@@ -718,3 +718,34 @@ def temperature_sample(
         .filter(F.col("__trn") <= F.col("__quota"))
         .drop("__trn", "__quota")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards:
+    ``shard`` = hash bucket of the key, ``pos`` = rank of a second
+    (differently-salted) hash within the shard. Appends both columns.
+
+    Training loaders need the corpus in reproducible pseudo-random
+    order; at 100 TB a global ORDER BY rand() is both nondeterministic
+    (retry hazard) and a rangepartitioning sort of the whole corpus.
+    The distributed spelling is shard-then-sort-within: ONE exchange on
+    the shard key and per-shard sorts — no global order, no sampling
+    pass for range bounds — and the (shard, pos) pair is a total,
+    content-derived permutation: identical on any cluster layout,
+    any retry (see :func:`hash_fraction`).
+    """
+    shard = F.floor(
+        hash_fraction(F.col(key_col), f"{salt}:shard") * n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        hash_fraction(F.col(key_col), f"{salt}:pos"), F.asc(key_col)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+    )

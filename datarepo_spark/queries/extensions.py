@@ -4357,3 +4357,79 @@ def profile_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_docs"),
         F.round(F.log2(n) - s / n, 9).alias("lang_entropy"),
     )
+
+
+@register(
+    "pipeline_shuffle_shards",
+    # Deterministic training-order shuffle: shard = hash bucket, pos =
+    # rank of a second hash within the shard. Reproducible everywhere
+    # (content-derived, never rand — the retry-safety invariant), and
+    # the distributed plan is shard-then-sort-within: one exchange, NO
+    # global rangepartitioning sort.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(FLOOR({SP.sql_hash_fraction('doc_id', salt='corpus:shard')}
+                      * 16) AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST(FLOOR(
+               {SP.sql_hash_fraction('doc_id', salt='corpus:shard')} * 16)
+               AS INT)
+             ORDER BY {SP.sql_hash_fraction('doc_id', salt='corpus:pos')},
+                      doc_id) AS INT) AS pos
+    FROM documents
+    """,
+    description="deterministic corpus shuffle into 16 training shards "
+    "(hash shard + in-shard hash rank) — one exchange, no global sort, "
+    "retry-reproducible",
+)
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(
+        docs, key_col="doc_id", n_shards=16, salt="corpus"
+    ).select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
+
+
+_PHASH_CTAB_SQL = (
+    "[" + ", ".join(str(v) for row in M.dct_cos_table() for v in row) + "]"
+)
+
+
+@register(
+    "multimodal_phash",
+    # Fixed-point DCT perceptual hash: the cosine basis is rounded ONCE
+    # to integers at 2^14 scale (multimodal.dct_cos_table — the same
+    # table is inlined below as a literal), so the whole transform is
+    # exact int64 arithmetic and the oracle rebuilds the raster and
+    # recomputes the 64-bit hash bit-for-bit. AC coefficients threshold
+    # at their exact median (strict >), DC dropped, one 0 pad bit.
+    oracle=_AHASH_GATE_SQL
+    + f"""
+    , c AS (SELECT {_PHASH_CTAB_SQL} AS ctab
+    ), d AS (
+      SELECT media_id,
+             LIST_TRANSFORM(RANGE(0, 64), k ->
+               LIST_SUM(LIST_TRANSFORM(RANGE(0, 8), x ->
+                 ctab[(k // 8) * 8 + x + 1] *
+                 LIST_SUM(LIST_TRANSFORM(RANGE(0, 8), y ->
+                   ctab[(k % 8) * 8 + y + 1] * luma[x * 8 + y + 1])))))
+               AS dct
+      FROM l, c
+    ), t AS (
+      SELECT media_id, dct[2:64] AS ac, LIST_SORT(dct[2:64])[32] AS med
+      FROM d
+    )
+    SELECT media_id,
+           LIST_AGGREGATE(LIST_TRANSFORM(ac,
+             x -> CASE WHEN x > med THEN '1' ELSE '0' END),
+             'string_agg', '') || '0' AS phash
+    FROM t
+    """,
+    description="perceptual DCT hash (pHash) of decoded images: "
+    "fixed-point integer DCT (JPEG-style 2^14 cosine table), AC median "
+    "threshold — bit-exact vs the SQL raster + DCT reconstruction",
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _ahash_gate_media(spark, sf_dir)
+    return M.phash_hashes(media).select("media_id", "phash")

@@ -1530,3 +1530,71 @@ class TestAsofNearest:
         for _, row in merged.iterrows():
             want = None if pd.isna(row["rts"]) else int(row["rts"])
             assert got[row["lid"]] == want, row["lid"]
+
+
+class TestPhash:
+    """Fixed-point DCT perceptual hash: exact int64 transform, so a
+    numpy brute force is the bit-level oracle; banded hamming pair
+    generation must equal the brute-force pair filter."""
+
+    def _media(self, spark, docs_df):
+        twins = docs_df.select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(F.lit("~~"), F.expr("substring(text, 3)")).alias(
+                "text"
+            ),
+        )
+        return M.documents_as_ppm(docs_df.unionByName(twins))
+
+    def _brute_bits(self, media_rows):
+        return {
+            r.media_id: M.phash_bits(bytes(r.content))
+            for r in media_rows
+        }
+
+    def test_bits_match_brute_force(self, spark, docs_df):
+        media = self._media(spark, docs_df)
+        want = self._brute_bits(media.collect())
+        got = {
+            r.media_id: [int(ch) for ch in r.phash]
+            for r in M.phash_hashes(media).collect()
+        }
+        assert got == want
+
+    def test_banded_pairs_equal_brute_force(self, spark, docs_df):
+        media = self._media(spark, docs_df)
+        bits = self._brute_bits(media.collect())
+        ids = sorted(bits)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = sum(x != y for x, y in zip(bits[a], bits[b]))
+                if ham <= 3:
+                    want.add((a, b, ham))
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in M.phash_near_dup_pairs(media, max_hamming=3).collect()
+        }
+        assert got == want
+        # the construction guarantees work: every twin pair found, and
+        # at least the exact-dup doc pair (0, 3) from DOCS
+        assert any(a + 1000 == b for a, b, _ in got)
+
+    def test_brightness_shift_keeps_phash_stable(self):
+        """The DCT hash thresholds AC coefficients — a global luma
+        shift moves only the DC term, so the hash is unchanged, while
+        aHash (mean threshold on raw luma) has no such guarantee."""
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        base = rng.randint(0, 200, size=(8, 8, 3)).astype(np.uint8)
+
+        def ppm(px):
+            return b"P6\n8 8\n255\n" + px.tobytes()
+
+        shifted = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+        b0 = M.phash_bits(ppm(base))
+        b1 = M.phash_bits(ppm(shifted))
+        # luma uses integer //3 so a uniform +30 shift perturbs cells by
+        # at most one quantization step: hamming stays tiny
+        assert sum(x != y for x, y in zip(b0, b1)) <= 2

@@ -536,3 +536,19 @@ class TestRound9Plans:
         assert plan.count("Exchange hashpartitioning") == 2
         assert plan.count("HashAggregate") == 4
         assert "Join" not in plan and "Window" not in plan
+
+    def test_shuffle_shards_no_global_sort(self, spark, sf_dir):
+        """The corpus shuffle must be shard-then-sort-within: ONE hash
+        exchange, NO rangepartitioning (a global ORDER BY would need a
+        sampling pass + range exchange of the whole corpus)."""
+        plan = plan_of(spark, sf_dir, "pipeline_shuffle_shards")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "rangepartitioning" not in plan
+        assert "Join" not in plan
+
+    def test_phash_is_pure_map(self, spark, sf_dir):
+        """The DCT hasher is a single Arrow-batched map stage: no
+        exchange, no join — image bytes never leave their scan tasks."""
+        plan = plan_of(spark, sf_dir, "multimodal_phash")
+        assert "Exchange" not in plan
+        assert "Join" not in plan

@@ -54,6 +54,12 @@ GAUNTLET = [
     "similarity_ann_index",
     "similarity_ann_pq",
     "similarity_ann_index_pq",
+    # r9 additions: the new time-series / shuffle shapes (events grow
+    # 5x in density AND 5x in users under replication; documents 5x)
+    "events_ewma",
+    "events_resample_ffill",
+    "join_asof_nearest",
+    "pipeline_shuffle_shards",
 ]
 
 
