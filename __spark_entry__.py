@@ -104,6 +104,7 @@ _PRIORITY_R10 = [
     "ivm_join_by_nation",
     "pipeline_shuffle_shards",
     "multimodal_phash",
+    "similarity_mmr_rerank",
     "agg_distinct_counts",
     "agg_whole_frame",
     "agg_rollup",

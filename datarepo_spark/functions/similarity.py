@@ -211,3 +211,90 @@ def assign_cells_rowlocal(
         .withColumn("sim", F.array_max("__sims"))
         .drop("__sims")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diversity-aware top-k: exact cosine top-``pool`` candidates
+    (TakeOrdered — distributed), then greedy maximal-marginal-relevance
+    (Carbonell & Goldstein 1998) over the pool: repeatedly pick
+    argmax  lam·relevance − (1−lam)·max_similarity_to_picked.
+    Returns (rank, <id_col>, relevance) for the ``k`` picks.
+
+    Scale shape: the corpus-sized work is ONE scan + TakeOrdered (a
+    per-partition k-heap — no global sort); the pool's pairwise cosines
+    are a broadcast self-join of a ``pool``-row frame; only the greedy
+    selection itself runs driver-side over the collected pool — the
+    same bounded-collect class as IVF centroid training (pool² scalars,
+    never corpus data). MMR's data dependence (each pick changes the
+    next argmax) makes the selection inherently sequential; bounding it
+    to a reranking pool is the standard serving design.
+
+    Determinism: relevance and pair cosines are rounded(9) ENGINE-SIDE
+    (F.round — the established DuckDB-ROUND-parity path), the MMR score
+    is two multiplies and a subtract on those identical doubles, and
+    ties break by id — bit-reproducible against the SQL recursive-CTE
+    spelling.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pool_df = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            F.round(cosine_similarity(F.col(vec_col), q), 9).alias("__r"),
+        )
+        .orderBy(F.desc("__r"), F.asc(id_col))
+        .limit(pool)
+    )
+    a = pool_df.select(
+        F.col(id_col).alias("__ia"), F.col("__v").alias("__va")
+    )
+    b = pool_df.select(
+        F.col(id_col).alias("__ib"), F.col("__v").alias("__vb")
+    )
+    pair_rows = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            "__ia",
+            "__ib",
+            F.round(
+                cosine_similarity(F.col("__va"), F.col("__vb")), 9
+            ).alias("__c"),
+        )
+        .collect()
+    )
+    cand = [
+        (r[id_col], r["__r"]) for r in pool_df.select(id_col, "__r").collect()
+    ]
+    sim = {(r["__ia"], r["__ib"]): r["__c"] for r in pair_rows}
+    rel = dict(cand)
+    # seed: highest relevance (pool_df is already (r desc, id asc) sorted)
+    picked = [cand[0][0]] if cand else []
+    while cand and len(picked) < min(k, len(cand)):
+        best = None
+        for i, r in cand:
+            if i in picked:
+                continue
+            score = lam * r - (1.0 - lam) * max(
+                sim[(i, j)] for j in picked
+            )
+            if (
+                best is None
+                or score > best[0]
+                or (score == best[0] and i < best[1])
+            ):
+                best = (score, i)
+        picked.append(best[1])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n + 1, i, rel[i]) for n, i in enumerate(picked)],
+        f"rank int, {id_col} long, relevance double",
+    )

@@ -4433,3 +4433,83 @@ _PHASH_CTAB_SQL = (
 def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _ahash_gate_media(spark, sf_dir)
     return M.phash_hashes(media).select("media_id", "phash")
+
+
+@register(
+    "similarity_mmr_rerank",
+    # Greedy maximal-marginal-relevance over the exact top-20 pool:
+    # pick argmax 0.7*rel - (1-0.7)*max_sim_to_picked, ties by id. Both
+    # relevance and pair cosines are rounded(9) from identical
+    # sequential folds, and the MMR score is the SAME two multiplies +
+    # subtract on those doubles — the penalty factor is spelled
+    # (1.0 - 0.7), matching Python's `1.0 - lam` bit-exactly (the
+    # literal 0.3 is a DIFFERENT double). The oracle is a recursive
+    # CTE running the same greedy selection.
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT e AS qe,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS qn
+      FROM v WHERE vec_id = 0
+    ), rel AS (
+      SELECT vec_id, e,
+             ROUND(
+               LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), i -> e[i] * qe[i]),
+                           (acc, x) -> acc + x)
+               / (SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                                   (a, x) -> a + x)) * qn),
+               9) AS r
+      FROM v, q
+    ), pool AS (
+      SELECT vec_id, e, r FROM rel ORDER BY r DESC, vec_id LIMIT 20
+    ), pc AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(
+               LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                          i -> a.e[i] * b.e[i]),
+                           (acc, x) -> acc + x)
+               / (SQRT(LIST_REDUCE(LIST_TRANSFORM(a.e, x -> x * x),
+                                   (s, x) -> s + x))
+                  * SQRT(LIST_REDUCE(LIST_TRANSFORM(b.e, x -> x * x),
+                                     (s, x) -> s + x))),
+               9) AS c
+      FROM pool a, pool b WHERE a.vec_id != b.vec_id
+    ), sel AS (
+      (SELECT 1 AS step, [vec_id] AS picked
+       FROM pool ORDER BY r DESC, vec_id LIMIT 1)
+      UNION ALL
+      SELECT s.step + 1,
+        LIST_APPEND(s.picked, (
+          SELECT p2.vec_id FROM pool p2
+          WHERE NOT LIST_CONTAINS(s.picked, p2.vec_id)
+          ORDER BY 0.7 * p2.r - (1.0 - 0.7) * (
+              SELECT MAX(pc.c) FROM pc
+              WHERE pc.ia = p2.vec_id
+                AND LIST_CONTAINS(s.picked, pc.ib)
+            ) DESC, p2.vec_id
+          LIMIT 1
+        ))
+      FROM sel s WHERE s.step < 5
+    ), final AS (
+      SELECT picked FROM sel ORDER BY step DESC LIMIT 1
+    )
+    SELECT CAST(i AS INT) AS rank,
+           picked[i] AS vec_id,
+           (SELECT r FROM rel WHERE rel.vec_id = picked[i]) AS relevance
+    FROM final, (SELECT UNNEST(RANGE(1, 6)) AS i) steps
+    """,
+    description="diversity-aware top-5 via greedy MMR over the exact "
+    "top-20 cosine pool (Carbonell-Goldstein) — corpus work is one "
+    "TakeOrdered scan; pairwise cosines are a broadcast self-join of "
+    "the 20-row pool; vs a DuckDB recursive-CTE greedy",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return S.mmr_rerank(
+        emb, [float(x) for x in query], k=5, pool=20, lam=0.7
+    )

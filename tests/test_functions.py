@@ -1498,8 +1498,13 @@ class TestAsofNearest:
         )
         assert got == {0: 99, 1: 1, 2: None}
 
-    def test_matches_pandas_merge_asof(self, spark):
+    @pytest.mark.parametrize(
+        "direction", ["backward", "forward", "nearest"]
+    )
+    def test_matches_pandas_merge_asof(self, spark, direction):
         import pandas as pd
+
+        from datarepo_spark.operators.asof import asof_join
 
         rng = np.random.RandomState(7)
         left_rows = [
@@ -1516,7 +1521,18 @@ class TestAsofNearest:
                 )
             }
         )
-        got = self._run(spark, left_rows, right_rows)
+        left = spark.createDataFrame(
+            left_rows, "k long, lts long, lid long"
+        )
+        right = spark.createDataFrame(right_rows, "k long, rts long")
+        got = {
+            r.lid: r.m
+            for r in asof_join(
+                left, right, left_on="lts", right_on="rts",
+                left_by="k", right_by="k", payload=F.col("rts"),
+                payload_name="m", direction=direction,
+            ).collect()
+        }
         lp = pd.DataFrame(left_rows, columns=["k", "lts", "lid"]).sort_values(
             "lts", kind="mergesort"
         )
@@ -1525,11 +1541,11 @@ class TestAsofNearest:
         )
         merged = pd.merge_asof(
             lp, rp, left_on="lts", right_on="rts", by="k",
-            direction="nearest",
+            direction=direction,
         )
         for _, row in merged.iterrows():
             want = None if pd.isna(row["rts"]) else int(row["rts"])
-            assert got[row["lid"]] == want, row["lid"]
+            assert got[row["lid"]] == want, (direction, row["lid"])
 
 
 class TestPhash:
