@@ -105,6 +105,7 @@ _PRIORITY_R10 = [
     "pipeline_shuffle_shards",
     "multimodal_phash",
     "similarity_mmr_rerank",
+    "window_distribution_variants",
     "agg_distinct_counts",
     "agg_whole_frame",
     "agg_rollup",

@@ -4513,3 +4513,40 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(
         emb, [float(x) for x in query], k=5, pool=20, lam=0.7
     )
+
+
+@register(
+    "window_distribution_variants",
+    # The distribution window functions in one gate: cume_dist,
+    # percent_rank, ntile over the same ordered partition. All three
+    # are exact rank arithmetic (integer ratios) — engine-identical;
+    # the ratios round(9) only to absorb the division.
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(CUME_DIST() OVER w, 9) AS cd,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pr,
+           CAST(NTILE(7) OVER w AS INT) AS bucket
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="distribution window functions (cume_dist / "
+    "percent_rank / ntile) over one ordered partition",
+)
+def window_distribution_variants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.ntile(7).over(w).alias("bucket"),
+    )

@@ -369,3 +369,111 @@ def stateful_debounce(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+# State: the horizon-bounded tail of (ts_us, event_id, value) triples
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def make_ewma(horizon: int = 16, decay: float = 0.8):
+    """(key, pdf_iter, state) callback emitting one row PER EVENT with
+    the truncated EWMA of the user's last ``horizon`` values — the
+    streaming twin of the batch ``events_ewma`` query (same seeded left
+    fold over the same ordered window, so emitted doubles are
+    bit-identical for in-order arrival). State is O(horizon) per active
+    user. Ordered-within-watermark assumption (like the sessionizer):
+    events are sorted within each batch; an above-watermark event
+    arriving in a LATER batch than a newer event is folded at arrival
+    position, diverging from batch order — widen the watermark if the
+    source can reorder across batches."""
+
+    def ewma_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        events = pd.concat(frames, ignore_index=True)
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if wm_us > 0:
+            ts_us = (events["ts"] - pd.Timestamp(0)) // pd.Timedelta(
+                microseconds=1
+            )
+            events = events[ts_us >= wm_us]
+            if len(events) == 0:
+                return
+        events = events.sort_values(["ts", "event_id"], ignore_index=True)
+
+        if state.exists:
+            ts_l, eid_l, vals = (list(c) for c in state.get)
+        else:
+            ts_l, eid_l, vals = [], [], []
+
+        out_eid, out_ewma = [], []
+        for ts, eid, v in zip(events["ts"], events["event_id"], events["value"]):
+            ts_l.append(_us(ts))
+            eid_l.append(int(eid))
+            vals.append(float(v))
+            if len(vals) > horizon:
+                ts_l, eid_l, vals = (
+                    ts_l[-horizon:], eid_l[-horizon:], vals[-horizon:],
+                )
+            # the batch query's exact fold: numerator seeded with the
+            # OLDEST value in the window, denominator seeded 1.0
+            num = vals[0]
+            den = 1.0
+            for x in vals[1:]:
+                num = num * decay + x
+                den = den * decay + 1.0
+            out_eid.append(int(eid))
+            out_ewma.append(round(num / den, 9))
+        state.update((ts_l, eid_l, vals))
+        yield pd.DataFrame(
+            {
+                "event_id": out_eid,
+                "user_id": [user_id] * len(out_eid),
+                "ewma": out_ewma,
+            }
+        )
+
+    return ewma_fn
+
+
+def stateful_ewma(
+    events: DataFrame,
+    horizon: int = 16,
+    decay: float = 0.8,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Per-event truncated EWMA per user from a (streaming) events
+    frame — the online-feature twin of the batch ``events_ewma``
+    query. Append-mode: one immutable row per input event."""
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_ewma(horizon, decay),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

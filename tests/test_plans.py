@@ -552,3 +552,35 @@ class TestRound9Plans:
         plan = plan_of(spark, sf_dir, "multimodal_phash")
         assert "Exchange" not in plan
         assert "Join" not in plan
+
+    def test_runtime_bloom_filter_reaches_fact_scan(self, spark, sf_dir):
+        """At 100 TB a selective dim predicate must reach the FACT side
+        even when the dim is too big to broadcast: Spark's runtime
+        row-level filtering injects a bloom_filter_agg on the dim and a
+        might_contain() filter above the fact scan. Local thresholds
+        are sized for real clusters, so the test pins the behavior with
+        the scan-size threshold lowered and broadcast disabled — the
+        production-scale shape."""
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+                F.col("p_size") < 5
+            )
+            j = li.join(part, li.l_partkey == part.p_partkey).groupBy(
+                "p_brand"
+            ).count()
+            opt = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in opt
+            assert "might_contain" in opt
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)

@@ -584,3 +584,32 @@ class TestDebouncerOutOfOrder:
         # 750 and 1000-60=940 — batch yields bursts {700,750} and {850}
         assert self._feed(db, st, [700, 750, 850]) == [(700, 2), (850, 1)]
         assert st.get == (1000_000000, 1000_000000, 1)
+
+
+class TestStatefulEwma:
+    """Streaming twin of the batch events_ewma query: for in-order
+    arrival (the time-sliced file stream), every emitted per-event EWMA
+    must be bit-identical to the batch windowed fold."""
+
+    def test_matches_batch_per_event(self, spark, events_dir, sf_dir):
+        from datarepo_spark.queries import extensions  # noqa: F401
+        from datarepo_spark.streaming.stateful import stateful_ewma
+
+        stream = SE.read_events_stream(
+            spark, events_dir, max_files_per_trigger=1
+        )
+        result = stateful_ewma(stream, horizon=16, decay=0.8)
+        assert result.isStreaming
+        got = SE.run_stream_to_memory(
+            result, "stateful_ewma", output_mode="append"
+        )
+        emitted = {r.event_id: (r.user_id, r.ewma) for r in got.collect()}
+
+        batch = {
+            r.event_id: (r.user_id, r.ewma)
+            for r in REGISTRY["events_ewma"]
+            .spark_fn(spark, sf_dir)
+            .collect()
+        }
+        assert len(emitted) == len(batch)  # one row per event, no dups
+        assert emitted == batch  # bit-identical doubles
