@@ -106,6 +106,7 @@ _PRIORITY_R10 = [
     "multimodal_phash",
     "similarity_mmr_rerank",
     "window_distribution_variants",
+    "profile_dataset_card",
     "agg_distinct_counts",
     "agg_whole_frame",
     "agg_rollup",

@@ -4550,3 +4550,50 @@ def window_distribution_variants(
         F.round(F.percent_rank().over(w), 9).alias("pr"),
         F.ntile(7).over(w).alias("bucket"),
     )
+
+
+@register(
+    "profile_dataset_card",
+    # The per-source "datasheet" a curation pipeline publishes: volume,
+    # exact duplicate rate, length median, token mean, English share.
+    # All components reuse the established engine-exact spellings
+    # (sha256 content key, MEDIAN <-> F.median, regexp token counts,
+    # exact integer ratios rounded once).
+    oracle=rf"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1.0 - COUNT(DISTINCT sha256(lower(trim(text))))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction,
+           MEDIAN(n_chars) AS med_chars,
+           ROUND(AVG(CAST({X.sql_token_count('text', X.WS_TOKEN_RE)}
+                          AS BIGINT)), 9) AS mean_tokens_ws,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS english_frac
+    FROM documents
+    GROUP BY source
+    """,
+    description="per-source dataset card: volume, exact dup rate, "
+    "median length, mean whitespace tokens, English share — one "
+    "map-side-combinable aggregate pass, text never shuffles",
+)
+def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ck = D.content_key(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(ck) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_fraction"),
+        F.median("n_chars").alias("med_chars"),
+        F.round(
+            F.avg(X.token_count(F.col("text"), X.WS_TOKEN_RE).cast("long")),
+            9,
+        ).alias("mean_tokens_ws"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("english_frac"),
+    )
