@@ -44,6 +44,10 @@ tracks the CHANGE volume and the affected groups' files (merge_delta
 rewrites only those), never the source or view size. Sums accumulate
 in DECIMAL(38,6) so repeated incremental application is exactly equal
 to a from-scratch recompute — float sums would drift by ordering.
+
+:class:`IncrementalJoinAggregate` extends the same fold to a JOIN VIEW
+(fact ⋈ static dim) via the one-changing-side delta rule
+Δ(view) = Δ(fact) ⋈ dim — see its docstring.
 """
 
 from __future__ import annotations
