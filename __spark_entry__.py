@@ -107,6 +107,7 @@ _PRIORITY_R10 = [
     "similarity_mmr_rerank",
     "window_distribution_variants",
     "profile_dataset_card",
+    "graph_triangle_count",
     "agg_distinct_counts",
     "agg_whole_frame",
     "agg_rollup",

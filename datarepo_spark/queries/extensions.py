@@ -4597,3 +4597,53 @@ def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("english_frac"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    # Supplier co-occurrence graph (two suppliers share an order):
+    # exact triangle count via the degree-ordered forward method must
+    # equal the canonical a<b<c three-way SQL join; wedges and the
+    # global clustering coefficient are exact integer arithmetic (one
+    # libm-free division, rounded).
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_suppkey AS x, l2.l_suppkey AS y
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_suppkey < l2.l_suppkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT x AS node FROM raw UNION ALL SELECT y FROM raw
+      ) GROUP BY node
+    ), tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM raw e1
+      JOIN raw e2 ON e2.x = e1.y
+      JOIN raw e3 ON e3.x = e1.x AND e3.y = e2.y
+    ), wed AS (
+      SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT n_triangles, n_wedges,
+           ROUND(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 9)
+             AS global_clustering
+    FROM tri, wed
+    """,
+    description="exact triangle count + clustering coefficient of the "
+    "supplier co-occurrence graph — degree-ordered forward method "
+    "(hub-safe wedge enumeration) vs the canonical a<b<c SQL join",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        li.join(l2, li.l_orderkey == l2.k2)
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(pairs)

@@ -170,3 +170,51 @@ class TestReliableCheckpoint:
             ).collect()
         )
         assert local == reliable  # integer fixed point: bit-identical
+
+
+class TestTriangleCount:
+    def _count(self, spark, edges):
+        from datarepo_spark.functions.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).head()
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._count(spark, k4)
+        assert (r.n_triangles, r.n_wedges) == (4, 12)
+        assert r.global_clustering == 1.0
+
+    def test_star_has_none(self, spark):
+        star = [(0, i) for i in range(1, 6)]
+        r = self._count(spark, star)
+        assert r.n_triangles == 0
+        assert r.n_wedges == 10  # hub degree 5 -> C(5,2)
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 3)]
+        r = self._count(spark, tri)
+        assert (r.n_triangles, r.n_wedges) == (1, 3)
+
+    def test_matches_brute_force_random(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        nodes = list(range(30))
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.2
+        ]
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        r = self._count(spark, edges)
+        assert r.n_triangles == want

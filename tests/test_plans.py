@@ -584,3 +584,16 @@ class TestRound9Plans:
         finally:
             for k, v in old.items():
                 spark.conf.set(k, v)
+
+    def test_triangle_count_no_nested_loop(self, spark, sf_dir):
+        """Every triangle join is an equi-join (the closing edge is
+        keyed on the canonical pair, never an OR of orientations —
+        OR-joins plan as nested loop)."""
+        plan = plan_of(spark, sf_dir, "graph_triangle_count")
+        assert "CartesianProduct" not in plan
+        # exactly ONE nested-loop join: the deliberate 1-row x 1-row
+        # scalar cross assembling (triangles, wedges) at the end
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        # the persisted edge/oriented frames feed every join via
+        # InMemoryTableScan (broadcast conversion breaks ReusedExchange)
+        assert "InMemoryTableScan" in plan
