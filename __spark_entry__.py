@@ -108,6 +108,7 @@ _PRIORITY_R10 = [
     "window_distribution_variants",
     "profile_dataset_card",
     "graph_triangle_count",
+    "profile_mutual_information",
     "agg_distinct_counts",
     "agg_whole_frame",
     "agg_rollup",

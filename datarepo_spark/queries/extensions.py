@@ -4647,3 +4647,106 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(pairs)
+
+
+@register(
+    "profile_mutual_information",
+    # Column-dependence diagnostic: mutual information between source
+    # and lang in bits — I = sum p_xy * log2(p_xy / (p_x * p_y)) over
+    # the (source, lang) contingency cells. ENGINE-EXACT like
+    # profile_entropy_by_source: all counts are exact integers and both
+    # engines fold the cell terms in the same (source, lang)-sorted
+    # order (a 0.0-seeded fold equals a first-element-seeded reduce);
+    # log2 is libm, so round(9). Also emits H(lang) and the normalized
+    # I/H(lang) (fraction of language uncertainty explained by source —
+    # ~0 means sources share one language mix; ~1 means source leaks
+    # lang).
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), px AS (
+      SELECT source, CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS cx
+      FROM cell GROUP BY source
+    ), py AS (
+      SELECT lang, CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS cy
+      FROM cell GROUP BY lang
+    ), terms AS (
+      SELECT LIST(
+               (cell.c / n) * LOG2((cell.c * n) / (px.cx * py.cy))
+               ORDER BY cell.source, cell.lang
+             ) AS t,
+             LIST(DISTINCT {'lang': py.lang, 'cy': py.cy}
+                  ORDER BY {'lang': py.lang, 'cy': py.cy}) AS ly,
+             ANY_VALUE(n) AS n
+      FROM cell JOIN px USING (source) JOIN py USING (lang), tot
+    )
+    SELECT ROUND(LIST_REDUCE(t, (a, b) -> a + b), 9) AS mi_bits,
+           ROUND(-LIST_REDUCE(LIST_TRANSFORM(ly,
+                    x -> (x.cy / n) * LOG2(x.cy / n)), (a, b) -> a + b),
+                 9) AS h_lang_bits,
+           ROUND(LIST_REDUCE(t, (a, b) -> a + b)
+                 / (-LIST_REDUCE(LIST_TRANSFORM(ly,
+                      x -> (x.cy / n) * LOG2(x.cy / n)), (a, b) -> a + b)),
+                 9) AS normalized_mi
+    FROM terms
+    """,
+    description="mutual information I(source; lang) in bits + H(lang) "
+    "+ normalized MI — exact contingency counts, sorted engine-"
+    "identical folds; the column-dependence / split-leakage diagnostic",
+)
+def profile_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    px = cell.groupBy("source").agg(
+        F.sum(F.col("c").cast("long")).cast("double").alias("cx")
+    )
+    py = cell.groupBy("lang").agg(
+        F.sum(F.col("c").cast("long")).cast("double").alias("cy")
+    )
+    n = docs.count()  # one scalar job; the frames below broadcast
+    joined = cell.join(F.broadcast(px), "source").join(
+        F.broadcast(py), "lang"
+    )
+    terms = joined.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "source",
+                    "lang",
+                    (
+                        (F.col("c") / F.lit(float(n)))
+                        * F.log2(
+                            (F.col("c") * F.lit(float(n)))
+                            / (F.col("cx") * F.col("cy"))
+                        )
+                    ).alias("term"),
+                )
+            )
+        ).alias("__t")
+    )
+    lang_terms = py.select(
+        F.struct("lang", "cy").alias("s")
+    ).agg(F.sort_array(F.collect_list("s")).alias("__ly"))
+    t = F.transform("__t", lambda x: x["term"])
+    mi = F.aggregate(t, F.lit(0.0), lambda a, b: a + b)
+    hl = -F.aggregate(
+        F.transform(
+            "__ly",
+            lambda x: (x["cy"] / F.lit(float(n)))
+            * F.log2(x["cy"] / F.lit(float(n))),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.crossJoin(F.broadcast(lang_terms)).select(
+        F.round(mi, 9).alias("mi_bits"),
+        F.round(hl, 9).alias("h_lang_bits"),
+        F.round(mi / hl, 9).alias("normalized_mi"),
+    )
