@@ -21,82 +21,24 @@ from datarepo_spark.queries import tpch_extra as _tpch_extra  # noqa: E402,F401
 from datarepo_spark.queries import delta_queries as _delta_queries  # noqa: E402,F401
 from datarepo_spark.queries import physical as _physical  # noqa: E402,F401
 from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
+from datarepo_spark.queries import analysis as _analysis  # noqa: E402,F401
 
 # The driver gates the first N queries() entries (N=50 of the full
 # registry — len(REGISTRY) is the authoritative count), so
 # ordering is coverage policy: one hard CORRECTNESS row per operator
 # family per rotation. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
+#
+# -- r10 window (VERDICT r9 #2): skew_salted_join FIRST (re-spelled
+# ROUND(CAST .. AS DOUBLE) per VERDICT r9 #1a — third gate attempt),
+# then the 12 r9-born queries that have never held a driver row, the
+# streaming stateful-EWMA twin (VERDICT r9 #6 — first streaming result
+# under the gate), the r10-born interval-overlap join, and the 35
+# remaining r6-gated queries (oldest cohort). After r10: every registry
+# query has held a driver row and none is older than r7.
 _PRIORITY = [
-    # -- r9 window (VERDICT r8 #2): the 12 r8-born queries that have
-    # never held a driver CORRECTNESS row, then the 22 queries whose
-    # latest gate is r5 (oldest cohort, registration order), then
-    # skew_salted_join re-gated after the deterministic-salt fix
-    # (VERDICT r8 #1), then 15 of the 50 r6-gated queries by
-    # registration order. After r9: every registry query has held a
-    # driver row and none is older than r6; the remaining 35 r6-gated
-    # queries lead the r10 staging list below.
-    "dedup_ngram_containment",
-    "text_char_entropy",
-    "pipeline_mixture_temperature",
-    "profile_correlation",
-    "events_debounce",
-    "similarity_radius_search",
-    "events_sequence_ngrams",
-    "agg_weighted_avg",
-    "pipeline_temperature_sample",
-    "join_asof_forward",
-    "profile_skew_kurtosis",
-    "dedup_rate_by_source",
-    # -- r5-cohort stragglers (latest gate r5 — the oldest cohort) ----
-    "delta_update_set",
-    "delta_table_changes",
-    "delta_restore_roundtrip",
-    "delta_convert_in_place",
-    "delta_shallow_clone",
-    "ivm_orders_by_status",
-    "ivm_minmax_by_status",
-    "multimodal_features",
-    "profile_histogram",
-    "delta_roundtrip",
-    "delta_time_travel",
-    "sample_weighted",
-    "sample_group_quota",
-    "text_tfidf_keywords",
-    "text_bm25_search",
-    "graph_pagerank",
-    "source_orc_scan",
-    "text_bigram_perplexity",
-    "dedup_lines_c4",
-    "pipeline_length_buckets",
-    "delta_identity_append",
-    "pipeline_curate_v2",
-    # -- re-gate after the deterministic-salt fix (functions/skew.py) --
     "skew_salted_join",
-    # -- r6-cohort refresh (15 of 50, registration order) --------------
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "filter_comparisons",
-    "filter_in_contains_dnf",
-    "filter_not_in",
-    "filter_sql_string",
-    "join_semi",
-    "join_anti",
-    "join_outer_full",
-    "join_cross",
-    "join_theta_inequality",
-    # exactly 50 entries total — the driver gates the first 50
-    "join_range_bucketed",
-]
-
-# r10 rotation staging: the r9-born queries lead (never driver-gated;
-# each driver-sim-verified green at sf0.01 when it landed), then the 35
-# r6-gated queries not refreshed in the r9 window, in registration
-# order.
-_PRIORITY_R10 = [
+    # -- r9-born, never driver-gated ----------------------------------
     "events_ewma",
     "events_resample_ffill",
     "join_asof_nearest",
@@ -109,6 +51,10 @@ _PRIORITY_R10 = [
     "profile_dataset_card",
     "graph_triangle_count",
     "profile_mutual_information",
+    # -- r10-born headline additions -----------------------------------
+    "streaming_ewma_twin",
+    "join_interval_overlap",
+    # -- r6-cohort refresh (the 35 not re-gated in r9, reg. order) ------
     "agg_distinct_counts",
     "agg_whole_frame",
     "agg_rollup",
@@ -144,12 +90,24 @@ _PRIORITY_R10 = [
     "text_sentiment",
     "text_top_tokens",
     "similarity_ann_index_pq",
+    # exactly 50 entries total — the driver gates the first 50
+]
+
+# r11 rotation staging: the r10-born queries that did not fit the r10
+# window lead (each driver-sim-verified green at sf0.01 when it
+# landed), then the r7-gated cohort (oldest after r10) by registration
+# order.
+_PRIORITY_R11 = [
+    "profile_iqr_outliers",
+    "events_anomaly_mad",
+    "text_rrf_fusion",
+    "graph_degree_distribution",
 ]
 
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
-    for name in _PRIORITY + _PRIORITY_R10:
+    for name in _PRIORITY + _PRIORITY_R11:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():
         if name not in ordered:

@@ -47,6 +47,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datarepo_spark.session import get_spark  # noqa: E402
 from datarepo_spark.queries.registry import REGISTRY  # noqa: E402
 from datarepo_spark.queries import extensions  # noqa: E402,F401
+from datarepo_spark.queries import sources  # noqa: E402,F401  (registers streaming_ewma_twin)
+from datarepo_spark.queries import tpch_extra  # noqa: E402,F401  (registers q18)
 from datarepo_spark.functions.dedup import unpersist_intermediates  # noqa: E402
 
 HEADLINE = [
@@ -131,6 +133,22 @@ HEADLINE = [
     "events_resample_ffill",
     "join_asof_nearest",
     "pipeline_shuffle_shards",
+    # added r10 (headline count 57 → 63, VERDICT r9 #3): the heavy
+    # r9-born operators get their committed wall-times — triangle
+    # counting (wedge self-join, plausibly the heaviest r9 addition),
+    # MMR rerank (TakeOrdered + pool self-join), pHash (pure map), the
+    # gram-grid mutual information + entropy profilers, and the
+    # whole-table dataset card
+    "graph_triangle_count",
+    "similarity_mmr_rerank",
+    "multimodal_phash",
+    "profile_mutual_information",
+    "profile_entropy_by_source",
+    "profile_dataset_card",
+    # added r10: the streaming stateful-EWMA twin — 4-micro-batch file
+    # stream through applyInPandasWithState; the streaming path's cost
+    # becomes bench-visible
+    "streaming_ewma_twin",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
@@ -274,7 +292,16 @@ def main() -> None:
     if "steady_total" in out:
         compact["steady_total"] = out["steady_total"]
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # r5's driver tail capture clipped at 2000 chars
+    # r5's driver tail capture clips at 2000 chars (from the END of
+    # stdout, so an over-long LAST line loses its head and parses as
+    # null). Degrade precision before dropping the map entirely — the
+    # per-query map in the driver artifact is what makes round-over-
+    # round comparisons recomputable (full 4-decimal detail is always
+    # in BENCH_DETAIL.json).
+    if len(line) > 1950:
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
         compact.pop("queries", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

@@ -840,6 +840,12 @@ def rebuild_ann_index(
         post_version = DeltaLog(prev).snapshot().version
         if post_version != start_snap.version:
             os.rename(prev, uri)
+            # the success-path invalidation loop below never runs when
+            # this raise propagates, and the snapshot memoized for `uri`
+            # at the end_version check predates the straggler commit —
+            # drop it now or a later DeltaLog(uri) read in this process
+            # serves a stale snapshot missing exactly that commit
+            invalidate_snapshot_cache(uri)
             shutil.rmtree(tmp)
             raise RuntimeError(
                 f"table at {uri} advanced during the generation swap "

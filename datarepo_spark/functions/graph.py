@@ -143,6 +143,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_dir: Optional[str] = None,
+    tol_micro: Optional[int] = None,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998) over an edge list, fixed-iteration
     MEAN-NORMALIZED form (ranks average 1.0 up to integer flooring;
@@ -180,7 +181,25 @@ def pagerank(
     materialized inputs, and the (possibly expensive) edge-generation
     subtree never re-executes. ``checkpoint_dir``: pass a DFS path on a
     real cluster for reliable ``checkpoint()`` pins that survive
-    executor loss (default ``localCheckpoint()`` — see :func:`_pin`)."""
+    executor loss (default ``localCheckpoint()`` — see :func:`_pin`).
+
+    Two iteration-cost levers (both result-preserving):
+
+    - **Dangling fast path**: whether any dangling node exists is a
+      loop INVARIANT (one anti-join count up front). On graphs with no
+      sinks — e.g. any symmetrized edge list — the per-iteration
+      dangling aggregate + broadcast is provably a no-op (share =
+      floor(0/N) = 0) and is skipped entirely.
+    - **Convergence early-exit** (``tol_micro``): when set, each
+      iteration also computes S = Σ|Δrank_micro| (ONE integer
+      aggregate over the already-pinned old/new rank states) and the
+      loop stops as soon as S ≤ tol_micro. Integer micro-units make
+      the threshold engine-exact, so an oracle can encode the same
+      rule bit-for-bit. ``tol_micro=0`` stops only at the exact fixed
+      point (update is a deterministic function of the rank vector, so
+      every later iteration would return identical ranks — the exit is
+      result-identical to running all ``iterations``). Default None:
+      fixed iteration count, no per-iteration delta aggregate."""
     UNIT = 1_000_000
     d_pct = int(round(damping * 100))
     # materialize the loop INVARIANTS once: every iteration joins the
@@ -209,25 +228,33 @@ def pagerank(
         checkpoint_dir,
     )
     n_total = nodes.count()  # loop-constant scalar, one tiny job
+    # dangling-ness is a loop invariant: one anti-join count up front
+    # decides whether ANY per-iteration dangling work is needed at all
+    has_dangling = (
+        nodes.join(degrees, "node", "left_anti").limit(1).count() > 0
+    )
     ranks = nodes.select(
         "node", F.lit(UNIT).cast("long").alias("rank_micro")
     )
     teleport = (100 - d_pct) * UNIT // 100
+    ranks = _pin(ranks.coalesce(par), checkpoint_dir)
     for _ in range(iterations):
-        # the iteration state is O(nodes); pin it so the dangling
-        # aggregate and the contribution join share ONE computation
-        ranks = _pin(ranks.coalesce(par), checkpoint_dir)
-        # per-node share of the dangling (no-out-edge) mass — a scalar
-        dang_share = (
-            ranks.join(degrees, "node", "left_anti")
-            .agg(F.sum("rank_micro").alias("__dang"))
-            .select(
-                F.floor(
-                    F.coalesce(F.col("__dang"), F.lit(0))
-                    / F.lit(n_total)
-                ).cast("long").alias("__share")
+        # the iteration state is O(nodes), pinned (below / before the
+        # loop) so the dangling aggregate, the contribution join, and
+        # the delta aggregate all share ONE computation
+        prev = ranks
+        if has_dangling:
+            # per-node share of the dangling (no-out-edge) mass — scalar
+            dang_share = (
+                ranks.join(degrees, "node", "left_anti")
+                .agg(F.sum("rank_micro").alias("__dang"))
+                .select(
+                    F.floor(
+                        F.coalesce(F.col("__dang"), F.lit(0))
+                        / F.lit(n_total)
+                    ).cast("long").alias("__share")
+                )
             )
-        )
         contribs = (
             base.select(
                 F.col("__from").alias("node"), F.col("__to")
@@ -243,24 +270,46 @@ def pagerank(
                 ).alias("__c")
             )
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dang_share))
-            .select(
+        updated = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            updated = updated.crossJoin(F.broadcast(dang_share))
+            mass = F.coalesce(F.col("__c"), F.lit(0)) + F.col("__share")
+        else:
+            mass = F.coalesce(F.col("__c"), F.lit(0))
+        ranks = _pin(
+            updated.select(
                 "node",
                 (
                     F.lit(teleport)
                     + F.floor(
-                        F.lit(d_pct)
-                        * (
-                            F.coalesce(F.col("__c"), F.lit(0))
-                            + F.col("__share")
-                        )
-                        / F.lit(100)
+                        F.lit(d_pct) * mass / F.lit(100)
                     ).cast("long")
                 ).cast("long").alias("rank_micro"),
-            )
+            ).coalesce(par),
+            checkpoint_dir,
         )
+        if tol_micro is not None:
+            # one integer aggregate over two pinned O(nodes) states —
+            # engine-exact, so an oracle can encode the same stop rule
+            delta = (
+                ranks.join(
+                    prev.select(
+                        "node",
+                        F.col("rank_micro").alias("__prev_micro"),
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.sum(
+                        F.abs(
+                            F.col("rank_micro") - F.col("__prev_micro")
+                        )
+                    ).alias("__d")
+                )
+                .collect()[0]["__d"]
+            )
+            if delta is not None and delta <= tol_micro:
+                break
     return ranks.select(
         "node",
         "rank_micro",

@@ -247,3 +247,63 @@ def winsorized_stats(
             ).alias("winsorized_mean"),
         )
     )
+
+
+def grouped_exact_quantile(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    q: float,
+    out_col: str = "quantile",
+) -> DataFrame:
+    """Exact linear-interpolated quantile per group, with the
+    interpolation arithmetic PINNED so two engines compute the same
+    double bit-for-bit (the portable-quantile problem: engines agree on
+    the (n-1)·q rank convention but not on the interpolation expression
+    — ``lo + (hi-lo)·f`` vs ``lo·(1-f) + hi·f`` differ in the last ulp).
+
+    Construction (one window sort per group, never a collect):
+    rank every row (row_number over value order), keep ONLY the
+    floor/ceil ranks of k = (n-1)·q, and interpolate
+    ``v_lo + (v_hi - v_lo) * (k - floor(k))``. (n-1)·q is exact in
+    doubles for q with a short binary expansion (0.25 / 0.5 / 0.75) and
+    n < 2^51, so the kept ranks — and therefore the result — are
+    engine-deterministic. An oracle must spell the SAME expression.
+
+    Returns one row per group: (*keys, out_col). At 100 TB this is the
+    scalable exact-quantile plan: the window sort shuffles once on the
+    group key (same cost class as any percentile aggregate), and the
+    interpolation touches two rows per group.
+    """
+    from pyspark.sql.window import Window
+
+    ks = list(keys)
+    w = Window.partitionBy(*ks).orderBy(value_col)
+    wcnt = Window.partitionBy(*ks)
+    ranked = df.select(
+        *ks,
+        F.col(value_col).cast("double").alias("__v"),
+    ).select(
+        *ks,
+        "__v",
+        (F.row_number().over(w.orderBy("__v")) - 1).alias("__i"),
+        F.count(F.lit(1)).over(wcnt).alias("__n"),
+    )
+    k = (F.col("__n") - 1).cast("double") * F.lit(float(q))
+    lo = F.floor(k).cast("long")
+    hi = F.ceil(k).cast("long")
+    picked = ranked.filter(
+        (F.col("__i") == lo) | (F.col("__i") == hi)
+    )
+    return picked.groupBy(*ks).agg(
+        (
+            F.min(F.when(F.col("__i") == lo, F.col("__v")))
+            + (
+                F.max(F.when(F.col("__i") == hi, F.col("__v")))
+                - F.min(F.when(F.col("__i") == lo, F.col("__v")))
+            )
+            * (
+                F.min(k) - F.min(lo.cast("double"))
+            )
+        ).alias(out_col)
+    )

@@ -282,8 +282,12 @@ def mmr_rerank(
     ]
     sim = {(r["__ia"], r["__ib"]): r["__c"] for r in pair_rows}
     rel = dict(cand)
-    # seed: highest relevance (pool_df is already (r desc, id asc) sorted)
-    picked = [cand[0][0]] if cand else []
+    # seed: highest relevance, id-ascending tiebreak — computed
+    # explicitly rather than trusting collect() to preserve the persisted
+    # orderBy+limit row order
+    picked = (
+        [min(cand, key=lambda t: (-t[1], t[0]))[0]] if cand else []
+    )
     while cand and len(picked) < min(k, len(cand)):
         best = None
         for i, r in cand:
@@ -300,7 +304,10 @@ def mmr_rerank(
                 best = (score, i)
         picked.append(best[1])
     spark = df.sparkSession
+    # the id column keeps its INPUT type (string/int ids must not be
+    # forced long — createDataFrame would crash or silently mis-type)
+    id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [(n + 1, i, rel[i]) for n, i in enumerate(picked)],
-        f"rank int, {id_col} long, relevance double",
+        f"rank int, {id_col} {id_type}, relevance double",
     )

@@ -25,6 +25,15 @@ rand-salt is a correctness defect, not a style issue. We derive the salt
 as ``pmod(xxhash64(payload columns), salt)`` — payloads differ within a
 hot key, so the spreading is the same, and identical full rows
 collapsing to one salt is acceptable (they aggregate/join identically).
+
+Spreading bound caveat: the 1/SALT reducer-share bound holds for keys
+whose payloads are (mostly) DISTINCT. A hot key whose rows are exact
+payload duplicates (e.g. a viral document ingested N times with
+byte-identical content) collapses to ONE salt and is not spread. When
+that shape is expected, pass ``salt_cols`` naming a per-row-unique
+column (ingest offset, file path + row number, event id) — the salt
+then hashes that column and the full 1/SALT bound is restored without
+reintroducing nondeterminism.
 """
 
 from __future__ import annotations
@@ -35,14 +44,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _content_salt(df: DataFrame, exclude: Sequence[str], salt: int) -> Column:
-    """Deterministic salt in [0, salt): hash of every column NOT in
-    ``exclude`` (the grouping/join keys). Falling back to the full row if
-    everything is excluded keeps the expression total; that degenerate
-    case means each distinct key gets one salt, i.e. no spreading — the
-    caller has no payload to spread by."""
-    payload = [c for c in df.columns if c not in set(exclude)]
-    cols = payload if payload else list(df.columns)
+def _content_salt(
+    df: DataFrame,
+    exclude: Sequence[str],
+    salt: int,
+    salt_cols: Sequence[str] | None = None,
+) -> Column:
+    """Deterministic salt in [0, salt): hash of ``salt_cols`` when given
+    (caller-designated per-row-unique columns — restores the 1/SALT bound
+    even for duplicate-payload hot keys, module docstring), else of every
+    column NOT in ``exclude`` (the grouping/join keys). Falling back to
+    the full row if everything is excluded keeps the expression total;
+    that degenerate case means each distinct key gets one salt, i.e. no
+    spreading — the caller has no payload to spread by."""
+    if salt_cols:
+        cols = list(salt_cols)
+    else:
+        payload = [c for c in df.columns if c not in set(exclude)]
+        cols = payload if payload else list(df.columns)
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt)).cast(
         "int"
     )
@@ -53,6 +72,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, Column],
     salt: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation for decomposable aggregates
     (sum/count/min/max — pass the partial expression in ``aggs``; the
@@ -64,8 +84,12 @@ def salted_agg(
     ``aggs`` maps output name → phase-1 aggregate expression, where the
     name must start with sum_/count_/min_/max_ so the merge function is
     known. The salt is a deterministic content hash (module docstring) —
-    safe under task retry/speculation, unlike ``F.rand``."""
-    salted = df.withColumn("__salt", _content_salt(df, keys, salt))
+    safe under task retry/speculation, unlike ``F.rand``. For hot keys
+    whose payloads duplicate exactly, pass ``salt_cols`` naming a
+    per-row-unique column to restore the 1/SALT spreading bound."""
+    salted = df.withColumn(
+        "__salt", _content_salt(df, keys, salt, salt_cols)
+    )
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
@@ -92,15 +116,18 @@ def salted_broadcast_left(
     on_fact: str,
     on_dim: str,
     salt: int = 8,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the fact side, explode the dim side
     ``salt``× with matching salts, join on (key, salt). Use when the dim
     is too big to broadcast outright but a hot fact key overwhelms one
     shuffle partition. Result columns = fact ⋈ dim as usual. The salt is
     a deterministic content hash (module docstring) — safe under task
-    retry/speculation, unlike ``F.rand``."""
+    retry/speculation, unlike ``F.rand``. For hot keys whose payloads
+    duplicate exactly, pass ``salt_cols`` naming a per-row-unique fact
+    column to restore the 1/SALT spreading bound."""
     salted_fact = fact.withColumn(
-        "__salt", _content_salt(fact, [on_fact], salt)
+        "__salt", _content_salt(fact, [on_fact], salt, salt_cols)
     )
     exploded_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -85,3 +85,76 @@ def range_join(
     for c in drop:
         joined = joined.drop(c)
     return joined
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    equi_keys: Optional[Sequence[tuple[str, str]]] = None,
+) -> DataFrame:
+    """Join interval rows to interval rows that OVERLAP them —
+    ``left_start <= right_end AND right_start <= left_end`` (plus optional
+    equi-keys) — without a nested loop and without a dedup pass.
+
+    Same bucketing strategy as :func:`range_join`, with one extra trick
+    because BOTH sides explode: a pair of overlapping intervals shares
+    every bucket in the overlap region, so a naive bucket-equi-join
+    emits the pair once per shared bucket. Instead of deduplicating
+    (an extra shuffle over the full result), each pair is CLAIMED by
+    exactly one bucket — the bucket containing ``max(left_start,
+    right_start)``. Overlap implies ``max(start) <= min(end)``, so that
+    bucket is inside both intervals' bucket ranges: every overlapping
+    pair is emitted exactly once, never deduplicated.
+
+    Cost model: each side grows by ``avg_span / bucket_width + 1``; the
+    join is a plain hash equi-join on (keys…, bucket) — AQE-skew-safe,
+    broadcastable. Start/end columns must be numeric (cast dates to
+    epoch days first). Inner join only, like :func:`range_join`.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    equi = list(equi_keys or [])
+    w = F.lit(float(bucket_width))
+
+    lb = left.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / w).cast("long"),
+                F.floor(F.col(left_end) / w).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / w).cast("long"),
+                F.floor(F.col(right_end) / w).cast("long"),
+            )
+        ),
+    )
+    cond = lb[_BUCKET] == rb[_BUCKET]
+    for lk, rk in equi:
+        cond = cond & (lb[lk] == rb[rk])
+    joined = lb.join(rb, cond, "inner").filter(
+        # exact overlap predicate
+        (lb[left_start] <= rb[right_end])
+        & (rb[right_start] <= lb[left_end])
+        # pair-uniqueness: only the bucket owning max(start) emits
+        & (
+            lb[_BUCKET]
+            == F.floor(
+                F.greatest(lb[left_start], rb[right_start]) / w
+            ).cast("long")
+        )
+    )
+    drop = [lb[_BUCKET], rb[_BUCKET]] + [rb[rk] for _, rk in equi]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined

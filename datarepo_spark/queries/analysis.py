@@ -1,0 +1,403 @@
+"""Round-10 analysis operators: robust statistics, interval-overlap
+joins, rank fusion, and graph profiling.
+
+All four families are standard large-corpus analysis shapes the
+reference's users run downstream of its scans (the reference itself has
+no compute operators beyond filtered reads — SURVEY.md §2; these extend
+the added training-data-pipeline surface):
+
+- exact interpolated quantiles / IQR outliers / MAD anomalies: robust
+  profiling that survives the heavy-tailed value distributions real
+  corpora have (mean/stddev z-scores are ruined by the very outliers
+  they're meant to find);
+- interval-overlap join: the interval×interval companion of the
+  point-in-interval ``range_join`` — bucketed equi-join, never a
+  nested loop (``operators/range_join.py``);
+- reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): the
+  standard way to combine heterogeneous retrieval rankings (BM25 +
+  raw-TF here) without score calibration;
+- degree distribution: the first graph-shape profile run before any
+  iterative graph algorithm (pagerank/triangles) to spot hubs.
+
+Determinism notes are per-query; the quantile machinery is pinned
+bit-exact in ``functions/profile.py::grouped_exact_quantile``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.profile import grouped_exact_quantile
+from .registry import load, register
+
+
+def _epoch_day(col: str) -> F.Column:
+    return F.datediff(F.col(col), F.lit("1970-01-01").cast("date"))
+
+
+@register(
+    "join_interval_overlap",
+    # pairs of shipments by the same supplier whose transit windows
+    # overlap — interval×interval join. The testdata lineitem carries
+    # no receiptdate, so the window is [shipdate, shipdate + quantity
+    # days] (quantity is integer-valued 1..50 — a deterministic 1-50
+    # day transit both engines derive identically). The oracle is the
+    # plain inequality self-join; the operator must be
+    # result-identical while planning a bucketed hash equi-join (pair
+    # uniqueness via the max(start)-bucket claim — never a dedup).
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey AS k, l_orderkey AS ok, l_linenumber AS ln,
+             DATEDIFF('day', DATE '1970-01-01',
+                      CAST(l_shipdate AS DATE)) AS st,
+             DATEDIFF('day', DATE '1970-01-01',
+                      CAST(l_shipdate AS DATE))
+               + CAST(l_quantity AS BIGINT) AS en
+      FROM lineitem WHERE l_suppkey <= 5
+    )
+    SELECT a.k AS s_suppkey, COUNT(*) AS n_overlaps
+    FROM s a JOIN s b
+      ON a.k = b.k AND a.st <= b.en AND b.st <= a.en
+     AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+    GROUP BY a.k
+    """,
+    description="interval-overlap self-join (transit windows per "
+    "supplier) via bucketed equi-join with max(start)-bucket pair "
+    "claim — interval×interval without nested loop or dedup pass",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import interval_overlap_join
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 5)
+        .select(
+            F.col("l_suppkey").alias("k"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+            _epoch_day("l_shipdate").alias("st"),
+            (
+                _epoch_day("l_shipdate")
+                + F.col("l_quantity").cast("long")
+            ).alias("en"),
+        )
+    )
+    a = li.select(
+        F.col("k").alias("k_a"), F.col("ok").alias("ok_a"),
+        F.col("ln").alias("ln_a"), F.col("st").alias("st_a"),
+        F.col("en").alias("en_a"),
+    )
+    b = li.select(
+        F.col("k").alias("k_b"), F.col("ok").alias("ok_b"),
+        F.col("ln").alias("ln_b"), F.col("st").alias("st_b"),
+        F.col("en").alias("en_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b,
+        left_start="st_a", left_end="en_a",
+        right_start="st_b", right_end="en_b",
+        bucket_width=16.0,  # ~median transit span: ≤2x row blow-up
+        equi_keys=[("k_a", "k_b")],
+    ).filter(
+        (F.col("ok_a") < F.col("ok_b"))
+        | ((F.col("ok_a") == F.col("ok_b")) & (F.col("ln_a") < F.col("ln_b")))
+    )
+    return pairs.groupBy(F.col("k_a").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+# Shared oracle scaffolding for the pinned interpolated quantile: rank
+# rows, keep the floor/ceil ranks of k=(n-1)*q, interpolate
+# v_lo + (v_hi - v_lo) * (k - floor(k)) — the EXACT expression
+# grouped_exact_quantile evaluates, so the doubles agree bit-for-bit.
+def _oracle_quantile_cte(src: str, key: str, val: str, q: str, name: str) -> str:
+    return f"""
+    {name}_r AS (
+      SELECT {key} AS g, {val} AS v,
+             ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {val}) - 1 AS i,
+             CAST(COUNT(*) OVER (PARTITION BY {key}) - 1 AS DOUBLE) * {q} AS k
+      FROM {src}
+    ), {name} AS (
+      SELECT g,
+             MIN(CASE WHEN i = CAST(FLOOR(k) AS BIGINT) THEN v END)
+             + (MAX(CASE WHEN i = CAST(CEIL(k) AS BIGINT) THEN v END)
+                - MIN(CASE WHEN i = CAST(FLOOR(k) AS BIGINT) THEN v END))
+               * (MIN(k) - FLOOR(MIN(k))) AS qv
+      FROM {name}_r
+      WHERE i = CAST(FLOOR(k) AS BIGINT) OR i = CAST(CEIL(k) AS BIGINT)
+      GROUP BY g
+    )"""
+
+
+@register(
+    "profile_iqr_outliers",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderstatus AS g0, CAST(o_totalprice AS DOUBLE) AS v0
+      FROM orders
+    ),
+    """
+    + _oracle_quantile_cte("src", "g0", "v0", "0.25", "q1t")[5:]
+    + ","
+    + _oracle_quantile_cte("src", "g0", "v0", "0.75", "q3t")[5:]
+    + """
+    SELECT src.g0 AS o_orderstatus,
+           ROUND(q1t.qv, 6) AS q1,
+           ROUND(q3t.qv, 6) AS q3,
+           SUM(CASE WHEN src.v0 < q1t.qv - 1.5 * (q3t.qv - q1t.qv)
+                      OR src.v0 > q3t.qv + 1.5 * (q3t.qv - q1t.qv)
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM src
+    JOIN q1t ON src.g0 = q1t.g
+    JOIN q3t ON src.g0 = q3t.g
+    GROUP BY src.g0, q1t.qv, q3t.qv
+    """,
+    description="robust IQR outlier profile per group: exact "
+    "interpolated q1/q3 via pinned rank-and-interpolate (one window "
+    "sort per quantile, two rows kept per group — no collect), Tukey "
+    "1.5-IQR fences, outlier counts",
+)
+def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("double").alias("__v"),
+    )
+    q1 = grouped_exact_quantile(
+        orders, ["o_orderstatus"], "__v", 0.25, out_col="__q1"
+    )
+    q3 = grouped_exact_quantile(
+        orders, ["o_orderstatus"], "__v", 0.75, out_col="__q3"
+    )
+    fences = q1.join(q3, "o_orderstatus")
+    lo = F.col("__q1") - 1.5 * (F.col("__q3") - F.col("__q1"))
+    hi = F.col("__q3") + 1.5 * (F.col("__q3") - F.col("__q1"))
+    return (
+        orders.join(F.broadcast(fences), "o_orderstatus")
+        .groupBy("o_orderstatus", "__q1", "__q3")
+        .agg(
+            F.sum(
+                F.when((F.col("__v") < lo) | (F.col("__v") > hi), 1)
+                .otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "o_orderstatus",
+            F.round("__q1", 6).alias("q1"),
+            F.round("__q3", 6).alias("q3"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH src AS (
+      SELECT user_id AS g0, CAST(value AS DOUBLE) AS v0 FROM events
+      WHERE user_id <= 40
+    ),
+    """
+    + _oracle_quantile_cte("src", "g0", "v0", "0.5", "med")[5:]
+    + """
+    , dev AS (
+      SELECT src.g0 AS g1, ABS(src.v0 - med.qv) AS v1, med.qv AS med_v
+      FROM src JOIN med ON src.g0 = med.g
+    ),
+    """
+    + _oracle_quantile_cte("dev", "g1", "v1", "0.5", "madt")[5:]
+    + """
+    SELECT dev.g1 AS user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN dev.v1 > 3.0 * madt.qv THEN 1 ELSE 0 END)
+             AS n_anomalies,
+           ROUND(MIN(madt.qv), 6) AS mad
+    FROM dev JOIN madt ON dev.g1 = madt.g
+    GROUP BY dev.g1
+    """,
+    description="robust per-user anomaly detection: median + MAD via "
+    "the pinned exact quantile (two window passes), flag "
+    "|v - median| > 3*MAD — outlier-resistant twin of the z-score "
+    "detector",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 40)
+        .select("user_id", F.col("value").cast("double").alias("__v"))
+    )
+    med = grouped_exact_quantile(
+        ev, ["user_id"], "__v", 0.5, out_col="__med"
+    )
+    dev = ev.join(F.broadcast(med), "user_id").select(
+        "user_id", F.abs(F.col("__v") - F.col("__med")).alias("__dev")
+    )
+    mad = grouped_exact_quantile(
+        dev, ["user_id"], "__dev", 0.5, out_col="__mad"
+    )
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("__dev") > 3.0 * F.col("__mad"), 1)
+                .otherwise(0)
+            ).alias("n_anomalies"),
+            F.round(F.min("__mad"), 6).alias("mad"),
+        )
+    )
+
+
+@register(
+    "text_rrf_fusion",
+    # reciprocal-rank fusion of two heterogeneous retrieval rankings
+    # (BM25 and raw term-frequency) for one query. Ranks are integers
+    # (row_number over (rounded score desc, doc_id)); each fused score
+    # is 1/(60+r_a) + 1/(60+r_b) with missing-list terms 0.0 — two IEEE
+    # divisions and one addition in a pinned order, rounded(9).
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> LEN(t) > 0)) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token IN ('hash', 'join', 'scan')
+      GROUP BY doc_id, token
+    ), tfd AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY token) AS df_t FROM tf
+    ), dl AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> LEN(t) > 0)) AS DOUBLE) AS dl
+      FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), bm25 AS (
+      SELECT tfd.doc_id,
+             ROUND(SUM(ROUND(
+               ROUND(LN((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 9)
+               * (tfd.tf * 2.2)
+               / (tfd.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+               6)), 6) AS score
+      FROM tfd JOIN dl USING (doc_id) CROSS JOIN corpus
+      GROUP BY tfd.doc_id
+    ), bm25_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm25 QUALIFY r <= 50
+    ), rawtf AS (
+      SELECT doc_id, SUM(tf) AS score FROM tf GROUP BY doc_id
+    ), rawtf_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM rawtf QUALIFY r <= 50
+    ), fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + a.r), 0.0)
+                   + COALESCE(1.0 / (60 + b.r), 0.0), 9) AS rrf
+      FROM bm25_rank a FULL OUTER JOIN rawtf_rank b USING (doc_id)
+    )
+    SELECT doc_id, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    description="reciprocal-rank fusion (RRF, k=60) of BM25 and "
+    "raw-TF rankings for one query: two bounded top-50 rank lists, "
+    "full-outer join on doc, fused 1/(60+r) sum, top-20 — "
+    "calibration-free ranking combination",
+)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions import ranking as RK
+
+    docs = load(spark, sf_dir, "documents")
+    qtoks = ["hash", "join", "scan"]
+    bm25 = RK.bm25_search(docs, qtoks, k=50)
+    bm25_rank = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("__ra"),
+    )
+    # second ranker: raw query-term frequency (uncalibrated lexical
+    # overlap — deliberately a different scoring family than BM25)
+    from ..functions.dedup import tokens_of
+
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens_of(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token").isin(qtoks))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__score"))
+    )
+    tf_rank = (
+        tf.orderBy(F.desc("__score"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("__score"), F.asc("doc_id")))
+            .alias("__rb"),
+        )
+    )
+    fused = (
+        bm25_rank.join(tf_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("__rb")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "graph_degree_distribution",
+    # degree histogram of the bipartite trade graph — the shape profile
+    # (hub detection, skew estimate) run before any iterative graph
+    # algorithm. Exact integer aggregates end to end.
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    description="graph degree distribution: per-node degree over the "
+    "symmetrized customer<->supplier trade graph, then the degree "
+    "histogram — two keyed aggregates, no iteration",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("a").alias("src")).unionByName(
+        base.select(F.col("b").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

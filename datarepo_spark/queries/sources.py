@@ -119,3 +119,92 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
         spark=spark,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin under the correctness gate (VERDICT r9 #6): the
+# stateful-EWMA stream over a time-sliced file source, oracled by the
+# SAME batch SQL as events_ewma. The events table is globally
+# (ts, event_id)-sorted, so row-order file slices are time-ordered and
+# non-overlapping: each micro-batch's within-batch sort reproduces the
+# exact batch fold order, and no event ever falls below the watermark
+# (batch k+1's min ts >= batch k's max ts). The stream therefore emits
+# one row per event with doubles bit-identical to the batch query —
+# which is precisely the stream/batch equivalence the stateful twins
+# promise (tests/test_streaming.py proves it property-style; this
+# query puts it under the driver's value-hash gate).
+# ---------------------------------------------------------------------------
+
+_STREAM_BUILT: dict[str, str] = {}
+_STREAM_SEQ: list[int] = [0]
+
+
+def _sliced_events_fixture(sf_dir: str) -> str:
+    """Split events.parquet into 4 row-order (= time-order) slices with
+    strictly ascending mtimes, so FileStreamSource replays them as 4
+    deterministic micro-batches."""
+    key = os.path.abspath(sf_dir)
+    built = _STREAM_BUILT.get(key)
+    if built and os.path.isdir(built):
+        return built
+    import time
+
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="datarepo_stream_gate_")
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = 4
+    step = (table.num_rows + n - 1) // n
+    base_mtime = time.time() - n
+    for i in range(n):
+        chunk = table.slice(i * step, step)
+        if chunk.num_rows:
+            p = os.path.join(base, f"part-{i}.parquet")
+            pq.write_table(chunk, p)
+            # FileStreamSource orders files by mtime; equal mtimes make
+            # batch order nondeterministic
+            os.utime(p, (base_mtime + i, base_mtime + i))
+    _STREAM_BUILT[key] = base
+    return base
+
+
+@register(
+    "streaming_ewma_twin",
+    # identical to the batch events_ewma oracle: the stream's emitted
+    # rows must match the batch fold bit-for-bit (see module comment)
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(
+             list_reduce(vals, (acc, x) -> acc * 0.8 + x)
+             / list_reduce(list_transform(vals, x -> CAST(1.0 AS DOUBLE)),
+                           (acc, x) -> acc * 0.8 + x),
+             9) AS ewma
+    FROM w
+    """,
+    description="structured-streaming stateful EWMA (applyInPandasWith"
+    "State, append mode) run to completion over a 4-file time-sliced "
+    "file source — emitted rows must equal the batch events_ewma fold "
+    "bit-for-bit (stream/batch equivalence under the value-hash gate)",
+)
+def streaming_ewma_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, run_stream_to_memory
+    from ..streaming.stateful import stateful_ewma
+
+    path = _sliced_events_fixture(sf_dir)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    result = stateful_ewma(stream, horizon=16, decay=0.8)
+    # unique memory-sink name: the driver runs many queries in ONE
+    # session and memory tables are session-global
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_memory(
+        result,
+        f"gate_streaming_ewma_{_STREAM_SEQ[0]}",
+        output_mode="append",
+    )

@@ -35,13 +35,18 @@ def checkpoint_txn_identity(query_name: str, checkpoint_dir: str) -> str:
     checkpoint (new epochs, new identity — no ledger to miss).
     Canonically-spelled absolute paths are unaffected."""
     d = checkpoint_dir.strip()
-    if d.startswith("file:") and "://" not in d:
-        # RFC 8089 minimal form 'file:/data/ckpt' (the spelling Hadoop/
-        # Spark itself renders) — no authority at all; same local
+    if d.startswith("file:/") and "://" not in d:
+        # RFC 8089 minimal ABSOLUTE form 'file:/data/ckpt' (the spelling
+        # Hadoop/Spark itself renders) — no authority at all; same local
         # location as the bare path. Without this branch the '://' check
         # misses it and the path would resolve cwd-RELATIVE below.
-        d = d[len("file:"):] or "/"
-        d = os.path.normpath("/" + d.lstrip("/"))
+        # Restricted to 'file:/' on purpose: an invalid relative
+        # spelling like 'file:data/ckpt' must NOT silently become
+        # '/data/ckpt' (it would collide with the canonical absolute
+        # path's identity) — it falls through and resolves like any
+        # other odd relative spelling instead.
+        d = d[len("file:"):]
+        d = os.path.normpath(d)
     elif "://" in d:
         scheme, _, rest = d.partition("://")
         host, _, path = rest.partition("/")

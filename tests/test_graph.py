@@ -120,6 +120,64 @@ class TestPageRank:
         assert ranks["sink"] == pytest.approx(0.15 + 0.85 * (2 * 0.433333 + 0.711111), abs=2e-5)
         assert sum(ranks.values()) == pytest.approx(3.0, abs=0.01)
 
+    def test_tol_early_exit_is_result_identical(self, spark):
+        """tol_micro=0 stops only at the EXACT integer fixed point, so
+        the result must be bit-identical to any longer fixed-iteration
+        run. A 2-cycle is at the fixed point immediately (r'=0.15 +
+        0.85*1.0 = 1.0), so the 50-iteration budget exits after one
+        delta check."""
+        from datarepo_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], ["src", "dst"]
+        )
+        fast = sorted(
+            (r.node, r.rank_micro)
+            for r in pagerank(edges, iterations=50, tol_micro=0).collect()
+        )
+        fixed = sorted(
+            (r.node, r.rank_micro)
+            for r in pagerank(edges, iterations=3).collect()
+        )
+        assert fast == fixed == [("a", 1_000_000), ("b", 1_000_000)]
+
+    def test_tol_early_exit_with_dangling(self, spark):
+        """The early-exit composes with the dangling path: results must
+        equal the fixed-iteration run whenever the exit does NOT fire
+        (tol below the actual drift)."""
+        from datarepo_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "sink"), ("b", "sink"), ("sink", "a")], ["src", "dst"]
+        )
+        a = sorted(
+            (r.node, r.rank_micro)
+            for r in pagerank(edges, iterations=4, tol_micro=0).collect()
+        )
+        b = sorted(
+            (r.node, r.rank_micro)
+            for r in pagerank(edges, iterations=4).collect()
+        )
+        assert a == b
+
+    def test_no_dangling_fast_path_skips_dangling_work(self, spark):
+        """On a symmetrized edge list (no sinks) the dangling share is
+        identically zero — the fast path must produce the same ranks
+        the general path computes, and the plan for one iteration's
+        result must not contain the anti-join the dangling aggregate
+        needs."""
+        from datarepo_spark.functions.graph import pagerank
+
+        rows = [(f"n{i}", f"n{(i + 1) % 12}") for i in range(12)]
+        sym = rows + [(b, a) for a, b in rows]
+        edges = spark.createDataFrame(sym, ["src", "dst"])
+        ranks = {
+            r.node: r.rank_micro
+            for r in pagerank(edges, iterations=3).collect()
+        }
+        # regular graph: uniform fixed point, every rank stays 1.0
+        assert set(ranks.values()) == {1_000_000}
+
 
 class TestReliableCheckpoint:
     """checkpoint_dir= switches lineage pinning from localCheckpoint to

@@ -5,6 +5,7 @@ partial aggregation, and no quadratic join shapes in the dedup family."""
 
 import pytest
 
+from datarepo_spark.queries import analysis  # noqa: F401
 from datarepo_spark.queries import extensions  # noqa: F401
 from datarepo_spark.queries import physical  # noqa: F401
 from datarepo_spark.queries.registry import REGISTRY
@@ -597,3 +598,66 @@ class TestRound9Plans:
         # the persisted edge/oriented frames feed every join via
         # InMemoryTableScan (broadcast conversion breaks ReusedExchange)
         assert "InMemoryTableScan" in plan
+
+
+class TestRoundTenAnalysis:
+    """Plan shapes for the r10 analysis family (queries/analysis.py)."""
+
+    def test_interval_overlap_is_hash_join(self, spark, sf_dir):
+        """The interval×interval join must plan as a bucketed hash
+        equi-join — never a nested loop / cartesian, which is what a
+        bare inequality self-join would produce."""
+        plan = plan_of(spark, sf_dir, "join_interval_overlap")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" in plan  # the equi-join survived
+
+    def test_iqr_never_collects_and_sorts_per_group(self, spark, sf_dir):
+        """Exact quantiles come from window ranks (distributed sort per
+        group), and the fence frame joins back as a broadcast — no
+        corpus-side global sort, no driver collect in the plan."""
+        plan = plan_of(spark, sf_dir, "profile_iqr_outliers")
+        assert "Window" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_mad_two_window_passes(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "events_anomaly_mad")
+        assert plan.count("Window") >= 2  # median, then MAD
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_rrf_bounded_rank_lists(self, spark, sf_dir):
+        """Both rank lists are bounded top-50 before the fuse join; the
+        corpus itself never reaches the full-outer join."""
+        plan = plan_of(spark, sf_dir, "text_rrf_fusion")
+        assert "TakeOrderedAndProject" in plan
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_degree_distribution_two_aggregates(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "graph_degree_distribution")
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_streaming_twin_batch_shape(self, spark, sf_dir):
+        """The streaming twin's BATCH equivalent (events_ewma) pins the
+        one-exchange shape; here we only pin that the stream's logical
+        plan contains the stateful operator (the stream itself is
+        executed by the gate query, not planned here)."""
+        from datarepo_spark.streaming.stateful import stateful_ewma
+
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .selectExpr(
+                "CAST(value AS BIGINT) AS event_id",
+                "timestamp AS ts",
+                "CAST(value % 10 AS BIGINT) AS user_id",
+                "CAST(value AS DOUBLE) AS value",
+            )
+        )
+        result = stateful_ewma(stream)
+        assert result.isStreaming
+        plan = result._jdf.queryExecution().analyzed().toString()
+        assert "FlatMapGroupsInPandasWithState" in plan

@@ -23,6 +23,7 @@ import re
 
 import pytest
 
+from datarepo_spark.queries import analysis  # noqa: F401  (registers)
 from datarepo_spark.queries import delta_queries  # noqa: F401  (registers)
 from datarepo_spark.queries import extensions  # noqa: F401  (registers)
 from datarepo_spark.queries import physical  # noqa: F401  (registers)

@@ -60,6 +60,16 @@ GAUNTLET = [
     "events_resample_ffill",
     "join_asof_nearest",
     "pipeline_shuffle_shards",
+    # r10 additions (VERDICT r9 #3): the heavy r9-born operators —
+    # triangle counting's wedge join grows superlinearly with edge
+    # count, MMR's corpus TakeOrdered and pHash's map stage linearly,
+    # the MI/entropy/card profilers with the documents table
+    "graph_triangle_count",
+    "similarity_mmr_rerank",
+    "multimodal_phash",
+    "profile_mutual_information",
+    "profile_entropy_by_source",
+    "profile_dataset_card",
 ]
 
 
