@@ -102,6 +102,9 @@ _PRIORITY_R11 = [
     "events_anomaly_mad",
     "text_rrf_fusion",
     "graph_degree_distribution",
+    "dedup_jaccard_prefix",
+    "profile_ks_drift",
+    "similarity_batch_knn",
 ]
 
 

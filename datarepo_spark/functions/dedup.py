@@ -1463,3 +1463,128 @@ def sql_shingle_gram_ctes(table: str = "documents") -> str:
     ), gr AS (
       SELECT doc_id, LEN(s) AS ln, UNNEST(s) AS g FROM sh
     )"""
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard-similarity join over word-token sets via
+    prefix filtering (Chaudhuri/Ganti/Kaushik 2006; Bayardo et al.
+    "Scaling Up All Pairs", WWW 2007) — the deterministic companion to
+    MinHash-LSH: no probabilistic misses, same no-all-pairs scale shape.
+
+    Returns (id_a, id_b, jaccard) for every unordered pair with
+    token-set Jaccard >= ``threshold`` (ids ordered id_a < id_b,
+    jaccard rounded(6) AFTER the exact threshold compare — the division
+    is two identical integers in any engine, so the compare is
+    engine-deterministic).
+
+    Why it scales (and a naive token join doesn't): a pair at Jaccard
+    >= t must share a token among the first ``|S| - ceil(t*|S|) + 1``
+    of EITHER set when both sets are ordered by ascending global
+    document frequency (rarest first). Joining only those short
+    prefixes keys the candidate join on the corpus's RARE tokens — the
+    frequent tokens that make a full token self-join quadratic never
+    enter the join. Candidates then verify exactly on their full sets.
+
+    Plan shape: token df is a keyed aggregate; the per-doc rarity
+    order is a window partitioned BY DOCUMENT ordered by (df, token)
+    — a consistent global total order without ever materializing a
+    global vocabulary rank (no single-partition window anywhere).
+    Verification joins the candidate ID pairs (small) back to per-doc
+    sorted token arrays; document text never transits an exchange.
+    Size pruning (t*|A| <= |B| <= |A|/t) drops impossible pairs before
+    verification.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+    tok = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(tokens_of(F.col(text_col)))).alias(
+                "__tok"
+            ),
+        )
+    )
+    dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        tok.join(dfreq, "__tok")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.asc("__df"), F.asc("__tok")
+                )
+            ),
+        )
+        .withColumn(
+            "__sz",
+            F.count(F.lit(1)).over(Window.partitionBy("__id")),
+        )
+    )
+    # prefix length: |S| - ceil(t*|S|) + 1
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + 1
+    ).select("__id", "__tok", "__sz")
+    a = prefix.select(
+        F.col("__id").alias("id_a"),
+        F.col("__tok").alias("__tk"),
+        F.col("__sz").alias("__sa"),
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"),
+        F.col("__tok").alias("__tk"),
+        F.col("__sz").alias("__sb"),
+    )
+    cand = (
+        a.join(b, "__tk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size pruning: t*|A| <= |B| and |B| <= |A|/t
+            & (F.lit(t) * F.col("__sa") <= F.col("__sb"))
+            & (F.col("__sb") * F.lit(t) <= F.col("__sa"))
+        )
+        .select("id_a", "id_b")
+        .distinct()  # a pair can share several prefix tokens
+    )
+    sets = tok.groupBy("__id").agg(
+        F.sort_array(F.collect_list("__tok")).alias("__set")
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("__id").alias("id_a"), F.col("__set").alias("__ta")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("__id").alias("id_b"), F.col("__set").alias("__tb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "__inter",
+            F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))),
+        )
+        .withColumn(
+            "__union",
+            F.size("__ta") + F.size("__tb") - F.col("__inter"),
+        )
+        .withColumn(
+            "__j",
+            F.col("__inter").cast("double")
+            / F.col("__union").cast("double"),
+        )
+        .filter(F.col("__j") >= t)
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("__j", 6).alias("jaccard")
+    )

@@ -307,3 +307,99 @@ def grouped_exact_quantile(
             )
         ).alias(out_col)
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two groups'
+    value distributions — the standard distribution-drift test between
+    two corpus slices (old/new crawl, source A/B) before mixing them.
+
+    D = sup_x |F_a(x) − F_b(x)| computed EXACTLY and engine-portably:
+    everything stays integer until one final division —
+    max|c_a·n_b − c_b·n_a| / (n_a·n_b) — so the sup is found over
+    integers (no float ECDF accumulation order to disagree on).
+
+    Scale shape — the distributed-ECDF construction, deliberately NOT a
+    single global cumulative window (which would be one partition doing
+    all the work at 100 TB):
+
+    1. per-value counts per group (keyed aggregate);
+    2. per-BUCKET totals (floor(value/width) — a second small keyed
+       aggregate) with bucket-level exclusive prefix sums over the
+       bucket frame only (tiny: one window over #buckets rows);
+    3. within-bucket cumulative counts (window partitioned BY BUCKET —
+       parallel across buckets) plus the broadcast bucket offsets.
+
+    Returns ONE row: (n_a, n_b, ks_num, ks) with ks = ks_num/(n_a·n_b)
+    rounded(9).
+    """
+    from pyspark.sql.window import Window
+
+    w = F.lit(float(bucket_width))
+    src = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).cast("double").alias("__v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__ia"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("__ib"),
+    )
+    per_value = src.groupBy("__v").agg(
+        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
+    ).withColumn("__bkt", F.floor(F.col("__v") / w).cast("long"))
+    bucket_tot = per_value.groupBy("__bkt").agg(
+        F.sum("__ca").alias("__ta"),
+        F.sum("__cb").alias("__tb"),
+    )
+    wb = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tot.select(
+        "__bkt",
+        F.coalesce(F.sum("__ta").over(wb), F.lit(0)).alias("__offa"),
+        F.coalesce(F.sum("__tb").over(wb), F.lit(0)).alias("__offb"),
+    )
+    wv = (
+        Window.partitionBy("__bkt")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        per_value.join(F.broadcast(offsets), "__bkt")
+        .select(
+            (F.col("__offa") + F.sum("__ca").over(wv)).alias("__cuma"),
+            (F.col("__offb") + F.sum("__cb").over(wv)).alias("__cumb"),
+        )
+    )
+    totals = src.agg(
+        F.sum("__ia").alias("n_a"), F.sum("__ib").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("__cuma") * F.col("n_b")
+                    - F.col("__cumb") * F.col("n_a")
+                )
+            ).alias("ks_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.round(
+                F.col("ks_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                9,
+            ).alias("ks"),
+        )
+    )

@@ -311,3 +311,52 @@ def mmr_rerank(
         [(n + 1, i, rel[i]) for n, i in enumerate(picked)],
         f"rank int, {id_col} {id_type}, relevance double",
     )
+
+
+def batch_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-``k`` corpus neighbors for EVERY query row — the
+    batch/serving companion of the single-query ``knn_brute_force``.
+
+    Returns (query_id, rank, <id_col>, cosine) — ``k`` rows per query,
+    rank 1-based by (cosine desc, id asc), cosine rounded(6).
+
+    Scale shape: ONE corpus scan regardless of query count — the query
+    frame is broadcast and every corpus row scores all Q queries in a
+    single stage (the matmul access pattern, expressed relationally).
+    Only (query_id, corpus_id, score) triples reach the top-k exchange
+    — vectors never shuffle. The final per-query top-k is a window over
+    a Q-key-partitioned frame of Q·N scored triples; for very large N
+    pre-prune with an IVF cell join (``ann_ivf``) before calling this.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("__qv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )

@@ -401,3 +401,143 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "dedup_jaccard_prefix",
+    # exact all-pairs Jaccard >= 0.9 via prefix filtering; the oracle is
+    # the brute-force O(n^2) pair compare (fine at gate SF), the engine
+    # must find the identical pair set through the rare-token prefix
+    # join. The division is the same two integers in both engines, so
+    # the threshold compare is deterministic; rounding is display-only.
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             LIST_SORT(LIST_DISTINCT(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> LEN(t) > 0))) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(LIST_INTERSECT(a.toks, b.toks)) AS inter,
+             LEN(a.toks) + LEN(b.toks)
+               - LEN(LIST_INTERSECT(a.toks, b.toks)) AS un
+      FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    WHERE un > 0 AND CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.9
+    """,
+    description="exact all-pairs Jaccard join (threshold 0.9) via "
+    "prefix filtering (AllPairs/PPJoin family): candidates keyed on "
+    "each set's rarest tokens only, size-pruned, exactly verified — "
+    "the deterministic companion to MinHash-LSH with the same "
+    "no-all-pairs scale shape",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import prefix_filter_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, threshold=0.9)
+
+
+@register(
+    "profile_ks_drift",
+    # exact two-sample KS: integer sup statistic, one final division.
+    # DuckDB SUM(int)->HUGEINT everywhere, so every sum is cast BIGINT.
+    oracle="""
+    WITH src AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'view')
+    ), pv AS (
+      SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(SUM(ib) AS BIGINT) AS cb
+      FROM src GROUP BY v
+    ), cum AS (
+      SELECT CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumb
+      FROM pv
+    ), tot AS (
+      SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+             CAST(SUM(ib) AS BIGINT) AS n_b
+      FROM src
+    )
+    SELECT n_a, n_b,
+           CAST(MAX(ABS(cuma * n_b - cumb * n_a)) AS BIGINT) AS ks_num,
+           ROUND(CAST(MAX(ABS(cuma * n_b - cumb * n_a)) AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE), 9) AS ks
+    FROM cum CROSS JOIN tot
+    GROUP BY n_a, n_b
+    """,
+    description="exact two-sample Kolmogorov-Smirnov drift statistic "
+    "(click vs view value distributions) — integer sup over a "
+    "bucketed two-level distributed ECDF (no single-partition global "
+    "cumulative window), one final division",
+)
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.profile import ks_drift
+
+    ev = load(spark, sf_dir, "events")
+    return ks_drift(
+        ev, "value", "event_type", "click", "view", bucket_width=10.0
+    )
+
+
+@register(
+    "similarity_batch_knn",
+    # exact batch kNN: 5 query vectors, top-3 corpus neighbors each.
+    # Same fold spelling as the green knn oracle (0.0-seeded Spark fold
+    # == first-element-seeded list_reduce); ROW_NUMBER widths collapse
+    # in the driver's canon.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS qn
+      FROM v WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, e,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS cn
+      FROM v WHERE vec_id >= 5
+    ), scored AS (
+      SELECT q.qid AS query_id, c.vec_id,
+             ROUND(
+               LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                          i -> c.e[i] * q.qe[i]),
+                           (a, x) -> a + x) / (c.cn * q.qn),
+               6) AS cosine
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, rn AS rank, vec_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    description="exact batch kNN: top-3 cosine corpus neighbors for "
+    "every query vector in ONE corpus scan (queries broadcast, only "
+    "(query, id, score) triples shuffle to the per-query top-k window "
+    "— vectors never transit an exchange)",
+)
+def similarity_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import batch_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return batch_knn(corpus, queries, k=3)

@@ -120,3 +120,151 @@ class TestGroupedExactQuantile:
         )
         out = grouped_exact_quantile(df, ["g"], "v", 0.5).collect()
         assert out[0].quantile == 30.0
+
+
+class TestPrefixFilterJaccard:
+    def test_matches_brute_force(self, spark):
+        rng = random.Random(21)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = []
+        base = rng.sample(vocab, 12)
+        for i in range(30):
+            if i % 3 == 0:
+                # near-dup family: small mutations of the base set
+                toks = list(base)
+                for _ in range(rng.randint(0, 2)):
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            else:
+                toks = rng.sample(vocab, rng.randint(3, 15))
+            docs.append((i, " ".join(toks)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+        from datarepo_spark.functions.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        for t in (0.5, 0.7, 0.9):
+            got = sorted(
+                (r.id_a, r.id_b)
+                for r in prefix_filter_jaccard_pairs(
+                    df, threshold=t
+                ).collect()
+            )
+            sets = {i: set(s.lower().split()) for i, s in docs}
+            want = sorted(
+                (a, b)
+                for a in sets
+                for b in sets
+                if a < b
+                and sets[a] | sets[b]
+                and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
+            )
+            assert got == want, t
+
+    def test_rejects_bad_threshold(self, spark):
+        from datarepo_spark.functions.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            prefix_filter_jaccard_pairs(df, threshold=0.0)
+
+
+class TestKsDrift:
+    def _brute_ks(self, a, b):
+        xs = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        best = 0
+        for x in xs:
+            ca = sum(1 for v in a if v <= x)
+            cb = sum(1 for v in b if v <= x)
+            best = max(best, abs(ca * nb - cb * na))
+        return best, na, nb
+
+    def test_matches_brute_force(self, spark):
+        from datarepo_spark.functions.profile import ks_drift
+
+        rng = random.Random(31)
+        rows = [("a", rng.gauss(50, 10)) for _ in range(300)] + [
+            ("b", rng.gauss(55, 14)) for _ in range(250)
+        ] + [("c", 1.0)] * 10  # third group must be ignored
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = ks_drift(df, "v", "g", "a", "b", bucket_width=5.0).collect()
+        assert len(out) == 1
+        r = out[0]
+        num, na, nb = self._brute_ks(
+            [v for g, v in rows if g == "a"],
+            [v for g, v in rows if g == "b"],
+        )
+        assert (r.n_a, r.n_b, r.ks_num) == (na, nb, num)
+        assert r.ks == pytest.approx(num / (na * nb), abs=1e-9)
+
+    def test_identical_distributions_zero(self, spark):
+        from datarepo_spark.functions.profile import ks_drift
+
+        rows = [("a", float(v)) for v in range(50)] + [
+            ("b", float(v)) for v in range(50)
+        ]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        r = ks_drift(df, "v", "g", "a", "b", bucket_width=7.0).collect()[0]
+        assert r.ks_num == 0 and r.ks == 0.0
+
+    def test_duplicate_values_tie_handling(self, spark):
+        """Ties across groups at the same value must be absorbed at that
+        value's ECDF point (grouped), not split."""
+        from datarepo_spark.functions.profile import ks_drift
+
+        rows = [("a", 1.0), ("a", 1.0), ("b", 1.0), ("a", 2.0), ("b", 3.0)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        r = ks_drift(df, "v", "g", "a", "b", bucket_width=10.0).collect()[0]
+        num, na, nb = self._brute_ks([1.0, 1.0, 2.0], [1.0, 3.0])
+        assert (r.n_a, r.n_b, r.ks_num) == (na, nb, num)
+
+
+class TestBatchKnn:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from datarepo_spark.functions.similarity import batch_knn
+
+        rng = np.random.default_rng(7)
+        corpus_v = rng.standard_normal((40, 8)).astype("float32")
+        query_v = rng.standard_normal((3, 8)).astype("float32")
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(corpus_v)],
+            ["vec_id", "embedding"],
+        )
+        queries = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_v)],
+            ["query_id", "embedding"],
+        )
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in batch_knn(corpus, queries, k=4).collect()
+        }
+        cn = corpus_v.astype("float64")
+        qn = query_v.astype("float64")
+        sims = (qn @ cn.T) / (
+            np.linalg.norm(qn, axis=1)[:, None]
+            * np.linalg.norm(cn, axis=1)[None, :]
+        )
+        for qi in range(3):
+            order = sorted(
+                range(40), key=lambda i: (-round(sims[qi, i], 6), i)
+            )
+            for rank, ci in enumerate(order[:4], start=1):
+                assert got[(qi, rank)] == ci, (qi, rank)
+
+    def test_k_rows_per_query(self, spark):
+        from datarepo_spark.functions.similarity import batch_knn
+
+        corpus = spark.createDataFrame(
+            [(i, [1.0, float(i)]) for i in range(10)],
+            ["vec_id", "embedding"],
+        )
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.5]), (1, [0.5, 1.0])], ["query_id", "embedding"]
+        )
+        out = batch_knn(corpus, queries, k=3).collect()
+        assert len(out) == 6

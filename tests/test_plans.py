@@ -661,3 +661,46 @@ class TestRoundTenAnalysis:
         assert result.isStreaming
         plan = result._jdf.queryExecution().analyzed().toString()
         assert "FlatMapGroupsInPandasWithState" in plan
+
+
+class TestRoundTenScaleShapes:
+    """Plan shapes for the second r10 batch (prefix-filter join, KS
+    drift, batch kNN)."""
+
+    def test_prefix_filter_no_quadratic_join(self, spark, sf_dir):
+        """Candidates come from an equi-join on prefix tokens — never a
+        cartesian over the corpus."""
+        plan = plan_of(spark, sf_dir, "dedup_jaccard_prefix")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ks_drift_no_global_cumulative_window(self, spark, sf_dir):
+        """The distributed ECDF must not contain a single-partition
+        window over the full per-value stream: the value-level
+        cumulative window is partitioned by the bucket key (parallel
+        across buckets); only the bucket-frame window (rows = #buckets)
+        runs unpartitioned."""
+        df = REGISTRY["profile_ks_drift"].spark_fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # the per-value cumulative window hashes on the bucket key
+        assert re.search(r"hashpartitioning\(__bkt", plan), plan[:500]
+        assert "CartesianProduct" not in plan
+
+    def test_batch_knn_partial_topk_below_exchange(self, spark, sf_dir):
+        """One corpus scan with the query frame broadcast (the BNLJ is
+        the deliberate tiny-broadcast cross); cosine is projected BELOW
+        the per-query exchange so only (query, id, score) triples
+        shuffle — and Spark's WindowGroupLimit keeps a PARTIAL top-k
+        per partition before the exchange, so at most k rows per query
+        per partition transit."""
+        plan = plan_of(spark, sf_dir, "similarity_batch_knn")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # tiny broadcast cross
+        assert "WindowGroupLimit" in plan
+        assert ", Partial" in plan  # partial top-k below the shuffle
+        # the exchange keys on query_id, and the embedding column never
+        # appears above it
+        exch = plan.index("Exchange hashpartitioning(query_id")
+        assert "embedding" not in plan[:exch]
