@@ -105,6 +105,8 @@ _PRIORITY_R11 = [
     "dedup_jaccard_prefix",
     "profile_ks_drift",
     "similarity_batch_knn",
+    "streaming_window_counts_twin",
+    "streaming_debounce_twin",
 ]
 
 

@@ -158,3 +158,23 @@ def interval_overlap_join(
     for c in drop:
         joined = joined.drop(c)
     return joined
+
+
+def auto_bucket_width(
+    df: DataFrame, start_col: str, end_col: str, floor: float = 1.0
+) -> float:
+    """Pick a bucket width for :func:`range_join` /
+    :func:`interval_overlap_join`: the median interval span (one
+    percentile_approx aggregate — a single tiny job whose scalar feeds
+    the plan as a literal). Median span ≈ 2× row blow-up on the
+    exploded side, the documented sweet spot; ``floor`` guards
+    degenerate all-zero-span inputs. The width is a TUNING knob, not a
+    correctness input (any positive width yields identical results),
+    so the approximate percentile is fine here."""
+    row = df.select(
+        F.percentile_approx(
+            F.col(end_col) - F.col(start_col), 0.5
+        ).alias("__m")
+    ).head()
+    m = row["__m"] if row and row["__m"] is not None else None
+    return max(float(m), float(floor)) if m is not None else float(floor)

@@ -146,9 +146,9 @@ def _oracle_quantile_cte(src: str, key: str, val: str, q: str, name: str) -> str
     SELECT src.g0 AS o_orderstatus,
            ROUND(q1t.qv, 6) AS q1,
            ROUND(q3t.qv, 6) AS q3,
-           SUM(CASE WHEN src.v0 < q1t.qv - 1.5 * (q3t.qv - q1t.qv)
-                      OR src.v0 > q3t.qv + 1.5 * (q3t.qv - q1t.qv)
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN src.v0 < q1t.qv - 1.5 * (q3t.qv - q1t.qv)
+                           OR src.v0 > q3t.qv + 1.5 * (q3t.qv - q1t.qv)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM src
     JOIN q1t ON src.g0 = q1t.g
     JOIN q3t ON src.g0 = q3t.g
@@ -210,8 +210,8 @@ def profile_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT dev.g1 AS user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN dev.v1 > 3.0 * madt.qv THEN 1 ELSE 0 END)
-             AS n_anomalies,
+           CAST(SUM(CASE WHEN dev.v1 > 3.0 * madt.qv THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
            ROUND(MIN(madt.qv), 6) AS mad
     FROM dev JOIN madt ON dev.g1 = madt.g
     GROUP BY dev.g1

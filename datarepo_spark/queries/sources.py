@@ -208,3 +208,104 @@ def streaming_ewma_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"gate_streaming_ewma_{_STREAM_SEQ[0]}",
         output_mode="append",
     )
+
+
+@register(
+    "streaming_window_counts_twin",
+    # the tumbling-window aggregation run as a REAL 4-micro-batch
+    # stream in complete output mode: the final memory-sink state must
+    # equal the batch GROUP BY — regardless of how rows were sliced
+    # into batches, because windowed aggregation state is merged
+    # per-window (and the time-ordered slices mean nothing ever falls
+    # below the 2h watermark). Oracle = the batch events_tumbling_window
+    # SQL verbatim.
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST((value) AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="structured-streaming tumbling-window aggregation "
+    "(watermarked groupBy window, complete mode) over the 4-file "
+    "time-sliced source — final state must equal the batch GROUP BY "
+    "bit-for-bit",
+)
+def streaming_window_counts_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_aggregation,
+    )
+
+    path = _sliced_events_fixture(sf_dir)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    result = windowed_aggregation(
+        stream, window="1 hour", watermark="2 hours"
+    )
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_memory(
+        result,
+        f"gate_streaming_wincount_{_STREAM_SEQ[0]}",
+        output_mode="complete",
+    )
+
+
+@register(
+    "streaming_debounce_twin",
+    # the custom stateful debouncer under the gate: with the watermark
+    # set beyond the data's span, event-time timeouts never fire, so
+    # the stream emits EXACTLY the bursts closed BY DATA — which is, in
+    # time-ordered arrival, precisely the batch lag-gap bursts that
+    # have a successor burst for the same (user, type). The oracle
+    # spells that set: the batch collapse minus each key's LAST burst.
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id)
+                     > INTERVAL '60 seconds'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), b AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_new) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM gaps
+    ), bursts AS (
+      SELECT user_id, event_type, burst_id,
+             MIN(ts) AS first_ts, COUNT(*) AS n_collapsed,
+             MAX(burst_id) OVER (PARTITION BY user_id, event_type)
+               AS last_burst
+      FROM b GROUP BY user_id, event_type, burst_id
+    )
+    SELECT user_id, event_type, first_ts, n_collapsed
+    FROM bursts WHERE burst_id < last_burst
+    """,
+    description="structured-streaming stateful burst debounce "
+    "(applyInPandasWithState, append mode, timeouts disabled via an "
+    "over-wide watermark) — emitted rows must equal the batch lag-gap "
+    "bursts that have a successor (the data-closed set), exactly once",
+)
+def streaming_debounce_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream, run_stream_to_memory
+    from ..streaming.stateful import stateful_debounce
+
+    path = _sliced_events_fixture(sf_dir)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    # watermark far beyond the data span: the event-time timeout never
+    # fires, so ONLY data-closed bursts emit (see oracle comment)
+    result = stateful_debounce(
+        stream, gap_seconds=60, watermark="36500 days"
+    )
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_memory(
+        result,
+        f"gate_streaming_debounce_{_STREAM_SEQ[0]}",
+        output_mode="append",
+    )

@@ -268,3 +268,41 @@ class TestBatchKnn:
         )
         out = batch_knn(corpus, queries, k=3).collect()
         assert len(out) == 6
+
+
+class TestAutoBucketWidth:
+    def test_median_span(self, spark):
+        from datarepo_spark.operators.range_join import (
+            auto_bucket_width,
+            interval_overlap_join,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 0, s) for i, s in enumerate([2, 4, 6, 8, 100])],
+            ["i", "s", "e"],
+        )
+        w = auto_bucket_width(df, "s", "e")
+        assert w == 6.0  # median span
+        # width is a tuning knob only — results identical at any width
+        b = df.selectExpr("i AS i2", "s AS s2", "e AS e2")
+        got_auto = sorted(
+            (r.i, r.i2)
+            for r in interval_overlap_join(
+                df, b, "s", "e", "s2", "e2", w
+            ).collect()
+        )
+        got_one = sorted(
+            (r.i, r.i2)
+            for r in interval_overlap_join(
+                df, b, "s", "e", "s2", "e2", 1.0
+            ).collect()
+        )
+        assert got_auto == got_one
+
+    def test_floor_guard(self, spark):
+        from datarepo_spark.operators.range_join import auto_bucket_width
+
+        df = spark.createDataFrame([(1, 5, 5)], ["i", "s", "e"])
+        assert auto_bucket_width(df, "s", "e") == 1.0
+        empty = df.filter("i > 99")
+        assert auto_bucket_width(empty, "s", "e") == 1.0
