@@ -107,6 +107,7 @@ _PRIORITY_R11 = [
     "similarity_batch_knn",
     "streaming_window_counts_twin",
     "streaming_debounce_twin",
+    "join_asof_tolerance",
 ]
 
 

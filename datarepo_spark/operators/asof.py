@@ -36,13 +36,22 @@ def asof_join(
     payload: Column,
     payload_name: str = "asof_value",
     direction: Literal["backward", "forward", "nearest"] = "backward",
+    tolerance: float | int | None = None,
 ) -> DataFrame:
     """Append ``payload_name`` (from the right side's ``payload`` expr) to
     every left row: the payload of the right row closest at-or-before
     (backward) / at-or-after (forward) / closest in either direction
     (nearest; exact distance via epoch micros, ties prefer backward —
     pandas ``merge_asof`` semantics) the left row's ``left_on``, within
-    the same ``by`` key. Left rows with no match get NULL."""
+    the same ``by`` key. Left rows with no match get NULL.
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)`` parity): when
+    set, a match farther than ``tolerance`` from the left timestamp is
+    treated as NO match (NULL payload). Distances are exact integers —
+    the unit is MICROSECONDS for timestamp keys, DAYS for date keys,
+    the raw value for numeric keys — so the cut is engine-exact, never
+    a float comparison. Zero cost when None; one extra carried column
+    and a row-local compare when set."""
     left_cols = left.columns
     payload_type = _payload_type(right, payload)
     lefts = left.select(
@@ -62,7 +71,7 @@ def asof_join(
     unioned = lefts.unionByName(rights_padded)
 
     if direction == "nearest":
-        return _nearest(unioned, left_cols, payload_name)
+        return _nearest(unioned, left_cols, payload_name, tolerance)
     if direction == "backward":
         # Rights sort before lefts at equal ts → an exactly-equal right row
         # is visible (>= semantics); last() carries the newest prior value.
@@ -80,20 +89,26 @@ def asof_join(
     filled = unioned.withColumn(
         payload_name, F.last("__payload", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        dist = _dist_fn(unioned)
+        right_ts = F.when(F.col("__is_left") == 0, F.col("__ts"))
+        filled = filled.withColumn(
+            "__mts", F.last(right_ts, ignorenulls=True).over(w)
+        )
+        within = (
+            F.abs(dist("__ts") - dist("__mts")) <= F.lit(tolerance)
+        )
+        filled = filled.withColumn(
+            payload_name, F.when(within, F.col(payload_name))
+        )
     return filled.filter(F.col("__is_left") == 1).select(
         *left_cols, payload_name
     )
 
 
-def _nearest(
-    unioned: DataFrame, left_cols: list, payload_name: str
-) -> DataFrame:
-    """Nearest-in-either-direction: one exchange on the key, then two
-    window sorts (asc carries the backward candidate, desc the forward
-    one — the second Window re-sorts but does NOT re-shuffle, the
-    hash partitioning is reused), then a row-local pick of the closer
-    candidate. Distances are exact integers (epoch micros / days), so
-    the tie rule (backward wins, as in pandas merge_asof) is exact."""
+def _dist_fn(unioned: DataFrame):
+    """Exact integer distance basis for the '__ts' column: epoch micros
+    for timestamps, epoch days for dates, the raw value otherwise."""
     ts_type = unioned.schema["__ts"].dataType.typeName()
     if ts_type in ("timestamp", "timestamp_ntz"):
         def dist(c):  # exact integer microseconds
@@ -104,7 +119,25 @@ def _nearest(
     else:
         def dist(c):
             return F.col(c).cast("double")
+    return dist
 
+
+def _nearest(
+    unioned: DataFrame,
+    left_cols: list,
+    payload_name: str,
+    tolerance: float | int | None = None,
+) -> DataFrame:
+    """Nearest-in-either-direction: one exchange on the key, then two
+    window sorts (asc carries the backward candidate, desc the forward
+    one — the second Window re-sorts but does NOT re-shuffle, the
+    hash partitioning is reused), then a row-local pick of the closer
+    candidate. Distances are exact integers (epoch micros / days), so
+    the tie rule (backward wins, as in pandas merge_asof) is exact.
+    ``tolerance``: candidates farther than it are disqualified BEFORE
+    the pick (a near forward candidate must win over an over-tolerance
+    backward one, matching pandas), NULL when neither qualifies."""
+    dist = _dist_fn(unioned)
     right_ts = F.when(F.col("__is_left") == 0, F.col("__ts"))
     wb = (
         Window.partitionBy("__k")
@@ -124,14 +157,18 @@ def _nearest(
     )
     bdist = dist("__ts") - dist("__bts")
     fdist = dist("__fts") - dist("__ts")
-    pick_backward = F.col("__bts").isNotNull() & (
-        F.col("__fts").isNull() | (bdist <= fdist)  # tie -> backward
-    )
+    b_ok = F.col("__bts").isNotNull()
+    f_ok = F.col("__fts").isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & (bdist <= F.lit(tolerance))
+        f_ok = f_ok & (fdist <= F.lit(tolerance))
+    pick_backward = b_ok & (~f_ok | (bdist <= fdist))  # tie -> backward
     return (
         filled.filter(F.col("__is_left") == 1)
         .withColumn(
             payload_name,
-            F.when(pick_backward, F.col("__bpay")).otherwise(F.col("__fpay")),
+            F.when(pick_backward, F.col("__bpay"))
+            .when(f_ok, F.col("__fpay")),
         )
         .select(*left_cols, payload_name)
     )

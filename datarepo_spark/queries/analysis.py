@@ -541,3 +541,42 @@ def similarity_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
     return batch_knn(corpus, queries, k=3)
+
+
+@register(
+    "join_asof_tolerance",
+    # backward as-of with a 30-day tolerance (pandas merge_asof
+    # tolerance parity): the latest order at-or-before each event, but
+    # only if within 30 days — staler matches are NULLed. DuckDB's
+    # native ASOF finds the match; the tolerance cut is the same exact
+    # integer-microseconds compare the engine does.
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN o.o_orderdate IS NOT NULL
+                 AND EPOCH_US(e.ts) - EPOCH_US(o.o_orderdate)
+                     <= 2592000000000
+                THEN o.o_orderdate END AS last_order_date
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    description="as-of join (backward) with a 30-day tolerance — "
+    "matches farther than the tolerance are NULLed via an exact "
+    "integer-micros compare (pandas merge_asof tolerance semantics)",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    return asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        payload=F.col("o_orderdate"),
+        payload_name="last_order_date",
+        tolerance=30 * 86400 * 1_000_000,  # 30 days in micros
+    ).select("event_id", "user_id", "last_order_date")

@@ -306,3 +306,80 @@ class TestAutoBucketWidth:
         assert auto_bucket_width(df, "s", "e") == 1.0
         empty = df.filter("i > 99")
         assert auto_bucket_width(empty, "s", "e") == 1.0
+
+
+class TestAsofTolerance:
+    def _frames(self, spark, rng, n_left=120, n_right=60):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        left = [
+            (i, rng.randint(0, 4),
+             base + dt.timedelta(minutes=rng.randint(0, 50000)))
+            for i in range(n_left)
+        ]
+        right = [
+            (rng.randint(0, 4),
+             base + dt.timedelta(minutes=rng.randint(0, 50000)),
+             float(j))
+            for j in range(n_right)
+        ]
+        ldf = spark.createDataFrame(left, ["lid", "k", "ts"])
+        rdf = spark.createDataFrame(right, ["k", "ts", "val"])
+        return left, right, ldf, rdf
+
+    def _pandas_asof(self, left, right, direction, tol_minutes):
+        import pandas as pd
+
+        lp = pd.DataFrame(left, columns=["lid", "k", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(right, columns=["k", "ts", "val"]).sort_values("ts")
+        m = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction,
+            tolerance=pd.Timedelta(minutes=tol_minutes),
+        )
+        return {
+            int(r.lid): (None if pd.isna(r.val) else float(r.val))
+            for r in m.itertuples()
+        }
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    def test_matches_pandas_merge_asof(self, spark, direction):
+        from datarepo_spark.operators.asof import asof_join
+
+        rng = random.Random(41)
+        left, right, ldf, rdf = self._frames(spark, rng)
+        tol_min = 2000
+        got = {
+            r.lid: r.asof_value
+            for r in asof_join(
+                ldf, rdf, "ts", "ts", "k", "k",
+                payload=F.col("val"),
+                direction=direction,
+                tolerance=tol_min * 60 * 1_000_000,
+            ).collect()
+        }
+        want = self._pandas_asof(left, right, direction, tol_min)
+        assert got == want, direction
+
+    def test_no_tolerance_unchanged(self, spark):
+        """tolerance=None must be byte-identical to the pre-tolerance
+        behavior (no extra carried column in the None path)."""
+        from datarepo_spark.operators.asof import asof_join
+
+        rng = random.Random(43)
+        left, right, ldf, rdf = self._frames(spark, rng, 40, 20)
+        base = {
+            r.lid: r.asof_value
+            for r in asof_join(
+                ldf, rdf, "ts", "ts", "k", "k", payload=F.col("val")
+            ).collect()
+        }
+        wide = {
+            r.lid: r.asof_value
+            for r in asof_join(
+                ldf, rdf, "ts", "ts", "k", "k",
+                payload=F.col("val"),
+                tolerance=10**18,  # wider than any distance
+            ).collect()
+        }
+        assert base == wide
