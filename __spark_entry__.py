@@ -108,6 +108,8 @@ _PRIORITY_R11 = [
     "streaming_window_counts_twin",
     "streaming_debounce_twin",
     "join_asof_tolerance",
+    "pipeline_quality_funnel",
+    "text_zipf_profile",
 ]
 
 

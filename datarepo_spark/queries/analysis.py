@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as _X
 from ..functions.profile import grouped_exact_quantile
 from .registry import load, register
 
@@ -580,3 +581,182 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_name="last_order_date",
         tolerance=30 * 86400 * 1_000_000,  # 30 days in micros
     ).select("event_id", "user_id", "last_order_date")
+
+
+@register(
+    "pipeline_quality_funnel",
+    # per-stage drop accounting for a staged quality filter — the
+    # pipeline-observability op: which rule is eating the corpus?
+    # Stage i is evaluated only on survivors of stages < i (true funnel
+    # semantics), all in ONE aggregate pass (sums of boolean
+    # conjunctions); the 5-row shape comes from an unpivot of that one
+    # row, never a second scan. The ratio compares are spelled
+    # identically in both engines (exact double divisions of integer
+    # counts).
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             {_X.sql_quality_inputs('text')}
+      FROM documents
+    ), f AS (
+      SELECT (nt >= 5 AND nt <= 100000) AS p1,
+             (nt > 0 AND nc/nt >= 2 AND nc/nt <= 12) AS p2,
+             (nc > 0 AND na/nc >= 0.6) AS p3,
+             (nc > 0 AND np/nc <= 0.1) AS p4,
+             (nt > 0 AND ns/nt >= 0.05) AS p5
+      FROM m
+    ), a AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS in1,
+        CAST(SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS in2,
+        CAST(SUM(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS in3,
+        CAST(SUM(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d3,
+        CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS in4,
+        CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d4,
+        CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS in5,
+        CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 AND NOT p5
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d5
+      FROM f
+    )
+    SELECT ' 1_length' AS stage, in1 AS n_in, d1 AS n_dropped,
+           in1 - d1 AS n_out FROM a
+    UNION ALL SELECT ' 2_mean_tok_len', in2, d2, in2 - d2 FROM a
+    UNION ALL SELECT ' 3_alpha_ratio', in3, d3, in3 - d3 FROM a
+    UNION ALL SELECT ' 4_punct_ratio', in4, d4, in4 - d4 FROM a
+    UNION ALL SELECT ' 5_stopword_ratio', in5, d5, in5 - d5 FROM a
+    """,
+    description="staged quality-filter funnel (Gopher/C4-style rules): "
+    "per-stage in/dropped/out counts with true funnel semantics, "
+    "computed in ONE aggregate pass over the corpus and unpivoted — "
+    "the curation-pipeline observability operator",
+)
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    nc = F.length(t).cast("double")
+    nt = X.token_count(t, X.WS_TOKEN_RE).cast("double")
+    np_ = X.token_count(t, X.PUNCT_RE).cast("double")
+    na = X.token_count(t, r"[a-zA-Z]").cast("double")
+    ns = F.regexp_count(t, F.lit(X.LANG_PROFILES[0][1])).cast("double")
+    p1 = (nt >= 5) & (nt <= 100000)
+    p2 = (nt > 0) & (nc / nt >= 2) & (nc / nt <= 12)
+    p3 = (nc > 0) & (na / nc >= 0.6)
+    p4 = (nc > 0) & (np_ / nc <= 0.1)
+    p5 = (nt > 0) & (ns / nt >= 0.05)
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("in1"),
+        cnt(~p1).alias("d1"),
+        cnt(p1).alias("in2"),
+        cnt(p1 & ~p2).alias("d2"),
+        cnt(p1 & p2).alias("in3"),
+        cnt(p1 & p2 & ~p3).alias("d3"),
+        cnt(p1 & p2 & p3).alias("in4"),
+        cnt(p1 & p2 & p3 & ~p4).alias("d4"),
+        cnt(p1 & p2 & p3 & p4).alias("in5"),
+        cnt(p1 & p2 & p3 & p4 & ~p5).alias("d5"),
+    )
+    stages = agg.selectExpr(
+        "stack(5, "
+        "' 1_length', in1, d1, "
+        "' 2_mean_tok_len', in2, d2, "
+        "' 3_alpha_ratio', in3, d3, "
+        "' 4_punct_ratio', in4, d4, "
+        "' 5_stopword_ratio', in5, d5"
+        ") AS (stage, n_in, n_dropped)"
+    )
+    return stages.select(
+        "stage",
+        "n_in",
+        "n_dropped",
+        (F.col("n_in") - F.col("n_dropped")).alias("n_out"),
+    )
+
+
+@register(
+    "text_zipf_profile",
+    # whole-corpus vocabulary profile: total/vocab/hapax counts, the
+    # type-token ratio, hapax fraction, and top-100-token coverage —
+    # the Zipf-shape summary run before tokenizer/vocab decisions.
+    # Integers until the three final divisions.
+    oracle=r"""
+    WITH tok AS (
+      SELECT UNNEST(LIST_FILTER(
+        regexp_split_to_array(lower(text), '\s+'),
+        t -> LEN(t) > 0)) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax
+      FROM freq
+    ), top AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS top100 FROM (
+        SELECT c FROM freq ORDER BY c DESC, token LIMIT 100
+      )
+    )
+    SELECT n_tokens, vocab, hapax,
+           ROUND(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS type_token_ratio,
+           ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+             AS hapax_fraction,
+           ROUND(CAST(top100 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS top100_coverage
+    FROM tot CROSS JOIN top
+    """,
+    description="corpus Zipf/vocabulary profile: total tokens, vocab "
+    "size, hapax count, type-token ratio, hapax fraction, top-100 "
+    "coverage — one token aggregate + one TakeOrdered top-100, scalars "
+    "broadcast",
+)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import tokens_of
+
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_of(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+    )
+    top = (
+        freq.orderBy(F.desc("c"), F.asc("token"))
+        .limit(100)
+        .agg(F.sum("c").cast("long").alias("top100"))
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.round(
+            F.col("vocab").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+        F.round(
+            F.col("hapax").cast("double") / F.col("vocab").cast("double"), 6
+        ).alias("hapax_fraction"),
+        F.round(
+            F.col("top100").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("top100_coverage"),
+    )
