@@ -110,6 +110,7 @@ _PRIORITY_R11 = [
     "join_asof_tolerance",
     "pipeline_quality_funnel",
     "text_zipf_profile",
+    "similarity_ann_ivf_batch",
 ]
 
 

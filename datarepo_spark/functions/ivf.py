@@ -221,3 +221,74 @@ class IVFIndex:
         base = assigned if assigned is not None else self.assign(df, vec_col, id_col)
         candidates = base.filter(F.col("cell").isin(cells))
         return knn_brute_force(candidates, query_vec, k, vec_col, id_col)
+
+    def batch_search(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int = 3,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        query_id_col: str = "query_id",
+        assigned: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """IVF-pruned top-``k`` corpus neighbors for EVERY query row —
+        the cell-join scale path :func:`~.similarity.batch_knn`'s
+        docstring promises for very large corpora.
+
+        Relational shape (NO driver-side per-query loop, NO broadcast
+        requirement on the query side): queries explode to their
+        ``nprobe`` nearest cells (one mapInPandas batch matmul), the
+        corpus carries its single storage cell (pass ``assigned`` — a
+        persisted/partitioned :meth:`assign` output — to skip
+        re-assignment and let isin-free cell equi-join prune whole
+        partitions), and candidates come from a plain hash equi-join
+        on ``cell``. A (query, corpus) pair meets at most once because
+        the corpus side has exactly one cell per vector. Exact cosine
+        re-rank per query via a rank window (Spark keeps a partial
+        per-partition top-k below the exchange).
+
+        ``nprobe >= self.k`` probes every cell — the result is then
+        EXACTLY the exhaustive batch kNN (the gate query pins the
+        machinery that way; recall at lower nprobe is the tested
+        accuracy contract)."""
+        from pyspark.sql.window import Window
+
+        from .dedup import cosine_similarity
+
+        base = (
+            assigned
+            if assigned is not None
+            else self.assign(corpus, vec_col, id_col)
+        )
+        q = self.assign(
+            queries.select(
+                F.col(query_id_col), F.col(vec_col)
+            ).withColumnRenamed(query_id_col, "__qid"),
+            vec_col=vec_col,
+            id_col="__qid",
+            nprobe=nprobe,
+        ).select(
+            F.col("__qid"),
+            F.col(vec_col).alias("__qv"),
+            F.col("cell"),
+        )
+        scored = (
+            base.join(q, "cell")
+            .select(
+                F.col("__qid").alias(query_id_col),
+                F.col(id_col),
+                F.round(
+                    cosine_similarity(F.col(vec_col), F.col("__qv")), 6
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("cosine"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "cosine")
+        )

@@ -760,3 +760,59 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top100_coverage"),
     )
+
+
+@register(
+    "similarity_ann_ivf_batch",
+    # the IVF cell-join batch search with nprobe = every cell: the
+    # result is then EXACTLY the exhaustive batch kNN (same oracle as
+    # similarity_batch_knn), so the gate pins the cell-join MACHINERY
+    # bit-for-bit; recall at pruning nprobe is the unit-tested
+    # accuracy contract (tests/test_analysis.py::TestIvfBatchSearch).
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS qn
+      FROM v WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, e,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS cn
+      FROM v WHERE vec_id >= 5
+    ), scored AS (
+      SELECT q.qid AS query_id, c.vec_id,
+             ROUND(
+               LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                          i -> c.e[i] * q.qe[i]),
+                           (a, x) -> a + x) / (c.cn * q.qn),
+               6) AS cosine
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, rn AS rank, vec_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    description="IVF cell-join batch ANN: queries explode to their "
+    "nprobe cells, corpus carries its storage cell, candidates from a "
+    "plain hash equi-join on cell (no per-query loop, no broadcast "
+    "requirement) — gated with nprobe=all-cells where the result is "
+    "exactly the exhaustive batch kNN",
+)
+def similarity_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ivf import IVFIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    index = IVFIndex.fit(emb, k=8, iterations=4)
+    return index.batch_search(corpus, queries, k=3, nprobe=8)

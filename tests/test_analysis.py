@@ -383,3 +383,65 @@ class TestAsofTolerance:
             ).collect()
         }
         assert base == wide
+
+
+class TestIvfBatchSearch:
+    def test_exhaustive_nprobe_equals_exact(self, spark):
+        import numpy as np
+
+        from datarepo_spark.functions.ivf import IVFIndex
+        from datarepo_spark.functions.similarity import batch_knn
+
+        rng = np.random.default_rng(17)
+        vecs = rng.standard_normal((60, 8)).astype("float32")
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            ["vec_id", "embedding"],
+        )
+        queries = emb.filter("vec_id < 4").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        corpus = emb.filter("vec_id >= 4")
+        index = IVFIndex.fit(emb, k=4, iterations=3)
+        got = sorted(
+            map(tuple, index.batch_search(
+                corpus, queries, k=3, nprobe=4
+            ).collect())
+        )
+        exact = sorted(map(tuple, batch_knn(corpus, queries, k=3).collect()))
+        assert got == exact
+
+    def test_pruned_nprobe_recall(self, spark):
+        """nprobe=2 of 4 cells must still recover most exact top-3
+        neighbors (clustered data, so cells are meaningful)."""
+        import numpy as np
+
+        from datarepo_spark.functions.ivf import IVFIndex
+        from datarepo_spark.functions.similarity import batch_knn
+
+        rng = np.random.default_rng(19)
+        centers = rng.standard_normal((4, 8)) * 4
+        vecs = np.vstack(
+            [c + rng.standard_normal((30, 8)) * 0.4 for c in centers]
+        ).astype("float32")
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            ["vec_id", "embedding"],
+        )
+        queries = emb.filter("vec_id % 30 = 0").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        corpus = emb.filter("vec_id % 30 != 0")
+        index = IVFIndex.fit(emb, k=4, iterations=4)
+        ann = {
+            (r.query_id, r.vec_id)
+            for r in index.batch_search(
+                corpus, queries, k=3, nprobe=2
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in batch_knn(corpus, queries, k=3).collect()
+        }
+        recall = len(ann & exact) / len(exact)
+        assert recall >= 0.75, recall

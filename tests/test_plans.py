@@ -704,3 +704,33 @@ class TestRoundTenScaleShapes:
         # appears above it
         exch = plan.index("Exchange hashpartitioning(query_id")
         assert "embedding" not in plan[:exch]
+
+
+class TestRoundTenObservability:
+    def test_quality_funnel_single_scan(self, spark, sf_dir):
+        """True funnel semantics from ONE corpus scan: all ten stage
+        counters are sums of boolean conjunctions in a single aggregate
+        — no join, no second FileScan of documents."""
+        plan = plan_of(spark, sf_dir, "pipeline_quality_funnel")
+        assert plan.count("FileScan parquet") == 1
+        assert "Join" not in plan
+        assert "Generate" in plan or "stack" in plan.lower()
+
+    def test_zipf_profile_takeordered_top100(self, spark, sf_dir):
+        """The top-100 coverage comes from a TakeOrdered (per-partition
+        heap), never a global sort; the two scalar frames meet in the
+        deliberate 1x1 broadcast cross."""
+        plan = plan_of(spark, sf_dir, "text_zipf_profile")
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+    def test_asof_tolerance_one_exchange(self, spark, sf_dir):
+        """The tolerance cut is row-local over the same carried window
+        state — it must not add an exchange over the backward asof's
+        single keyed shuffle (scan-side exchanges aside)."""
+        plan = plan_of(spark, sf_dir, "join_asof_tolerance")
+        base = plan_of(spark, sf_dir, "join_asof_backward")
+        assert plan.count("Exchange hashpartitioning") <= base.count(
+            "Exchange hashpartitioning"
+        )
+        assert "CartesianProduct" not in plan
