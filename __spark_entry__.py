@@ -111,6 +111,7 @@ _PRIORITY_R11 = [
     "pipeline_quality_funnel",
     "text_zipf_profile",
     "similarity_ann_ivf_batch",
+    "graph_personalized_pagerank",
 ]
 
 

@@ -22,7 +22,7 @@ round on label-pair rows — the standard iterative-algorithm shape
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -144,6 +144,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_dir: Optional[str] = None,
     tol_micro: Optional[int] = None,
+    personalize: Optional[Sequence] = None,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998) over an edge list, fixed-iteration
     MEAN-NORMALIZED form (ranks average 1.0 up to integer flooring;
@@ -199,7 +200,17 @@ def pagerank(
       point (update is a deterministic function of the rank vector, so
       every later iteration would return identical ranks — the exit is
       result-identical to running all ``iterations``). Default None:
-      fixed iteration count, no per-iteration delta aggregate."""
+      fixed iteration count, no per-iteration delta aggregate.
+
+    ``personalize`` (personalized PageRank, Haveliwala 2002): a small
+    node set S receiving ALL teleport mass — the "rank relative to
+    these seeds" form used for related-item ranking and local
+    community scoring. In the integer mean-1 form each S-member's
+    teleport is ``floor((1-d)·UNIT·N / |S|)`` (total teleport mass
+    preserved up to flooring), non-members get 0, and dangling mass
+    also returns to S (the standard PPR completion) as
+    ``floor(dang/|S|)`` added to each member's pre-damping mass. S
+    ships as a plan literal (seed sets are small by construction)."""
     UNIT = 1_000_000
     d_pct = int(round(damping * 100))
     # materialize the loop INVARIANTS once: every iteration joins the
@@ -236,7 +247,21 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(UNIT).cast("long").alias("rank_micro")
     )
-    teleport = (100 - d_pct) * UNIT // 100
+    if personalize is not None:
+        seeds = sorted(set(personalize))
+        if not seeds:
+            raise ValueError("personalize must name at least one node")
+        # all teleport mass lands on S, floor-divided per member; the
+        # per-node teleport is a plan literal CASE (S is tiny)
+        teleport_s = (100 - d_pct) * UNIT * n_total // (100 * len(seeds))
+        is_seed = F.col("node").isin(list(seeds))
+        teleport_col = F.when(
+            is_seed, F.lit(teleport_s)
+        ).otherwise(F.lit(0)).cast("long")
+        dang_div = len(seeds)
+    else:
+        teleport_col = F.lit((100 - d_pct) * UNIT // 100).cast("long")
+        dang_div = n_total
     ranks = _pin(ranks.coalesce(par), checkpoint_dir)
     for _ in range(iterations):
         # the iteration state is O(nodes), pinned (below / before the
@@ -244,14 +269,16 @@ def pagerank(
         # the delta aggregate all share ONE computation
         prev = ranks
         if has_dangling:
-            # per-node share of the dangling (no-out-edge) mass — scalar
+            # per-recipient share of the dangling (no-out-edge) mass —
+            # a scalar; recipients are all nodes (uniform PageRank) or
+            # the seed set (personalized — the standard PPR completion)
             dang_share = (
                 ranks.join(degrees, "node", "left_anti")
                 .agg(F.sum("rank_micro").alias("__dang"))
                 .select(
                     F.floor(
                         F.coalesce(F.col("__dang"), F.lit(0))
-                        / F.lit(n_total)
+                        / F.lit(dang_div)
                     ).cast("long").alias("__share")
                 )
             )
@@ -273,14 +300,19 @@ def pagerank(
         updated = nodes.join(contribs, "node", "left")
         if has_dangling:
             updated = updated.crossJoin(F.broadcast(dang_share))
-            mass = F.coalesce(F.col("__c"), F.lit(0)) + F.col("__share")
+            share = (
+                F.when(is_seed, F.col("__share")).otherwise(F.lit(0))
+                if personalize is not None
+                else F.col("__share")
+            )
+            mass = F.coalesce(F.col("__c"), F.lit(0)) + share
         else:
             mass = F.coalesce(F.col("__c"), F.lit(0))
         ranks = _pin(
             updated.select(
                 "node",
                 (
-                    F.lit(teleport)
+                    teleport_col
                     + F.floor(
                         F.lit(d_pct) * mass / F.lit(100)
                     ).cast("long")

@@ -816,3 +816,86 @@ def similarity_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 5)
     index = IVFIndex.fit(emb, k=8, iterations=4)
     return index.batch_search(corpus, queries, k=3, nprobe=8)
+
+
+@register(
+    "graph_personalized_pagerank",
+    # Personalized PageRank (Haveliwala 2002) from 3 customer seeds on
+    # the symmetric trade graph, 2 synchronous iterations unrolled as
+    # CTEs in integer micro-units. Teleport mass all lands on the seed
+    # set: per-seed teleport = (100-85)*1e6*N // (100*3) = 50000*N
+    # exactly (the division is exact, so both engines agree without a
+    # floor subtlety). The symmetric graph has no dangling nodes, so
+    # the PPR dangling-to-seeds term is identically zero and the
+    # oracle omits it (same convention as graph_pagerank).
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ), nt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
+    ), c1 AS (
+      SELECT e.dst AS node,
+             SUM(CAST(FLOOR(r.rank_micro / d.deg) AS BIGINT)) AS c
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.node IN ('c1', 'c2', 'c3')
+                       THEN 50000 * nt.n ELSE 0 END
+                  + CAST(FLOOR(85 * COALESCE(c1.c, 0) / 100) AS BIGINT)
+                  AS BIGINT) AS rank_micro
+      FROM nodes n LEFT JOIN c1 ON n.node = c1.node CROSS JOIN nt
+    ), c2 AS (
+      SELECT e.dst AS node,
+             SUM(CAST(FLOOR(r.rank_micro / d.deg) AS BIGINT)) AS c
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.node IN ('c1', 'c2', 'c3')
+                       THEN 50000 * nt.n ELSE 0 END
+                  + CAST(FLOOR(85 * COALESCE(c2.c, 0) / 100) AS BIGINT)
+                  AS BIGINT) AS rank_micro
+      FROM nodes n LEFT JOIN c2 ON n.node = c2.node CROSS JOIN nt
+    )
+    SELECT node, rank_micro, rank_micro / 1000000.0 AS rank
+    FROM r2 ORDER BY rank_micro DESC, node LIMIT 20
+    """,
+    description="personalized PageRank (2 iterations) from 3 customer "
+    "seeds on the trade graph: all teleport mass to the seed set, "
+    "integer micro-unit fixed point — the related-item / local-"
+    "community ranking form; same one-join-one-aggregate iteration as "
+    "uniform PageRank",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import graph as G
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    pr = G.pagerank(edges, iterations=2, personalize=["c1", "c2", "c3"])
+    return pr.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)

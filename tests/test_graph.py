@@ -276,3 +276,49 @@ class TestTriangleCount:
         )
         r = self._count(spark, edges)
         assert r.n_triangles == want
+
+
+class TestPersonalizedPageRank:
+    def test_teleport_mass_concentrates_on_seeds(self, spark):
+        from datarepo_spark.functions.graph import pagerank
+
+        rows = [(f"n{i}", f"n{(i + 1) % 20}") for i in range(20)]
+        sym = rows + [(b, a) for a, b in rows]
+        edges = spark.createDataFrame(sym, ["src", "dst"])
+        ranks = {
+            r.node: r.rank_micro
+            for r in pagerank(
+                edges, iterations=4, personalize=["n0"]
+            ).collect()
+        }
+        # the seed holds the teleport mass; far nodes decay with hops
+        assert ranks["n0"] == max(ranks.values())
+        assert ranks["n1"] == ranks["n19"]  # symmetric neighbors
+        assert ranks["n10"] == min(ranks.values())  # farthest node
+
+    def test_dangling_mass_returns_to_seeds(self, spark):
+        """PPR completion: sink mass teleports to the SEED set, not
+        uniformly — total mass is conserved up to flooring."""
+        from datarepo_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [("seed", "sink"), ("other", "sink")], ["src", "dst"]
+        )
+        ranks = {
+            r.node: r.rank_micro
+            for r in pagerank(
+                edges, iterations=3, personalize=["seed"]
+            ).collect()
+        }
+        # mean-1 integer form conserves ~3e6 micro of total mass
+        assert abs(sum(ranks.values()) - 3_000_000) < 5000
+        assert ranks["seed"] > ranks["other"]
+
+    def test_empty_seed_set_rejected(self, spark):
+        from datarepo_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pagerank(edges, personalize=[])
