@@ -112,6 +112,7 @@ _PRIORITY_R11 = [
     "text_zipf_profile",
     "similarity_ann_ivf_batch",
     "graph_personalized_pagerank",
+    "graph_label_propagation",
 ]
 
 

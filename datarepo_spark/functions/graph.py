@@ -439,3 +439,78 @@ def triangle_count(
             9,
         ).alias("global_clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007), made fully deterministic: every node starts
+    labeled with its own id, and each iteration simultaneously adopts
+    the most frequent label among its in-neighbors, ties broken by the
+    SMALLEST label (so the update is a pure function of the previous
+    labeling — no random visit order, no async races). Nodes with no
+    in-edges keep their label. Returns (node, label) after
+    ``iterations`` rounds.
+
+    Relational shape per iteration: ONE edges×labels equi-join, one
+    (node, label) count aggregate, one per-node argmax window — all
+    keyed on node ids; the graph never collects and label state is
+    pinned per round (same loop discipline as :func:`pagerank`).
+    Synchronous LPA can oscillate on bipartite structures (the known
+    LPA property); a fixed iteration budget keeps that bounded and
+    deterministic rather than hiding it.
+
+    GraphX ships the same synchronous variant (LabelPropagation.run);
+    this is the Catalyst spelling of it."""
+    sc = edges.sparkSession.sparkContext
+    par = max(sc.defaultParallelism, 1)
+    e = _pin(
+        edges.select(
+            F.col(src).alias("__from"), F.col(dst).alias("__to")
+        ).coalesce(par),
+        checkpoint_dir,
+    )
+    nodes = _pin(
+        e.select(F.col("__from").alias("node"))
+        .unionByName(e.select(F.col("__to").alias("node")))
+        .distinct()
+        .coalesce(par),
+        checkpoint_dir,
+    )
+    labels = _pin(
+        nodes.select("node", F.col("node").alias("label")).coalesce(par),
+        checkpoint_dir,
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(iterations):
+        votes = (
+            e.select(F.col("__from").alias("node"), "__to")
+            .join(labels, "node")
+            .groupBy(F.col("__to").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("__c"), F.asc("label")
+        )
+        winner = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = _pin(
+            nodes.join(labels, "node")
+            .join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+            .coalesce(par),
+            checkpoint_dir,
+        )
+    return labels

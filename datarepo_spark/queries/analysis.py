@@ -899,3 +899,87 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     pr = G.pagerank(edges, iterations=2, personalize=["c1", "c2", "c3"])
     return pr.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
+
+
+@register(
+    "graph_label_propagation",
+    # synchronous LPA (2 unrolled iterations) on the trade graph;
+    # community sizes of the resulting labeling. Deterministic: argmax
+    # by (count DESC, label ASC) is a pure function of the previous
+    # labeling — no visit order, no randomness.
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ), l0 AS (
+      SELECT node, node AS label FROM nodes
+    ), v1 AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l0 l ON e.src = l.node
+      GROUP BY e.dst, l.label
+    ), w1 AS (
+      SELECT node, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM v1
+      ) WHERE rn = 1
+    ), l1 AS (
+      SELECT n.node, COALESCE(w1.label, n.node) AS label
+      FROM nodes n LEFT JOIN w1 ON n.node = w1.node
+    ), v2 AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l1 l ON e.src = l.node
+      GROUP BY e.dst, l.label
+    ), w2 AS (
+      SELECT node, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM v2
+      ) WHERE rn = 1
+    ), l2 AS (
+      SELECT n.node, COALESCE(w2.label, l1.label) AS label
+      FROM nodes n
+      JOIN l1 ON n.node = l1.node
+      LEFT JOIN w2 ON n.node = w2.node
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY label
+    ORDER BY n_members DESC, label LIMIT 20
+    """,
+    description="synchronous label-propagation communities (Raghavan "
+    "2007, the GraphX variant) on the trade graph, 2 deterministic "
+    "iterations (argmax by count desc / label asc), top-20 community "
+    "sizes — one join + one aggregate + one argmax window per round",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import graph as G
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = G.label_propagation(edges, iterations=2)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("label"))
+        .limit(20)
+    )

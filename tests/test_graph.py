@@ -322,3 +322,43 @@ class TestPersonalizedPageRank:
 
         with _pytest.raises(ValueError):
             pagerank(edges, personalize=[])
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two dense cliques joined by one bridge edge: LPA should label
+        each clique internally consistently within a few rounds."""
+        from datarepo_spark.functions.graph import label_propagation
+
+        c1 = [(f"a{i}", f"a{j}") for i in range(5) for j in range(5) if i < j]
+        c2 = [(f"b{i}", f"b{j}") for i in range(5) for j in range(5) if i < j]
+        bridge = [("a0", "b0")]
+        rows = c1 + c2 + bridge
+        sym = rows + [(b, a) for a, b in rows]
+        edges = spark.createDataFrame(sym, ["src", "dst"])
+        labels = {
+            r.node: r.label
+            for r in label_propagation(edges, iterations=4).collect()
+        }
+        # each clique converges to ONE label (its minimum member wins)
+        a_labels = {labels[f"a{i}"] for i in range(5)}
+        b_labels = {labels[f"b{i}"] for i in range(1, 5)}
+        assert len(a_labels) == 1
+        assert len(b_labels) == 1
+
+    def test_deterministic_under_repartitioning(self, spark):
+        from datarepo_spark.functions.graph import label_propagation
+
+        rows = [(f"n{i}", f"n{(i * 3 + 1) % 30}") for i in range(60)]
+        edges = spark.createDataFrame(rows, ["src", "dst"])
+        a = sorted(
+            (r.node, r.label)
+            for r in label_propagation(edges, iterations=3).collect()
+        )
+        b = sorted(
+            (r.node, r.label)
+            for r in label_propagation(
+                edges.repartition(11), iterations=3
+            ).collect()
+        )
+        assert a == b
