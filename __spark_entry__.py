@@ -113,6 +113,7 @@ _PRIORITY_R11 = [
     "similarity_ann_ivf_batch",
     "graph_personalized_pagerank",
     "graph_label_propagation",
+    "events_seasonal_profile",
 ]
 
 

@@ -983,3 +983,61 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), F.asc("label"))
         .limit(20)
     )
+
+
+@register(
+    "events_seasonal_profile",
+    # hour-of-day seasonality per event type: decimal-exact means over
+    # each (type, hour) cell plus the cell's share of its type's
+    # volume. The time-series profiling companion to resample/EWMA —
+    # the shape checked before building any time-bucketed feature.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST((value) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(value) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type,
+             CAST(SUM(n_events) AS BIGINT) AS type_total
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(c.hour_of_day AS BIGINT) AS hour_of_day,
+           c.n_events,
+           ROUND(c.avg_value, 6) AS avg_value,
+           ROUND(CAST(c.n_events AS DOUBLE)
+                 / CAST(t.type_total AS DOUBLE), 6) AS volume_share
+    FROM c JOIN t USING (event_type)
+    """,
+    description="hour-of-day seasonality profile per event type: "
+    "decimal-exact cell means + each cell's volume share — two keyed "
+    "aggregates (cells, then per-type totals joined back)",
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import davg
+
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("__avg"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_events").alias("__tot")
+    )
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            F.round("__avg", 6).alias("avg_value"),
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ).alias("volume_share"),
+        )
+    )
