@@ -114,6 +114,7 @@ _PRIORITY_R11 = [
     "graph_personalized_pagerank",
     "graph_label_propagation",
     "events_seasonal_profile",
+    "ivm_distinct_by_status",
 ]
 
 

@@ -1047,3 +1047,72 @@ def ivm_join_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("max_o_totalprice").alias("max_totalprice"),
     )
+
+
+_BUILT_IVM_DISTINCT: dict[str, object] = {}
+
+
+def _ivm_distinct_fixture(spark: SparkSession, sf_dir: str):
+    """Same append → append → DV-delete drive as _ivm_fixture, but the
+    maintained view is COUNT(DISTINCT o_custkey) per status via the
+    2-level multiplicity state (tables/ivm.py::IncrementalDistinctCount)
+    — the delete makes some customers vanish from a status entirely,
+    which is exactly the case per-group scalars cannot maintain."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_IVM_DISTINCT:
+        agg = _BUILT_IVM_DISTINCT[key]
+        if os.path.isdir(os.path.join(agg.dest_uri, "_delta_log")):
+            return agg
+    from ..tables.delta_writer import delete_delta
+    from ..tables.ivm import IncrementalDistinctCount
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_ivmd_")
+    src = os.path.join(base, "orders_src")
+    dst = os.path.join(base, "custkeys_by_status")
+    cols = ["o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice"]
+    orders = load(spark, sf_dir, "orders").select(*cols)
+    agg = IncrementalDistinctCount(
+        src, dst, os.path.join(base, "cursor.json"),
+        group_cols=["o_orderstatus"], distinct_col="o_custkey",
+    )
+    write_delta(
+        orders.filter(F.col("o_orderkey") <= 1200), src,
+        checkpoint_interval=None,
+    )
+    agg.advance(spark)
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") > 1200) & (F.col("o_orderkey") <= 1800)
+        ),
+        src, checkpoint_interval=None,
+    )
+    delete_delta(spark, src, [Filter("o_totalprice", ">", 150000.0)])
+    agg.advance(spark)
+    assert agg.advance(spark) is None
+    _BUILT_IVM_DISTINCT[key] = agg
+    return agg
+
+
+@register(
+    "ivm_distinct_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    WHERE o_orderkey <= 1800 AND NOT (o_totalprice > 150000)
+    GROUP BY o_orderstatus
+    """,
+    description="incremental COUNT(DISTINCT) view: per-(group, key) "
+    "multiplicity state (fully self-maintainable under inserts AND "
+    "deletes) with the distinct count derived at read — kept in sync "
+    "across appends and a DV delete, must equal the from-scratch "
+    "COUNT(DISTINCT) of the source's final state",
+)
+def ivm_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _ivm_distinct_fixture(spark, sf_dir)
+    return agg.read(spark).select(
+        "o_orderstatus",
+        F.col("n_distinct_o_custkey").alias("n_distinct_custkey"),
+        "n_rows",
+    )

@@ -427,3 +427,65 @@ class IncrementalJoinAggregate(IncrementalAggregate):
             df[self.fact_key] == dim[self.dim_key],
             "inner",
         ).drop(self.dim_key)
+
+
+class IncrementalDistinctCount:
+    """COUNT(DISTINCT key) per group, incrementally maintained — the
+    aggregate the base class deliberately excludes (distinct counts are
+    NOT self-maintainable from per-group scalars: a delete can't tell
+    you whether the key still exists in the group).
+
+    The standard fix is the 2-LEVEL construction: the maintained state
+    is per-(group, key) MULTIPLICITIES — which ARE fully
+    self-maintainable under both inserts and deletes (plain counts,
+    +1/−1, zero-rows purged) — and the distinct count is a derived
+    COUNT(*) of surviving keys at read time. This composes the existing
+    :class:`IncrementalAggregate` machinery verbatim (the inner
+    aggregate's group is ``group_cols + [distinct_col]``), inheriting
+    its MERGE + zero-delete maintenance, SetTransaction exactly-once,
+    and change-volume-proportional cost. No MIN/MAX re-derivation path
+    is ever needed: every maintained aggregate here is a count.
+
+    State size is O(live (group, key) pairs) — the true lower bound
+    for EXACT distinct maintenance under deletes (approximate HLL
+    state can't process deletes at all). At 100 TB that state is a
+    Delta table merged on the (group, key) surrogate, so per-advance
+    cost tracks the change volume and affected keys' files, never the
+    source or state size.
+
+    ``read(spark)`` → one row per group:
+    (group_cols…, n_distinct_<distinct_col>, n_rows)."""
+
+    def __init__(
+        self,
+        source_uri: str,
+        dest_uri: str,
+        checkpoint_path: str,
+        group_cols: Sequence[str],
+        distinct_col: str,
+    ):
+        if distinct_col in group_cols:
+            raise ValueError("distinct_col cannot be a group column")
+        self.group_cols = list(group_cols)
+        self.distinct_col = distinct_col
+        self.dest_uri = dest_uri.rstrip("/")
+        self._inner = IncrementalAggregate(
+            source_uri,
+            dest_uri,
+            checkpoint_path,
+            group_cols=list(group_cols) + [distinct_col],
+        )
+
+    def advance(self, spark: SparkSession):
+        """Fold the next change batch into the multiplicity state (see
+        :meth:`IncrementalAggregate.advance`); returns its result."""
+        return self._inner.advance(spark)
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        state = self._inner.read(spark)
+        if state is None:
+            return None
+        return state.groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias(f"n_distinct_{self.distinct_col}"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )

@@ -458,3 +458,61 @@ class TestIncrementalJoinAggregate:
         got = self._view(spark, agg)
         assert [r[0] for r in got] == ["alpha"]
         assert got == self._recompute(spark, src)
+
+
+class TestIncrementalDistinctCount:
+    def test_deletes_that_erase_a_key(self, spark, tmp_path):
+        """A delete removing a customer's LAST order in a status must
+        drop them from the distinct count; one surviving order must
+        not — the exact case per-group scalars cannot maintain."""
+        import os
+
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta,
+            write_delta,
+        )
+        from datarepo_spark.tables.ivm import IncrementalDistinctCount
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        rows = [
+            # (orderkey, status, custkey)
+            (1, "O", 10), (2, "O", 10), (3, "O", 11),
+            (4, "F", 10), (5, "F", 12),
+        ]
+        df = spark.createDataFrame(
+            rows, ["o_orderkey", "o_orderstatus", "o_custkey"]
+        )
+        agg = IncrementalDistinctCount(
+            src, dst, str(tmp_path / "cursor.json"),
+            group_cols=["o_orderstatus"], distinct_col="o_custkey",
+        )
+        write_delta(df, src, checkpoint_interval=None)
+        agg.advance(spark)
+        got = {
+            r.o_orderstatus: (r.n_distinct_o_custkey, r.n_rows)
+            for r in agg.read(spark).collect()
+        }
+        assert got == {"O": (2, 3), "F": (2, 2)}
+        # delete order 2 (cust 10 keeps order 1 in O) and order 5
+        # (cust 12's ONLY F order — must vanish from F's distinct set)
+        delete_delta(spark, src, [Filter("o_orderkey", "in", [2, 5])])
+        agg.advance(spark)
+        got = {
+            r.o_orderstatus: (r.n_distinct_o_custkey, r.n_rows)
+            for r in agg.read(spark).collect()
+        }
+        assert got == {"O": (2, 2), "F": (1, 1)}
+
+    def test_rejects_distinct_col_in_group(self, tmp_path):
+        from datarepo_spark.tables.ivm import IncrementalDistinctCount
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            IncrementalDistinctCount(
+                str(tmp_path / "s"), str(tmp_path / "d"),
+                str(tmp_path / "c.json"),
+                group_cols=["k"], distinct_col="k",
+            )
