@@ -734,3 +734,52 @@ class TestRoundTenObservability:
             "Exchange hashpartitioning"
         )
         assert "CartesianProduct" not in plan
+
+
+class TestRoundTenGraphShapes:
+    def test_personalized_pagerank_no_extra_exchanges(self, spark, sf_dir):
+        """The seed-set teleport is a row-local CASE on a literal: PPR's
+        final-iteration plan must contain no more exchanges than uniform
+        PageRank's (same join+aggregate skeleton)."""
+        ppr = plan_of(spark, sf_dir, "graph_personalized_pagerank")
+        pr = plan_of(spark, sf_dir, "graph_pagerank")
+        assert ppr.count("Exchange") <= pr.count("Exchange")
+        assert "CartesianProduct" not in ppr
+
+    def test_label_propagation_keyed_argmax(self, spark, sf_dir):
+        """The gate query's final plan is checkpoint-truncated (each
+        round materializes), so pin the per-ROUND shape directly: join
+        + count aggregate + node-keyed argmax window, no nested loop —
+        and the gate plan itself must carry no quadratic join."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        plan = plan_of(spark, sf_dir, "graph_label_propagation")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], ["__from", "__to"]
+        )
+        labels = e.select(F.col("__from").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        votes = (
+            e.select(F.col("__from").alias("node"), "__to")
+            .join(labels, "node")
+            .groupBy(F.col("__to").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
+        winner = votes.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        round_plan = winner._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in round_plan
+        assert "CartesianProduct" not in round_plan
+
+    def test_seasonal_profile_two_aggregates(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "events_seasonal_profile")
+        assert "HashAggregate" in plan
+        assert "BroadcastHashJoin" in plan  # totals broadcast back
+        assert "CartesianProduct" not in plan
