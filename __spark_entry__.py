@@ -115,6 +115,9 @@ _PRIORITY_R11 = [
     "graph_label_propagation",
     "events_seasonal_profile",
     "ivm_distinct_by_status",
+    "agg_boolean_suite",
+    "fn_bitwise_suite",
+    "fn_regexp_suite",
 ]
 
 

@@ -1041,3 +1041,94 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume_share"),
         )
     )
+
+
+@register(
+    "agg_boolean_suite",
+    # boolean/conditional aggregate family: bool_and / bool_or /
+    # count_if / every-style predicates per group. DuckDB SUM(int) is
+    # HUGEINT -> everything counted is cast BIGINT.
+    oracle="""
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice < 400000) AS all_under_400k,
+           BOOL_OR(o_totalprice > 300000) AS any_over_300k,
+           CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END)
+                AS BIGINT) AS n_over_100k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="boolean aggregate family: bool_and / bool_or / "
+    "count_if per group — one partial-aggregated exchange",
+)
+def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") < 400000).alias("all_under_400k"),
+        F.bool_or(F.col("o_totalprice") > 300000).alias("any_over_300k"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_over_100k"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "fn_bitwise_suite",
+    # bitwise scalar + aggregate family over integer keys: AND/OR/XOR
+    # aggregates and shift/bit scalars — exact integers end to end.
+    oracle="""
+    SELECT s_nationkey,
+           CAST(BIT_AND(s_suppkey) AS BIGINT) AS band,
+           CAST(BIT_OR(s_suppkey) AS BIGINT) AS bor,
+           CAST(BIT_XOR(s_suppkey) AS BIGINT) AS bxor,
+           CAST(SUM(s_suppkey * 4) AS BIGINT) AS shifted_sum,
+           CAST(SUM(s_suppkey & 7) AS BIGINT) AS low_bits_sum
+    FROM supplier GROUP BY s_nationkey
+    """,
+    description="bitwise family: bit_and/or/xor aggregates + shift and "
+    "mask scalars per group — exact integer arithmetic",
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.bit_and(F.col("s_suppkey")).alias("band"),
+        F.bit_or(F.col("s_suppkey")).alias("bor"),
+        F.bit_xor(F.col("s_suppkey")).alias("bxor"),
+        F.sum(F.shiftleft(F.col("s_suppkey"), 2)).alias("shifted_sum"),
+        F.sum(F.col("s_suppkey").bitwiseAND(F.lit(7))).alias(
+            "low_bits_sum"
+        ),
+    )
+
+
+@register(
+    "fn_regexp_suite",
+    # regexp scalar family over document text: extract / replace-length
+    # / count — both engines run the same RE2-class patterns; outputs
+    # are strings and exact integers (no float anywhere).
+    oracle=r"""
+    SELECT doc_id,
+           COALESCE(NULLIF(regexp_extract(text, '([A-Za-z]+)', 1), ''),
+                    '') AS first_word,
+           CAST(LEN(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS devoweled_len,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_number_runs
+    FROM documents WHERE doc_id < 200
+    """,
+    description="regexp scalar family: extract (first group), replace "
+    "(global devowel length), count (number runs) — row-local, "
+    "codegen'd, no UDF",
+)
+def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([A-Za-z]+)", 1).alias(
+            "first_word"
+        ),
+        F.length(
+            F.regexp_replace(F.col("text"), r"[aeiou]", "")
+        ).cast("long").alias("devoweled_len"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]+")).cast("long").alias(
+            "n_number_runs"
+        ),
+    )
