@@ -118,6 +118,8 @@ _PRIORITY_R11 = [
     "agg_boolean_suite",
     "fn_bitwise_suite",
     "fn_regexp_suite",
+    "window_gap_islands",
+    "join_null_safe",
 ]
 
 

@@ -1132,3 +1132,97 @@ def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_number_runs"
         ),
     )
+
+
+@register(
+    "window_gap_islands",
+    # gaps-and-islands: maximal runs of CONSECUTIVE orderkeys per
+    # status (the island id is key - row_number, the classic trick) —
+    # the integer-sequence companion of time sessionization. Exact
+    # integers throughout.
+    oracle="""
+    WITH r AS (
+      SELECT o_orderstatus, o_orderkey,
+             o_orderkey - ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ) AS island
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT o_orderstatus,
+           MIN(o_orderkey) AS island_start,
+           MAX(o_orderkey) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS island_len
+    FROM r GROUP BY o_orderstatus, island
+    HAVING COUNT(*) >= 3
+    """,
+    description="gaps-and-islands: maximal consecutive-key runs per "
+    "group via the key-minus-row_number trick (one keyed window + one "
+    "aggregate), islands of length >= 3",
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    r = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        (F.col("o_orderkey") - F.row_number().over(w)).alias("__island"),
+    )
+    return (
+        r.groupBy("o_orderstatus", "__island")
+        .agg(
+            F.min("o_orderkey").alias("island_start"),
+            F.max("o_orderkey").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 3)
+        .drop("__island")
+    )
+
+
+@register(
+    "join_null_safe",
+    # null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    # MATCH each other — the semantic a plain equi-join silently drops.
+    # Built from orders with a derived nullable key so the NULL-match
+    # behavior is actually exercised at every SF.
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS k
+      FROM orders WHERE o_orderkey <= 400
+    ), b AS (
+      SELECT CASE WHEN n_nationkey >= 20 THEN NULL
+                  ELSE n_nationkey % 5 END AS k,
+             n_name
+      FROM nation
+    )
+    SELECT a.o_orderkey, b.n_name
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    description="null-safe equality join (eqNullSafe / IS NOT DISTINCT "
+    "FROM): NULL keys match NULL keys — plans as a hash join on the "
+    "null-safe key, never a nested loop",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 400)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_orderkey") % 5)
+            .alias("k_a"),
+        )
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.when(F.col("n_nationkey") >= 20, F.lit(None))
+        .otherwise(F.col("n_nationkey") % 5)
+        .alias("k_b"),
+        "n_name",
+    )
+    return o.join(n, F.col("k_a").eqNullSafe(F.col("k_b"))).select(
+        "o_orderkey", "n_name"
+    )

@@ -783,3 +783,14 @@ class TestRoundTenGraphShapes:
         assert "HashAggregate" in plan
         assert "BroadcastHashJoin" in plan  # totals broadcast back
         assert "CartesianProduct" not in plan
+
+
+class TestNullSafeJoinShape:
+    def test_null_safe_join_is_hash_join(self, spark, sf_dir):
+        """eqNullSafe must plan a hash/merge join keyed on the
+        null-safe wrapper — NOT a BroadcastNestedLoopJoin (the trap
+        when the condition is written as an OR of equals/is-nulls)."""
+        plan = plan_of(spark, sf_dir, "join_null_safe")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" in plan
