@@ -120,6 +120,7 @@ _PRIORITY_R11 = [
     "fn_regexp_suite",
     "window_gap_islands",
     "join_null_safe",
+    "profile_benford",
 ]
 
 

@@ -1226,3 +1226,84 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(n, F.col("k_a").eqNullSafe(F.col("k_b"))).select(
         "o_orderkey", "n_name"
     )
+
+
+_BENFORD = {
+    "1": 0.301029996, "2": 0.176091259, "3": 0.124938737,
+    "4": 0.096910013, "5": 0.079181246, "6": 0.06694679,
+    "7": 0.057991947, "8": 0.051152522, "9": 0.045757491,
+}
+
+
+@register(
+    "profile_benford",
+    # Benford's-law first-significant-digit profile of order totals —
+    # the classic fabricated-/synthetic-data smell test. Expected
+    # shares are a 9-entry LITERAL table (log10(1+1/d) pre-rounded to
+    # 9 decimals) inlined identically in both engines, so no libm call
+    # happens at query time; the chi-square terms are the same pinned
+    # double arithmetic on exact integer counts.
+    oracle="""
+    WITH d AS (
+      SELECT SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ), t AS (
+      SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c
+    ), e AS (
+      SELECT digit, n_obs, n,
+             CAST(CASE digit
+               WHEN '1' THEN 0.301029996 WHEN '2' THEN 0.176091259
+               WHEN '3' THEN 0.124938737 WHEN '4' THEN 0.096910013
+               WHEN '5' THEN 0.079181246 WHEN '6' THEN 0.06694679
+               WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522
+               WHEN '9' THEN 0.045757491 END AS DOUBLE) AS exp_share
+      FROM c CROSS JOIN t
+    )
+    SELECT digit, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_share,
+           exp_share,
+           ROUND(
+             (CAST(n_obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE))
+             * (CAST(n_obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE))
+             / (exp_share * CAST(n AS DOUBLE)), 6) AS chi2_term
+    FROM e
+    """,
+    description="Benford first-digit profile of order totals: observed "
+    "vs expected digit shares + per-digit chi-square terms (literal "
+    "log10 table, no query-time libm) — the synthetic/fabricated-data "
+    "smell test",
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+            1, 1,
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = c.agg(F.sum("n_obs").cast("long").alias("__n"))
+    exp_share = F.col("digit")
+    expr = None
+    for k, v in _BENFORD.items():
+        expr = (
+            F.when(F.col("digit") == k, F.lit(v))
+            if expr is None
+            else expr.when(F.col("digit") == k, F.lit(v))
+        )
+    obs = F.col("n_obs").cast("double")
+    n = F.col("__n").cast("double")
+    dev = obs - expr * n
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(obs / n, 6).alias("obs_share"),
+            expr.alias("exp_share"),
+            F.round(dev * dev / (expr * n), 6).alias("chi2_term"),
+        )
+    )
