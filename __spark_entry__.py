@@ -121,6 +121,7 @@ _PRIORITY_R11 = [
     "window_gap_islands",
     "join_null_safe",
     "profile_benford",
+    "skew_salted_agg_dup_payloads",
 ]
 
 

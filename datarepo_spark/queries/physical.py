@@ -171,3 +171,47 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_qty"),
     )
+
+
+@register(
+    "skew_salted_agg_dup_payloads",
+    # the ADVICE-r9 scenario under the gate: a hot key whose rows are
+    # EXACT payload duplicates (content-hash salts would collapse to
+    # one reducer) — salting on caller-named unique columns
+    # (salt_cols) restores the 1/SALT spread, and the result must
+    # still equal the plain aggregation. (l_orderkey, l_linenumber)
+    # is jointly unique per lineitem row.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS count_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38, 6))) AS DOUBLE),
+                 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="salted aggregation with caller-supplied salt columns "
+    "(the duplicate-payload hot-key escape hatch): salts derive from "
+    "the per-row-unique (orderkey, linenumber) so byte-identical "
+    "payloads still spread 1/SALT — must equal the plain aggregation",
+)
+def skew_salted_agg_dup_payloads(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "count_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(38,6)")),
+        },
+        salt=16,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        "count_rows",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+    )

@@ -613,3 +613,25 @@ class TestStatefulEwma:
         }
         assert len(emitted) == len(batch)  # one row per event, no dups
         assert emitted == batch  # bit-identical doubles
+
+
+class TestStreamShufflePartitionPin:
+    def test_restores_on_error(self, spark):
+        """The stream-scoped shuffle-partition pin must restore the
+        caller's conf even when the stream body raises."""
+        from datarepo_spark.queries.sources import (
+            _stream_shuffle_partitions,
+        )
+
+        key = "spark.sql.shuffle.partitions"
+        before = spark.conf.get(key)
+        try:
+            with _stream_shuffle_partitions(spark):
+                inside = spark.conf.get(key)
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(key) == before
+        assert inside == str(
+            max(spark.sparkContext.defaultParallelism, 8)
+        )
