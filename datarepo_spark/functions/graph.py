@@ -350,33 +350,45 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_adjacency_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Exact triangle count + wedge count + global clustering
     coefficient of an undirected graph, as one row
     (n_triangles, n_wedges, global_clustering).
 
-    Algorithm: the degree-ordered "forward" method (Schank & Wagner
-    2005) — orient every canonical edge from its lower-(degree, id)
-    endpoint to the higher, enumerate wedges only among each vertex's
-    OUT-neighbors, and close them against the canonical edge set. Each
-    triangle is counted exactly once (from its orientation-minimum
-    vertex), and the per-vertex wedge work is bounded by out-degree² ≤
-    O(m) total for any degree distribution — the standard fix for the
-    naive node-iterator blowing up on hub vertices (a degree-10⁶ hub
-    contributes 10¹² naive wedges but its out-degree under the
-    orientation is ≤ √(2m)).
+    Algorithm: degree-ordered orientation + edge-iterator neighbor
+    intersection. Orient every canonical edge from its lower-(degree,
+    id) endpoint to the higher (Schank & Wagner 2005) — out-degree is
+    then bounded by √(2m), so no hub vertex can blow up the work — and
+    for each oriented edge (s, t) count |N⁺(s) ∩ N⁺(t)| via
+    ``size(array_intersect(...))`` over sorted out-neighbor arrays.
+    Each triangle is counted exactly once (its orientation-minimum
+    vertex is the only s whose two out-neighbors are adjacent).
+
+    Why edge-iterator instead of materializing wedges: the wedge
+    self-join emits Σ C(outdeg, 2) rows through an exchange — on a
+    dense co-occurrence graph (sf0.1 suppliers: ~1000 nodes, ~87% of
+    all possible edges, 1.2×10⁸ oriented wedges) that is a hundred
+    million shuffled rows for a 3-column count. The neighbor-array
+    form does the same Σ(outdeg(s)+outdeg(t)) element work inside one
+    whole-stage-codegen pipeline and shuffles only the adjacency lists
+    themselves (O(m) entries total).
 
     Shuffle inventory: one distinct (canonical edges), one degree
-    aggregate, two broadcast-or-shuffle hash joins to attach degrees,
-    one self-join on the wedge apex, one closing equi-join on the
-    canonical pair. No OR-condition joins (those plan as nested-loop);
-    the single BroadcastNestedLoopJoin in the plan is the deliberate
-    1-row × 1-row scalar cross at the end. The canonical edge set and
-    the oriented DAG are persisted (scoped — released by
-    ``dedup.unpersist_intermediates``): each feeds multiple joins, and
-    broadcast conversion breaks ReusedExchange (SCALE.md r2), so an
-    unpersisted edge pipeline re-executes per consumer.
+    aggregate, two hash joins to attach degrees, one groupBy to build
+    adjacency arrays, then two joins to attach N⁺(s) / N⁺(t) to each
+    oriented edge — broadcast when the adjacency table is under
+    ``broadcast_adjacency_bytes`` (16 bytes/entry estimate), plain
+    shuffle hash joins otherwise (total shuffled bytes O(Σ outdeg per
+    edge endpoint) = O(m^1.5) worst case — the standard distributed
+    edge-iterator bound, cf. Suri & Vassilvitskii WWW'11). The
+    adjacency misses sink vertices (out-degree 0); left joins +
+    empty-array coalesce keep those edges counted with 0
+    intersections. The single BroadcastNestedLoopJoin in the plan is
+    the deliberate 1-row × 1-row scalar cross at the end.
     """
     from .dedup import _scoped_persist
 
@@ -411,18 +423,36 @@ def triangle_count(
             .alias("o")
         ).select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
     )
-    w1 = oriented.select(
-        F.col("s").alias("apex"), F.col("t").alias("u")
+    # m is needed anyway to size the adjacency join; the persisted
+    # oriented frame makes this count a cache scan, not a recompute.
+    m = oriented.count()
+    adj = oriented.groupBy("s").agg(
+        F.sort_array(F.collect_list("t")).alias("nbrs")
     )
-    w2 = oriented.select(
-        F.col("s").alias("apex"), F.col("t").alias("w")
+    if m * 16 <= broadcast_adjacency_bytes:
+        adj = F.broadcast(adj)
+    adj_s = adj.select(F.col("s"), F.col("nbrs").alias("nbrs_s"))
+    adj_t = adj.select(
+        F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t")
     )
-    wedges_df = w1.join(w2, "apex").filter(F.col("u") < F.col("w"))
-    closing = e.select(
-        F.col("x").alias("u"), F.col("y").alias("w")
-    )
-    tri = wedges_df.join(closing, ["u", "w"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    # empty-array literal of the node type (sinks fall out of adj)
+    empty = F.array().cast(adj.schema["nbrs"].dataType.simpleString())
+    tri = (
+        oriented.join(adj_s, "s", "left")
+        .join(adj_t, "t", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.coalesce(F.col("nbrs_s"), empty),
+                    F.coalesce(F.col("nbrs_t"), empty),
+                )
+            ).alias("closed")
+        )
+        .agg(
+            F.coalesce(F.sum("closed"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     wed = deg.agg(
         F.sum(

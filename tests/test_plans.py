@@ -598,6 +598,11 @@ class TestRound9Plans:
         # the persisted edge/oriented frames feed every join via
         # InMemoryTableScan (broadcast conversion breaks ReusedExchange)
         assert "InMemoryTableScan" in plan
+        # edge-iterator form: neighbor intersection happens in a
+        # projection (array_intersect), NOT by materializing the
+        # wedge set through a shuffle join — the adjacency table is
+        # small here, so both attach-joins must be broadcast
+        assert "array_intersect" in plan
 
 
 class TestRoundTenAnalysis:
