@@ -122,6 +122,11 @@ _PRIORITY_R11 = [
     "join_null_safe",
     "profile_benford",
     "skew_salted_agg_dup_payloads",
+    "profile_linear_trend",
+    "events_time_weighted_avg",
+    "window_rolling_median",
+    "profile_chi_square",
+    "profile_gini",
 ]
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as _X
 from ..functions.profile import grouped_exact_quantile
-from .registry import load, register
+from .registry import SQL_DSUM, dsum, load, register
 
 
 def _epoch_day(col: str) -> F.Column:
@@ -1307,3 +1307,345 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev * dev / (expr * n), 6).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10b additions: trend regression, time-weighted averaging,
+# rolling medians, contingency chi-square, and Gini concentration.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_linear_trend",
+    # Per-priority OLS trend of order value over time, CROSS-ENGINE
+    # EXACT via the profile_correlation recipe: the four co-moment
+    # sums are DECIMAL(38,6) (order-independent), every per-row value
+    # stays inside the engine-identical double->decimal cast range
+    # (|v|*10^6 < 2^53): x = epoch-day - 9000 is in [-965, 1439], y =
+    # totalprice/1000 < 600, so x*y < 9e5 and x*x < 2.1e6. The closed
+    # form runs on DOUBLE casts of the exact sums as a fixed IEEE
+    # sequence mirrored textually in both engines; slope is per-day in
+    # thousand-currency units, intercept is the fitted level at
+    # epoch-day 9000 (1994-08-22), so neither output needs a huge
+    # extrapolation to day 0.
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderpriority,
+             DATEDIFF('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) - 9000 AS x,
+             o_totalprice / 1000.0 AS y
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             {SQL_DSUM('x')} AS sx,
+             {SQL_DSUM('y')} AS sy,
+             {SQL_DSUM('x * y')} AS sxy,
+             {SQL_DSUM('x * x')} AS sxx
+      FROM u GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 9) AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 9) AS intercept_at_day9000
+    FROM s ORDER BY o_orderpriority
+    """,
+    description="per-priority OLS slope/intercept of order value over "
+    "time — DECIMAL co-moment sums + fixed IEEE closed form (the "
+    "drift-over-time profile run before trusting a corpus snapshot)",
+)
+def profile_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    x = _epoch_day("o_orderdate") - F.lit(9000)
+    y = F.col("o_totalprice") / F.lit(1000.0)
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(slope, 9).alias("slope_per_day"),
+        F.round(intercept, 9).alias("intercept_at_day9000"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "events_time_weighted_avg",
+    # Time-weighted average (TWAP) per event type over irregular
+    # telemetry samples: each observed value holds until the next
+    # sample, so the mean is sum(value*dt)/sum(dt), not the row mean —
+    # the standard correction when sampling cadence varies (bursty
+    # devices would otherwise dominate). dt comes from epoch
+    # microseconds (exact BIGINT in both engines; events ts is µs-
+    # granular), divided by 1e6 as one IEEE double op; value*dt_s
+    # stays under ~5e7 so the DECIMAL(38,6) accumulation casts
+    # engine-identically. The last sample per (type, ordered by ts,
+    # event_id) has no successor and is excluded from both sums.
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type, value,
+             (LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) / 1000000.0 AS dt_s
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n_intervals,
+             {SQL_DSUM('value * dt_s')} AS swv,
+             {SQL_DSUM('dt_s')} AS sw
+      FROM u WHERE dt_s IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_intervals,
+           ROUND(CAST(sw AS DOUBLE), 6) AS span_seconds,
+           ROUND(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 9)
+             AS time_weighted_avg
+    FROM s ORDER BY event_type
+    """,
+    description="time-weighted average value per event type (TWAP) — "
+    "lead-window hold intervals, DECIMAL-accumulated value*dt; the "
+    "irregular-sampling correction for telemetry means",
+)
+def events_time_weighted_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    u = e.select(
+        "event_type",
+        "value",
+        ((F.lead(us).over(w) - us) / F.lit(1000000.0)).alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull())
+    s = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        dsum(F.col("value") * F.col("dt_s")).alias("swv"),
+        dsum(F.col("dt_s")).alias("sw"),
+    )
+    return s.select(
+        "event_type",
+        "n_intervals",
+        F.round(F.col("sw").cast("double"), 6).alias("span_seconds"),
+        F.round(
+            F.col("swv").cast("double") / F.col("sw").cast("double"), 9
+        ).alias("time_weighted_avg"),
+    ).orderBy("event_type")
+
+
+@register(
+    "window_rolling_median",
+    # Rolling median of shipment quantity per supplier over the 7 most
+    # recent line items — the robust twin of window_rolling_mean
+    # (medians shrug off the fat-tailed quantities that drag a mean).
+    # Spark has no median window function but percentile(x, 0.5) OVER
+    # a rows frame is the same holistic aggregate; DuckDB's windowed
+    # median interpolates identically, and on integer-valued
+    # quantities every midpoint is an exact binary half — no rounding
+    # needed. The frame is pinned by the (shipdate, orderkey,
+    # linenumber) total order so both engines see identical windows.
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS quantity,
+           median(CAST(l_quantity AS DOUBLE)) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS rolling_median_7
+    FROM lineitem WHERE l_suppkey <= 10
+    """,
+    description="rolling 7-row median of quantity per supplier — "
+    "percentile(0.5) over a pinned rows frame (exact midpoints on "
+    "integer quantities); the robust rolling-mean twin",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.expr(
+            "percentile(CAST(l_quantity AS DOUBLE), 0.5) OVER ("
+            "PARTITION BY l_suppkey "
+            "ORDER BY l_shipdate, l_orderkey, l_linenumber "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        ).alias("rolling_median_7"),
+    )
+
+
+@register(
+    "profile_chi_square",
+    # Pearson chi-square test of independence for the source x lang
+    # contingency table + Cramér's V effect size — the categorical
+    # companion of profile_mutual_information and the same
+    # determinism recipe: exact integer cell/marginal counts, each
+    # cell's (obs - exp)^2 / exp term evaluated as a pinned IEEE
+    # sequence, folded in (source, lang)-sorted order (0.0-seeded
+    # Spark fold == first-element-seeded DuckDB list_reduce), sqrt is
+    # IEEE-exact so Cramér's V needs no extra rounding guard.
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS cc
+      FROM documents
+    ), px AS (
+      SELECT source, CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS rx
+      FROM cell GROUP BY source
+    ), py AS (
+      SELECT lang, CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS cy
+      FROM cell GROUP BY lang
+    ), terms AS (
+      SELECT LIST(
+               (cell.c - (px.rx * py.cy) / n)
+               * (cell.c - (px.rx * py.cy) / n)
+               / ((px.rx * py.cy) / n)
+               ORDER BY cell.source, cell.lang
+             ) AS t,
+             ANY_VALUE(n) AS n, ANY_VALUE(r) AS r, ANY_VALUE(cc) AS cc
+      FROM cell JOIN px USING (source) JOIN py USING (lang), tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           (r - 1) * (cc - 1) AS dof,
+           ROUND(LIST_REDUCE(t, (a, b) -> a + b), 9) AS chi2,
+           ROUND(SQRT(LIST_REDUCE(t, (a, b) -> a + b)
+                      / (n * CAST(LEAST(r - 1, cc - 1) AS DOUBLE))),
+                 9) AS cramers_v
+    FROM terms
+    """,
+    description="chi-square independence test + Cramér's V for the "
+    "source x lang contingency table — exact counts, sorted "
+    "engine-identical term fold; the categorical drift/dependence test",
+)
+def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    px = cell.groupBy("source").agg(
+        F.sum(F.col("c").cast("long")).cast("double").alias("rx")
+    )
+    py = cell.groupBy("lang").agg(
+        F.sum(F.col("c").cast("long")).cast("double").alias("cy")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.countDistinct("source").alias("r"),
+        F.countDistinct("lang").alias("cc"),
+    ).collect()[0]
+    n, r, cc = float(tot["n"]), int(tot["r"]), int(tot["cc"])
+    ex = (F.col("rx") * F.col("cy")) / F.lit(n)
+    joined = cell.join(F.broadcast(px), "source").join(
+        F.broadcast(py), "lang"
+    )
+    terms = joined.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "source",
+                    "lang",
+                    (
+                        (F.col("c") - ex) * (F.col("c") - ex) / ex
+                    ).alias("term"),
+                )
+            )
+        ).alias("__t")
+    )
+    chi2 = F.aggregate(
+        F.transform("__t", lambda x: x["term"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.lit((r - 1) * (cc - 1)).cast("long").alias("dof"),
+        F.round(chi2, 9).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / F.lit(n * float(min(r - 1, cc - 1)))), 9
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "profile_gini",
+    # Gini concentration coefficient of document length per source —
+    # how unevenly a source's bytes are spread across its documents
+    # (0 = uniform, ->1 = a few giants hold everything). Uses the
+    # rank formulation G = (2*Σi·x_(i) - (n+1)*Σx) / (n*Σx) over the
+    # ascending (n_chars, doc_id) order; Σi·x and Σx are exact BIGINT
+    # sums (ties contribute the same Σi·x under any tie order, so the
+    # doc_id tiebreak is for frame determinism, not value), and the
+    # final expression is one pinned double division.
+    oracle="""
+    WITH r AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ), s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM r GROUP BY source
+    )
+    SELECT source, n,
+           ROUND((2.0 * CAST(six AS DOUBLE)
+                  - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 9) AS gini_n_chars
+    FROM s ORDER BY source
+    """,
+    description="Gini coefficient of document length per source — "
+    "rank formulation with exact integer rank/value sums; the "
+    "length-concentration profile for mixture weighting",
+)
+def profile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    s = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    return s.select(
+        "source",
+        "n",
+        F.round(
+            (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx), 9
+        ).alias("gini_n_chars"),
+    ).orderBy("source")
