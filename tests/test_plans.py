@@ -799,3 +799,56 @@ class TestNullSafeJoinShape:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Join" in plan
+
+
+class TestRoundTenBAnalysisShapes:
+    """Plan shapes for the r10b batch (trend/TWAP/rolling-median/
+    chi-square/Gini)."""
+
+    def test_linear_trend_single_aggregate_pass(self, spark, sf_dir):
+        """All five co-moment sums come from ONE map-side-combinable
+        aggregate over one scan — no window, no join, no second pass."""
+        plan = plan_of(spark, sf_dir, "profile_linear_trend")
+        assert "HashAggregate" in plan
+        assert "Window" not in plan
+        assert "Join" not in plan
+        # exactly one shuffle: the groupBy key exchange (plus the
+        # output sort's range exchange)
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_twap_one_window_one_aggregate(self, spark, sf_dir):
+        """lead() and the sums share the event_type partitioning: one
+        hash exchange feeds both the window and the groupBy."""
+        plan = plan_of(spark, sf_dir, "events_time_weighted_avg")
+        assert "Window" in plan
+        assert "HashAggregate" in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_rolling_median_no_join_no_extra_exchange(self, spark, sf_dir):
+        """percentile(0.5) over the rows frame is a single window pass
+        partitioned by supplier; the suppkey filter is pushed to the
+        scan."""
+        plan = plan_of(spark, sf_dir, "window_rolling_median")
+        assert "Window" in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "PushedFilters" in plan and "l_suppkey" in plan
+
+    def test_chi_square_marginals_broadcast(self, spark, sf_dir):
+        """Cell counts join their row/column marginals via broadcast
+        (marginal tables are |sources| and |langs| rows); the term fold
+        is a collect_list aggregate, never a driver-side loop."""
+        plan = plan_of(spark, sf_dir, "profile_chi_square")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "collect_list" in plan
+
+    def test_gini_one_window_one_aggregate(self, spark, sf_dir):
+        """Rank assignment and the integer sums share the source
+        partitioning — one exchange, no join-back."""
+        plan = plan_of(spark, sf_dir, "profile_gini")
+        assert "Window" in plan
+        assert "HashAggregate" in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -184,6 +184,12 @@ def build_scaled(spark, replicas: int, out: str) -> None:
 
 
 def main() -> None:
+    # SPARK_GRAFT_GAUNTLET=q1,q2 re-times a subset (e.g. after a
+    # rewrite) without paying for the full 22-query pass
+    global GAUNTLET
+    subset = os.environ.get("SPARK_GRAFT_GAUNTLET")
+    if subset:
+        GAUNTLET = [q.strip() for q in subset.split(",") if q.strip()]
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sparkgraft_scale"
     sf = 0.1 * replicas
