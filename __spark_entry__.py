@@ -127,6 +127,8 @@ _PRIORITY_R11 = [
     "window_rolling_median",
     "profile_chi_square",
     "profile_gini",
+    "profile_bootstrap_ci",
+    "profile_welch_ttest",
 ]
 
 

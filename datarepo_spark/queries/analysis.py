@@ -1649,3 +1649,251 @@ def profile_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx), 9
         ).alias("gini_n_chars"),
     ).orderBy("source")
+
+
+# Poisson(1) CDF, pre-rounded to 12 decimals and inlined as literals in
+# BOTH engines (no query-time libm): the inverse-CDF lookup that turns
+# the exact sha-hash uniform variate into a per-(row, replicate)
+# Poisson bootstrap weight. P(X > 5) ~ 6e-4 truncates to weight 6.
+_POISSON1_CDF = [
+    (0, 0.367879441171),
+    (1, 0.735758882343),
+    (2, 0.919698602929),
+    (3, 0.981011843124),
+    (4, 0.996340153173),
+    (5, 0.999405815182),
+]
+_BOOT_B = 40  # replicates: enough for a stable 95% percentile CI
+
+
+def _boot_interp(sorted_expr_fmt: str, q: float, b: int) -> tuple:
+    """Literal (lo_idx, hi_idx, frac) for the q-quantile of b sorted
+    values — positions are data-independent, so both engines get pure
+    literals instead of cross-engine index arithmetic."""
+    pos = q * (b - 1)
+    lo = int(pos)
+    frac = round(pos - lo, 12)
+    return lo, min(lo + 1, b - 1), frac
+
+
+@register(
+    "profile_bootstrap_ci",
+    # Poisson bootstrap (Chamandy et al., Google 2012): the bootstrap
+    # that scales — each (row, replicate) pair draws a Poisson(1)
+    # multiplicity instead of resampling n rows WITH replacement, so
+    # the whole thing is one explode(B) + one map-side-combinable
+    # aggregate, no per-replicate pass over the corpus. Determinism:
+    # the multiplicity comes from the exact sha-hash uniform variate
+    # pushed through a LITERAL Poisson(1) inverse-CDF table (no libm);
+    # per-replicate sums are exact BIGINTs (weight<=6 x n_chars); each
+    # replicate mean is ONE IEEE division; the CI interpolates the
+    # sorted replicate means at literal (index, fraction) positions.
+    oracle=f"""
+    WITH b AS (SELECT UNNEST(RANGE(0, {_BOOT_B})) AS rep),
+    w AS (
+      SELECT rep,
+             CASE
+               WHEN u < 0.367879441171 THEN 0
+               WHEN u < 0.735758882343 THEN 1
+               WHEN u < 0.919698602929 THEN 2
+               WHEN u < 0.981011843124 THEN 3
+               WHEN u < 0.996340153173 THEN 4
+               WHEN u < 0.999405815182 THEN 5
+               ELSE 6 END AS wt,
+             n_chars
+      FROM (
+        SELECT rep, n_chars,
+               ('0x' || substr(sha256('boot' || CAST(rep AS VARCHAR)
+                 || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / CAST({float(1 << 60)} AS DOUBLE) AS u
+        FROM documents CROSS JOIN b
+      )
+    ), reps AS (
+      SELECT rep,
+             CAST(SUM(wt * CAST(n_chars AS BIGINT)) AS DOUBLE)
+               / CAST(SUM(wt) AS DOUBLE) AS m
+      FROM w GROUP BY rep
+    ), arr AS (
+      SELECT LIST(m ORDER BY m) AS ms FROM reps
+    )
+    SELECT {_BOOT_B} AS n_replicates,
+           ROUND(LIST_REDUCE(ms, (a, x) -> a + x)
+                 / {float(_BOOT_B)}, 9) AS boot_mean,
+           ROUND(ms[{_boot_interp('', 0.025, _BOOT_B)[0] + 1}]
+                 + (ms[{_boot_interp('', 0.025, _BOOT_B)[1] + 1}]
+                    - ms[{_boot_interp('', 0.025, _BOOT_B)[0] + 1}])
+                   * {_boot_interp('', 0.025, _BOOT_B)[2]}, 9)
+             AS ci_lower,
+           ROUND(ms[{_boot_interp('', 0.975, _BOOT_B)[0] + 1}]
+                 + (ms[{_boot_interp('', 0.975, _BOOT_B)[1] + 1}]
+                    - ms[{_boot_interp('', 0.975, _BOOT_B)[0] + 1}])
+                   * {_boot_interp('', 0.975, _BOOT_B)[2]}, 9)
+             AS ci_upper
+    FROM arr
+    """,
+    description="Poisson-bootstrap 95% CI for mean document length — "
+    "explode(B) + one combinable aggregate (the bootstrap that works "
+    "at 100 TB: no with-replacement resample pass), literal "
+    "inverse-CDF weights from the exact sha variate",
+)
+def profile_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = F.explode(
+        F.array(*[F.lit(i) for i in range(_BOOT_B)])
+    ).alias("rep")
+    u = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit("boot"),
+                    F.col("rep").cast("string"),
+                    F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 60))
+    wt = F.lit(6)
+    for k, p in reversed(_POISSON1_CDF):
+        wt = F.when(F.col("u") < F.lit(p), F.lit(k)).otherwise(wt)
+    w = docs.select("doc_id", "n_chars", reps).select(
+        "rep", "n_chars", u.alias("u")
+    ).select("rep", "n_chars", wt.alias("wt"))
+    per_rep = w.groupBy("rep").agg(
+        (
+            F.sum(F.col("wt") * F.col("n_chars").cast("long")).cast(
+                "double"
+            )
+            / F.sum("wt").cast("double")
+        ).alias("m")
+    )
+    arr = per_rep.agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    ms = F.col("ms")
+    mean = (
+        F.aggregate(ms, F.lit(0.0), lambda a, x: a + x)
+        / F.lit(float(_BOOT_B))
+    )
+
+    def interp(q: float):
+        lo, hi, frac = _boot_interp("", q, _BOOT_B)
+        return ms[lo] + (ms[hi] - ms[lo]) * F.lit(frac)
+
+    return arr.select(
+        F.lit(_BOOT_B).alias("n_replicates"),
+        F.round(mean, 9).alias("boot_mean"),
+        F.round(interp(0.025), 9).alias("ci_lower"),
+        F.round(interp(0.975), 9).alias("ci_upper"),
+    )
+
+
+@register(
+    "profile_welch_ttest",
+    # Welch's unequal-variance t-test between every pair of document
+    # sources on mean document length — the A/B comparison primitive.
+    # Same determinism recipe as profile_correlation: per-group n, Σx,
+    # Σx² as exact sums (n_chars is integer — BIGINT sums, no decimal
+    # needed), then t and the Welch–Satterthwaite df as one pinned
+    # IEEE sequence per pair (sqrt is IEEE-exact). The pair join is a
+    # tiny broadcast self-join of the 20-row per-source stats frame.
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(n_chars AS BIGINT)
+                      * CAST(n_chars AS BIGINT)) AS BIGINT) AS sxx
+      FROM documents GROUP BY source
+    ), v AS (
+      SELECT source, n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) AS var
+      FROM s
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(a.m - b.m, 9) AS mean_diff,
+           ROUND((a.m - b.m)
+                 / SQRT(a.var / CAST(a.n AS DOUBLE)
+                        + b.var / CAST(b.n AS DOUBLE)), 9) AS t_stat,
+           ROUND(
+             (a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+             * (a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+             / ((a.var / CAST(a.n AS DOUBLE))
+                * (a.var / CAST(a.n AS DOUBLE))
+                / (CAST(a.n AS DOUBLE) - 1.0)
+                + (b.var / CAST(b.n AS DOUBLE))
+                  * (b.var / CAST(b.n AS DOUBLE))
+                  / (CAST(b.n AS DOUBLE) - 1.0)), 9) AS welch_df
+    FROM v a JOIN v b ON a.source < b.source
+    """,
+    description="pairwise Welch t-test of mean document length across "
+    "sources — exact integer moment sums, pinned IEEE t/df closed "
+    "form, broadcast self-join of the per-source stats frame",
+)
+def profile_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _scoped_persist
+
+    docs = load(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("long")
+    # persist the |sources|-row stats frame: both sides of the pair
+    # join read it, and without the pin each side would re-run the
+    # full corpus aggregate (two 100 TB scans for a 20-row frame)
+    s = _scoped_persist(
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("long").alias("sx"),
+            F.sum(x * x).cast("long").alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m = F.col("sx").cast("double") / n
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    ) / (n - F.lit(1.0))
+    v = s.select("source", "n", m.alias("m"), var.alias("var"))
+    a = v.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = v.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("var").alias("var_b"),
+    )
+    j = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    se_a = F.col("var_a") / na
+    se_b = F.col("var_b") / nb
+    se2 = se_a + se_b
+    return j.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 9).alias("mean_diff"),
+        F.round(
+            (F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 9
+        ).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                se_a * se_a / (na - F.lit(1.0))
+                + se_b * se_b / (nb - F.lit(1.0))
+            ),
+            9,
+        ).alias("welch_df"),
+    )

@@ -852,3 +852,31 @@ class TestRoundTenBAnalysisShapes:
         assert "HashAggregate" in plan
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestBootstrapAndTTestShapes:
+    def test_bootstrap_is_one_combinable_aggregate(self, spark, sf_dir):
+        """The Poisson bootstrap must be explode(B) -> ONE partial+final
+        aggregate keyed on the replicate id — no per-replicate corpus
+        pass, no join, no window."""
+        plan = plan_of(spark, sf_dir, "profile_bootstrap_ci")
+        assert "Generate" in plan  # the explode(B)
+        assert "Window" not in plan
+        assert "Join" not in plan
+        # replicate-keyed exchange + the final single-row collect
+        assert plan.count("Exchange hashpartitioning") == 1
+        # map-side combine before the exchange
+        assert plan.count("HashAggregate") >= 2
+
+    def test_welch_pairs_join_is_tiny_broadcast(self, spark, sf_dir):
+        """The inequality self-join runs over the 20-row per-source
+        stats frame (a deliberate broadcast nested loop of 20x20), and
+        the corpus itself is scanned once into one aggregate."""
+        plan = plan_of(spark, sf_dir, "profile_welch_ttest")
+        # both join sides read the PERSISTED stats frame (the parquet
+        # path also appears inside each cached-plan description, so
+        # count InMemoryTableScans, not path mentions — the file scan
+        # itself runs once, to populate the cache)
+        assert plan.count("InMemoryTableScan") == 2
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
