@@ -129,6 +129,8 @@ _PRIORITY_R11 = [
     "profile_gini",
     "profile_bootstrap_ci",
     "profile_welch_ttest",
+    "events_autocorrelation",
+    "events_cusum_drift",
 ]
 
 

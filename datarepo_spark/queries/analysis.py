@@ -1897,3 +1897,259 @@ def profile_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "events_autocorrelation",
+    # Sample autocorrelation of the hourly event-count series at lags
+    # 1 h / 24 h / 168 h — the periodicity diagnostic behind the
+    # seasonal profile (a large lag-24 ACF says "daily cycle"). The
+    # series is the hour-truncated count (exact integers), pairs are
+    # ROW-lagged over the hour-ordered series (gaps documented: absent
+    # hours are absent, not zero-filled), and each lag's Pearson r
+    # uses the profile_correlation recipe — exact BIGINT co-moment
+    # sums (counts are ~100s, products ~1e4: far inside exact-integer
+    # range), one pinned IEEE closed form, round(9). The hour-grain
+    # series is tiny relative to the corpus at any scale, so the
+    # unpartitioned lead() window over it is deliberate — the heavy
+    # work (the count) is a map-side-combinable aggregate.
+    oracle="""
+    WITH hr AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT x,
+             LEAD(x, 1) OVER (ORDER BY h) AS y1,
+             LEAD(x, 24) OVER (ORDER BY h) AS y24,
+             LEAD(x, 168) OVER (ORDER BY h) AS y168
+      FROM hr
+    ), stacked AS (
+      SELECT u.lag, u.x, u.y FROM lagged,
+      UNNEST([
+        {'lag': 1,   'x': x, 'y': y1},
+        {'lag': 24,  'x': x, 'y': y24},
+        {'lag': 168, 'x': x, 'y': y168}
+      ]) AS t(u)
+      WHERE u.y IS NOT NULL
+    ), s AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM stacked GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_hours, n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 9) AS acf
+    FROM s ORDER BY lag_hours
+    """,
+    description="hourly event-count autocorrelation at lags 1/24/168 — "
+    "exact integer co-moment sums per lag over a lead()-stacked "
+    "series; the periodicity diagnostic for seasonal pipelines",
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    hr = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("h")
+    lagged = hr.select(
+        "x",
+        F.lead("x", 1).over(w).alias("y1"),
+        F.lead("x", 24).over(w).alias("y24"),
+        F.lead("x", 168).over(w).alias("y168"),
+    )
+    stacked = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("lag"),
+                        F.col("x").alias("x"),
+                        F.col("y1").alias("y"),
+                    ),
+                    F.struct(
+                        F.lit(24).alias("lag"),
+                        F.col("x").alias("x"),
+                        F.col("y24").alias("y"),
+                    ),
+                    F.struct(
+                        F.lit(168).alias("lag"),
+                        F.col("x").alias("x"),
+                        F.col("y168").alias("y"),
+                    ),
+                )
+            ).alias("u")
+        )
+        .select("u.lag", "u.x", "u.y")
+        .filter(F.col("y").isNotNull())
+    )
+    s = stacked.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return s.select(
+        F.col("lag").cast("long").alias("lag_hours"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            9,
+        ).alias("acf"),
+    ).orderBy("lag_hours")
+
+
+
+@register(
+    "events_cusum_drift",
+    # Page's CUSUM drift statistic per event type over the hourly
+    # total-value series: S_t = max(0, S_{t-1} + (T_t - target)) with
+    # the series mean as target (zero allowance) — cusum_max is the
+    # largest sustained upward excursion, THE classic sequential
+    # change-point score. Computed via the prefix identity
+    # S_t = C_t - min(0, min_{j<=t} C_j) (C = running sum of
+    # deviations), which needs only windows, no recursive fold.
+    # Determinism: everything is EXACT INTEGER until the final
+    # division — hourly totals are DECIMAL(38,6) sums scaled to
+    # micro-units (BIGINT), deviations are scaled by n_hours
+    # (d_t = n*T_t - ΣT, clearing the rational mean), and integer
+    # window sums are order-independent, so even a segment-tree
+    # windowed SUM is exact. The hour-grain series per type is tiny at
+    # any corpus scale; the heavy work is the combinable hourly
+    # aggregate.
+    oracle="""
+    WITH hr AS (
+      SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(38, 6))) * 1000000
+                  AS BIGINT) AS t_micro
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(t_micro) AS BIGINT) AS sum_micro
+      FROM hr GROUP BY event_type
+    ), dev AS (
+      SELECT hr.event_type, h, n_hours, sum_micro,
+             n_hours * t_micro - sum_micro AS d
+      FROM hr JOIN tot USING (event_type)
+    ), csum AS (
+      SELECT event_type, h, n_hours, sum_micro,
+             CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM dev
+    ), pre AS (
+      SELECT event_type, n_hours, sum_micro, c,
+             CAST(MIN(c) OVER (PARTITION BY event_type ORDER BY h
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS run_min
+      FROM csum
+    ), ex AS (
+      SELECT event_type, n_hours, sum_micro,
+             CAST(MAX(c - LEAST(CAST(0 AS BIGINT), run_min))
+                  AS BIGINT) AS cusum_scaled
+      FROM pre GROUP BY event_type, n_hours, sum_micro
+    )
+    SELECT event_type, n_hours,
+           ROUND(CAST(sum_micro AS DOUBLE)
+                 / (CAST(n_hours AS DOUBLE) * 1000000.0), 9)
+             AS series_mean,
+           ROUND(CAST(cusum_scaled AS DOUBLE)
+                 / (CAST(n_hours AS DOUBLE) * 1000000.0), 9)
+             AS cusum_max
+    FROM ex ORDER BY event_type
+    """,
+    description="Page's CUSUM drift score per event type over the "
+    "hourly total-value series — exact-integer prefix-sum/min windows "
+    "(S_t = C_t - min prefix), one division at the end; the "
+    "sequential change-point detector",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    hr = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")) * F.lit(1000000))
+        .cast("long")
+        .alias("t_micro")
+    )
+    tot = hr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("t_micro").cast("long").alias("sum_micro"),
+    )
+    dev = hr.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "h",
+        "n_hours",
+        "sum_micro",
+        (F.col("n_hours") * F.col("t_micro") - F.col("sum_micro")).alias(
+            "d"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.select(
+        "event_type",
+        "h",
+        "n_hours",
+        "sum_micro",
+        F.sum("d").over(w).cast("long").alias("c"),
+    )
+    pre = pre.select(
+        "event_type",
+        "n_hours",
+        "sum_micro",
+        "c",
+        F.min("c")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("run_min"),
+    )
+    ex = pre.groupBy("event_type", "n_hours", "sum_micro").agg(
+        F.max(
+            F.col("c")
+            - F.least(F.lit(0).cast("long"), F.col("run_min"))
+        )
+        .cast("long")
+        .alias("cusum_scaled")
+    )
+    denom = F.col("n_hours").cast("double") * F.lit(1000000.0)
+    return ex.select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("sum_micro").cast("double") / denom, 9).alias(
+            "series_mean"
+        ),
+        F.round(F.col("cusum_scaled").cast("double") / denom, 9).alias(
+            "cusum_max"
+        ),
+    ).orderBy("event_type")

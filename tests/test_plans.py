@@ -880,3 +880,28 @@ class TestBootstrapAndTTestShapes:
         assert plan.count("InMemoryTableScan") == 2
         assert "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestTimeSeriesDiagnosticsShapes:
+    def test_autocorrelation_series_window_after_aggregate(
+        self, spark, sf_dir
+    ):
+        """The lead() window runs over the AGGREGATED hour-grain series
+        (tiny at any scale), never over raw events; the heavy hourly
+        count is a partial+final aggregate."""
+        plan = plan_of(spark, sf_dir, "events_autocorrelation")
+        assert "Window" in plan
+        assert "Generate" in plan  # the 3-lag stack explode
+        assert plan.count("HashAggregate") >= 4  # hourly + per-lag
+        assert "Join" not in plan
+
+    def test_cusum_integer_prefix_windows(self, spark, sf_dir):
+        """CUSUM uses the prefix-sum/prefix-min identity: two ordered
+        windows over the hour-grain series plus a broadcast join of the
+        per-type totals — no recursive UDF, no fold over collected
+        arrays."""
+        plan = plan_of(spark, sf_dir, "events_cusum_drift")
+        assert plan.count("Window") >= 2
+        assert "BroadcastHashJoin" in plan
+        assert "aggregate(" not in plan  # no array fold in the plan
+        assert "CartesianProduct" not in plan
