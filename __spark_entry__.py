@@ -131,6 +131,7 @@ _PRIORITY_R11 = [
     "profile_welch_ttest",
     "events_autocorrelation",
     "events_cusum_drift",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -2153,3 +2153,110 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_max"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "multimodal_scene_cuts",
+    # Shot/scene segmentation over the decoded video path: per media,
+    # frames in order, Hamming distance between consecutive per-frame
+    # average-hashes; a transition is a CUT when the 64-bit hashes
+    # differ in more than 12 positions (the standard hash-distance shot
+    # detector). Reuses the PVID container walk + per-frame ahash of
+    # multimodal_video_frame_hashes (only 64-char hash strings reach
+    # this query — frames never leave the decode stage); the distance
+    # is an exact integer count of differing positions, so both
+    # engines agree bit-for-bit. Output is the per-media transition
+    # profile (n_transitions, max/total hamming, n_cuts).
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text AS t
+      FROM documents WHERE doc_id < 40 AND LEN(text) >= 64
+    ), fr AS (
+      SELECT media_id, t, CAST(UNNEST(RANGE(0, 4)) AS INT) AS frame_no
+      FROM m
+    ), r AS (
+      SELECT media_id, frame_no,
+             SUBSTR(t, frame_no + 1) || SUBSTR(t, 1, frame_no) AS rot
+      FROM fr
+    ), p AS (
+      SELECT media_id, frame_no,
+             SUBSTR(REPEAT(rot, CAST(CEIL(192.0 / LEN(rot)) AS INT)),
+                    1, 192) AS px
+      FROM r
+    ), l AS (
+      SELECT media_id, frame_no,
+             LIST_TRANSFORM(RANGE(0, 64), j ->
+               (ORD(SUBSTR(px, CAST(1 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(2 + j*3 AS INT), 1))
+                + ORD(SUBSTR(px, CAST(3 + j*3 AS INT), 1))) // 3)
+               AS luma
+      FROM p
+    ), h AS (
+      SELECT media_id, frame_no,
+             LIST_AGGREGATE(
+               LIST_TRANSFORM(luma, x ->
+                 CASE WHEN x > LIST_SUM(luma) // 64 THEN '1' ELSE '0'
+                 END),
+               'string_agg', '') AS ahash
+      FROM l
+    ), lagged AS (
+      SELECT media_id, frame_no, ahash,
+             LAG(ahash) OVER (PARTITION BY media_id
+                              ORDER BY frame_no) AS prev
+      FROM h
+    ), d AS (
+      SELECT media_id,
+             CAST(LEN(LIST_FILTER(RANGE(1, 65), j ->
+               SUBSTR(ahash, CAST(j AS INT), 1)
+                 != SUBSTR(prev, CAST(j AS INT), 1))) AS BIGINT)
+               AS hamming
+      FROM lagged WHERE prev IS NOT NULL
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(MAX(hamming) AS BIGINT) AS max_hamming,
+           CAST(SUM(hamming) AS BIGINT) AS total_hamming,
+           CAST(SUM(CASE WHEN hamming > 12 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts
+    FROM d GROUP BY media_id
+    """,
+    description="video scene-cut profile: consecutive-frame ahash "
+    "Hamming distances per media (cut when >12 of 64 bits differ) — "
+    "shot segmentation over the container-walk decode path; exact "
+    "integer distances",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import multimodal as M
+
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 40) & (F.length("text") >= 64)
+    )
+    media = M.documents_as_video(docs, n_frames=4)
+    h = M.video_frame_hashes(media).select(
+        "media_id", "frame_no", "ahash"
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    lagged = h.select(
+        "media_id",
+        "frame_no",
+        "ahash",
+        F.lag("ahash").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: F.col("ahash").substr(j, F.lit(1))
+            != F.col("prev").substr(j, F.lit(1)),
+        )
+    ).cast("long")
+    d = lagged.select("media_id", hamming.alias("hamming"))
+    return d.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.max("hamming").cast("long").alias("max_hamming"),
+        F.sum("hamming").cast("long").alias("total_hamming"),
+        F.sum(F.when(F.col("hamming") > 12, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts"),
+    )

@@ -905,3 +905,13 @@ class TestTimeSeriesDiagnosticsShapes:
         assert "BroadcastHashJoin" in plan
         assert "aggregate(" not in plan  # no array fold in the plan
         assert "CartesianProduct" not in plan
+
+
+class TestSceneCutShape:
+    def test_scene_cuts_one_media_window_no_join(self, spark, sf_dir):
+        """Hamming distances come from ONE media-keyed lag window over
+        the per-frame hash stream; frames never join against frames."""
+        plan = plan_of(spark, sf_dir, "multimodal_scene_cuts")
+        assert "Window" in plan
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
