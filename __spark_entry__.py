@@ -132,6 +132,8 @@ _PRIORITY_R11 = [
     "events_autocorrelation",
     "events_cusum_drift",
     "multimodal_scene_cuts",
+    "profile_expectations",
+    "events_rolling_distinct_users",
 ]
 
 

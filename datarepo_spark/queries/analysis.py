@@ -2260,3 +2260,220 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_cuts"),
     )
+
+
+@register(
+    "profile_expectations",
+    # Data-quality expectations report — the "assert before you train"
+    # gate: five standard rule classes (key uniqueness, range, non-null
+    # + positivity, referential integrity, date window) each evaluated
+    # as ONE exact-integer aggregate, unioned into a per-rule
+    # (n_checked, n_violations, passed) report. Referential integrity
+    # is an anti-join COUNT (orders → customer), planned as a hash
+    # semi/anti join, never a nested loop. Everything is exact
+    # integers — no float hazards at all.
+    oracle="""
+    SELECT 'orderkey_unique' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS n_violations,
+           COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice <= 0
+                          OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           SUM(CASE WHEN o_totalprice <= 0
+                     OR o_totalprice > 1000000 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'quantity_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity IS NULL
+                          OR l_quantity <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           SUM(CASE WHEN l_quantity IS NULL
+                     OR l_quantity <= 0 THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'orderdate_window',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                              < DATE '1992-01-01'
+                          OR CAST(o_orderdate AS DATE)
+                              > DATE '1998-12-31' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+                     OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+    description="data-quality expectations report: key uniqueness, "
+    "value range, non-null/positivity, referential integrity "
+    "(hash anti-join count), date window — one exact-integer "
+    "aggregate per rule; the assert-before-you-train gate",
+)
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+
+    def report(name, n_checked, n_violations):
+        return (
+            F.lit(name).alias("rule"),
+            n_checked.cast("long").alias("n_checked"),
+            n_violations.cast("long").alias("n_violations"),
+            (n_violations == F.lit(0)).alias("passed"),
+        )
+
+    uniq = o.agg(
+        *report(
+            "orderkey_unique",
+            F.count(F.lit(1)),
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+        )
+    )
+    rng = o.agg(
+        *report(
+            "totalprice_range",
+            F.count(F.lit(1)),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") <= 0)
+                    | (F.col("o_totalprice") > 1000000),
+                    1,
+                ).otherwise(0)
+            ),
+        )
+    )
+    qty = li.agg(
+        *report(
+            "quantity_positive",
+            F.count(F.lit(1)),
+            F.sum(
+                F.when(
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") <= 0),
+                    1,
+                ).otherwise(0)
+            ),
+        )
+    )
+    fk = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left",
+        ).agg(
+            *report(
+                "orders_custkey_fk",
+                F.count(F.lit(1)),
+                F.sum(
+                    F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+                ),
+            )
+        )
+    )
+    dt = o.agg(
+        *report(
+            "orderdate_window",
+            F.count(F.lit(1)),
+            F.sum(
+                F.when(
+                    (
+                        F.col("o_orderdate").cast("date")
+                        < F.lit("1992-01-01").cast("date")
+                    )
+                    | (
+                        F.col("o_orderdate").cast("date")
+                        > F.lit("1998-12-31").cast("date")
+                    ),
+                    1,
+                ).otherwise(0)
+            ),
+        )
+    )
+    return uniq.unionAll(rng).unionAll(qty).unionAll(fk).unionAll(dt)
+
+
+@register(
+    "events_rolling_distinct_users",
+    # Rolling 24-hour distinct active users, hourly grain (the "rolling
+    # DAU" dashboard query): each event lands in the 24 hourly windows
+    # it is visible from, then distinct (window, user) pairs are
+    # counted. The explode is a bounded 24x amplification of (hour,
+    # user) PAIRS — not raw events: events first collapse to their
+    # distinct (hour, user) grid (combinable pre-aggregate), so the
+    # generate runs over the much smaller hourly-active set. Counts are
+    # exact integers. Only windows fully inside the observed span are
+    # emitted (the first 23 hours have truncated lookback).
+    oracle="""
+    WITH hu AS (
+      SELECT DISTINCT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+             user_id
+      FROM events
+    ), bounds AS (
+      SELECT MIN(h) AS h0 FROM hu
+    ), expanded AS (
+      SELECT h + INTERVAL (o) HOUR AS w, user_id
+      FROM hu, UNNEST(RANGE(0, 24)) AS t(o)
+    ), agg AS (
+      SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM expanded GROUP BY w
+    )
+    SELECT w AS window_end_hour, active_users
+    FROM agg, bounds
+    WHERE w >= h0 + INTERVAL 23 HOUR
+      AND w <= (SELECT MAX(h) FROM hu)
+    ORDER BY w
+    """,
+    description="rolling 24h distinct active users at hourly grain — "
+    "distinct (hour, user) grid first (combinable), then a bounded "
+    "24x window explode + distinct count; the rolling-DAU primitive",
+)
+def events_rolling_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hu = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    from ..functions.dedup import _scoped_persist
+
+    hu = _scoped_persist(hu)
+    expanded = hu.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(23)),
+                lambda o: F.col("h")
+                + F.make_interval(hours=o.cast("int")),
+            )
+        ).alias("w"),
+        "user_id",
+    )
+    agg = expanded.groupBy("w").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+    b = hu.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    return (
+        agg.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("w") >= F.col("h0") + F.expr("INTERVAL 23 HOURS"))
+            & (F.col("w") <= F.col("h1"))
+        )
+        .select(
+            F.col("w").alias("window_end_hour"), "active_users"
+        )
+        .orderBy("window_end_hour")
+    )

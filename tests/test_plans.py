@@ -915,3 +915,27 @@ class TestSceneCutShape:
         assert "Window" in plan
         assert "Join" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestExpectationsAndRollingDistinct:
+    def test_expectations_fk_is_hash_join(self, spark, sf_dir):
+        """The referential-integrity rule plans a broadcast hash join
+        (anti-join count), never a nested loop; every rule leg is a
+        partial+final aggregate."""
+        plan = plan_of(spark, sf_dir, "profile_expectations")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Union" in plan
+
+    def test_rolling_distinct_explodes_grid_not_events(self, spark, sf_dir):
+        """The 24x explode must run AFTER the distinct (hour, user)
+        collapse — the Generate's child reads the persisted grid, not
+        the raw event scan."""
+        plan = plan_of(spark, sf_dir, "events_rolling_distinct_users")
+        assert "Generate" in plan
+        assert "InMemoryTableScan" in plan  # the persisted grid
+        # the explode consumes the cached grid, not the parquet scan
+        gen_idx = plan.index("Generate")
+        assert "InMemoryTableScan" in plan[gen_idx:]
+        assert "CartesianProduct" not in plan
