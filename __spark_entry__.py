@@ -134,6 +134,7 @@ _PRIORITY_R11 = [
     "multimodal_scene_cuts",
     "profile_expectations",
     "events_rolling_distinct_users",
+    "streaming_sessionize_twin",
 ]
 
 

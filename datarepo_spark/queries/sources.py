@@ -338,3 +338,61 @@ def streaming_debounce_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"gate_streaming_debounce_{_STREAM_SEQ[0]}",
             output_mode="append",
         )
+
+
+@register(
+    "streaming_sessionize_twin",
+    # native session_window sessionization run as a REAL 4-micro-batch
+    # stream in complete output mode: session state merges as slices
+    # arrive (complete mode needs no watermark and emits every final
+    # session), so the final sink state must equal the batch gap-split
+    # sessions regardless of slicing. Boundary semantics: Spark merges
+    # an event into the open session iff ts < last_ts + gap (window
+    # end exclusive), so the batch twin starts a NEW session when
+    # ts - lag(ts) >= 30 minutes — spelled exactly that way in the
+    # oracle. µs-exact timestamps, exact integer counts.
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    description="structured-streaming native session_window "
+    "sessionization (complete mode, 4-file time-sliced source) — "
+    "final session state must equal the batch gap-split sessions "
+    "bit-for-bit (window-end-exclusive merge boundary)",
+)
+def streaming_sessionize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_aggregation,
+    )
+
+    path = _sliced_events_fixture(sf_dir)
+    _STREAM_SEQ[0] += 1
+    with _stream_shuffle_partitions(spark):
+        stream = read_events_stream(spark, path, max_files_per_trigger=1)
+        result = session_aggregation(
+            stream, gap="30 minutes", watermark="36500 days"
+        )
+        return run_stream_to_memory(
+            result,
+            f"gate_streaming_session_{_STREAM_SEQ[0]}",
+            output_mode="complete",
+        )

@@ -939,3 +939,23 @@ class TestExpectationsAndRollingDistinct:
         gen_idx = plan.index("Generate")
         assert "InMemoryTableScan" in plan[gen_idx:]
         assert "CartesianProduct" not in plan
+
+
+class TestSessionizeTwinShape:
+    def test_streaming_sessionize_uses_native_session_window(self, spark):
+        """The sessionize twin must plan Spark's native session_window
+        merge (SessionWindow state store), not a pandas fallback."""
+        from datarepo_spark.streaming.events import session_aggregation
+
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1)
+            .load()
+            .selectExpr(
+                "timestamp AS ts",
+                "CAST(value % 10 AS BIGINT) AS user_id",
+            )
+        )
+        result = session_aggregation(stream, gap="30 minutes")
+        assert result.isStreaming
+        plan = result._jdf.queryExecution().analyzed().toString()
+        assert "session_window" in plan or "SessionWindow" in plan
