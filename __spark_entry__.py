@@ -135,6 +135,7 @@ _PRIORITY_R11 = [
     "profile_expectations",
     "events_rolling_distinct_users",
     "streaming_sessionize_twin",
+    "agg_frequent_itemsets",
 ]
 
 

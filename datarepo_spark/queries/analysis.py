@@ -2477,3 +2477,109 @@ def events_rolling_distinct_users(
         )
         .orderBy("window_end_hour")
     )
+
+
+@register(
+    "agg_frequent_itemsets",
+    # Frequent 2-itemsets with association metrics — market-basket
+    # mining over order baskets: top-20 part pairs by co-occurrence
+    # support, with confidence P(b|a) and lift n·s(ab)/(s(a)·s(b)).
+    # The pair generation is the standard a<b self-join on the basket
+    # key (baskets are small — the blowup is Σ C(|basket|,2), bounded
+    # by the basket-size cap, never corpus²); item supports broadcast
+    # back. All counts exact integers; confidence/lift are single
+    # pinned double divisions, round(9). Ties in the top-20 broken by
+    # (part_a, part_b) for a deterministic result set.
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s_item
+      FROM basket GROUP BY l_partkey
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      FROM basket
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT part_a, part_b, support
+      FROM pair
+      ORDER BY support DESC, part_a, part_b
+      LIMIT 20
+    )
+    SELECT part_a, part_b, support,
+           ROUND(CAST(support AS DOUBLE)
+                 / CAST(ia.s_item AS DOUBLE), 9) AS confidence_a_b,
+           ROUND(CAST(n_baskets AS DOUBLE) * CAST(support AS DOUBLE)
+                 / (CAST(ia.s_item AS DOUBLE)
+                    * CAST(ib.s_item AS DOUBLE)), 9) AS lift
+    FROM top
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    """,
+    description="frequent part pairs (market-basket 2-itemsets) with "
+    "support / confidence / lift — basket-keyed a<b self-join (work "
+    "bounded by basket sizes, never corpus squared), supports "
+    "broadcast back, exact integer counts",
+)
+def agg_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _scoped_persist
+
+    li = load(spark, sf_dir, "lineitem")
+    basket = _scoped_persist(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
+    item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s_item")
+    )
+    n_baskets = basket.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        basket.join(b, basket.l_orderkey == b.k)
+        .filter(F.col("l_partkey") < F.col("part_b"))
+        .groupBy(
+            F.col("l_partkey").alias("part_a"), F.col("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    top = pair.orderBy(
+        F.desc("support"), "part_a", "part_b"
+    ).limit(20)
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("s_item").alias("s_a"),
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("s_item").alias("s_b"),
+    )
+    j = (
+        top.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return j.select(
+        "part_a",
+        "part_b",
+        "support",
+        F.round(
+            F.col("support").cast("double") / F.col("s_a").cast("double"),
+            9,
+        ).alias("confidence_a_b"),
+        F.round(
+            F.col("n_baskets").cast("double")
+            * F.col("support").cast("double")
+            / (F.col("s_a").cast("double") * F.col("s_b").cast("double")),
+            9,
+        ).alias("lift"),
+    )

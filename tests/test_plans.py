@@ -959,3 +959,16 @@ class TestSessionizeTwinShape:
         assert result.isStreaming
         plan = result._jdf.queryExecution().analyzed().toString()
         assert "session_window" in plan or "SessionWindow" in plan
+
+
+class TestFrequentItemsetsShape:
+    def test_pair_join_is_basket_keyed_topk_take_ordered(self, spark, sf_dir):
+        """Pairs come from the basket-keyed equi self-join (bounded by
+        basket sizes); the top-20 is a TakeOrdered heap, and the
+        support/metric attach joins broadcast."""
+        plan = plan_of(spark, sf_dir, "agg_frequent_itemsets")
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        # the one BNLJ is the deliberate 1-row n_baskets cross
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        assert "InMemoryTableScan" in plan  # persisted basket frame
