@@ -149,6 +149,13 @@ HEADLINE = [
     # stream through applyInPandasWithState; the streaming path's cost
     # becomes bench-visible
     "streaming_ewma_twin",
+    # added r10b (headline count 64 → 67): the heavy second-batch
+    # operators — market-basket pair mining (basket self-join + top-k
+    # heap), the native session_window stream twin, and the 24x
+    # grid-explode rolling distinct
+    "agg_frequent_itemsets",
+    "streaming_sessionize_twin",
+    "events_rolling_distinct_users",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

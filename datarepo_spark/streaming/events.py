@@ -67,6 +67,11 @@ def _ts_stored_as_long(path: str) -> Optional[bool]:
         if frag is None:
             return None  # empty directory: nothing to probe
         field = frag.physical_schema.field("ts")
+        # raw INT64 nanos, or a TIMESTAMP(NANOS) annotation — under the
+        # engine's nanosAsLong read conf Spark surfaces BOTH as LongType,
+        # so both need the long schema + micros conversion
+        if pa.types.is_timestamp(field.type):
+            return field.type.unit == "ns"
         return bool(pa.types.is_integer(field.type))
     except Exception:
         return None

@@ -34,8 +34,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from datarepo_spark.session import get_spark  # noqa: E402
 from datarepo_spark.queries.registry import REGISTRY  # noqa: E402
+from datarepo_spark.queries import analysis  # noqa: E402,F401
 from datarepo_spark.queries import extensions  # noqa: E402,F401
 from datarepo_spark.queries import physical  # noqa: E402,F401
+from datarepo_spark.queries import sources  # noqa: E402,F401
 from datarepo_spark.functions.dedup import unpersist_intermediates  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
@@ -70,6 +72,11 @@ GAUNTLET = [
     "profile_mutual_information",
     "profile_entropy_by_source",
     "profile_dataset_card",
+    # r10b additions: basket pair mining, the native session_window
+    # stream twin, and the 24x grid-explode rolling distinct
+    "agg_frequent_itemsets",
+    "streaming_sessionize_twin",
+    "events_rolling_distinct_users",
 ]
 
 
@@ -163,6 +170,12 @@ def build_scaled(spark, replicas: int, out: str) -> None:
         "lineitem",
     )
 
+    # write ts as µs TIMESTAMP like the source testdata (Spark's INT96
+    # default would round-trip through pyarrow as TIMESTAMP(NANOS) and
+    # change the layout the streaming fixtures see)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     ev = spark.read.parquet(f"{SRC}/events.parquet")
     id_cols = [c for c in ("event_id", "user_id") if c in ev.columns]
     maxes = {
