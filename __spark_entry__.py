@@ -136,6 +136,7 @@ _PRIORITY_R11 = [
     "events_rolling_distinct_users",
     "streaming_sessionize_twin",
     "agg_frequent_itemsets",
+    "profile_table_fingerprint",
 ]
 
 

@@ -2583,3 +2583,79 @@ def agg_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("lift"),
     )
+
+
+@register(
+    "profile_table_fingerprint",
+    # Order-insensitive partition fingerprints — the anti-entropy /
+    # replication-verification primitive: two sites compare per-month
+    # (n_rows, fingerprint) pairs and re-sync only months that differ,
+    # never shipping rows. Fingerprint = Σ sha-hash(row canon) mod
+    # 2^60: addition is commutative, so the result is independent of
+    # row order, partitioning, and merge strategy — and the sum is
+    # exact (DECIMAL(38)/HUGEINT accumulate 60-bit terms without
+    # overflow). Row canonicalization avoids every engine-divergent
+    # rendering: integers and dates only — the price canonicalizes as
+    # ROUND(x*100) (Spark CAST truncates where DuckDB CAST rounds, so
+    # the explicit ROUND is the portable spelling; both engines round
+    # positive halves identically).
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE))
+                  AS DATE) AS month,
+             ('0x' || substr(sha256(
+                CAST(o_orderkey AS VARCHAR) || '|'
+                || CAST(o_custkey AS VARCHAR) || '|'
+                || o_orderstatus || '|'
+                || CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                        AS VARCHAR) || '|'
+                || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+              ), 1, 15))::BIGINT AS h
+      FROM orders
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) % {1 << 60} AS BIGINT) AS fingerprint
+    FROM c GROUP BY month ORDER BY month
+    """,
+    description="order-insensitive per-month table fingerprints "
+    "(sum of 60-bit row hashes mod 2^60) — the anti-entropy check "
+    "that lets two replicas diff a 100 TB table by exchanging one row "
+    "per partition; integer-only row canonicalization",
+)
+def profile_table_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * F.lit(100), 0)
+        .cast("long")
+        .cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    h = F.conv(F.substring(F.sha2(canon, 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+            h.alias("h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.lit(1 << 60)
+            )
+            .cast("long")
+            .alias("fingerprint"),
+        )
+        .orderBy("month")
+    )

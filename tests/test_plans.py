@@ -972,3 +972,15 @@ class TestFrequentItemsetsShape:
         # the one BNLJ is the deliberate 1-row n_baskets cross
         assert plan.count("BroadcastNestedLoopJoin") <= 1
         assert "InMemoryTableScan" in plan  # persisted basket frame
+
+
+class TestFingerprintShape:
+    def test_fingerprint_single_combinable_aggregate(self, spark, sf_dir):
+        """The fingerprint is ONE partial+final aggregate over a
+        projection — hashing happens below the exchange, so only
+        (month, partial-sum) rows shuffle, never row text."""
+        plan = plan_of(spark, sf_dir, "profile_table_fingerprint")
+        assert plan.count("HashAggregate") >= 2
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
