@@ -137,6 +137,7 @@ _PRIORITY_R11 = [
     "streaming_sessionize_twin",
     "agg_frequent_itemsets",
     "profile_table_fingerprint",
+    "profile_join_cardinality_estimate",
 ]
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import sampling as SP
 from ..functions import text as _X
 from ..functions.profile import grouped_exact_quantile
 from .registry import SQL_DSUM, dsum, load, register
@@ -2658,4 +2659,77 @@ def profile_table_fingerprint(
             .alias("fingerprint"),
         )
         .orderBy("month")
+    )
+
+
+@register(
+    "profile_join_cardinality_estimate",
+    # Sampling-based join cardinality estimation — the optimizer-
+    # statistics primitive, done the correct way for PK–FK joins:
+    # sample the PRIMARY-KEY side (orders, deterministic 2% sha-hash
+    # sample — a key is in or out, so every fact row of a sampled key
+    # is kept) and join the FULL fact side; the unbiased estimate is
+    # sample_join_rows / 0.02 = 50x, an exact integer. Sampling the
+    # fact side too would square the inclusion probability and
+    # underestimate. Relative error vs the exact join count is one
+    # pinned division. At 100 TB the sample join touches 2% of one
+    # side and the exact pass is what you are trying to avoid — here
+    # it is computed only to gate the estimator.
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey FROM orders
+      WHERE {SP.sql_hash_fraction('o_orderkey', salt='card')} < 0.02
+    ), sj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sample_join_rows,
+             CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS sample_orders
+      FROM lineitem JOIN s ON l_orderkey = o_orderkey
+    ), ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT sample_orders, sample_join_rows,
+           sample_join_rows * 50 AS estimated_rows,
+           exact_rows,
+           ROUND((CAST(sample_join_rows * 50 AS DOUBLE)
+                  - CAST(exact_rows AS DOUBLE))
+                 / CAST(exact_rows AS DOUBLE), 9) AS rel_error
+    FROM sj, ex
+    """,
+    description="sampling-based PK-FK join cardinality estimate: 2% "
+    "deterministic hash sample of the key side x full fact side, 50x "
+    "scale-up vs the exact count with relative error — the optimizer-"
+    "statistics primitive, exact integers end to end",
+)
+def profile_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import sampling as SP_
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = o.filter(
+        SP_.hash_fraction(F.col("o_orderkey"), salt="card") < F.lit(0.02)
+    ).select("o_orderkey")
+    sj = li.join(
+        F.broadcast(s), li.l_orderkey == s.o_orderkey
+    ).agg(F.count(F.lit(1)).cast("long").alias("sample_join_rows"))
+    so = s.agg(F.count(F.lit(1)).cast("long").alias("sample_orders"))
+    ex = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_rows")
+    )
+    j = (
+        sj.crossJoin(F.broadcast(so))
+        .crossJoin(F.broadcast(ex))
+    )
+    est = F.col("sample_join_rows") * F.lit(50)
+    return j.select(
+        "sample_orders",
+        "sample_join_rows",
+        est.cast("long").alias("estimated_rows"),
+        "exact_rows",
+        F.round(
+            (est.cast("double") - F.col("exact_rows").cast("double"))
+            / F.col("exact_rows").cast("double"),
+            9,
+        ).alias("rel_error"),
     )

@@ -984,3 +984,13 @@ class TestFingerprintShape:
         assert "Join" not in plan
         assert "Window" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestCardinalityEstimateShape:
+    def test_sample_join_broadcasts_key_side(self, spark, sf_dir):
+        """The 2% key sample broadcasts into the fact join; no
+        cartesian anywhere (the two scalar attaches are deliberate
+        1-row broadcasts)."""
+        plan = plan_of(spark, sf_dir, "profile_join_cardinality_estimate")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
