@@ -46,6 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datarepo_spark.session import get_spark  # noqa: E402
 from datarepo_spark.queries.registry import REGISTRY  # noqa: E402
+from datarepo_spark.queries import analysis  # noqa: E402,F401  (registers the r10b headline ops)
 from datarepo_spark.queries import extensions  # noqa: E402,F401
 from datarepo_spark.queries import sources  # noqa: E402,F401  (registers streaming_ewma_twin)
 from datarepo_spark.queries import tpch_extra  # noqa: E402,F401  (registers q18)
