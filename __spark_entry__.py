@@ -138,6 +138,7 @@ _PRIORITY_R11 = [
     "agg_frequent_itemsets",
     "profile_table_fingerprint",
     "profile_join_cardinality_estimate",
+    "classify_auc",
 ]
 
 

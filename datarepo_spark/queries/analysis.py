@@ -2733,3 +2733,102 @@ def profile_join_cardinality_estimate(
             9,
         ).alias("rel_error"),
     )
+
+
+@register(
+    "classify_auc",
+    # Exact ROC AUC via the Mann-Whitney U identity — the core
+    # classifier-evaluation primitive, computed without materializing
+    # a single ROC point: AUC = P(score_pos > score_neg) + ½P(tie)
+    # = (2·R⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻), where R⁺ is the midrank sum of
+    # positives. Everything is EXACT INTEGER until one final division:
+    # scores collapse to per-value (c_pos, c_tot) cells, a prefix
+    # window over the value-ordered cells gives count-less, and each
+    # cell's doubled midrank contribution is c_pos·(2·cum_less +
+    # c_tot + 1). Ties get midranks exactly (the same correction
+    # scipy's rankdata applies). Here: does document length predict
+    # English? (label = lang='en', score = n_chars).
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(n_chars AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_pos,
+             CAST(COUNT(*) AS BIGINT) AS c_tot
+      FROM documents GROUP BY 1
+    ), pre AS (
+      SELECT v, c_pos, c_tot,
+             CAST(COALESCE(SUM(c_tot) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum_less
+      FROM cell
+    ), s AS (
+      SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(c_tot - c_pos) AS BIGINT) AS n_neg,
+             CAST(SUM(c_pos * (2 * cum_less + c_tot + 1))
+                  AS BIGINT) AS two_rpos
+      FROM pre
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(two_rpos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 9) AS auc
+    FROM s
+    """,
+    description="exact ROC AUC (Mann-Whitney rank-sum identity, "
+    "midrank tie correction) of doc length predicting lang='en' — "
+    "integer-exact per-value cells + one prefix window, one division",
+)
+def classify_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    cell = docs.groupBy(
+        F.col("n_chars").cast("long").alias("v")
+    ).agg(
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_pos"),
+        F.count(F.lit(1)).alias("c_tot"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = cell.select(
+        "c_pos",
+        "c_tot",
+        F.coalesce(F.sum("c_tot").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_less"),
+    )
+    s = pre.agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("c_tot") - F.col("c_pos"))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(
+            F.col("c_pos")
+            * (
+                F.lit(2) * F.col("cum_less")
+                + F.col("c_tot")
+                + F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("two_rpos"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("two_rpos")
+                - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+            ).cast("double")
+            / (
+                F.lit(2) * F.col("n_pos") * F.col("n_neg")
+            ).cast("double"),
+            9,
+        ).alias("auc"),
+    )

@@ -994,3 +994,14 @@ class TestCardinalityEstimateShape:
         plan = plan_of(spark, sf_dir, "profile_join_cardinality_estimate")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestAucShape:
+    def test_auc_cells_then_prefix_window(self, spark, sf_dir):
+        """AUC aggregates per-VALUE cells first (combinable), then one
+        prefix window over the tiny cell frame — the corpus never
+        reaches a window."""
+        plan = plan_of(spark, sf_dir, "classify_auc")
+        assert "Window" in plan
+        assert "Join" not in plan
+        assert plan.count("HashAggregate") >= 2

@@ -159,3 +159,33 @@ class TestPoissonBootstrapTable:
         assert (lo, hi) == (0, 1) and abs(frac - 0.975) < 1e-12
         lo, hi, frac = _boot_interp("", 0.975, _BOOT_B)
         assert (lo, hi) == (38, 39) and abs(frac - 0.025) < 1e-9
+
+
+class TestAucRankSumIdentity:
+    def test_equals_naive_pairwise_with_ties(self):
+        rng = random.Random(13)
+        for _ in range(100):
+            n = rng.randint(2, 60)
+            v = [rng.randint(1, 12) for _ in range(n)]  # heavy ties
+            y = [rng.random() < 0.4 for _ in range(n)]
+            if not (any(y) and not all(y)):
+                continue
+            pos = [a for a, b in zip(v, y) if b]
+            neg = [a for a, b in zip(v, y) if not b]
+            naive = sum(
+                1.0 if p > q else 0.5 if p == q else 0.0
+                for p in pos
+                for q in neg
+            ) / (len(pos) * len(neg))
+            # rank-sum form over per-value cells
+            from collections import Counter
+
+            cp, ct = Counter(pos), Counter(pos + neg)
+            cum = 0
+            two_rpos = 0
+            for val in sorted(ct):
+                two_rpos += cp.get(val, 0) * (2 * cum + ct[val] + 1)
+                cum += ct[val]
+            npos, nneg = len(pos), len(neg)
+            auc = (two_rpos - npos * (npos + 1)) / (2 * npos * nneg)
+            assert abs(auc - naive) < 1e-12
