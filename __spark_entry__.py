@@ -139,6 +139,7 @@ _PRIORITY_R11 = [
     "profile_table_fingerprint",
     "profile_join_cardinality_estimate",
     "classify_auc",
+    "classify_calibration",
 ]
 
 

@@ -2832,3 +2832,105 @@ def classify_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("auc"),
     )
+
+
+# function-word vocabulary for the calibration score (a literal list,
+# inlined identically in both engines)
+_CAL_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+
+@register(
+    "classify_calibration",
+    # Calibration curve + Brier score for a probability-like score —
+    # the companion of classify_auc (AUC measures ranking; calibration
+    # measures whether p=0.7 MEANS 70%). Score = function-word token
+    # ratio (count of 8 literal stopwords / token count): exact
+    # integer counts, one per-row IEEE division, identical in both
+    # engines. Rows bucket into score deciles via FLOOR(p*10) (clamped
+    # to 9); per-decile observed positive rate is a ratio of exact
+    # counts, and the decile Brier contribution dsum((p - y)^2) uses
+    # the DECIMAL accumulator (each term < 1 — far inside the
+    # engine-identical cast range).
+    oracle=r"""
+    WITH t AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             LEN(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               x -> LEN(x) > 0)) AS n_tok,
+             LEN(LIST_FILTER(
+               regexp_split_to_array(lower(text), '\s+'),
+               x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is',
+                          'for'))) AS n_stop
+      FROM documents
+    ), p AS (
+      SELECT y,
+             CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS score
+      FROM t WHERE n_tok > 0
+    ), b AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS decile,
+             y, score
+      FROM p
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+             AS observed_rate,
+           ROUND(CAST(SUM(CAST((score - y) * (score - y)
+                               AS DECIMAL(38, 6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS brier
+    FROM b GROUP BY decile ORDER BY decile
+    """,
+    description="calibration curve + per-decile Brier score of the "
+    "function-word-ratio English score — exact integer counts, one "
+    "pinned division per row, DECIMAL-accumulated Brier terms; the "
+    "companion of classify_auc",
+)
+def classify_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    stops = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda x: x.isin(*_CAL_STOPWORDS),
+    )
+    t = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(toks).alias("n_tok"),
+        F.size(stops).alias("n_stop"),
+    ).filter(F.col("n_tok") > 0)
+    p = t.select(
+        "y",
+        (
+            F.col("n_stop").cast("double")
+            / F.col("n_tok").cast("double")
+        ).alias("score"),
+    )
+    b = p.select(
+        F.least(
+            F.floor(F.col("score") * F.lit(10)).cast("long"), F.lit(9)
+        ).alias("decile"),
+        "y",
+        "score",
+    )
+    d = (F.col("score") - F.col("y"))
+    return (
+        b.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("y").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("observed_rate"),
+            F.round(
+                F.sum((d * d).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("brier"),
+        )
+        .orderBy("decile")
+    )

@@ -1005,3 +1005,13 @@ class TestAucShape:
         assert "Window" in plan
         assert "Join" not in plan
         assert plan.count("HashAggregate") >= 2
+
+
+class TestCalibrationShape:
+    def test_calibration_single_aggregate_no_join(self, spark, sf_dir):
+        """Scoring is a pure projection (token filters in codegen);
+        the decile report is ONE partial+final aggregate."""
+        plan = plan_of(spark, sf_dir, "classify_calibration")
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert plan.count("HashAggregate") >= 2
