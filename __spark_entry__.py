@@ -140,6 +140,7 @@ _PRIORITY_R11 = [
     "profile_join_cardinality_estimate",
     "classify_auc",
     "classify_calibration",
+    "events_hourly_p95",
 ]
 
 

@@ -2934,3 +2934,60 @@ def classify_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "events_hourly_p95",
+    # Hour-of-day latency/value profile — the classic observability
+    # query (p50/p95 per hour bucket), built on the SAME pinned
+    # rank-and-interpolate machinery as profile_iqr_outliers: exact
+    # interpolated quantiles with the interpolation expression spelled
+    # identically in both engines. q=0.95 is not dyadic, but both
+    # engines evaluate the SAME literal product (n-1)*0.95 as the same
+    # correctly-rounded double, so rank selection and interpolation
+    # agree bit-for-bit; round(6) guards nothing further. One window
+    # sort per quantile per 24-row group set — never a collect.
+    oracle="""
+    WITH src AS (
+      SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS g0,
+             CAST(value AS DOUBLE) AS v0
+      FROM events
+    ),
+    """
+    + _oracle_quantile_cte("src", "g0", "v0", "0.5", "p50t")[5:]
+    + ","
+    + _oracle_quantile_cte("src", "g0", "v0", "0.95", "p95t")[5:]
+    + """
+    SELECT src.g0 AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(p50t.qv, 6) AS p50,
+           ROUND(p95t.qv, 6) AS p95
+    FROM src
+    JOIN p50t ON src.g0 = p50t.g
+    JOIN p95t ON src.g0 = p95t.g
+    GROUP BY src.g0, p50t.qv, p95t.qv
+    ORDER BY hour_of_day
+    """,
+    description="hour-of-day p50/p95 value profile (the observability "
+    "latency-percentile shape) — pinned exact rank-and-interpolate "
+    "quantiles, one window sort per quantile, no collect",
+)
+def events_hourly_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.hour(F.col("ts")).cast("long").alias("hr"),
+        F.col("value").cast("double").alias("__v"),
+    )
+    p50 = grouped_exact_quantile(e, ["hr"], "__v", 0.5, out_col="__p50")
+    p95 = grouped_exact_quantile(e, ["hr"], "__v", 0.95, out_col="__p95")
+    counts = e.groupBy("hr").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        counts.join(F.broadcast(p50), "hr")
+        .join(F.broadcast(p95), "hr")
+        .select(
+            F.col("hr").alias("hour_of_day"),
+            "n_events",
+            F.round(F.col("__p50"), 6).alias("p50"),
+            F.round(F.col("__p95"), 6).alias("p95"),
+        )
+        .orderBy("hour_of_day")
+    )

@@ -1015,3 +1015,14 @@ class TestCalibrationShape:
         assert "Join" not in plan
         assert "Window" not in plan
         assert plan.count("HashAggregate") >= 2
+
+
+class TestHourlyP95Shape:
+    def test_quantiles_are_window_rank_not_collect(self, spark, sf_dir):
+        """Both percentiles come from window ranks (distributed sort
+        per hour bucket) joined back as tiny broadcasts — no global
+        sort of the corpus, no collect in the plan."""
+        plan = plan_of(spark, sf_dir, "events_hourly_p95")
+        assert plan.count("Window") >= 2
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
