@@ -141,6 +141,7 @@ _PRIORITY_R11 = [
     "classify_auc",
     "classify_calibration",
     "events_hourly_p95",
+    "streaming_interval_join_twin",
 ]
 
 

@@ -396,3 +396,74 @@ def streaming_sessionize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"gate_streaming_session_{_STREAM_SEQ[0]}",
             output_mode="complete",
         )
+
+
+@register(
+    "streaming_interval_join_twin",
+    # The first stream-stream JOIN under the gate: click→purchase
+    # attribution — for every purchase, the same user's clicks in the
+    # preceding 10 minutes, run as a REAL stream-stream interval join
+    # (both sides are 4-micro-batch file streams over the same
+    # time-sliced source; Spark buffers each side in the state store
+    # until the time bound rules a match out). An INNER interval join's
+    # emitted SET equals the batch join regardless of how rows were
+    # sliced into batches — the watermark only bounds state, never
+    # membership — so the oracle is the plain batch self-join with the
+    # same bounds. µs-exact interval arithmetic, exact integer ids.
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+     AND c.ts <= p.ts
+    """,
+    description="stream-stream interval join under the gate: click-to-"
+    "purchase attribution (clicks in the 10 min before each purchase) "
+    "as a real two-sided stateful stream — emitted set must equal the "
+    "batch join bit-for-bit",
+)
+def streaming_interval_join_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import read_events_stream, run_stream_to_memory
+    from ..streaming.joins import interval_join
+
+    path = _sliced_events_fixture(sf_dir)
+    _STREAM_SEQ[0] += 1
+    with _stream_shuffle_partitions(spark):
+        purchases = (
+            read_events_stream(spark, path, max_files_per_trigger=1)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "ts")
+        )
+        clicks = (
+            read_events_stream(spark, path, max_files_per_trigger=1)
+            .filter(F.col("event_type") == "click")
+            .select("user_id", "event_id", "ts")
+        )
+        joined = interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            lower="-10 minutes",
+            upper="0 seconds",
+            watermark="2 hours",
+        ).select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_id_r").alias("click_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("ts_r").alias("click_ts"),
+        )
+        return run_stream_to_memory(
+            joined,
+            f"gate_streaming_ivjoin_{_STREAM_SEQ[0]}",
+            output_mode="append",
+        )

@@ -1026,3 +1026,34 @@ class TestHourlyP95Shape:
         assert plan.count("Window") >= 2
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestIntervalJoinTwinShape:
+    def test_stream_stream_join_plans_stateful_join(self, spark, sf_dir):
+        """The twin must plan a genuine stream-stream join (two
+        watermarked streaming relations feeding one join), not a
+        stream-static fallback."""
+        from pyspark.sql import functions as F
+
+        from datarepo_spark.streaming.joins import interval_join
+
+        def rate_side(tname):
+            return (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", 1)
+                .load()
+                .selectExpr(
+                    "CAST(value % 10 AS BIGINT) AS user_id",
+                    "value AS event_id",
+                    "timestamp AS ts",
+                )
+            )
+
+        j = interval_join(
+            rate_side("a"), rate_side("b"), key="user_id",
+            lower="-10 minutes", upper="0 seconds",
+        )
+        assert j.isStreaming
+        plan = j._jdf.queryExecution().analyzed().toString()
+        assert plan.count("EventTimeWatermark") == 2
+        assert "Join Inner" in plan
