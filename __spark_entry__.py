@@ -142,6 +142,7 @@ _PRIORITY_R11 = [
     "classify_calibration",
     "events_hourly_p95",
     "streaming_interval_join_twin",
+    "profile_conformal_interval",
 ]
 
 

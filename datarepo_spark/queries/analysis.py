@@ -2991,3 +2991,150 @@ def events_hourly_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+@register(
+    "profile_conformal_interval",
+    # Split-conformal prediction interval (Vovk; Lei et al. 2018) —
+    # the distribution-free uncertainty primitive: fit on train,
+    # take the (1-α) quantile of absolute residuals on a held-out
+    # calibration set, and the interval ŷ ± q̂ carries a finite-sample
+    # coverage guarantee. Every stage reuses proven engine-exact
+    # machinery: the sha-hash three-way split (train/cal/test at
+    # 60/20/20), the OLS closed form from DECIMAL co-moment sums
+    # (profile_linear_trend), the pinned rank-and-interpolate quantile
+    # at α=0.1 (0.9 is evaluated as the same correctly-rounded double
+    # product in both engines), and exact-integer coverage counting on
+    # the test set. Residuals are pinned IEEE sequences of exact-sum
+    # derived doubles, so both engines rank the same values.
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey,
+             DATEDIFF('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) - 9000 AS x,
+             o_totalprice / 1000.0 AS y,
+             {SP.sql_hash_fraction('o_orderkey', salt='conformal')} AS f
+      FROM orders
+    ), tr AS (
+      SELECT COUNT(*) AS n,
+             {SQL_DSUM('x')} AS sx, {SQL_DSUM('y')} AS sy,
+             {SQL_DSUM('x * y')} AS sxy, {SQL_DSUM('x * x')} AS sxx
+      FROM u WHERE f < 0.6
+    ), fit AS (
+      SELECT CAST(n AS BIGINT) AS n_train,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+             , (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+      FROM tr
+    ), cal AS (
+      SELECT 1 AS g0,
+             ABS(u.y - (fit.a + fit.b * u.x)) AS v0
+      FROM u, fit WHERE u.f >= 0.6 AND u.f < 0.8
+    ),
+    """
+    + _oracle_quantile_cte("cal", "g0", "v0", "0.9", "qt")[5:]
+    + """
+    SELECT fit.n_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cal) AS n_cal,
+           ROUND(fit.b, 9) AS slope,
+           ROUND(fit.a, 9) AS intercept,
+           ROUND(qt.qv, 9) AS q_alpha10,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE f >= 0.8)
+             AS n_test,
+           ROUND(
+             (SELECT CAST(SUM(CASE WHEN ABS(u.y - (fit.a + fit.b * u.x))
+                                        <= qt.qv
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+              FROM u WHERE f >= 0.8)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM u WHERE f >= 0.8),
+             9) AS test_coverage
+    FROM fit, qt
+    """,
+    description="split-conformal prediction interval over the OLS "
+    "trend model: sha-hash 60/20/20 split, DECIMAL closed-form fit, "
+    "pinned exact 90% residual quantile on calibration, exact-integer "
+    "coverage on test — the distribution-free UQ primitive",
+)
+def profile_conformal_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.profile import grouped_exact_quantile
+
+    o = load(spark, sf_dir, "orders")
+    u = o.select(
+        "o_orderkey",
+        (_epoch_day("o_orderdate") - F.lit(9000)).alias("x"),
+        (F.col("o_totalprice") / F.lit(1000.0)).alias("y"),
+        SP.hash_fraction(F.col("o_orderkey"), salt="conformal").alias(
+            "f"
+        ),
+    )
+    tr = u.filter(F.col("f") < 0.6).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = tr.select(
+        F.col("n").alias("n_train"),
+        b.alias("b"),
+        ((sy - b * sx) / n).alias("a"),
+    )
+    cal = (
+        u.filter((F.col("f") >= 0.6) & (F.col("f") < 0.8))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.lit(1).alias("g0"),
+            F.abs(
+                F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+            ).alias("__v"),
+        )
+    )
+    n_cal = cal.count()
+    qt = grouped_exact_quantile(cal, ["g0"], "__v", 0.9, out_col="__q")
+    test = (
+        u.filter(F.col("f") >= 0.8)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qt.select("__q")))
+    )
+    cov = test.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(
+                F.abs(
+                    F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+                )
+                <= F.col("__q"),
+                1,
+            ).otherwise(0)
+        ).alias("n_covered"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(qt.select("__q")))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_train",
+            F.lit(n_cal).cast("long").alias("n_cal"),
+            F.round(F.col("b"), 9).alias("slope"),
+            F.round(F.col("a"), 9).alias("intercept"),
+            F.round(F.col("__q"), 9).alias("q_alpha10"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.round(
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double"),
+                9,
+            ).alias("test_coverage"),
+        )
+    )

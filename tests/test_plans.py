@@ -1057,3 +1057,16 @@ class TestIntervalJoinTwinShape:
         plan = j._jdf.queryExecution().analyzed().toString()
         assert plan.count("EventTimeWatermark") == 2
         assert "Join Inner" in plan
+
+
+class TestConformalShape:
+    def test_conformal_fit_and_quantile_broadcast(self, spark, sf_dir):
+        """The fit frame (1 row) and quantile frame (1 row) broadcast
+        into the calibration/test passes; the only window is the
+        calibration residual sort (bounded to the cal split)."""
+        plan = plan_of(spark, sf_dir, "profile_conformal_interval")
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+        # scalar frames attach via broadcast nested-loop crosses —
+        # every one of them is a 1-row build side, by construction
+        assert "BroadcastNestedLoopJoin" in plan
