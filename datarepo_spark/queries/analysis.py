@@ -2088,13 +2088,23 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..functions.dedup import _scoped_persist
+
     e = load(spark, sf_dir, "events")
-    hr = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(
-        (F.sum(F.col("value").cast("decimal(38,6)")) * F.lit(1000000))
-        .cast("long")
-        .alias("t_micro")
+    # persist the hour-grain frame: both the per-type totals and the
+    # deviation join read it — unpinned, the full-corpus hourly
+    # aggregate would execute twice
+    hr = _scoped_persist(
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("t_micro")
+        )
     )
     tot = hr.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
@@ -3087,12 +3097,21 @@ def profile_conformal_interval(
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
     b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    fit = tr.select(
-        F.col("n").alias("n_train"),
-        b.alias("b"),
-        ((sy - b * sx) / n).alias("a"),
+    from ..functions.dedup import _scoped_persist
+
+    # persist the 1-row fit: the calibration pass, the test pass, and
+    # the final select all read it — unpinned, the full train-split
+    # co-moment aggregate would re-execute per consumer
+    fit = _scoped_persist(
+        tr.select(
+            F.col("n").alias("n_train"),
+            b.alias("b"),
+            ((sy - b * sx) / n).alias("a"),
+        )
     )
-    cal = (
+    # persist the calibration residuals: consumed by the count AND the
+    # quantile window (one materialization instead of two corpus reads)
+    cal = _scoped_persist(
         u.filter((F.col("f") >= 0.6) & (F.col("f") < 0.8))
         .crossJoin(F.broadcast(fit))
         .select(
