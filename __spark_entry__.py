@@ -143,6 +143,7 @@ _PRIORITY_R11 = [
     "events_hourly_p95",
     "streaming_interval_join_twin",
     "profile_conformal_interval",
+    "join_scd2_lookup",
 ]
 
 

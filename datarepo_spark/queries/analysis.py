@@ -3157,3 +3157,114 @@ def profile_conformal_interval(
             ).alias("test_coverage"),
         )
     )
+
+
+@register(
+    "join_scd2_lookup",
+    # Point-in-time SCD Type-2 dimension lookup — the warehouse join
+    # every fact table needs: each line item resolves the supplier
+    # attribute version EFFECTIVE at its ship date (closed-open
+    # [start, end) validity ranges). The versioned dimension is
+    # derived deterministically from supplier (three epochs per
+    # supplier, balance re-stated +1000 per epoch — a synthetic but
+    # fully-specified SCD2 history both engines rebuild identically,
+    # the documents_as_video pattern). The lookup runs through the
+    # bucketed range join (operators/range_join.py): an equi-join on
+    # (suppkey, epoch-day bucket) + residual range filter — never a
+    # nested loop, the shape that survives a 100 TB fact side.
+    # Epoch-day integers end to end; sums in DECIMAL(38,6).
+    oracle="""
+    WITH dim AS (
+      SELECT s_suppkey, v.version,
+             v.st AS eff_start, v.en AS eff_end,
+             s_acctbal + 1000 * v.version AS acctbal_v
+      FROM supplier, UNNEST([
+        {'version': 0, 'st': 8035, 'en': 8766},
+        {'version': 1, 'st': 8766, 'en': 9497},
+        {'version': 2, 'st': 9497, 'en': 11000}
+      ]) AS t(v)
+    ), fact AS (
+      SELECT l_suppkey, l_quantity,
+             DATEDIFF('day', DATE '1970-01-01',
+                      CAST(l_shipdate AS DATE)) AS ship_day
+      FROM lineitem WHERE l_suppkey <= 20
+    )
+    SELECT d.s_suppkey, d.version,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(CAST(SUM(CAST(f.l_quantity AS DECIMAL(38, 6)))
+                      AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(MIN(d.acctbal_v) AS DOUBLE), 2) AS acctbal_v
+    FROM fact f JOIN dim d
+      ON f.l_suppkey = d.s_suppkey
+     AND f.ship_day >= d.eff_start AND f.ship_day < d.eff_end
+    GROUP BY d.s_suppkey, d.version
+    """,
+    description="SCD Type-2 point-in-time dimension lookup: fact ship "
+    "dates resolve the supplier version effective at that date via the "
+    "bucketed range join (equi on suppkey+day-bucket, residual range "
+    "filter — no nested loop); deterministic 3-epoch dimension history",
+)
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import range_join
+
+    sup = load(spark, sf_dir, "supplier")
+    epochs = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("version"),
+                F.lit(st).alias("st"),
+                F.lit(en).alias("en"),
+            )
+            for v, st, en in ((0, 8035, 8766), (1, 8766, 9497), (2, 9497, 11000))
+        ]
+    )
+    dim = sup.select(
+        "s_suppkey",
+        F.explode(epochs).alias("e"),
+        "s_acctbal",
+    ).select(
+        "s_suppkey",
+        F.col("e.version").alias("version"),
+        F.col("e.st").alias("eff_start"),
+        # closed-open [start, end): range_join is inclusive on both
+        # ends, so the interval side carries end-1 (integer days)
+        (F.col("e.en") - F.lit(1)).alias("eff_end_incl"),
+        (F.col("s_acctbal") + F.lit(1000) * F.col("e.version")).alias(
+            "acctbal_v"
+        ),
+    )
+    fact = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 20)
+        .select(
+            "l_suppkey",
+            "l_quantity",
+            _epoch_day("l_shipdate").alias("ship_day"),
+        )
+    )
+    joined = range_join(
+        fact,
+        dim,
+        point_col="ship_day",
+        start_col="eff_start",
+        end_col="eff_end_incl",
+        bucket_width=365,
+        equi_keys=[("l_suppkey", "s_suppkey")],
+    )
+    return (
+        joined.groupBy(
+            F.col("l_suppkey").alias("s_suppkey"), F.col("version")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_qty"),
+            F.round(F.min("acctbal_v").cast("double"), 2).alias(
+                "acctbal_v"
+            ),
+        )
+    )

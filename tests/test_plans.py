@@ -1070,3 +1070,14 @@ class TestConformalShape:
         # scalar frames attach via broadcast nested-loop crosses —
         # every one of them is a 1-row build side, by construction
         assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestScd2Shape:
+    def test_scd2_lookup_is_bucketed_hash_join(self, spark, sf_dir):
+        """The point-in-time lookup plans an equi hash join on
+        (suppkey, bucket) with a residual range filter — never a
+        nested loop over fact x dim-versions."""
+        plan = plan_of(spark, sf_dir, "join_scd2_lookup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" in plan
