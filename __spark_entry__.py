@@ -29,75 +29,17 @@ from datarepo_spark.queries import analysis as _analysis  # noqa: E402,F401
 # family per rotation. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 #
-# -- r10 window (VERDICT r9 #2): skew_salted_join FIRST (re-spelled
-# ROUND(CAST .. AS DOUBLE) per VERDICT r9 #1a — third gate attempt),
-# then the 12 r9-born queries that have never held a driver row, the
-# streaming stateful-EWMA twin (VERDICT r9 #6 — first streaming result
-# under the gate), the r10-born interval-overlap join, and the 35
-# remaining r6-gated queries (oldest cohort). After r10: every registry
-# query has held a driver row and none is older than r7.
+# -- r11 window (VERDICT r10 #1): the 46 r10-born queries that have
+# never held a driver row (the statistics/data-quality layer, the four
+# remaining streaming twins incl. the stream-stream interval join —
+# VERDICT r10 #2 — SCD2, gaps-and-islands, itemsets, AUC/calibration,
+# batch ANN, and the skew dup-payload query), then 4 refresh slots on
+# the oldest green cohort (r7): the heavy TPC-H Q18, the flagship
+# MinHash-LSH dedup, the brute-force ANN baseline, and the video
+# near-dup decode path. After r11: every registry query as of r10 has
+# held a driver row and none is older than r8.
 _PRIORITY = [
-    "skew_salted_join",
-    # -- r9-born, never driver-gated ----------------------------------
-    "events_ewma",
-    "events_resample_ffill",
-    "join_asof_nearest",
-    "profile_entropy_by_source",
-    "ivm_join_by_nation",
-    "pipeline_shuffle_shards",
-    "multimodal_phash",
-    "similarity_mmr_rerank",
-    "window_distribution_variants",
-    "profile_dataset_card",
-    "graph_triangle_count",
-    "profile_mutual_information",
-    # -- r10-born headline additions -----------------------------------
-    "streaming_ewma_twin",
-    "join_interval_overlap",
-    # -- r6-cohort refresh (the 35 not re-gated in r9, reg. order) ------
-    "agg_distinct_counts",
-    "agg_whole_frame",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_median_quantile",
-    "window_rank_topk_per_group",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_rolling_mean",
-    "sort_topk",
-    "dedup_distinct_subset",
-    "set_except",
-    "set_intersect",
-    "fn_string_suite",
-    "fn_date_suite",
-    "fn_math_suite",
-    "fn_array_suite",
-    "fn_json_extract",
-    "fn_conditional_null",
-    "reshape_explode",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "events_tumbling_window",
-    "events_sessionize",
-    "join_left",
-    "join_asof_backward",
-    "window_rank_variants",
-    "window_first_last",
-    "window_range_7d",
-    "set_union_all_drift",
-    "normalize_missing_column",
-    "text_sentiment",
-    "text_top_tokens",
-    "similarity_ann_index_pq",
-    # exactly 50 entries total — the driver gates the first 50
-]
-
-# r11 rotation staging: the r10-born queries that did not fit the r10
-# window lead (each driver-sim-verified green at sf0.01 when it
-# landed), then the r7-gated cohort (oldest after r10) by registration
-# order.
-_PRIORITY_R11 = [
+    # -- r10-born, never driver-gated (staged r10 as _PRIORITY_R11) ----
     "profile_iqr_outliers",
     "events_anomaly_mad",
     "text_rrf_fusion",
@@ -144,12 +86,23 @@ _PRIORITY_R11 = [
     "streaming_interval_join_twin",
     "profile_conformal_interval",
     "join_scd2_lookup",
+    # -- r7-cohort refresh (oldest green rows, 4 slots) ----------------
+    "q18_large_volume",
+    "dedup_minhash_lsh",
+    "similarity_knn_brute_force",
+    "multimodal_video_near_dup",
+    # exactly 50 entries total — the driver gates the first 50
 ]
+
+# r12 rotation staging: queries born in r11 that should lead the next
+# window (filled as they land; drained into _PRIORITY at the r12
+# rotation), then the oldest-cohort refresh picks up from r8.
+_PRIORITY_R12: list[str] = []
 
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
-    for name in _PRIORITY + _PRIORITY_R11:
+    for name in _PRIORITY + _PRIORITY_R12:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():
         if name not in ordered:

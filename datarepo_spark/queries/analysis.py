@@ -2036,7 +2036,12 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-units (BIGINT), deviations are scaled by n_hours
     # (d_t = n*T_t - ΣT, clearing the rational mean), and integer
     # window sums are order-independent, so even a segment-tree
-    # windowed SUM is exact. The hour-grain series per type is tiny at
+    # windowed SUM is exact. d and its prefix sums accumulate in
+    # DECIMAL(38,0) on BOTH engines: n*T_t reaches ~1e17 at gated
+    # scales and d prefix sums would cross int64 at extreme value
+    # magnitudes, where non-ANSI Spark wraps silently while DuckDB
+    # raises — 38 digits keeps the exact path exact at any corpus
+    # scale (r10 ADVICE). The hour-grain series per type is tiny at
     # any corpus scale; the heavy work is the combinable hourly
     # aggregate.
     oracle="""
@@ -2052,23 +2057,24 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hr GROUP BY event_type
     ), dev AS (
       SELECT hr.event_type, h, n_hours, sum_micro,
-             n_hours * t_micro - sum_micro AS d
+             CAST(n_hours AS DECIMAL(38, 0)) * t_micro - sum_micro AS d
       FROM hr JOIN tot USING (event_type)
     ), csum AS (
       SELECT event_type, h, n_hours, sum_micro,
              CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY h
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+                               ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38, 0)) AS c
       FROM dev
     ), pre AS (
       SELECT event_type, n_hours, sum_micro, c,
              CAST(MIN(c) OVER (PARTITION BY event_type ORDER BY h
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
-               AS run_min
+                               ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38, 0)) AS run_min
       FROM csum
     ), ex AS (
       SELECT event_type, n_hours, sum_micro,
-             CAST(MAX(c - LEAST(CAST(0 AS BIGINT), run_min))
-                  AS BIGINT) AS cusum_scaled
+             CAST(MAX(c - LEAST(CAST(0 AS DECIMAL(38, 0)), run_min))
+                  AS DECIMAL(38, 0)) AS cusum_scaled
       FROM pre GROUP BY event_type, n_hours, sum_micro
     )
     SELECT event_type, n_hours,
@@ -2115,9 +2121,10 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         "n_hours",
         "sum_micro",
-        (F.col("n_hours") * F.col("t_micro") - F.col("sum_micro")).alias(
-            "d"
-        ),
+        (
+            F.col("n_hours").cast("decimal(38,0)") * F.col("t_micro")
+            - F.col("sum_micro")
+        ).alias("d"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -2129,7 +2136,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         "n_hours",
         "sum_micro",
-        F.sum("d").over(w).cast("long").alias("c"),
+        F.sum("d").over(w).cast("decimal(38,0)").alias("c"),
     )
     pre = pre.select(
         "event_type",
@@ -2142,15 +2149,15 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("h")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("run_min"),
     )
     ex = pre.groupBy("event_type", "n_hours", "sum_micro").agg(
         F.max(
             F.col("c")
-            - F.least(F.lit(0).cast("long"), F.col("run_min"))
+            - F.least(F.lit(0).cast("decimal(38,0)"), F.col("run_min"))
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("cusum_scaled")
     )
     denom = F.col("n_hours").cast("double") * F.lit(1000000.0)

@@ -215,3 +215,29 @@ def skew_salted_agg_dup_payloads(
         "count_rows",
         F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "bench_calibration",
+    # Bench noise floor (VERDICT r10 #6): a fixed single-task query over
+    # a 1,000-row literal range — no files, no shuffle, no data
+    # dependence — so its wall-time is pure session/scheduler/host
+    # overhead. Round-over-round, any UNIFORM drift across the headline
+    # map (like r10's driver-session 1.4×) is directly readable from
+    # this row instead of inferred from untouched-query deltas.
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(range) AS BIGINT) AS sum_id
+    FROM range(1000)
+    """,
+    description="bench noise-floor calibration: one-task 1k-row literal "
+    "scan-aggregate; wall-time is session overhead, not engine work",
+)
+def bench_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.range(0, 1000, 1, 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("id").cast("long").alias("sum_id"),
+        )
+    )

@@ -353,7 +353,7 @@ def streaming_debounce_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle. µs-exact timestamps, exact integer counts.
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) IS NULL
                   OR ts - LAG(ts) OVER (PARTITION BY user_id
@@ -364,7 +364,7 @@ def streaming_debounce_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT user_id, ts,
              SUM(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts
+                               ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
     )

@@ -172,28 +172,37 @@ def build_scaled(spark, replicas: int, out: str) -> None:
 
     # write ts as µs TIMESTAMP like the source testdata (Spark's INT96
     # default would round-trip through pyarrow as TIMESTAMP(NANOS) and
-    # change the layout the streaming fixtures see)
-    spark.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
-    id_cols = [c for c in ("event_id", "user_id") if c in ev.columns]
-    maxes = {
-        c: ev.agg(F.max(c)).head()[0] + 1 for c in id_cols
-    }
-    save(
-        ev.crossJoin(F.broadcast(rep)).select(
-            *[
-                (
-                    (F.col(c) + F.col("__r") * F.lit(maxes[c])).alias(c)
-                    if c in id_cols
-                    else F.col(c)
-                )
-                for c in ev.columns
-            ]
-        ),
-        "events",
-    )
+    # change the layout the streaming fixtures see); conf is scoped to
+    # this one write — restored in the finally so later parquet writes
+    # on the shared session keep their original timestamp layout
+    # (r10 ADVICE)
+    _ts_key = "spark.sql.parquet.outputTimestampType"
+    _ts_prev = spark.conf.get(_ts_key, None)
+    spark.conf.set(_ts_key, "TIMESTAMP_MICROS")
+    try:
+        ev = spark.read.parquet(f"{SRC}/events.parquet")
+        id_cols = [c for c in ("event_id", "user_id") if c in ev.columns]
+        maxes = {
+            c: ev.agg(F.max(c)).head()[0] + 1 for c in id_cols
+        }
+        save(
+            ev.crossJoin(F.broadcast(rep)).select(
+                *[
+                    (
+                        (F.col(c) + F.col("__r") * F.lit(maxes[c])).alias(c)
+                        if c in id_cols
+                        else F.col(c)
+                    )
+                    for c in ev.columns
+                ]
+            ),
+            "events",
+        )
+    finally:
+        if _ts_prev is None:
+            spark.conf.unset(_ts_key)
+        else:
+            spark.conf.set(_ts_key, _ts_prev)
 
 
 def main() -> None:
