@@ -22,6 +22,7 @@ from datarepo_spark.queries import delta_queries as _delta_queries  # noqa: E402
 from datarepo_spark.queries import physical as _physical  # noqa: E402,F401
 from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
 from datarepo_spark.queries import analysis as _analysis  # noqa: E402,F401
+from datarepo_spark.queries import insights as _insights  # noqa: E402,F401
 
 # The driver gates the first N queries() entries (N=50 of the full
 # registry — len(REGISTRY) is the authoritative count), so
@@ -96,8 +97,26 @@ _PRIORITY = [
 
 # r12 rotation staging: queries born in r11 that should lead the next
 # window (filled as they land; drained into _PRIORITY at the r12
-# rotation), then the oldest-cohort refresh picks up from r8.
-_PRIORITY_R12: list[str] = []
+# rotation), then the oldest-cohort refresh picks up from r8. Each is
+# driver-sim-verified green at sf0.01 when it lands here.
+_PRIORITY_R12: list[str] = [
+    "bench_calibration",
+    "profile_psi_drift",
+    "profile_spearman_rank",
+    "profile_jensen_shannon",
+    "profile_covariance_matrix",
+    "events_ohlc_bars",
+    "events_rate_of_change",
+    "agg_collect_ordered",
+    "window_pareto_cumshare",
+    "graph_common_neighbors",
+    "graph_kcore_peel",
+    "window_top_with_ties",
+    "text_ttr_hapax",
+    "text_readability",
+    "similarity_cosine_histogram",
+    "streaming_dedup_first_twin",
+]
 
 
 def _ordered_registry() -> dict[str, _registry.Query]:

@@ -1,0 +1,1299 @@
+"""Round-11 analytics batch: drift/association statistics, market-data
+bars, warehouse window shapes, link prediction, and lexical diversity.
+
+Every query follows the repo's oracle-parity regime (see
+queries/analysis.py module doc): exact integers or pinned DECIMAL
+accumulation until a final division, ROUND(..., 9) after any libm call
+(`ln`), and value-cell aggregation before any corpus-wide window so the
+heavy work stays map-side combinable. Reference parity note: the
+reference (neuralinkcorp/datarepo) delegates its relational surface to
+Polars LazyFrame (src/datarepo/core/dataframe/frame.py:4); these
+operators extend that surface with the statistics/warehouse shapes a
+training-data pipeline runs daily, re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+
+# ---------------------------------------------------------------------------
+# drift / association statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_psi_drift",
+    # Population Stability Index — THE industry drift score for model
+    # monitoring (complements profile_ks_drift's sup-norm test with the
+    # per-bucket decomposition practitioners actually read). Reference
+    # window = pre-1995 orders, current = 1995+; 10 fixed-width price
+    # buckets over a pinned grid (width 60000, top bucket open) so the
+    # binning is data-independent and reproducible across snapshots.
+    # Laplace-smoothed probabilities p=(n+1)/(N+10) make empty buckets
+    # well-defined without dropping them (the full 0..9 spine is
+    # generated and left-joined so absent buckets still contribute).
+    # Exact integer counts; ln is libm so every ln-derived output is
+    # ROUND(..., 9) on both engines. Scale: one map-side-combinable
+    # grouped aggregate over the corpus -> 10 cells; everything after
+    # runs on the cells.
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(9, CAST(FLOOR(o_totalprice / 60000.0) AS BIGINT))
+               AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1
+                  ELSE 0 END AS is_ref
+      FROM orders
+    ), cell AS (
+      SELECT bucket,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+      FROM b GROUP BY bucket
+    ), spine AS (
+      SELECT CAST(range AS BIGINT) AS bucket,
+             COALESCE(n_ref, 0) AS n_ref,
+             COALESCE(n_cur, 0) AS n_cur
+      FROM range(10) LEFT JOIN cell ON range = bucket
+    ), tot AS (
+      SELECT bucket, n_ref, n_cur,
+             CAST(SUM(n_ref) OVER () AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
+      FROM spine
+    ), p AS (
+      SELECT bucket, n_ref, n_cur,
+             CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE)
+               AS p_ref,
+             CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE)
+               AS p_cur
+      FROM tot
+    )
+    SELECT bucket, n_ref, n_cur,
+           ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 9) AS psi_term,
+           ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)) OVER (), 9)
+             AS psi_total
+    FROM p ORDER BY bucket
+    """,
+    description="Population Stability Index of the order-price "
+    "distribution, pre-1995 vs 1995+ — pinned 10-bucket grid, "
+    "Laplace-smoothed probabilities, per-bucket decomposition plus "
+    "the total; one combinable aggregate, ln rounded at 9",
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(
+            F.lit(9),
+            F.floor(F.col("o_totalprice") / F.lit(60000.0)).cast("long"),
+        ).alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    cell = b.groupBy("bucket").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    spine = (
+        spark.range(10)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(F.broadcast(cell), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    w_all = Window.partitionBy()
+    tot = spine.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_all).cast("long").alias("t_ref"),
+        F.sum("n_cur").over(w_all).cast("long").alias("t_cur"),
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + 10
+    ).cast("double")
+    p_cur = (F.col("n_cur") + 1).cast("double") / (
+        F.col("t_cur") + 10
+    ).cast("double")
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    p = tot.select(
+        "bucket", "n_ref", "n_cur", term.alias("term")
+    )
+    return p.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("term"), 9).alias("psi_term"),
+        F.round(F.sum("term").over(w_all), 9).alias("psi_total"),
+    ).orderBy("bucket")
+
+
+@register(
+    "profile_spearman_rank",
+    # Spearman rank correlation of quantity vs extended price over
+    # lineitem — the tie-robust monotone-association statistic.
+    # Midranks come from VALUE CELLS, not a corpus window (the
+    # classify_auc machinery): per distinct value, the doubled midrank
+    # is 2*cum_before + c + 1 — exact integers (doubling clears the
+    # half; Pearson is invariant to the positive affine map). Products
+    # accumulate in DECIMAL(38,0): doubled ranks reach 2n (~1.2e7 at
+    # sf1) so Σ(r2x*r2y) ~ n*(2n)^2 crosses int64 at sf1 — 38 digits
+    # holds to far beyond 100 TB row counts. One division + two IEEE
+    # sqrt at the end (sqrt is correctly rounded, engine-identical);
+    # final ROUND 9.
+    oracle="""
+    WITH xc AS (
+      SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), xr AS (
+      SELECT v,
+             2 * CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) + c + 1 AS r2
+      FROM xc
+    ), yc AS (
+      SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), yr AS (
+      SELECT v,
+             2 * CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) + c + 1 AS r2
+      FROM yc
+    ), rows_ AS (
+      SELECT xr.r2 AS rx, yr.r2 AS ry
+      FROM lineitem
+      JOIN xr ON l_quantity = xr.v
+      JOIN yr ON l_extendedprice = yr.v
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+               AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+               AS sy,
+             CAST(SUM(CAST(rx * ry AS DECIMAL(38, 0)))
+                  AS DECIMAL(38, 0)) AS sxy,
+             CAST(SUM(CAST(rx * rx AS DECIMAL(38, 0)))
+                  AS DECIMAL(38, 0)) AS sxx,
+             CAST(SUM(CAST(ry * ry AS DECIMAL(38, 0)))
+                  AS DECIMAL(38, 0)) AS syy
+      FROM rows_
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+             AS spearman_rho
+    FROM s
+    """,
+    description="Spearman rank correlation (midrank ties) of "
+    "l_quantity vs l_extendedprice — doubled midranks from value "
+    "cells (no corpus window), DECIMAL(38,0) co-moment sums, one "
+    "division; the tie-robust monotone-association statistic",
+)
+def profile_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+
+    def rank_cells(col: str) -> DataFrame:
+        cells = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return cells.select(
+            "v",
+            (
+                F.lit(2)
+                * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+                + F.col("c")
+                + F.lit(1)
+            ).alias("r2"),
+        )
+
+    xr = rank_cells("l_quantity")
+    yr = rank_cells("l_extendedprice")
+    rows_ = (
+        li.join(
+            F.broadcast(xr), li.l_quantity == xr.v
+        )
+        .select(xr.r2.alias("rx"), "l_extendedprice")
+        .join(yr, F.col("l_extendedprice") == yr.v)
+        .select("rx", yr.r2.alias("ry"))
+    )
+    dec = "decimal(38,0)"
+    s = rows_.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("rx").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(dec)).cast(dec).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    deny = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / (denx * deny), 9).alias("spearman_rho"),
+    )
+
+
+@register(
+    "profile_jensen_shannon",
+    # Jensen-Shannon divergence between the weekday and weekend
+    # event-type mixes — the bounded, symmetric distribution-shift
+    # score (KL's practical replacement in data-quality dashboards).
+    # Exact integer counts per (type, cohort) cell; probabilities are
+    # one pinned division each; every ln-derived number is ROUND 9.
+    # Zero-count terms follow the 0*ln(0)=0 convention via CASE. The
+    # dialects differ only where they must: DuckDB dayofweek() is
+    # 0-based (Sun=0), Spark's is 1-based (Sun=1) — both spell
+    # "weekend" exactly.
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0
+                      ELSE 1 END) AS BIGINT) AS n_wd,
+             CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_we
+      FROM events GROUP BY event_type
+    ), t AS (
+      SELECT event_type, n_wd, n_we,
+             CAST(SUM(n_wd) OVER () AS BIGINT) AS t_wd,
+             CAST(SUM(n_we) OVER () AS BIGINT) AS t_we
+      FROM c
+    ), p AS (
+      SELECT event_type, n_wd, n_we,
+             CAST(n_wd AS DOUBLE) / CAST(t_wd AS DOUBLE) AS p,
+             CAST(n_we AS DOUBLE) / CAST(t_we AS DOUBLE) AS q
+      FROM t
+    ), terms AS (
+      SELECT event_type, n_wd, n_we, p, q,
+             0.5 * (CASE WHEN p > 0
+                         THEN p * LN(p / ((p + q) / 2)) ELSE 0 END
+                    + CASE WHEN q > 0
+                           THEN q * LN(q / ((p + q) / 2)) ELSE 0 END)
+               AS term
+      FROM p
+    )
+    SELECT event_type, n_wd, n_we,
+           ROUND(p, 9) AS p_weekday,
+           ROUND(q, 9) AS p_weekend,
+           ROUND(term, 9) AS js_term,
+           ROUND(SUM(term) OVER (), 9) AS js_total
+    FROM terms ORDER BY event_type
+    """,
+    description="Jensen-Shannon divergence between weekday and "
+    "weekend event-type distributions — exact counts, pinned "
+    "divisions, ln rounded at 9; per-type decomposition plus total",
+)
+def profile_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    is_we = F.dayofweek(F.col("ts")).isin(1, 7)
+    c = e.groupBy("event_type").agg(
+        F.sum(F.when(is_we, 0).otherwise(1)).cast("long").alias("n_wd"),
+        F.sum(F.when(is_we, 1).otherwise(0)).cast("long").alias("n_we"),
+    )
+    w_all = Window.partitionBy()
+    t = c.select(
+        "event_type",
+        "n_wd",
+        "n_we",
+        F.sum("n_wd").over(w_all).cast("long").alias("t_wd"),
+        F.sum("n_we").over(w_all).cast("long").alias("t_we"),
+    )
+    p = F.col("n_wd").cast("double") / F.col("t_wd").cast("double")
+    q = F.col("n_we").cast("double") / F.col("t_we").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    terms = t.select(
+        "event_type",
+        "n_wd",
+        "n_we",
+        p.alias("p"),
+        q.alias("q"),
+        term.alias("term"),
+    )
+    return terms.select(
+        "event_type",
+        "n_wd",
+        "n_we",
+        F.round(F.col("p"), 9).alias("p_weekday"),
+        F.round(F.col("q"), 9).alias("p_weekend"),
+        F.round(F.col("term"), 9).alias("js_term"),
+        F.round(F.sum("term").over(w_all), 9).alias("js_total"),
+    ).orderBy("event_type")
+
+
+@register(
+    "profile_covariance_matrix",
+    # Pairwise covariance + correlation of the four lineitem numeric
+    # measures in ONE aggregate pass — the feature-correlation screen
+    # run before any model fit. All co-moment sums are DECIMAL: each
+    # variable is cast to DECIMAL(19,6) FIRST and squared inside
+    # decimal arithmetic (the r8 rule: double->decimal casts are
+    # engine-identical only while |v|*10^6 < 2^53, so price is scaled
+    # down 1000x before casting — corr/cov scale out exactly).
+    # Population cov = (n*Sxy - Sx*Sy)/n^2; one division per cell,
+    # sqrt for corr, ROUND 9. Scale: one map-side-combinable aggregate
+    # regardless of corpus size; the 10-cell unpivot runs on one row.
+    oracle="""
+    WITH m AS (
+      SELECT CAST(l_quantity AS DECIMAL(19, 6)) AS q,
+             CAST(l_extendedprice / 1000.0 AS DECIMAL(19, 6)) AS p,
+             CAST(l_discount AS DECIMAL(19, 6)) AS d,
+             CAST(l_tax AS DECIMAL(19, 6)) AS t
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
+             SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd, SUM(t) AS st,
+             SUM(q * q) AS sqq, SUM(p * p) AS spp,
+             SUM(d * d) AS sdd, SUM(t * t) AS stt,
+             SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(q * t) AS sqt,
+             SUM(p * d) AS spd, SUM(p * t) AS spt, SUM(d * t) AS sdt
+      FROM m
+    ), pairs AS (
+      SELECT 'quantity~price_k' AS pair,
+             CAST(n * sqp - sq * sp AS DOUBLE) AS cnum,
+             CAST(n * sqq - sq * sq AS DOUBLE) AS vx,
+             CAST(n * spp - sp * sp AS DOUBLE) AS vy,
+             CAST(n AS DOUBLE) AS nd
+      FROM s
+      UNION ALL SELECT 'quantity~discount',
+             CAST(n * sqd - sq * sd AS DOUBLE),
+             CAST(n * sqq - sq * sq AS DOUBLE),
+             CAST(n * sdd - sd * sd AS DOUBLE), CAST(n AS DOUBLE) FROM s
+      UNION ALL SELECT 'quantity~tax',
+             CAST(n * sqt - sq * st AS DOUBLE),
+             CAST(n * sqq - sq * sq AS DOUBLE),
+             CAST(n * stt - st * st AS DOUBLE), CAST(n AS DOUBLE) FROM s
+      UNION ALL SELECT 'price_k~discount',
+             CAST(n * spd - sp * sd AS DOUBLE),
+             CAST(n * spp - sp * sp AS DOUBLE),
+             CAST(n * sdd - sd * sd AS DOUBLE), CAST(n AS DOUBLE) FROM s
+      UNION ALL SELECT 'price_k~tax',
+             CAST(n * spt - sp * st AS DOUBLE),
+             CAST(n * spp - sp * sp AS DOUBLE),
+             CAST(n * stt - st * st AS DOUBLE), CAST(n AS DOUBLE) FROM s
+      UNION ALL SELECT 'discount~tax',
+             CAST(n * sdt - sd * st AS DOUBLE),
+             CAST(n * sdd - sd * sd AS DOUBLE),
+             CAST(n * stt - st * st AS DOUBLE), CAST(n AS DOUBLE) FROM s
+    )
+    SELECT pair,
+           ROUND(cnum / (nd * nd), 9) AS covariance,
+           ROUND(cnum / (SQRT(vx) * SQRT(vy)), 9) AS correlation
+    FROM pairs ORDER BY pair
+    """,
+    description="pairwise covariance/correlation matrix of "
+    "(quantity, price/1000, discount, tax) — 14 DECIMAL co-moment "
+    "sums in ONE combinable aggregate, decimal-interior squaring, "
+    "one division per cell",
+)
+def profile_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(19,6)"
+    m = li.select(
+        F.col("l_quantity").cast(dec).alias("q"),
+        (F.col("l_extendedprice") / F.lit(1000.0)).cast(dec).alias("p"),
+        F.col("l_discount").cast(dec).alias("d"),
+        F.col("l_tax").cast(dec).alias("t"),
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for a in "qpdt":
+        aggs.append(F.sum(F.col(a)).alias(f"s{a}"))
+    names = ["q", "p", "d", "t"]
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s{a}{b}"))
+    s = m.agg(*aggs)
+
+    labels = {
+        ("q", "p"): "quantity~price_k",
+        ("q", "d"): "quantity~discount",
+        ("q", "t"): "quantity~tax",
+        ("p", "d"): "price_k~discount",
+        ("p", "t"): "price_k~tax",
+        ("d", "t"): "discount~tax",
+    }
+    structs = []
+    for (a, b), label in labels.items():
+        cnum = (
+            F.col("n") * F.col(f"s{a}{b}")
+            - F.col(f"s{a}") * F.col(f"s{b}")
+        ).cast("double")
+        vx = (
+            F.col("n") * F.col(f"s{a}{a}")
+            - F.col(f"s{a}") * F.col(f"s{a}")
+        ).cast("double")
+        vy = (
+            F.col("n") * F.col(f"s{b}{b}")
+            - F.col(f"s{b}") * F.col(f"s{b}")
+        ).cast("double")
+        nd = F.col("n").cast("double")
+        structs.append(
+            F.struct(
+                F.lit(label).alias("pair"),
+                F.round(cnum / (nd * nd), 9).alias("covariance"),
+                F.round(cnum / (F.sqrt(vx) * F.sqrt(vy)), 9).alias(
+                    "correlation"
+                ),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*structs)).alias("u"))
+        .select("u.pair", "u.covariance", "u.correlation")
+        .orderBy("pair")
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series bars / derivatives
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_bars",
+    # OHLC candlestick resample: per (event_type, day) the open (first
+    # value), high, low, close (last value) and volume — the canonical
+    # market-data bar aggregation. First/last are made deterministic by
+    # the (ts, event_id) total order: row_number both directions is
+    # spelled as rn==1 / rn==cnt so BOTH engines pick the identical
+    # row even under timestamp ties (no arg_min/arg_max, whose tie
+    # behavior is engine-arbitrary). Values pass through untouched
+    # (no float arithmetic); the day total accumulates DECIMAL(38,6).
+    # Scale: one partition-local sort per (type, day) partition — the
+    # window never crosses day boundaries, so partitions stay bounded
+    # at any corpus size.
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                  DATE_TRUNC('day', ts)
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type,
+                              DATE_TRUNC('day', ts)) AS cnt
+      FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn = cnt THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE), 2)
+             AS day_total
+    FROM r GROUP BY event_type, day
+    """,
+    description="OHLC candlestick bars per (event_type, day): "
+    "deterministic open/close via the (ts, event_id) total order, "
+    "high/low/volume, DECIMAL day total — the market-data resample",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    r = e.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    ).select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type", "day"))
+        .alias("cnt"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(
+            F.when(F.col("rn") == F.col("cnt"), F.col("value"))
+        ).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("day_total"),
+    )
+
+
+@register(
+    "events_rate_of_change",
+    # discrete derivative of the hourly event-count series per type:
+    # count, previous observed hour's count (LAG over the OBSERVED
+    # grid — gaps are documented, not filled; events_resample_ffill
+    # covers grid reconstruction), absolute delta, and percent change
+    # (one pinned division, ROUND 9; NULL on the first hour). The
+    # alert-rule primitive behind every "traffic dropped 30%" monitor.
+    # Scale: the corpus collapses to hourly cells in one combinable
+    # aggregate; the window runs on the tiny cell series.
+    oracle="""
+    WITH hr AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, h, n,
+           LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n,
+           n - LAG(n) OVER (PARTITION BY event_type ORDER BY h)
+             AS delta,
+           ROUND(CAST(n - LAG(n) OVER (PARTITION BY event_type
+                                       ORDER BY h) AS DOUBLE)
+                 / CAST(LAG(n) OVER (PARTITION BY event_type
+                                     ORDER BY h) AS DOUBLE), 9)
+             AS pct_change
+    FROM hr
+    """,
+    description="hourly event-count rate of change per type: LAG over "
+    "the observed hourly grid, absolute delta and percent change — "
+    "the monitoring-alert derivative",
+)
+def events_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hr = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    prev = F.lag("n").over(w)
+    return hr.select(
+        "event_type",
+        "h",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+        F.round(
+            (F.col("n") - prev).cast("double") / prev.cast("double"), 9
+        ).alias("pct_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# warehouse window shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_collect_ordered",
+    # ordered string aggregation (LISTAGG/STRING_AGG): per nation, the
+    # top-5 customers by account balance concatenated in rank order —
+    # the report-formatting aggregate every warehouse emits. Order
+    # inside the aggregate is pinned by (acctbal DESC, custkey ASC):
+    # Spark has no ordered collect, so the engine sorts an array of
+    # (negated-balance, key, name) structs — lexicographic struct
+    # order reproduces the SQL ORDER BY exactly; the top-5 cut is a
+    # row_number window. Scale: per-nation partitions, broadcast dim.
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_name, c_acctbal, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey)
+               AS rn
+      FROM customer
+    )
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           STRING_AGG(c_name, ','
+                      ORDER BY c_acctbal DESC, c_custkey) AS top_names
+    FROM ranked JOIN nation ON c_nationkey = n_nationkey
+    WHERE rn <= 5
+    GROUP BY n_name ORDER BY nation
+    """,
+    description="ordered string aggregation: per-nation top-5 "
+    "customers by balance, names concatenated in rank order — "
+    "sorted-struct collect_list as the LISTAGG equivalent",
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = (
+        c.select(
+            "c_nationkey",
+            "c_name",
+            "c_acctbal",
+            "c_custkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    agg = top.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("c_acctbal")).alias("o1"),
+                            F.col("c_custkey").alias("o2"),
+                            F.col("c_name").alias("name"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("name"),
+            ),
+            ",",
+        ).alias("top_names"),
+    )
+    return (
+        agg.join(
+            F.broadcast(n),
+            agg.c_nationkey == n.n_nationkey,
+        )
+        .select(F.col("n_name").alias("nation"), "n_top", "top_names")
+        .orderBy("nation")
+    )
+
+
+@register(
+    "window_pareto_cumshare",
+    # Pareto / ABC inventory classification: parts ranked by revenue,
+    # running cumulative revenue share, class A (first 70% of
+    # revenue), B (to 90%), C (tail) — the assortment-analysis staple.
+    # Revenue per part accumulates DECIMAL(38,6) (order-independent);
+    # rank order is pinned (revenue DESC, partkey); the share is ONE
+    # division of two doubles cast from decimals, rounded at 9 BEFORE
+    # the class comparison so both engines classify the identical
+    # number. Scale: the corpus collapses to per-part cells in one
+    # combinable aggregate; the single global window runs over parts
+    # (5k/sf), not lineitems.
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38, 6))) AS DECIMAL(38, 6))
+               AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), c AS (
+      SELECT l_partkey, revenue,
+             CAST(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38, 6)) AS cum,
+             CAST(SUM(revenue) OVER () AS DECIMAL(38, 6)) AS total,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, l_partkey)
+               AS rnk
+      FROM pr
+    ), s AS (
+      SELECT l_partkey, rnk,
+             CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+             ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 9)
+               AS cum_share
+      FROM c
+    )
+    SELECT l_partkey, rnk, revenue, cum_share,
+           CASE WHEN cum_share <= 0.70 THEN 'A'
+                WHEN cum_share <= 0.90 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM s
+    """,
+    description="Pareto/ABC classification of parts by revenue: "
+    "DECIMAL per-part rollup, pinned-order cumulative share, one "
+    "rounded division, A/B/C cut at 70/90%",
+)
+def window_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("revenue")
+    )
+    w_rank = Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    c = pr.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,6)")
+        .alias("cum"),
+        F.sum("revenue")
+        .over(Window.partitionBy())
+        .cast("decimal(38,6)")
+        .alias("total"),
+        F.row_number().over(w_rank).alias("rnk"),
+    )
+    share = F.round(
+        F.col("cum").cast("double") / F.col("total").cast("double"), 9
+    )
+    s = c.select(
+        "l_partkey",
+        "rnk",
+        # rounding happens on the DECIMAL (exact HALF_UP both engines),
+        # THEN the cast to double: ROUND(double, 2) diverges on exact
+        # .xx5 halves (Spark rounds the shortest decimal string, DuckDB
+        # the binary value) — 6 of 2000 parts hit a half at sf0.01
+        F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
+        share.alias("cum_share"),
+    )
+    return s.select(
+        "l_partkey",
+        "rnk",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.70, "A")
+        .when(F.col("cum_share") <= 0.90, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph: link prediction / k-core
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_common_neighbors",
+    # Link prediction over the bipartite trade graph (the
+    # graph_degree_distribution edge set): for supplier pairs, the
+    # common-customer count, Jaccard overlap of their customer sets,
+    # and the Adamic-Adar index (Σ 1/ln(deg(shared customer)) — rare
+    # shared neighbors weigh more). Candidate pairs are generated the
+    # ONLY scalable way: a customer-keyed self-join (work =
+    # Σ C(deg_customer, 2), never supplier²·customers), aggregated to
+    # pair cells before ranking. Determinism: counts are exact; each
+    # Adamic-Adar term is 1/ln(deg) CAST to DECIMAL(18,9) BEFORE the
+    # sum (the double->decimal cast is engine-identical while
+    # |v|·10^9 < 2^53 — terms are ≤ 1/ln 2) so the cross-row sum is
+    # order-independent decimal addition, not a float fold. deg=1
+    # customers cannot form a pair, so ln(deg) > 0 always. Top-20 by
+    # (common DESC, s1, s2).
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), degc AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS dc FROM base GROUP BY c
+    ), degs AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS ds FROM base GROUP BY s
+    ), pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(CAST(1.0 / LN(CAST(dc AS DOUBLE))
+                           AS DECIMAL(18, 9))) AS DECIMAL(38, 9)) AS aa
+      FROM base a
+      JOIN base b ON a.c = b.c AND a.s < b.s
+      JOIN degc ON a.c = degc.c
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, common,
+           ROUND(CAST(common AS DOUBLE)
+                 / CAST(d1.ds + d2.ds - common AS DOUBLE), 9)
+             AS jaccard,
+           ROUND(CAST(aa AS DOUBLE), 9) AS adamic_adar
+    FROM pairs
+    JOIN degs d1 ON s1 = d1.s
+    JOIN degs d2 ON s2 = d2.s
+    ORDER BY common DESC, s1, s2 LIMIT 20
+    """,
+    description="supplier link prediction on the bipartite trade "
+    "graph: common customers, Jaccard, Adamic-Adar — customer-keyed "
+    "pair generation (Σ C(deg,2) work), decimal-summed AA terms, "
+    "top-20",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _scoped_persist
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = _scoped_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    # deg frames rename their keys: degc/degs share lineage with the
+    # self-joined `base`, and a bare `c` would be ambiguous between the
+    # a/b aliases after the pair join
+    degc = base.groupBy(F.col("c").alias("cc")).agg(
+        F.count(F.lit(1)).alias("dc")
+    )
+    degs = base.groupBy(F.col("s").alias("ss")).agg(
+        F.count(F.lit(1)).alias("ds")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    term = (
+        F.lit(1.0) / F.log(F.col("dc").cast("double"))
+    ).cast("decimal(18,9)")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .join(F.broadcast(degc), F.col("a.c") == F.col("cc"))
+        .groupBy(
+            F.col("a.s").alias("s1"), F.col("b.s").alias("s2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(term).cast("decimal(38,9)").alias("aa"),
+        )
+    )
+    d1 = degs.alias("d1")
+    d2 = degs.alias("d2")
+    out = (
+        pairs.join(F.broadcast(d1), F.col("s1") == F.col("d1.ss"))
+        .join(F.broadcast(d2), F.col("s2") == F.col("d2.ss"))
+        .select(
+            "s1",
+            "s2",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (
+                    F.col("d1.ds") + F.col("d2.ds") - F.col("common")
+                ).cast("double"),
+                9,
+            ).alias("jaccard"),
+            F.round(F.col("aa").cast("double"), 9).alias("adamic_adar"),
+        )
+    )
+    return out.orderBy(F.desc("common"), "s1", "s2").limit(20)
+
+
+@register(
+    "graph_kcore_peel",
+    # k-core peeling, k=3, THREE explicit rounds over the bipartite
+    # (customer, supplier) edge list: each round recomputes both-side
+    # degrees on the surviving edges and keeps edges whose BOTH
+    # endpoints still have degree >= 3. A bounded unrolling (not a
+    # fixed point) keeps the iterative dense-subgraph operator
+    # oracle-expressible; at cluster scale the same loop continues
+    # until Σ removed = 0 with checkpoint-pinned lineage like
+    # graph_pagerank. Output: per-round surviving edge/customer/
+    # supplier counts — exact integers end to end.
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), e1 AS (
+      SELECT c, s FROM e0
+      WHERE c IN (SELECT c FROM e0 GROUP BY c HAVING COUNT(*) >= 3)
+        AND s IN (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) >= 3)
+    ), e2 AS (
+      SELECT c, s FROM e1
+      WHERE c IN (SELECT c FROM e1 GROUP BY c HAVING COUNT(*) >= 3)
+        AND s IN (SELECT s FROM e1 GROUP BY s HAVING COUNT(*) >= 3)
+    ), e3 AS (
+      SELECT c, s FROM e2
+      WHERE c IN (SELECT c FROM e2 GROUP BY c HAVING COUNT(*) >= 3)
+        AND s IN (SELECT s FROM e2 GROUP BY s HAVING COUNT(*) >= 3)
+    )
+    SELECT 1 AS round, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_suppliers FROM e1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c) AS BIGINT),
+           CAST(COUNT(DISTINCT s) AS BIGINT) FROM e2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c) AS BIGINT),
+           CAST(COUNT(DISTINCT s) AS BIGINT) FROM e3
+    """,
+    description="3-round k-core (k=3) peel of the bipartite trade "
+    "graph: per round recompute degrees, drop edges with a sub-core "
+    "endpoint; per-round edge/node counts — the bounded-unrolled "
+    "iterative dense-subgraph operator",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _scoped_persist
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = _scoped_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    results = []
+    cur = edges
+    for rnd in range(1, 4):
+        keep_c = (
+            cur.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 3)
+            .select("c")
+        )
+        keep_s = (
+            cur.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 3)
+            .select("s")
+        )
+        cur = _scoped_persist(
+            cur.join(keep_c, "c", "left_semi").join(
+                keep_s, "s", "left_semi"
+            )
+        )
+        results.append(
+            cur.agg(
+                F.count(F.lit(1)).cast("long").alias("n_edges"),
+                F.countDistinct("c").cast("long").alias("n_customers"),
+                F.countDistinct("s").cast("long").alias("n_suppliers"),
+            ).select(
+                F.lit(rnd).cast("int").alias("round"),
+                "n_edges",
+                "n_customers",
+                "n_suppliers",
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "window_top_with_ties",
+    # top-k WITH TIES (the FETCH FIRST k ROWS WITH TIES semantics):
+    # per event type, the top-5 users by event count INCLUDING every
+    # user tied at the boundary — RANK() (not row_number) drives the
+    # cut, so the result is a deterministic SET with no arbitrary
+    # tie drop. Exact integer counts; ties are common on small-count
+    # data, which is exactly why row_number top-k silently lies there.
+    oracle="""
+    WITH uc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n_events, rk FROM (
+      SELECT event_type, user_id, n_events,
+             CAST(RANK() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, user_id)
+                  AS BIGINT) AS rk
+      FROM uc
+    ) WHERE rk <= 5
+    """,
+    description="per-type top-5 users by event count WITH ties "
+    "(RANK-driven cut) — the deterministic-set alternative to "
+    "row_number top-k",
+)
+def window_top_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    uc = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        uc.select(
+            "event_type",
+            "user_id",
+            "n_events",
+            F.rank().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text: lexical diversity / readability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ttr_hapax",
+    # Lexical diversity per document: type-token ratio and hapax-
+    # legomenon fraction — the two classic vocabulary-richness scores
+    # used to filter template/boilerplate docs from training corpora
+    # (low TTR = repetitive text). Tokens are the pinned [^a-z]+ split
+    # of the lowercased text (the repo's cross-engine token
+    # convention); counts are exact integers; TTR and hapax fraction
+    # are one pinned division each, ROUND 9. Scale: explode ->
+    # (doc, token) cells -> per-doc rollup, all map-side combinable,
+    # no corpus-wide state.
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, t
+      FROM documents,
+           UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+      WHERE LEN(t) > 0
+    ), cell AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9)
+             AS ttr,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS hapax_frac
+    FROM cell GROUP BY doc_id
+    """,
+    description="per-document type-token ratio and hapax fraction — "
+    "lexical-diversity scores for boilerplate filtering; exact token "
+    "cells, two pinned divisions",
+)
+def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+    )
+    cell = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    return cell.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / F.sum("c").cast("double"),
+            9,
+        ).alias("ttr"),
+        F.round(
+            hapax.cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("hapax_frac"),
+    )
+
+
+@register(
+    "text_readability",
+    # Flesch reading-ease per source: 206.835 - 1.015*(words/sentences)
+    # - 84.6*(syllables/word), computed from per-source integer totals.
+    # Syllables are approximated the standard way — vowel-group count
+    # per word (min 1): collapse [aeiouy]+ runs to one marker and count
+    # the markers; sentences are 1 + terminal-punctuation runs (the
+    # synthetic corpus has none, so each doc is one sentence — the
+    # formula degrades gracefully). Everything is exact integers until
+    # two pinned divisions; ROUND 9. Dialect note: DuckDB
+    # regexp_replace needs the 'g' flag for global replacement (Spark
+    # is always global).
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source, t,
+             GREATEST(1, CAST(
+               LEN(regexp_replace(
+                     regexp_replace(t, '[aeiouy]+', 'V', 'g'),
+                     '[^V]', '', 'g'))
+               AS BIGINT)) AS syl
+      FROM documents,
+           UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(t)
+      WHERE LEN(t) > 0
+    ), per_doc AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS words,
+             CAST(SUM(syl) AS BIGINT) AS syllables
+      FROM tok GROUP BY doc_id, source
+    ), sent AS (
+      SELECT doc_id,
+             1 + CAST(LEN(regexp_replace(
+                   regexp_replace(text, '[.!?]+', '#', 'g'),
+                   '[^#]', '', 'g')) AS BIGINT) AS sentences
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(syllables) AS BIGINT) AS total_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(SUM(words) AS DOUBLE)
+                            / CAST(SUM(sentences) AS DOUBLE))
+                 - 84.6 * (CAST(SUM(syllables) AS DOUBLE)
+                           / CAST(SUM(words) AS DOUBLE)), 9)
+             AS flesch_ease
+    FROM per_doc JOIN sent USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    description="Flesch reading-ease per source from exact integer "
+    "word/syllable/sentence totals (vowel-group syllable counting) — "
+    "the classic readability screen for corpus curation",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    syl = F.greatest(
+        F.lit(1),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), "[aeiouy]+", "V"),
+                "[^V]",
+                "",
+            )
+        ).cast("long"),
+    )
+    tok = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+        .select("doc_id", "source", syl.alias("syl"))
+    )
+    per_doc = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("words"),
+        F.sum("syl").cast("long").alias("syllables"),
+    )
+    sent = d.select(
+        "doc_id",
+        (
+            F.lit(1)
+            + F.length(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), "[.!?]+", "#"),
+                    "[^#]",
+                    "",
+                )
+            ).cast("long")
+        ).alias("sentences"),
+    )
+    j = per_doc.join(sent, "doc_id")
+    wps = F.sum("words").cast("double") / F.sum("sentences").cast("double")
+    spw = F.sum("syllables").cast("double") / F.sum("words").cast("double")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.sum("syllables").cast("long").alias("total_syllables"),
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 9
+            ).alias("flesch_ease"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity: embedding-space diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cosine_histogram",
+    # Embedding-space diversity diagnostic: the distribution of
+    # pairwise cosines over a deterministic 10% id-sample (vec_id % 10
+    # = 0) of the corpus, bucketed at 0.1 width — a collapsed/near-
+    # duplicate embedding space shows mass piling at high cosine. The
+    # pair cosine is the repo's pinned ordered double fold (identical
+    # on both engines, see functions/dedup.cosine_similarity), and the
+    # bucket is FLOOR(cos*10) on the UNROUNDED value — the same double
+    # in, the same bucket out, with no rounding boundary to diverge
+    # on. Bucket stats are exact counts + order-independent min/max;
+    # the share is one pinned division. Scale: sampling caps pair work
+    # at (n/10)²/2; at larger corpora the modulus widens.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
+                              (a, x) -> a + x)) AS nrm
+      FROM v
+    ), pc AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                        i -> a.e[i] * b.e[i]),
+                         (acc, x) -> acc + x) / (a.nrm * b.nrm) AS c
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ), bk AS (
+      SELECT GREATEST(-10, LEAST(9, CAST(FLOOR(c * 10) AS BIGINT)))
+               AS bucket,
+             c
+      FROM pc
+    ), cell AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(MIN(c), 9) AS min_cos, ROUND(MAX(c), 9) AS max_cos
+      FROM bk GROUP BY bucket
+    )
+    SELECT bucket, n_pairs, min_cos, max_cos,
+           ROUND(CAST(n_pairs AS DOUBLE)
+                 / CAST(SUM(n_pairs) OVER () AS DOUBLE), 9) AS share
+    FROM cell ORDER BY bucket
+    """,
+    description="pairwise-cosine histogram over a deterministic 10% "
+    "embedding sample (0.1-wide buckets, exact counts, min/max per "
+    "bucket) — the embedding-space collapse/diversity diagnostic",
+)
+def similarity_cosine_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.dedup import cosine_similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    a = v.alias("a")
+    b = v.alias("b")
+    c = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    pc = a.join(
+        F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")
+    ).select(c.alias("c"))
+    bk = pc.select(
+        F.greatest(
+            F.lit(-10),
+            F.least(F.lit(9), F.floor(F.col("c") * 10).cast("long")),
+        ).alias("bucket"),
+        "c",
+    )
+    cell = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.min("c"), 9).alias("min_cos"),
+        F.round(F.max("c"), 9).alias("max_cos"),
+    )
+    w_all = Window.partitionBy()
+    return cell.select(
+        "bucket",
+        "n_pairs",
+        "min_cos",
+        "max_cos",
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(w_all).cast("double"),
+            9,
+        ).alias("share"),
+    ).orderBy("bucket")

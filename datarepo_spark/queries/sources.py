@@ -473,3 +473,48 @@ def streaming_interval_join_twin(
             f"gate_streaming_ivjoin_{_STREAM_SEQ[0]}",
             output_mode="append",
         )
+
+
+@register(
+    "streaming_dedup_first_twin",
+    # first-arrival admission dedup as a REAL 4-micro-batch stream in
+    # complete mode: per user, the earliest (ts, event_id) event's
+    # record. The state is a struct MIN — commutative and associative —
+    # so the final sink equals the batch arg-min REGARDLESS of batch
+    # slicing or intra-batch row order. This is the determinism-safe
+    # form of streaming dropDuplicates ("keep the first version of
+    # every key"), which would otherwise keep an arbitrary row when a
+    # key repeats inside one micro-batch. Oracle: the batch rn=1 pick
+    # over the (ts, event_id) total order. µs-exact timestamps, values
+    # pass through untouched.
+    oracle="""
+    SELECT user_id, ts AS first_ts, event_id AS first_event_id,
+           value AS first_value
+    FROM (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    description="streaming first-arrival dedup (struct-MIN state, "
+    "complete mode, 4-file time-sliced source) — the 6th streaming "
+    "twin; final state must equal the batch arg-min bit-for-bit",
+)
+def streaming_dedup_first_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import (
+        first_event_per_key,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    path = _sliced_events_fixture(sf_dir)
+    _STREAM_SEQ[0] += 1
+    with _stream_shuffle_partitions(spark):
+        stream = read_events_stream(spark, path, max_files_per_trigger=1)
+        result = first_event_per_key(stream, key_col="user_id")
+        return run_stream_to_memory(
+            result,
+            f"gate_streaming_dedupfirst_{_STREAM_SEQ[0]}",
+            output_mode="complete",
+        )

@@ -190,3 +190,27 @@ def run_stream_to_memory(
     finally:
         query.stop()
     return result.sparkSession.table(query_name)
+
+
+def first_event_per_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming first-arrival record per key: MIN over the
+    (ts, event_id, value) struct — the admission-dedup primitive ("keep
+    the first version of every key ever seen"). A struct MIN is
+    commutative/associative state, so the final answer is independent
+    of micro-batch slicing AND of row order inside a batch — unlike
+    streaming ``dropDuplicates``, which keeps an *arbitrary* row when a
+    key repeats within one batch. State is one struct per key, bounded
+    by key cardinality."""
+    return (
+        stream.groupBy(key_col)
+        .agg(F.min(F.struct("ts", "event_id", "value")).alias("first"))
+        .select(
+            key_col,
+            F.col("first.ts").alias("first_ts"),
+            F.col("first.event_id").alias("first_event_id"),
+            F.col("first.value").alias("first_value"),
+        )
+    )

@@ -1081,3 +1081,85 @@ class TestScd2Shape:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Join" in plan
+
+
+class TestR11Insights:
+    """Plan pins for the r11 insights batch (queries/insights.py): the
+    scale-critical shapes — cell-first aggregation, hash (not nested-
+    loop) pair generation, bounded-sample-only BNLJ — must appear in
+    the executed plan."""
+
+    def test_psi_single_pass_then_tiny_spine(self, spark, sf_dir):
+        """The corpus collapses in ONE partial+final aggregate; the
+        10-bucket spine join is a broadcast."""
+        from datarepo_spark.queries import insights  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "profile_psi_drift")
+        assert plan.count("HashAggregate") >= 2  # partial + final
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_spearman_cells_not_corpus_window(self, spark, sf_dir):
+        """Midranks come from value cells: the window sort runs AFTER
+        a HashAggregate (cells), never directly over the row scan, and
+        the quantity-cell join back is a broadcast."""
+        from datarepo_spark.queries import insights  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "profile_spearman_rank")
+        assert "HashAggregate" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_covariance_one_combinable_aggregate(self, spark, sf_dir):
+        """All 14 co-moment sums fold in one partial+final aggregate —
+        no join, no window, no second scan."""
+        from datarepo_spark.queries import insights  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "profile_covariance_matrix")
+        assert plan.count("HashAggregate") >= 2
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_common_neighbors_pair_join_is_hash(self, spark, sf_dir):
+        """Link-prediction candidates come from the customer-keyed
+        equi self-join (residual s1<s2 filter) — a hash join, never a
+        nested loop over supplier x supplier; the final ranking is a
+        TakeOrdered heap."""
+        from datarepo_spark.queries import insights  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "graph_common_neighbors")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_cosine_histogram_bnlj_only_on_sample(self, spark, sf_dir):
+        """The pairwise cosine join is a deliberate BNLJ over the
+        BOUNDED 10% sample (broadcast side is the sample itself) — the
+        corpus scan must feed a Filter(vec_id % 10 = 0) before any
+        join, so the quadratic work is (n/10)^2, never corpus^2."""
+        from datarepo_spark.queries import insights  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "similarity_cosine_histogram")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "% 10" in plan
+
+    def test_ohlc_window_bounded_by_day_partition(self, spark, sf_dir):
+        """The OHLC ranker is a partitioned window (type, day) feeding
+        a grouped aggregate — exactly one Sort above the scan side."""
+        from datarepo_spark.queries import insights  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "events_ohlc_bars")
+        assert "Window" in plan
+        assert plan.count("HashAggregate") >= 2
+
+    def test_pareto_window_over_part_cells(self, spark, sf_dir):
+        """The cumulative-share window runs over per-part CELLS (after
+        the revenue HashAggregate), not over raw lineitems."""
+        from datarepo_spark.queries import insights  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "window_pareto_cumshare")
+        agg_pos = plan.rfind("HashAggregate")
+        win_pos = plan.find("Window")
+        assert win_pos != -1 and agg_pos != -1
+        # executedPlan prints top-down: the Window node appears above
+        # (before) the aggregate that produces its input
+        assert win_pos < agg_pos
