@@ -116,6 +116,8 @@ _PRIORITY_R12: list[str] = [
     "text_readability",
     "similarity_cosine_histogram",
     "streaming_dedup_first_twin",
+    "ivm_topk_by_status",
+    "profile_key_skew",
 ]
 
 

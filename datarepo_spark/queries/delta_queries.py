@@ -1116,3 +1116,77 @@ def ivm_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct_o_custkey").alias("n_distinct_custkey"),
         "n_rows",
     )
+
+
+_BUILT_IVM_TOPK: dict[str, object] = {}
+
+
+def _ivm_topk_fixture(spark: SparkSession, sf_dir: str):
+    """Same append → append → DV-delete drive as _ivm_distinct_fixture,
+    but the maintained view is the per-status TOP-3 orders by
+    (totalprice DESC, orderkey) via tables/ivm.py::IncrementalTopK.
+    The delete removes every order above 150k — i.e. exactly the
+    stored top rows of every group — so the batch exercises the
+    bounded re-derivation path (the old 4th/5th/6th re-enter), the
+    case per-group top-k state cannot answer from itself."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_IVM_TOPK:
+        agg = _BUILT_IVM_TOPK[key]
+        if os.path.isdir(os.path.join(agg.dest_uri, "_delta_log")):
+            return agg
+    from ..tables.delta_writer import delete_delta
+    from ..tables.ivm import IncrementalTopK
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_ivmtk_")
+    src = os.path.join(base, "orders_src")
+    dst = os.path.join(base, "top_orders_by_status")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load(spark, sf_dir, "orders").select(*cols)
+    agg = IncrementalTopK(
+        src, dst, os.path.join(base, "cursor.json"),
+        group_cols=["o_orderstatus"],
+        id_col="o_orderkey", val_col="o_totalprice", k=3,
+    )
+    write_delta(
+        orders.filter(F.col("o_orderkey") <= 1200), src,
+        checkpoint_interval=None,
+    )
+    agg.advance(spark)
+    write_delta(
+        orders.filter(
+            (F.col("o_orderkey") > 1200) & (F.col("o_orderkey") <= 1800)
+        ),
+        src, checkpoint_interval=None,
+    )
+    delete_delta(spark, src, [Filter("o_totalprice", ">", 150000.0)])
+    agg.advance(spark)
+    assert agg.advance(spark) is None
+    _BUILT_IVM_TOPK[key] = agg
+    return agg
+
+
+@register(
+    "ivm_topk_by_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rnk
+      FROM orders
+      WHERE o_orderkey <= 1800 AND NOT (o_totalprice > 150000)
+    ) WHERE rnk <= 3
+    """,
+    description="incremental TOP-K view (per-status top-3 orders by "
+    "totalprice): insert-side self-maintainable ranking state; the DV "
+    "delete evicts every group's stored top rows, forcing the bounded "
+    "source re-derivation (delete-affected groups only) — must equal "
+    "the from-scratch ranking of the source's final state",
+)
+def ivm_topk_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _ivm_topk_fixture(spark, sf_dir)
+    return agg.read(spark).select(
+        "o_orderstatus", "o_orderkey", "o_totalprice", "rnk"
+    )

@@ -1297,3 +1297,77 @@ def similarity_cosine_histogram(
             9,
         ).alias("share"),
     ).orderBy("bucket")
+
+
+@register(
+    "profile_key_skew",
+    # shuffle-planning statistics: per candidate join/agg key of
+    # lineitem, the key-cardinality + hot-key profile that decides
+    # whether to salt (functions/skew.py) — n_keys, max key count, the
+    # hot key's row share, and the skew ratio (max/mean). ONE scan:
+    # the three keys unpivot row-locally to (key_name, key_value)
+    # pairs, then two keyed aggregates (value cells -> per-key stats).
+    # Exact integers; two pinned divisions, ROUND 9.
+    oracle="""
+    WITH kv AS (
+      SELECT 'l_orderkey' AS key_name, l_orderkey AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ), cell AS (
+      SELECT key_name, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM kv GROUP BY key_name, v
+    )
+    SELECT key_name,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9)
+             AS hot_share,
+           ROUND(CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE), 9) AS skew_ratio
+    FROM cell GROUP BY key_name ORDER BY key_name
+    """,
+    description="per-join-key cardinality and hot-key skew profile "
+    "(max count, hot share, max/mean ratio) over lineitem — the "
+    "statistics that justify salting; one scan, two keyed aggregates",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    kv = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key_name"),
+                        F.col(k).alias("v"),
+                    )
+                    for k in ("l_orderkey", "l_partkey", "l_suppkey")
+                ]
+            )
+        ).alias("u")
+    ).select("u.key_name", "u.v")
+    cell = kv.groupBy("key_name", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        cell.groupBy("key_name")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_count"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 9
+            ).alias("hot_share"),
+            F.round(
+                F.max("c").cast("double")
+                * F.count(F.lit(1)).cast("double")
+                / F.sum("c").cast("double"),
+                9,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("key_name")
+    )

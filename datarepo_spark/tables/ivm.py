@@ -489,3 +489,208 @@ class IncrementalDistinctCount:
             F.count(F.lit(1)).alias(f"n_distinct_{self.distinct_col}"),
             F.sum("n_rows").cast("long").alias("n_rows"),
         )
+
+
+class IncrementalTopK:
+    """Top-k rows per group (by ``val_col`` DESC, ``id_col`` ASC),
+    incrementally maintained — the leaderboard/materialized-ranking
+    view. Reference parity note: the reference library has no write or
+    maintenance path at all (SURVEY.md §2A "No write paths"); this
+    extends the repo's IVM family alongside
+    :class:`IncrementalAggregate`.
+
+    Maintainability follows the MIN/MAX analysis (k=1 is exactly MIN/
+    MAX): INSERTS are self-maintainable — rank (stored ∪ inserted)
+    rows and keep k; an insert that doesn't beat the stored k-th can
+    never enter the view later (stored state IS the true top-k while
+    no delete has hit it). DELETES of a NON-stored row (below the
+    k-th) provably leave the view unchanged. DELETES that hit a STORED
+    row evict it, and the replacement (the old k+1-th) is not in
+    state — those groups, and ONLY those, are re-derived from the
+    source AT the batch's version, semi-joined to the affected group
+    keys: cost tracks the delete-affected group count, never source or
+    view size.
+
+    Exactly-once uses the module's two-commit SetTransaction pattern:
+    MERGE upserts the new top-k rows AND marks evicted/deleted stored
+    rows ``rnk = 0`` (version ``2v``); a destination-derived DELETE of
+    ``rnk = 0`` rows follows (``2v+1``) — a crash-replay deletes the
+    leftovers or nothing. ``read()`` filters ``rnk > 0``, so the
+    transient marker rows are never observable through the API.
+
+    State is O(k · groups) rows merged on a per-row surrogate key —
+    at 100 TB the MERGE rewrites only the affected groups' files."""
+
+    def __init__(
+        self,
+        source_uri: str,
+        dest_uri: str,
+        checkpoint_path: str,
+        group_cols: Sequence[str],
+        id_col: str,
+        val_col: str,
+        k: int = 3,
+    ):
+        if not group_cols:
+            raise ValueError("group_cols must be non-empty")
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.source_uri = source_uri.rstrip("/")
+        self.dest_uri = dest_uri.rstrip("/")
+        self.group_cols = list(group_cols)
+        self.id_col = id_col
+        self.val_col = val_col
+        self.k = k
+        self.stream = DeltaChangeStream(source_uri, checkpoint_path)
+        self.app_id = f"ivm-topk:{self.dest_uri}"
+        # reuse the base class's injection-safe surrogate keying
+        self._keyer = IncrementalAggregate(
+            source_uri, dest_uri + "__keyer", checkpoint_path + "__keyer",
+            group_cols=group_cols,
+        )
+
+    # -- keying ---------------------------------------------------------------
+
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        """__group_key over the group tuple plus __row_key over
+        (group tuple, id) — both length-prefixed sha256 (see
+        IncrementalAggregate._with_group_key)."""
+        df = self._keyer._with_group_key(df)
+        rid = F.col(self.id_col).cast("string")
+        return df.withColumn(
+            "__row_key",
+            F.sha2(
+                F.concat(
+                    F.col("__group_key"),
+                    F.coalesce(
+                        F.concat(F.lit("v"), F.length(rid), F.lit(":"), rid),
+                        F.lit("n:"),
+                    ),
+                ),
+                256,
+            ),
+        )
+
+    def _project(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            "__group_key", "__row_key", *self.group_cols,
+            self.id_col, self.val_col,
+        )
+
+    def _ranked_topk(self, candidates: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__group_key").orderBy(
+            F.desc(self.val_col), F.asc(self.id_col)
+        )
+        return (
+            candidates.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= self.k)
+            .withColumn("rnk", F.col("rnk").cast("int"))
+        )
+
+    # -- API ------------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        """The maintained top-k (None before the first advance)."""
+        if not os.path.isdir(os.path.join(self.dest_uri, "_delta_log")):
+            return None
+        return (
+            DeltalakeTable(
+                os.path.basename(self.dest_uri), self.dest_uri
+            )(spark=spark)
+            .filter(F.col("rnk") > 0)
+            .drop("__group_key", "__row_key")
+        )
+
+    def advance(
+        self, spark: SparkSession, max_versions: Optional[int] = None
+    ) -> Optional[int]:
+        """Apply the next change batch; returns the source version
+        caught up to, or None when already current."""
+        batch = self.stream.poll(spark, max_versions=max_versions)
+        if batch is None:
+            return None
+        changes, version = batch
+        ch = self._keyed(changes)
+        inserts = self._project(ch.filter(F.col(CHANGE_TYPE) == "insert"))
+        deletes = ch.filter(F.col(CHANGE_TYPE) != "insert").select(
+            "__group_key", "__row_key"
+        )
+        exists = os.path.isdir(os.path.join(self.dest_uri, "_delta_log"))
+
+        if not exists:
+            state = self._ranked_topk(inserts)
+            write_delta(
+                state,
+                self.dest_uri,
+                txn_app_id=self.app_id,
+                txn_version=2 * version,
+                checkpoint_interval=None,
+            )
+            self.stream.ack(version)
+            return version
+
+        current = (
+            DeltalakeTable(
+                os.path.basename(self.dest_uri), self.dest_uri
+            )(spark=spark)
+            .filter(F.col("rnk") > 0)
+        )
+        affected = (
+            inserts.select("__group_key")
+            .unionByName(deletes.select("__group_key"))
+            .distinct()
+        )
+        cur_aff = self._project(
+            current.join(affected, "__group_key", "left_semi")
+        )
+        # groups where a delete evicted a STORED row: the old k+1-th is
+        # unknowable from state — re-derive exactly these from the
+        # source at this batch's version
+        rederive = (
+            deletes.join(cur_aff, "__row_key", "left_semi")
+            .select("__group_key")
+            .distinct()
+        )
+        source_rows = self._project(
+            self._keyed(
+                DeltalakeTable(
+                    os.path.basename(self.source_uri), self.source_uri
+                )(spark=spark, version=version)
+            ).join(rederive, "__group_key", "left_semi")
+        )
+        kept_cur = cur_aff.join(rederive, "__group_key", "left_anti")
+        kept_ins = inserts.join(rederive, "__group_key", "left_anti")
+        candidates = source_rows.unionByName(kept_cur).unionByName(kept_ins)
+        topk = self._ranked_topk(candidates)
+        # stored rows of affected groups that fell out (evicted, deleted,
+        # or out-ranked) are upserted as rnk=0 markers, then purged by the
+        # destination-derived delete below
+        dropped = (
+            cur_aff.join(topk.select("__row_key"), "__row_key", "left_anti")
+            .withColumn("rnk", F.lit(0).cast("int"))
+        )
+        merge_delta(
+            spark,
+            self.dest_uri,
+            topk.unionByName(dropped),
+            on=["__row_key"],
+            txn_app_id=self.app_id,
+            txn_version=2 * version,
+        )
+        if (
+            DeltaLog(self.dest_uri)
+            .snapshot()
+            .app_transactions.get(self.app_id, -1)
+            < 2 * version + 1
+        ):
+            delete_delta(
+                spark,
+                self.dest_uri,
+                [Filter("rnk", "=", 0)],
+                txn_app_id=self.app_id,
+                txn_version=2 * version + 1,
+            )
+        self.stream.ack(version)
+        return version

@@ -516,3 +516,146 @@ class TestIncrementalDistinctCount:
                 str(tmp_path / "c.json"),
                 group_cols=["k"], distinct_col="k",
             )
+
+
+class TestIncrementalTopK:
+    def _mk(self, spark, tmp_path, k=2):
+        from datarepo_spark.tables.ivm import IncrementalTopK
+
+        return IncrementalTopK(
+            str(tmp_path / "src"), str(tmp_path / "dst"),
+            str(tmp_path / "cursor.json"),
+            group_cols=["g"], id_col="id", val_col="v", k=k,
+        )
+
+    def _state(self, agg, spark):
+        return {
+            (r.g, r.rnk): (r.id, r.v)
+            for r in agg.read(spark).collect()
+        }
+
+    def test_insert_only_maintains_topk(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import write_delta
+
+        agg = self._mk(spark, tmp_path)
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+             ("b", 4, 5.0)],
+            ["g", "id", "v"],
+        )
+        write_delta(df, agg.source_uri, checkpoint_interval=None)
+        agg.advance(spark)
+        assert self._state(agg, spark) == {
+            ("a", 1): (2, 30.0), ("a", 2): (3, 20.0), ("b", 1): (4, 5.0),
+        }
+        # a better row enters; a worse row is ignored
+        write_delta(
+            spark.createDataFrame(
+                [("a", 5, 25.0), ("a", 6, 1.0)], ["g", "id", "v"]
+            ),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        assert self._state(agg, spark) == {
+            ("a", 1): (2, 30.0), ("a", 2): (5, 25.0), ("b", 1): (4, 5.0),
+        }
+
+    def test_delete_below_k_leaves_view(self, spark, tmp_path):
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta, write_delta,
+        )
+
+        agg = self._mk(spark, tmp_path)
+        write_delta(
+            spark.createDataFrame(
+                [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0)],
+                ["g", "id", "v"],
+            ),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        # id 1 (v=10) is NOT stored (k=2) — deleting it must not
+        # trigger any change
+        delete_delta(spark, agg.source_uri, [Filter("id", "=", 1)])
+        agg.advance(spark)
+        assert self._state(agg, spark) == {
+            ("a", 1): (2, 30.0), ("a", 2): (3, 20.0),
+        }
+
+    def test_delete_stored_row_rederives_replacement(self, spark, tmp_path):
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta, write_delta,
+        )
+
+        agg = self._mk(spark, tmp_path)
+        write_delta(
+            spark.createDataFrame(
+                [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+                 ("b", 4, 7.0), ("b", 5, 9.0)],
+                ["g", "id", "v"],
+            ),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        # delete a's #1 row: the evicted 10.0 row must RE-ENTER from
+        # the source re-read; group b untouched
+        delete_delta(spark, agg.source_uri, [Filter("id", "=", 2)])
+        agg.advance(spark)
+        assert self._state(agg, spark) == {
+            ("a", 1): (3, 20.0), ("a", 2): (1, 10.0),
+            ("b", 1): (5, 9.0), ("b", 2): (4, 7.0),
+        }
+        # group shrinks below k when rows run out
+        delete_delta(spark, agg.source_uri, [Filter("id", "=", 3)])
+        agg.advance(spark)
+        assert self._state(agg, spark) == {
+            ("a", 1): (1, 10.0),
+            ("b", 1): (5, 9.0), ("b", 2): (4, 7.0),
+        }
+
+    def test_mixed_batch_insert_and_delete(self, spark, tmp_path):
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta, write_delta,
+        )
+
+        agg = self._mk(spark, tmp_path)
+        write_delta(
+            spark.createDataFrame(
+                [("a", 1, 10.0), ("a", 2, 30.0)], ["g", "id", "v"]
+            ),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        # one advance consumes BOTH the new append and the delete:
+        # insert 40.0 and delete the old top in separate commits
+        write_delta(
+            spark.createDataFrame([("a", 9, 40.0)], ["g", "id", "v"]),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        delete_delta(spark, agg.source_uri, [Filter("id", "=", 2)])
+        while agg.advance(spark) is not None:
+            pass
+        assert self._state(agg, spark) == {
+            ("a", 1): (9, 40.0), ("a", 2): (1, 10.0),
+        }
+
+    def test_validates_args(self, tmp_path):
+        import pytest as _pytest
+
+        from datarepo_spark.tables.ivm import IncrementalTopK
+
+        with _pytest.raises(ValueError):
+            IncrementalTopK(
+                str(tmp_path / "s"), str(tmp_path / "d"),
+                str(tmp_path / "c.json"),
+                group_cols=[], id_col="id", val_col="v",
+            )
+        with _pytest.raises(ValueError):
+            IncrementalTopK(
+                str(tmp_path / "s"), str(tmp_path / "d"),
+                str(tmp_path / "c.json"),
+                group_cols=["g"], id_col="id", val_col="v", k=0,
+            )

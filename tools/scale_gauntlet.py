@@ -77,6 +77,14 @@ GAUNTLET = [
     "agg_frequent_itemsets",
     "streaming_sessionize_twin",
     "events_rolling_distinct_users",
+    # r11 additions (VERDICT r10 #4): the two iterative graph
+    # operators (cost multiplies per round at scale — the only class
+    # with no committed sf0.5/sf1 wall-time) and the daily warehouse/
+    # observability shapes
+    "graph_label_propagation",
+    "graph_personalized_pagerank",
+    "join_scd2_lookup",
+    "events_hourly_p95",
 ]
 
 
