@@ -118,6 +118,9 @@ _PRIORITY_R12: list[str] = [
     "streaming_dedup_first_twin",
     "ivm_topk_by_status",
     "profile_key_skew",
+    "profile_qq_deciles",
+    "window_yoy_growth",
+    "streaming_stream_static_twin",
 ]
 
 

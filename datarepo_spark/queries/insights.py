@@ -1371,3 +1371,156 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_name")
     )
+
+
+@register(
+    "profile_qq_deciles",
+    # Q-Q table: the click-vs-view value distributions compared at the
+    # nine deciles — the visual-diagnostic companion of
+    # profile_ks_drift (sup norm) and profile_psi_drift (binned): WHERE
+    # the distributions diverge, not just whether. ONE window sort per
+    # cohort feeds ALL nine quantiles: ranked rows join the broadcast
+    # 9-row decile spine on i ∈ {floor(k_q), ceil(k_q)} (k_q =
+    # (n-1)·q, the same correctly-rounded double product in both
+    # engines — the pinned rank-and-interpolate machinery generalized
+    # to a quantile VECTOR), then one grouped aggregate interpolates.
+    # Never nine sorts, never a collect.
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(value AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value) - 1 AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) - 1
+                  AS DOUBLE) AS nm1
+      FROM events WHERE event_type IN ('click', 'view')
+    ), spine AS (
+      SELECT CAST(UNNEST([0.1, 0.2, 0.3, 0.4, 0.5,
+                          0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS q
+    ), hit AS (
+      SELECT event_type, q, v, i, nm1 * q AS k
+      FROM r JOIN spine
+        ON i = CAST(FLOOR(nm1 * q) AS BIGINT)
+        OR i = CAST(CEIL(nm1 * q) AS BIGINT)
+    ), cell AS (
+      SELECT event_type, q,
+             MIN(CASE WHEN i = CAST(FLOOR(k) AS BIGINT) THEN v END)
+             + (MAX(CASE WHEN i = CAST(CEIL(k) AS BIGINT) THEN v END)
+                - MIN(CASE WHEN i = CAST(FLOOR(k) AS BIGINT) THEN v END))
+               * (MIN(k) - FLOOR(MIN(k))) AS qv
+      FROM hit GROUP BY event_type, q
+    )
+    SELECT a.q AS decile,
+           ROUND(a.qv, 6) AS click_q,
+           ROUND(b.qv, 6) AS view_q,
+           ROUND(a.qv - b.qv, 6) AS qq_diff
+    FROM cell a JOIN cell b ON a.q = b.q
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+    ORDER BY decile
+    """,
+    description="Q-Q decile table of click vs view value "
+    "distributions — one window sort per cohort feeds all nine "
+    "pinned interpolated quantiles via a broadcast decile spine",
+)
+def profile_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", F.col("value").cast("double").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    r = e.select(
+        "event_type",
+        "v",
+        (F.row_number().over(w) - 1).alias("i"),
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")) - 1
+        )
+        .cast("double")
+        .alias("nm1"),
+    )
+    spine = spark.range(1, 10).select(
+        (F.col("id").cast("double") / 10.0).alias("q")
+    )
+    k = F.col("nm1") * F.col("q")
+    hit = r.join(
+        F.broadcast(spine),
+        (F.col("i") == F.floor(k).cast("long"))
+        | (F.col("i") == F.ceil(k).cast("long")),
+    ).select("event_type", "q", "v", "i", k.alias("k"))
+    lo = F.min(
+        F.when(F.col("i") == F.floor(F.col("k")).cast("long"), F.col("v"))
+    )
+    hi = F.max(
+        F.when(F.col("i") == F.ceil(F.col("k")).cast("long"), F.col("v"))
+    )
+    cell = hit.groupBy("event_type", "q").agg(
+        (lo + (hi - lo) * (F.min("k") - F.floor(F.min("k")))).alias("qv")
+    )
+    a = cell.filter(F.col("event_type") == "click").alias("a")
+    b = cell.filter(F.col("event_type") == "view").alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.q") == F.col("b.q"))
+        .select(
+            F.col("a.q").alias("decile"),
+            F.round(F.col("a.qv"), 6).alias("click_q"),
+            F.round(F.col("b.qv"), 6).alias("view_q"),
+            F.round(F.col("a.qv") - F.col("b.qv"), 6).alias("qq_diff"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "window_yoy_growth",
+    # period-over-period reporting: monthly revenue with the
+    # year-over-year comparison (LAG 12 over the observed monthly
+    # grid) — the finance/BI staple. Revenue accumulates DECIMAL(38,6)
+    # per month (order-independent); display rounding happens on the
+    # DECIMAL before the double cast (ROUND(double, 2) diverges on
+    # exact halves); the growth rate is one pinned division of two
+    # exact-decimal-derived doubles, ROUND 9. Scale: the corpus
+    # collapses to ~84 month cells in one combinable aggregate.
+    oracle="""
+    WITH m AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)
+               AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6)))
+                  AS DECIMAL(38, 6)) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(LAG(rev, 12) OVER (ORDER BY month), 2) AS DOUBLE)
+             AS revenue_prev_year,
+           ROUND((CAST(rev AS DOUBLE)
+                  - CAST(LAG(rev, 12) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(LAG(rev, 12) OVER (ORDER BY month) AS DOUBLE),
+                 9) AS yoy_growth
+    FROM m ORDER BY month
+    """,
+    description="monthly revenue with year-over-year growth (LAG 12 "
+    "over the observed monthly grid) — DECIMAL rollup, decimal-first "
+    "display rounding, one pinned division",
+)
+def window_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("rev")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev", 12).over(w)
+    return m.select(
+        "month",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(prev, 2).cast("double").alias("revenue_prev_year"),
+        F.round(
+            (F.col("rev").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            9,
+        ).alias("yoy_growth"),
+    ).orderBy("month")

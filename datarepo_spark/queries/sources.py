@@ -518,3 +518,74 @@ def streaming_dedup_first_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"gate_streaming_dedupfirst_{_STREAM_SEQ[0]}",
             output_mode="complete",
         )
+
+
+@register(
+    "streaming_stream_static_twin",
+    # the stream-STATIC join family under the gate (the 7th twin, and
+    # the one streaming join class the stream-stream interval twin
+    # does not cover): the event stream is enriched with the static
+    # customer dimension (broadcast — stateless, no watermark, no
+    # state store for the join) and aggregated per market segment in
+    # complete mode. A stateless enrichment commutes with batch
+    # slicing, and the downstream aggregate state merges per key, so
+    # the final sink must equal the batch join+GROUP BY exactly.
+    # Counts are exact integers; the value sum accumulates
+    # DECIMAL(38,6) (order-independent).
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE)
+             AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="structured-streaming stream-static broadcast join "
+    "(event stream enriched with the customer dim) + complete-mode "
+    "segment aggregation — the stateless-join twin; final state must "
+    "equal the batch join+GROUP BY bit-for-bit",
+)
+def streaming_stream_static_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events import read_events_stream, run_stream_to_memory
+
+    path = _sliced_events_fixture(sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    _STREAM_SEQ[0] += 1
+    with _stream_shuffle_partitions(spark):
+        stream = read_events_stream(spark, path, max_files_per_trigger=1)
+        enriched = stream.join(
+            F.broadcast(dim),
+            stream.user_id == dim.c_custkey,
+            "inner",
+        )
+        # exact distinct users per segment via the two-level form
+        # (streaming COUNT(DISTINCT) is unsupported and approx_count_
+        # distinct is not exact): the streaming state is per-(segment,
+        # user) multiplicities — the same construction
+        # ivm.IncrementalDistinctCount uses
+        result = (
+            enriched.groupBy("c_mktsegment", "user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("decimal(38,6)")
+                .alias("__sum"),
+            )
+        )
+        state = run_stream_to_memory(
+            result,
+            f"gate_streaming_dim_{_STREAM_SEQ[0]}",
+            output_mode="complete",
+        )
+    # the per-(segment, user) state is the streaming output; the final
+    # segment rollup is a tiny batch aggregate over the sink table
+    return state.groupBy("c_mktsegment").agg(
+        F.sum("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__sum").cast("double").alias("total_value"),
+    )
