@@ -121,6 +121,7 @@ _PRIORITY_R12: list[str] = [
     "profile_qq_deciles",
     "window_yoy_growth",
     "streaming_stream_static_twin",
+    "events_peak_concurrency",
 ]
 
 

@@ -1524,3 +1524,113 @@ def window_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("yoy_growth"),
     ).orderBy("month")
+
+
+@register(
+    "events_peak_concurrency",
+    # peak concurrent sessions — the sweep-line/interval-scheduling
+    # shape (capacity planning's core query): sessions are the
+    # standard 30-minute gap split per user (the sessionize
+    # convention, (ts, event_id)-tiebroken), each contributes a +1
+    # point at its start and a -1 at its end, and the running sum over
+    # the pinned sweep order (ts ASC, +1 before -1 so a session is
+    # active at its own boundary instants) is the live concurrency.
+    # Exact integers end to end; the sweep sorts SESSION-grain points
+    # (2 per session), never raw events — the corpus collapses first.
+    # Output: total sessions, the peak, and the earliest instant it is
+    # reached.
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), sess AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM s GROUP BY user_id, session_id
+    ), pts AS (
+      SELECT s_start AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT s_end, -1 FROM sess
+    ), sweep AS (
+      SELECT t, d,
+             CAST(SUM(d) OVER (ORDER BY t, d DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS live
+      FROM pts
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+           MIN(CASE WHEN live = (SELECT MAX(live) FROM sweep)
+                    THEN t END) AS peak_ts
+    FROM sweep
+    """,
+    description="peak concurrent sessions via the sweep line over "
+    "session-grain +1/-1 points (pinned (t, +1-first) order) — the "
+    "capacity-planning interval query; exact integers end to end",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap (unix_micros): a seconds cast truncates and would
+    # drift against the oracle's INTERVAL comparison at sub-second
+    # edges (the events_sessionize convention)
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w_lag)
+    gaps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = gaps.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w_lag.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    from ..functions.dedup import _scoped_persist
+
+    sess = _scoped_persist(sess)
+    pts = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    w_sweep = Window.orderBy(F.asc("t"), F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = pts.select(
+        "t", "d", F.sum("d").over(w_sweep).cast("long").alias("live")
+    )
+    n_sessions = sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    peak = sweep.agg(F.max("live").alias("__peak"))
+    peak_row = (
+        sweep.join(F.broadcast(peak), sweep.live == F.col("__peak"))
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrency"),
+            F.min("t").alias("peak_ts"),
+        )
+    )
+    return n_sessions.crossJoin(F.broadcast(peak_row))
