@@ -48,6 +48,7 @@ from datarepo_spark.session import get_spark  # noqa: E402
 from datarepo_spark.queries.registry import REGISTRY  # noqa: E402
 from datarepo_spark.queries import analysis  # noqa: E402,F401  (registers the r10b headline ops)
 from datarepo_spark.queries import extensions  # noqa: E402,F401
+from datarepo_spark.queries import insights  # noqa: E402,F401  (registers the r11 batch)
 from datarepo_spark.queries import physical  # noqa: E402,F401  (registers bench_calibration)
 from datarepo_spark.queries import sources  # noqa: E402,F401  (registers streaming_ewma_twin)
 from datarepo_spark.queries import tpch_extra  # noqa: E402,F401  (registers q18)
@@ -172,6 +173,14 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "join_scd2_lookup",
     "events_hourly_p95",
+    # added r11 (headline count 72 → 76): the heavy r11-born operators
+    # — link-prediction pair generation (Σ C(deg,2) join), the
+    # explode-heavy lexical-diversity pass, the double-join Spearman
+    # rank machinery, and the session sweep line
+    "graph_common_neighbors",
+    "text_ttr_hapax",
+    "profile_spearman_rank",
+    "events_peak_concurrency",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

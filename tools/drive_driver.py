@@ -44,11 +44,12 @@ if not names:
     names = rng.sample(sorted(oracles), 12)
     # always include the newest queries
     for extra in (
-        "similarity_ann_index_pq",
-        "dedup_incremental_index",
-        "pipeline_token_budget",
-        "multimodal_video_near_dup",
-        "multimodal_audio_near_dup",
+        "ivm_topk_by_status",
+        "streaming_dedup_first_twin",
+        "streaming_stream_static_twin",
+        "graph_common_neighbors",
+        "events_peak_concurrency",
+        "profile_spearman_rank",
     ):
         if extra in oracles and extra not in names:
             names.append(extra)

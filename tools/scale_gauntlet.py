@@ -36,6 +36,7 @@ from datarepo_spark.session import get_spark  # noqa: E402
 from datarepo_spark.queries.registry import REGISTRY  # noqa: E402
 from datarepo_spark.queries import analysis  # noqa: E402,F401
 from datarepo_spark.queries import extensions  # noqa: E402,F401
+from datarepo_spark.queries import insights  # noqa: E402,F401
 from datarepo_spark.queries import physical  # noqa: E402,F401
 from datarepo_spark.queries import sources  # noqa: E402,F401
 from datarepo_spark.functions.dedup import unpersist_intermediates  # noqa: E402
@@ -85,6 +86,12 @@ GAUNTLET = [
     "graph_personalized_pagerank",
     "join_scd2_lookup",
     "events_hourly_p95",
+    # r11b additions: the heavy insights-batch shapes — pair-join link
+    # prediction (Σ C(deg,2) grows superlinearly under replication as
+    # customer degree saturates toward the supplier count) and the
+    # explode-heavy lexical pass (linear in tokens)
+    "graph_common_neighbors",
+    "text_ttr_hapax",
 ]
 
 
