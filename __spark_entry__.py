@@ -122,6 +122,8 @@ _PRIORITY_R12: list[str] = [
     "window_yoy_growth",
     "streaming_stream_static_twin",
     "events_peak_concurrency",
+    "events_conversion_latency",
+    "events_dau_wau_mau",
 ]
 
 

@@ -1634,3 +1634,237 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return n_sessions.crossJoin(F.broadcast(peak_row))
+
+
+@register(
+    "events_conversion_latency",
+    # time-to-convert: for each user with both a click and a later
+    # purchase, the minutes from FIRST click to the FIRST purchase at
+    # or after it, summarized as p50/p95 + count — the product-
+    # analytics latency funnel (events_funnel counts conversions; this
+    # measures how long they take). First-click/first-purchase are
+    # exact MIN aggregates; the latency is exact integer microseconds
+    # scaled to minutes in ONE pinned division; percentiles reuse the
+    # pinned rank-and-interpolate machinery (single group). Scale: the
+    # corpus collapses to two per-user MIN cells, the window runs over
+    # users-with-conversions only.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT c.user_id,
+             MIN(e.ts) AS first_purchase,
+             MIN(c.first_click) AS first_click
+      FROM c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.ts >= c.first_click
+      GROUP BY c.user_id
+    ), lat AS (
+      SELECT CAST(EPOCH_US(first_purchase) - EPOCH_US(first_click)
+                  AS DOUBLE) / 60000000.0 AS mins
+      FROM p
+    ), r AS (
+      SELECT mins,
+             ROW_NUMBER() OVER (ORDER BY mins) - 1 AS i,
+             CAST(COUNT(*) OVER () - 1 AS DOUBLE) AS nm1
+      FROM lat
+    ), q AS (
+      SELECT
+        MIN(CASE WHEN i = CAST(FLOOR(nm1 * 0.5) AS BIGINT)
+                 THEN mins END)
+        + (MAX(CASE WHEN i = CAST(CEIL(nm1 * 0.5) AS BIGINT)
+                    THEN mins END)
+           - MIN(CASE WHEN i = CAST(FLOOR(nm1 * 0.5) AS BIGINT)
+                      THEN mins END))
+          * (MIN(nm1 * 0.5) - FLOOR(MIN(nm1 * 0.5))) AS p50,
+        MIN(CASE WHEN i = CAST(FLOOR(nm1 * 0.95) AS BIGINT)
+                 THEN mins END)
+        + (MAX(CASE WHEN i = CAST(CEIL(nm1 * 0.95) AS BIGINT)
+                    THEN mins END)
+           - MIN(CASE WHEN i = CAST(FLOOR(nm1 * 0.95) AS BIGINT)
+                      THEN mins END))
+          * (MIN(nm1 * 0.95) - FLOOR(MIN(nm1 * 0.95))) AS p95,
+        CAST(COUNT(*) AS BIGINT) AS n_converted
+      FROM r
+      WHERE i IN (CAST(FLOOR(nm1 * 0.5) AS BIGINT),
+                  CAST(CEIL(nm1 * 0.5) AS BIGINT),
+                  CAST(FLOOR(nm1 * 0.95) AS BIGINT),
+                  CAST(CEIL(nm1 * 0.95) AS BIGINT))
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_converted,
+           ROUND(p50, 6) AS p50_minutes,
+           ROUND(p95, 6) AS p95_minutes
+    FROM q
+    """,
+    description="first-click to first-purchase conversion latency: "
+    "per-user MIN cells, exact-µs minutes, pinned p50/p95 — the "
+    "time-to-convert funnel companion",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.min("first_click").alias("first_click"),
+        )
+    )
+    from ..functions.dedup import _scoped_persist
+
+    lat = _scoped_persist(
+        p.select(
+            (
+                (
+                    F.unix_micros(F.col("first_purchase"))
+                    - F.unix_micros(F.col("first_click"))
+                ).cast("double")
+                / F.lit(60000000.0)
+            ).alias("mins")
+        )
+    )
+    w = Window.orderBy("mins")
+    r = lat.select(
+        "mins",
+        (F.row_number().over(w) - 1).alias("i"),
+        (F.count(F.lit(1)).over(Window.partitionBy()) - 1)
+        .cast("double")
+        .alias("nm1"),
+    )
+
+    def interp(q: float):
+        k = F.col("nm1") * F.lit(q)
+        lo = F.min(
+            F.when(
+                F.col("i") == F.floor(k).cast("long"), F.col("mins")
+            )
+        )
+        hi = F.max(
+            F.when(F.col("i") == F.ceil(k).cast("long"), F.col("mins"))
+        )
+        return lo + (hi - lo) * (F.min(k) - F.floor(F.min(k)))
+
+    k50 = F.col("nm1") * F.lit(0.5)
+    k95 = F.col("nm1") * F.lit(0.95)
+    hits = r.filter(
+        (F.col("i") == F.floor(k50).cast("long"))
+        | (F.col("i") == F.ceil(k50).cast("long"))
+        | (F.col("i") == F.floor(k95).cast("long"))
+        | (F.col("i") == F.ceil(k95).cast("long"))
+    )
+    q = hits.agg(
+        F.round(interp(0.5), 6).alias("p50_minutes"),
+        F.round(interp(0.95), 6).alias("p95_minutes"),
+    )
+    n = lat.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    return n.crossJoin(F.broadcast(q)).select(
+        "n_converted", "p50_minutes", "p95_minutes"
+    )
+
+
+@register(
+    "events_dau_wau_mau",
+    # DAU / WAU / MAU + stickiness — THE product-analytics dashboard
+    # query: per day, distinct actives that day, in the trailing 7
+    # days, and in the trailing 30 days, plus DAU/MAU. Built on the
+    # proven grid-explode shape (events_rolling_distinct_users): the
+    # corpus collapses ONCE to the distinct (day, user) grid
+    # (combinable, persisted), each grid row then votes into the ≤30
+    # trailing calendar days it covers, and one exact distinct count
+    # per (target day, horizon) finishes. Only days with direct
+    # activity are reported (the observed grid). Exact integers; one
+    # pinned division, ROUND 9.
+    oracle="""
+    WITH grid AS (
+      SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+                      user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM grid
+    ), votes AS (
+      SELECT days.d AS target, grid.user_id,
+             CASE WHEN grid.d = days.d THEN 1 ELSE 0 END AS is_day,
+             CASE WHEN grid.d > days.d - INTERVAL '7 days'
+                  THEN 1 ELSE 0 END AS in_week
+      FROM grid JOIN days
+        ON grid.d <= days.d
+       AND grid.d > days.d - INTERVAL '30 days'
+    ), agg AS (
+      SELECT target AS day,
+             CAST(COUNT(DISTINCT CASE WHEN is_day = 1
+                                      THEN user_id END) AS BIGINT)
+               AS dau,
+             CAST(COUNT(DISTINCT CASE WHEN in_week = 1
+                                      THEN user_id END) AS BIGINT)
+               AS wau,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM votes GROUP BY target
+    )
+    SELECT day, dau, wau, mau,
+           ROUND(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 9)
+             AS stickiness
+    FROM agg ORDER BY day
+    """,
+    description="DAU/WAU/MAU + stickiness per observed day — one "
+    "distinct (day, user) grid pass, bounded 30-way trailing vote "
+    "join, exact distinct counts; the activity dashboard staple",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _scoped_persist
+
+    e = load(spark, sf_dir, "events")
+    grid = _scoped_persist(
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+        ).distinct()
+    )
+    days = grid.select("d").distinct().select(F.col("d").alias("target"))
+    votes = grid.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("target"))
+        & (
+            F.col("d")
+            > F.col("target") - F.expr("INTERVAL 30 DAYS")
+        ),
+    ).select(
+        "target",
+        "user_id",
+        F.when(F.col("d") == F.col("target"), 1).otherwise(0).alias(
+            "is_day"
+        ),
+        F.when(
+            F.col("d") > F.col("target") - F.expr("INTERVAL 7 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("in_week"),
+    )
+    agg = votes.groupBy(F.col("target").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("is_day") == 1, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("dau"),
+        F.countDistinct(
+            F.when(F.col("in_week") == 1, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("wau"),
+        F.countDistinct("user_id").cast("long").alias("mau"),
+    )
+    return agg.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 9
+        ).alias("stickiness"),
+    ).orderBy("day")
