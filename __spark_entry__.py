@@ -124,6 +124,7 @@ _PRIORITY_R12: list[str] = [
     "events_peak_concurrency",
     "events_conversion_latency",
     "events_dau_wau_mau",
+    "delta_replace_where",
 ]
 
 

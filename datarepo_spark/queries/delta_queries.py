@@ -1190,3 +1190,70 @@ def ivm_topk_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.read(spark).select(
         "o_orderstatus", "o_orderkey", "o_totalprice", "rnk"
     )
+
+
+_BUILT_RW: dict[str, str] = {}
+
+
+def _replace_where_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Table exercising the predicate-scoped atomic overwrite
+    (replaceWhere): seed with orders keys <= 1200, then replace the
+    'F' partition slice with a deterministically recomputed version
+    (same keys, status 'R', price + 1000) in ONE commit. Content stays
+    a pure function of the source parquet."""
+    key = os.path.abspath(sf_dir)
+    if key in _BUILT_RW and os.path.isdir(
+        os.path.join(_BUILT_RW[key], "_delta_log")
+    ):
+        return _BUILT_RW[key]
+    from ..tables.delta_writer import overwrite_where
+
+    base = tempfile.mkdtemp(prefix="datarepo_delta_rw_")
+    uri = os.path.join(base, "orders_rw")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    write_delta(
+        src.repartitionByRange(3, "o_orderkey"), uri,
+        checkpoint_interval=None,
+    )
+    repl = (
+        src.filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.lit("R").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+    )
+    res = overwrite_where(
+        spark, uri, repl, [Filter("o_orderstatus", "in", ["F", "R"])]
+    )
+    assert res["rows_replaced"] > 0 and res["files_added"] >= 1, res
+    _BUILT_RW[key] = uri
+    return uri
+
+
+@register(
+    "delta_replace_where",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'R'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 1200
+    """,
+    description="predicate-scoped atomic overwrite (replaceWhere): the "
+    "'F' slice is removed and its recomputed replacement written in ONE "
+    "commit (DV removal + staged adds at a single version boundary) — "
+    "the partition-reload/backfill primitive; final state must equal "
+    "the from-scratch recompute",
+)
+def delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uri = _replace_where_fixture(spark, sf_dir)
+    return DeltalakeTable("orders_rw", uri)(spark=spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

@@ -3085,3 +3085,174 @@ def convert_to_delta(
         log_dir, actions, operation="CONVERT",
         operation_params={"numFiles": len(data_files)},
     )
+
+
+def overwrite_where(
+    spark,
+    uri: str,
+    df: DataFrame,
+    filters,
+    txn_app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
+    rewrite_threshold: Optional[float] = None,
+    max_affected_files: Optional[int] = None,
+) -> dict[str, int]:
+    """Atomic predicate-scoped overwrite (delta-spark's ``replaceWhere``):
+    in ONE commit, rows matching ``filters`` are removed and ``df`` is
+    written in their place — the partition-reload / backfill primitive
+    ("replace March with this recomputed March"). Reference parity
+    note: the reference library is read-only (SURVEY.md §2A); this
+    extends the repo's write path alongside write/merge/update/delete.
+
+    Semantics are delta-spark's:
+    - every row of ``df`` must satisfy the predicate (otherwise the
+      "overwrite WHERE x" would smuggle rows outside x — ValueError
+      before anything is staged);
+    - existing matched rows are removed via the same executor-side
+      deletion-vector machinery as :func:`delete_delta` (cost tracks
+      the replaced-row count; ``rewrite_threshold`` flips near-empty
+      files to copy-on-write);
+    - a predicate matching nothing degrades to a plain append of
+      ``df`` — still one commit, still predicate-validated;
+    - readers flip from old rows to new rows at a single version
+      boundary (remove + add in one atomic commit, operation WRITE
+      with the predicate recorded).
+
+    Schema: ``df`` must be a type-compatible subset of the table
+    schema (strict mode; missing columns land as nulls). Generated
+    columns are recomputed/validated; identity tables are refused
+    (identity assignment is an append-path feature — use write_delta).
+
+    Returns {version, rows_replaced, files_rewritten, files_removed,
+    files_added}."""
+    from pyspark.sql import functions as F
+
+    from ..core.compile import filters_to_column
+    from ..core.filters import normalize_filters, validate_filters
+    from .delta_table import DeltalakeTable
+
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
+    uri = uri.rstrip("/")
+    snapshot = DeltaLog(uri).snapshot()
+    if txn_app_id is not None:
+        last = snapshot.app_transactions.get(txn_app_id)
+        if last is not None and txn_version <= last:
+            return {
+                "version": snapshot.version,
+                "rows_replaced": 0,
+                "files_rewritten": 0,
+                "files_removed": 0,
+                "files_added": 0,
+            }
+    if _identity_fields(snapshot):
+        raise ValueError(
+            "overwrite_where is not supported on IDENTITY tables — "
+            "identity values are append-assigned; write_delta the "
+            "replacement instead"
+        )
+    dnf = normalize_filters(filters)
+    if not dnf:
+        raise ValueError(
+            "overwrite_where requires a predicate; a full overwrite is "
+            "write_delta(df, uri, mode='overwrite')"
+        )
+    validate_filters(dnf, {f.name for f in snapshot.schema.fields})
+    predicate = filters_to_column(dnf)
+
+    # normalize the replacement frame to the table schema (strict
+    # compatibility; missing columns become nulls), recompute/validate
+    # generated columns, then enforce the replaceWhere constraint:
+    # every replacement row must satisfy the predicate
+    _check_schema(df, snapshot, "strict")
+    normalized = df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in snapshot.schema.fields
+        ]
+    )
+    normalized = _apply_generated(normalized, snapshot)
+    _enforce_constraints(normalized, snapshot)
+    offender = normalized.filter(
+        ~F.coalesce(predicate, F.lit(False))
+    ).limit(1).collect()
+    if offender:
+        raise ValueError(
+            f"overwrite_where replacement rows must satisfy the "
+            f"predicate {[str(f) for c in dnf for f in c]}; offending "
+            f"row: {offender[0].asDict()}"
+        )
+
+    table = DeltalakeTable(os.path.basename(uri), uri)
+    existing = table._read_from_log(
+        spark, snapshot, dnf, keep_rel=True, keep_pos=True
+    )
+    dv_actions: list[dict] = []
+    counters = {"rows_deleted": 0, "files_rewritten": 0, "files_removed": 0}
+    rewrite_rels: list[str] = []
+    if existing is not None:
+        matched_df = existing.filter(predicate)
+        dv_actions, counters, rewrite_rels = _dv_soft_delete_actions(
+            spark, uri, snapshot, matched_df,
+            rewrite_threshold=rewrite_threshold,
+            max_affected_files=max_affected_files,
+        )
+
+    staged = normalized
+    if rewrite_rels:
+        live = existing.filter(
+            F.col("__delta_rel").isin(rewrite_rels)
+            & ~F.coalesce(predicate, F.lit(False))
+        ).drop("__delta_rel", "__delta_pos")
+        staged = staged.unionByName(live)
+    stage_df, stage_parts, file_schema = _stage_frame_for(snapshot, staged)
+    add_actions = _stage_adds(
+        spark, stage_df, uri, stage_parts, file_schema, data_change=True
+    )
+
+    actions = _dv_feature_actions(snapshot) if dv_actions else []
+    actions.extend(dv_actions)
+    actions.extend(add_actions)
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": 0,
+                }
+            }
+        )
+    try:
+        version = _commit_atomically(
+            os.path.join(uri, "_delta_log"), actions,
+            read_version=snapshot.version,
+            operation="WRITE",
+            operation_params={
+                "mode": "Overwrite",
+                "predicate": [str(f) for c in dnf for f in c],
+            },
+            read_predicate=dnf,
+            data_schema=snapshot.data_schema,
+        )
+    except _TxnAlreadyLanded as landed:
+        _discard_files(uri, _new_dv_paths(dv_actions))
+        _discard_files(
+            uri, [unquote(a["add"]["path"]) for a in add_actions]
+        )
+        return {
+            "version": landed.version,
+            "rows_replaced": 0,
+            "files_rewritten": 0,
+            "files_removed": 0,
+            "files_added": 0,
+        }
+    return {
+        "version": version,
+        "rows_replaced": counters["rows_deleted"],
+        "files_rewritten": counters["files_rewritten"],
+        "files_removed": counters["files_removed"],
+        "files_added": len(add_actions),
+    }

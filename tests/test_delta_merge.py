@@ -247,3 +247,111 @@ class TestAffectedFilesCap:
                 max_affected_files=1,
             )
         assert DeltaLog(uri).snapshot().version == 0
+
+
+class TestOverwriteWhere:
+    """replaceWhere semantics: predicate-scoped atomic overwrite."""
+
+    def _seed(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import write_delta
+
+        uri = str(tmp_path / "ow")
+        df = spark.createDataFrame(
+            [(i, "a" if i < 50 else "b", float(i)) for i in range(100)],
+            ["k", "part", "v"],
+        ).repartitionByRange(4, "k")
+        write_delta(df, uri)
+        return uri
+
+    def _all(self, spark, uri):
+        return sorted(
+            tuple(r)
+            for r in DeltalakeTable("t", uri)(spark=spark)
+            .select("k", "part", "v")
+            .collect()
+        )
+
+    def test_replaces_matching_rows_atomically(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import overwrite_where
+
+        uri = self._seed(spark, tmp_path)
+        v0 = DeltaLog(uri).snapshot().version
+        repl = spark.createDataFrame(
+            [(1000 + i, "b", -1.0) for i in range(5)], ["k", "part", "v"]
+        )
+        out = overwrite_where(
+            spark, uri, repl, [Filter("part", "=", "b")]
+        )
+        # ONE commit: old b-rows gone, 5 new b-rows in, a-rows intact
+        assert out["version"] == v0 + 1
+        assert out["rows_replaced"] == 50
+        got = self._all(spark, uri)
+        assert len(got) == 55
+        assert [t for t in got if t[1] == "b"] == [
+            (1000 + i, "b", -1.0) for i in range(5)
+        ]
+        assert all(t[2] == float(t[0]) for t in got if t[1] == "a")
+
+    def test_rejects_rows_outside_predicate(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import overwrite_where
+
+        uri = self._seed(spark, tmp_path)
+        v0 = DeltaLog(uri).snapshot().version
+        bad = spark.createDataFrame(
+            [(1, "a", 0.0), (2, "b", 0.0)], ["k", "part", "v"]
+        )
+        with pytest.raises(ValueError, match="satisfy the predicate"):
+            overwrite_where(spark, uri, bad, [Filter("part", "=", "b")])
+        # nothing committed, nothing changed
+        assert DeltaLog(uri).snapshot().version == v0
+        assert len(self._all(spark, uri)) == 100
+
+    def test_no_match_degrades_to_append(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import overwrite_where
+
+        uri = self._seed(spark, tmp_path)
+        repl = spark.createDataFrame(
+            [(7, "zz", 9.0)], ["k", "part", "v"]
+        )
+        out = overwrite_where(
+            spark, uri, repl, [Filter("part", "=", "zz")]
+        )
+        assert out["rows_replaced"] == 0
+        assert out["files_added"] >= 1
+        assert len(self._all(spark, uri)) == 101
+
+    def test_missing_columns_land_as_nulls(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import overwrite_where
+
+        uri = self._seed(spark, tmp_path)
+        repl = spark.createDataFrame([(5000, "b")], ["k", "part"])
+        overwrite_where(spark, uri, repl, [Filter("part", "=", "b")])
+        got = self._all(spark, uri)
+        assert (5000, "b", None) in got
+        assert len([t for t in got if t[1] == "b"]) == 1
+
+    def test_txn_replay_is_skipped(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import overwrite_where
+
+        uri = self._seed(spark, tmp_path)
+        repl = spark.createDataFrame([(1, "b", 0.5)], ["k", "part", "v"])
+        out1 = overwrite_where(
+            spark, uri, repl, [Filter("part", "=", "b")],
+            txn_app_id="ow-test", txn_version=1,
+        )
+        out2 = overwrite_where(
+            spark, uri, repl, [Filter("part", "=", "b")],
+            txn_app_id="ow-test", txn_version=1,
+        )
+        assert out2["rows_replaced"] == 0
+        assert out2["files_added"] == 0
+        assert DeltaLog(uri).snapshot().version == out1["version"]
+        assert len([t for t in self._all(spark, uri) if t[1] == "b"]) == 1
+
+    def test_requires_predicate(self, spark, tmp_path):
+        from datarepo_spark.tables.delta_writer import overwrite_where
+
+        uri = self._seed(spark, tmp_path)
+        repl = spark.createDataFrame([(1, "b", 0.5)], ["k", "part", "v"])
+        with pytest.raises(ValueError, match="requires a predicate"):
+            overwrite_where(spark, uri, repl, [])
