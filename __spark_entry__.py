@@ -125,6 +125,8 @@ _PRIORITY_R12: list[str] = [
     "events_conversion_latency",
     "events_dau_wau_mau",
     "delta_replace_where",
+    "streaming_delta_sink_twin",
+    "events_error_rate_slo",
 ]
 
 

@@ -1868,3 +1868,95 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("mau").cast("double"), 9
         ).alias("stickiness"),
     ).orderBy("day")
+
+
+@register(
+    "events_error_rate_slo",
+    # multiwindow SLO burn rate (the Google-SRE alerting shape): per
+    # hour, the error rate over the hour itself and over the trailing
+    # 6 hours, expressed as burn-rate multiples of a 1% error budget,
+    # with the standard fast+slow page condition (burn_1h > 14.4 AND
+    # burn_6h > 6). The corpus collapses ONCE to hourly
+    # (errors, total) cells; the trailing window is a bounded 6-way
+    # vote join over the cells (the proven grid shape). Rates are
+    # quotients of the SAME exact integers on both engines, so even
+    # the unrounded alert comparison is deterministic; displayed
+    # values are ROUND 9.
+    oracle="""
+    WITH hr AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM events GROUP BY 1
+    ), votes AS (
+      SELECT t.h AS target, w.errors, w.total
+      FROM hr t JOIN hr w
+        ON w.h <= t.h AND w.h > t.h - INTERVAL '6 hours'
+    ), roll AS (
+      SELECT target AS h,
+             CAST(SUM(errors) AS BIGINT) AS errors_6h,
+             CAST(SUM(total) AS BIGINT) AS total_6h
+      FROM votes GROUP BY target
+    )
+    SELECT hr.h, errors, total,
+           ROUND(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE)
+                 / 0.01, 9) AS burn_1h,
+           ROUND(CAST(errors_6h AS DOUBLE) / CAST(total_6h AS DOUBLE)
+                 / 0.01, 9) AS burn_6h,
+           CAST(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE)
+                  / 0.01 > 14.4
+                AND CAST(errors_6h AS DOUBLE) / CAST(total_6h AS DOUBLE)
+                  / 0.01 > 6.0 AS BOOLEAN) AS page_alert
+    FROM hr JOIN roll ON hr.h = roll.h
+    ORDER BY hr.h
+    """,
+    description="multiwindow SLO burn rate per hour (1h fast / 6h "
+    "slow windows over a 1% error budget, the SRE page condition) — "
+    "hourly cells once, bounded 6-way trailing join, exact-integer "
+    "rates",
+)
+def events_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import _scoped_persist
+
+    e = load(spark, sf_dir, "events")
+    hr = _scoped_persist(
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("errors"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+    )
+    t = hr.select(F.col("h").alias("target"))
+    votes = hr.join(
+        t,
+        (F.col("h") <= F.col("target"))
+        & (F.col("h") > F.col("target") - F.expr("INTERVAL 6 HOURS")),
+    ).select("target", "errors", "total")
+    roll = votes.groupBy(F.col("target").alias("h")).agg(
+        F.sum("errors").cast("long").alias("errors_6h"),
+        F.sum("total").cast("long").alias("total_6h"),
+    )
+    r1 = F.col("errors").cast("double") / F.col("total").cast("double") / F.lit(0.01)
+    r6 = (
+        F.col("errors_6h").cast("double")
+        / F.col("total_6h").cast("double")
+        / F.lit(0.01)
+    )
+    return (
+        hr.join(roll, "h")
+        .select(
+            "h",
+            "errors",
+            "total",
+            F.round(r1, 9).alias("burn_1h"),
+            F.round(r6, 9).alias("burn_6h"),
+            ((r1 > 14.4) & (r6 > 6.0)).alias("page_alert"),
+        )
+        .orderBy("h")
+    )

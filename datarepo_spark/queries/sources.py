@@ -589,3 +589,55 @@ def streaming_stream_static_twin(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("__sum").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "streaming_delta_sink_twin",
+    # the exactly-once Delta SINK under the gate (8th twin): the event
+    # stream lands in a Delta table via foreachBatch + write_delta with
+    # the SetTransaction ledger keyed (app_id, batch_id) — the
+    # idempotent micro-batch contract (a replayed batch after failure
+    # is skipped off the ledger; tests/test_storage.py proves the
+    # replay no-op, this query puts the end-to-end path under the
+    # driver's value hash). The sink table's final content must equal
+    # the source events exactly, independent of slicing.
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    """,
+    description="structured-streaming exactly-once Delta sink "
+    "(foreachBatch + SetTransaction-ledgered write_delta over the "
+    "4-file time-sliced source) — the sink table must equal the "
+    "source events bit-for-bit",
+)
+def streaming_delta_sink_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import read_events_stream
+    from ..tables.delta_table import DeltalakeTable
+    from ..tables.delta_writer import write_delta
+
+    path = _sliced_events_fixture(sf_dir)
+    _STREAM_SEQ[0] += 1
+    dest = tempfile.mkdtemp(prefix="datarepo_stream_sink_") + "/events_delta"
+    app_id = f"gate-delta-sink-{_STREAM_SEQ[0]}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta(
+            batch_df.select(
+                "event_id", "user_id", "ts", "event_type", "value"
+            ),
+            dest,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+            checkpoint_interval=None,
+        )
+
+    with _stream_shuffle_partitions(spark):
+        stream = read_events_stream(spark, path, max_files_per_trigger=1)
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return DeltalakeTable("events_delta", dest)(spark=spark).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
