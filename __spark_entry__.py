@@ -127,6 +127,7 @@ _PRIORITY_R12: list[str] = [
     "delta_replace_where",
     "streaming_delta_sink_twin",
     "events_error_rate_slo",
+    "profile_rfm_segmentation",
 ]
 
 

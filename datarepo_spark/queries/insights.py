@@ -1960,3 +1960,119 @@ def events_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@register(
+    "profile_rfm_segmentation",
+    # RFM (recency / frequency / monetary) customer segmentation — the
+    # classic marketing-warehouse operator: per customer, days since
+    # last order (anchored at the corpus max date, data-derived so the
+    # query is reproducible on any snapshot), order count, and DECIMAL
+    # lifetime value; each dimension quintile-scored with NTILE(5)
+    # over a PINNED total order (value, custkey — NTILE is
+    # row-order-deterministic once the order is total), then the
+    # standard segment rule. Exact integers/decimals throughout; the
+    # only doubles are display casts. Scale: one orders rollup, three
+    # windows over customer cells, broadcast anchor.
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(o_orderdate) AS maxd FROM orders
+    ), cust AS (
+      SELECT o_custkey,
+             DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                      CAST(MIN(maxd) AS DATE)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6)))
+                  AS DECIMAL(38, 6)) AS monetary
+      FROM orders, anchor GROUP BY o_custkey
+    ), scored AS (
+      -- NTILE orders reference cust's RAW columns (monetary is the
+      -- DECIMAL, matching the engine side); display rounding happens
+      -- in the outer select so no alias can shadow the window order
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary ASC, o_custkey)
+                  AS BIGINT) AS m_score
+      FROM cust
+    )
+    SELECT o_custkey, recency_days, frequency,
+           CAST(ROUND(monetary, 2) AS DOUBLE) AS monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    description="RFM customer segmentation: recency/frequency/DECIMAL "
+    "monetary per customer, pinned NTILE(5) quintile scores, standard "
+    "segment rule — the marketing-warehouse staple",
+)
+def profile_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("maxd").cast("date"),
+                F.max("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("monetary"),
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("monetary"), 2).cast("double").alias("monetary"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 4),
+            "at_risk_loyal",
+        )
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") <= 2),
+            "recent_light",
+        )
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
