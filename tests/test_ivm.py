@@ -659,3 +659,88 @@ class TestIncrementalTopK:
                 str(tmp_path / "c.json"),
                 group_cols=["g"], id_col="id", val_col="v", k=0,
             )
+
+
+class TestIncrementalTopKRandomGauntlet:
+    """Randomized maintenance equivalence: after EVERY advance over a
+    random insert/delete history, read() must equal the from-scratch
+    top-k ranking of the source's current live state — the same
+    oracle style as the delta writer's random gauntlet."""
+
+    def test_random_history_matches_from_scratch(self, spark, tmp_path):
+        import random
+
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta, write_delta,
+        )
+        from datarepo_spark.tables.ivm import IncrementalTopK
+
+        rng = random.Random(47)
+        agg = IncrementalTopK(
+            str(tmp_path / "src"), str(tmp_path / "dst"),
+            str(tmp_path / "cursor.json"),
+            group_cols=["g"], id_col="id", val_col="v", k=3,
+        )
+        live = {}  # id -> (g, v)
+        next_id = 0
+
+        def expected():
+            by_g = {}
+            for i, (g, v) in live.items():
+                by_g.setdefault(g, []).append((v, i))
+            out = {}
+            for g, rows in by_g.items():
+                rows.sort(key=lambda t: (-t[0], t[1]))
+                for rnk, (v, i) in enumerate(rows[:3], 1):
+                    out[(g, rnk)] = (i, v)
+            return out
+
+        def got():
+            return {
+                (r.g, r.rnk): (r.id, r.v)
+                for r in agg.read(spark).collect()
+            }
+
+        # seed batch
+        seed = []
+        for _ in range(12):
+            g = rng.choice("abc")
+            seed.append((g, next_id, float(rng.randint(0, 40))))
+            live[next_id] = (g, seed[-1][2])
+            next_id += 1
+        write_delta(
+            spark.createDataFrame(seed, ["g", "id", "v"]),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        assert got() == expected()
+
+        for _step in range(6):
+            if rng.random() < 0.5 and live:
+                # delete a random subset (may or may not hit stored rows)
+                victims = rng.sample(
+                    sorted(live), k=min(len(live), rng.randint(1, 4))
+                )
+                delete_delta(
+                    spark, agg.source_uri,
+                    [Filter("id", "in", victims)],
+                )
+                for i in victims:
+                    live.pop(i)
+            else:
+                batch = []
+                for _ in range(rng.randint(1, 5)):
+                    g = rng.choice("abc")
+                    batch.append(
+                        (g, next_id, float(rng.randint(0, 40)))
+                    )
+                    live[next_id] = (g, batch[-1][2])
+                    next_id += 1
+                write_delta(
+                    spark.createDataFrame(batch, ["g", "id", "v"]),
+                    agg.source_uri, checkpoint_interval=None,
+                )
+            while agg.advance(spark) is not None:
+                pass
+            assert got() == expected(), f"diverged at step {_step}"
