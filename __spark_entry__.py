@@ -128,6 +128,7 @@ _PRIORITY_R12: list[str] = [
     "streaming_delta_sink_twin",
     "events_error_rate_slo",
     "profile_rfm_segmentation",
+    "classify_confusion_matrix",
 ]
 
 

@@ -2076,3 +2076,140 @@ def profile_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+def _nb_confusion_oracle() -> str:
+    """Extend the classify_nb_language oracle's CTE chain (imported from
+    its registration — ONE spelling of the NB scorer, never two copies
+    to drift apart) with confusion-matrix cells and per-class
+    precision/recall/F1."""
+    from . import extensions  # noqa: F401  (registers the NB scorer)
+    from .registry import REGISTRY
+
+    base = REGISTRY["classify_nb_language"].oracle
+    head, _, _tail = base.rpartition("SELECT r.doc_id")
+    assert head, "classify_nb_language oracle changed shape"
+    return (
+        head
+        + """, cells AS (
+      SELECT d.lang AS label, r.label AS predicted,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ranked r JOIN documents d USING (doc_id)
+      WHERE rn = 1 GROUP BY 1, 2
+    ), per_class AS (
+      SELECT ls.label,
+             CAST(COALESCE(SUM(CASE WHEN c.label = ls.label
+                                    THEN c.n END), 0) AS BIGINT)
+               AS n_true,
+             CAST(COALESCE(SUM(CASE WHEN c.predicted = ls.label
+                                    THEN c.n END), 0) AS BIGINT)
+               AS n_pred,
+             CAST(COALESCE(SUM(CASE WHEN c.label = ls.label
+                                    AND c.predicted = ls.label
+                                    THEN c.n END), 0) AS BIGINT) AS tp
+      FROM lab_set ls
+      LEFT JOIN cells c
+        ON c.label = ls.label OR c.predicted = ls.label
+      GROUP BY ls.label
+    )
+    SELECT label, n_true, n_pred, tp,
+           CASE WHEN n_pred > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE),
+                           9) END AS precision,
+           CASE WHEN n_true > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE),
+                           9) END AS recall,
+           CASE WHEN n_true + n_pred > 0
+                THEN ROUND(2.0 * CAST(tp AS DOUBLE)
+                           / CAST(n_true + n_pred AS DOUBLE), 9)
+                END AS f1
+    FROM per_class ORDER BY label
+    """
+    )
+
+
+@register(
+    "classify_confusion_matrix",
+    oracle=_nb_confusion_oracle(),
+    # per-class precision/recall/F1 of the NB language classifier — the
+    # third leg of the evaluation family (classify_auc ranks,
+    # classify_calibration checks probabilities, this scores the hard
+    # decisions). The scorer is the SAME oracle CTE chain as
+    # classify_nb_language (imported, not copied); the confusion cells
+    # are exact integers and every metric is a pinned division
+    # (F1 = 2·tp / (n_true + n_pred) — the integer-denominator
+    # harmonic form, no intermediate precision·recall float product).
+    description="NB language-classifier confusion matrix with "
+    "per-class precision/recall/F1 — exact integer cells, pinned "
+    "divisions; completes the classifier-evaluation family",
+)
+def classify_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.classify import nb_classify
+
+    docs = load(spark, sf_dir, "documents")
+    pred = nb_classify(docs, "text", "lang", "doc_id")
+    cells = (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("label"), "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    classes = docs.select(
+        F.col("lang").alias("cls")
+    ).distinct()
+    joined = classes.join(
+        cells,
+        (cells.label == F.col("cls")) | (cells.predicted == F.col("cls")),
+        "left",
+    )
+    per_class = joined.groupBy(F.col("cls").alias("label")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("label") == F.col("cls"), F.col("n"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_true"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("predicted") == F.col("cls"), F.col("n"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_pred"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("label") == F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    tp = F.col("tp").cast("double")
+    return per_class.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.round(tp / F.col("n_pred").cast("double"), 9),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0,
+            F.round(tp / F.col("n_true").cast("double"), 9),
+        ).alias("recall"),
+        F.when(
+            (F.col("n_true") + F.col("n_pred")) > 0,
+            F.round(
+                F.lit(2.0)
+                * tp
+                / (F.col("n_true") + F.col("n_pred")).cast("double"),
+                9,
+            ),
+        ).alias("f1"),
+    ).orderBy("label")
