@@ -23,6 +23,7 @@ from datarepo_spark.queries import physical as _physical  # noqa: E402,F401
 from datarepo_spark.queries import sources as _sources  # noqa: E402,F401
 from datarepo_spark.queries import analysis as _analysis  # noqa: E402,F401
 from datarepo_spark.queries import insights as _insights  # noqa: E402,F401
+from datarepo_spark.queries import ranked as _ranked  # noqa: E402,F401
 
 # The driver gates the first N queries() entries (N=50 of the full
 # registry — len(REGISTRY) is the authoritative count), so
@@ -30,76 +31,20 @@ from datarepo_spark.queries import insights as _insights  # noqa: E402,F401
 # family per rotation. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 #
-# -- r11 window (VERDICT r10 #1): the 46 r10-born queries that have
-# never held a driver row (the statistics/data-quality layer, the four
-# remaining streaming twins incl. the stream-stream interval join —
-# VERDICT r10 #2 — SCD2, gaps-and-islands, itemsets, AUC/calibration,
-# batch ANN, and the skew dup-payload query), then 4 refresh slots on
-# the oldest green cohort (r7): the heavy TPC-H Q18, the flagship
-# MinHash-LSH dedup, the brute-force ANN baseline, and the video
-# near-dup decode path. After r11: every registry query as of r10 has
-# held a driver row and none is older than r8.
+# -- r12 window (VERDICT r11 #3): the 29 r11-born queries that have
+# never held a driver row (the insights analytics batch — including
+# the three queries REWRITTEN this round onto the two-pass distributed
+# rank/prefix-sum primitive per VERDICT r11 #1, plus the migrated RFM
+# NTILE and conversion-latency percentiles — the k-core/link-
+# prediction graph pair, the three remaining streaming twins, the
+# replaceWhere writer path, top-k IVM, and the confusion matrix), then
+# 21 refresh slots on the oldest green cohort (r8): the heavy curate/
+# decontaminate pipelines (also the r11 perf watch items), the delta
+# write/maintenance paths, the text-quality layer, ANN variants, and
+# event analytics. After r12: every registry query as of r11 has held
+# a driver row and none is older than r9.
 _PRIORITY = [
-    # -- r10-born, never driver-gated (staged r10 as _PRIORITY_R11) ----
-    "profile_iqr_outliers",
-    "events_anomaly_mad",
-    "text_rrf_fusion",
-    "graph_degree_distribution",
-    "dedup_jaccard_prefix",
-    "profile_ks_drift",
-    "similarity_batch_knn",
-    "streaming_window_counts_twin",
-    "streaming_debounce_twin",
-    "join_asof_tolerance",
-    "pipeline_quality_funnel",
-    "text_zipf_profile",
-    "similarity_ann_ivf_batch",
-    "graph_personalized_pagerank",
-    "graph_label_propagation",
-    "events_seasonal_profile",
-    "ivm_distinct_by_status",
-    "agg_boolean_suite",
-    "fn_bitwise_suite",
-    "fn_regexp_suite",
-    "window_gap_islands",
-    "join_null_safe",
-    "profile_benford",
-    "skew_salted_agg_dup_payloads",
-    "profile_linear_trend",
-    "events_time_weighted_avg",
-    "window_rolling_median",
-    "profile_chi_square",
-    "profile_gini",
-    "profile_bootstrap_ci",
-    "profile_welch_ttest",
-    "events_autocorrelation",
-    "events_cusum_drift",
-    "multimodal_scene_cuts",
-    "profile_expectations",
-    "events_rolling_distinct_users",
-    "streaming_sessionize_twin",
-    "agg_frequent_itemsets",
-    "profile_table_fingerprint",
-    "profile_join_cardinality_estimate",
-    "classify_auc",
-    "classify_calibration",
-    "events_hourly_p95",
-    "streaming_interval_join_twin",
-    "profile_conformal_interval",
-    "join_scd2_lookup",
-    # -- r7-cohort refresh (oldest green rows, 4 slots) ----------------
-    "q18_large_volume",
-    "dedup_minhash_lsh",
-    "similarity_knn_brute_force",
-    "multimodal_video_near_dup",
-    # exactly 50 entries total — the driver gates the first 50
-]
-
-# r12 rotation staging: queries born in r11 that should lead the next
-# window (filled as they land; drained into _PRIORITY at the r12
-# rotation), then the oldest-cohort refresh picks up from r8. Each is
-# driver-sim-verified green at sf0.01 when it lands here.
-_PRIORITY_R12: list[str] = [
+    # -- r11-born, never driver-gated (staged r11 as _PRIORITY_R12) ----
     "bench_calibration",
     "profile_psi_drift",
     "profile_spearman_rank",
@@ -129,12 +74,46 @@ _PRIORITY_R12: list[str] = [
     "events_error_rate_slo",
     "profile_rfm_segmentation",
     "classify_confusion_matrix",
+    # -- r8-cohort refresh (oldest green rows, 21 slots) ---------------
+    "pipeline_curate_v3",
+    "pipeline_decontaminate_neardup",
+    "pipeline_pack_sequences",
+    "pipeline_mixture_sample",
+    "delta_merge_upsert",
+    "delta_dv_delete",
+    "delta_zorder_skip",
+    "classify_nb_language",
+    "text_perplexity",
+    "text_quality_rank",
+    "text_normalize",
+    "dedup_semantic",
+    "dedup_cluster_survivors",
+    "similarity_ann_ivfpq",
+    "similarity_kmeans_assign",
+    "similarity_ann_index",
+    "events_funnel",
+    "events_retention",
+    "events_transition_matrix",
+    "q4_order_priority",
+    "q19_disjunctive_predicates",
+    # exactly 50 entries total — the driver gates the first 50
+]
+
+# r13 rotation staging: queries born in r12 that should lead the next
+# window (filled as they land; drained into _PRIORITY at the r13
+# rotation), then the oldest-cohort refresh picks up from r9. Each is
+# driver-sim-verified green at sf0.01 when it lands here.
+_PRIORITY_R13: list[str] = [
+    "profile_mann_whitney",
+    "profile_kruskal_wallis",
+    "profile_weighted_median",
+    "window_lorenz_deciles",
 ]
 
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
-    for name in _PRIORITY + _PRIORITY_R12:
+    for name in _PRIORITY + _PRIORITY_R13:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():
         if name not in ordered:

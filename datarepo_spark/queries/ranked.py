@@ -1,0 +1,483 @@
+"""Rank-based statistics and distribution shapes (r12 batch).
+
+Every operator here is the class the r11 verdict flagged as Spark's
+global-order trap: exact order statistics over corpus-scaled frames.
+They are all built on the two-pass distributed rank/prefix-sum
+primitive (functions/twopass.py) — value cells, range-partitioned
+local windows, bounded carry frames — so no query in this module ever
+plans an unpartitioned Window over a data-scaled input.
+
+Determinism contract (registry.py rules): exact integer/decimal folds
+up to the last division; libm outputs rounded at 9 on both engines;
+double folds over bounded group sets use the pinned ordered-fold
+pattern (Spark ``aggregate`` over a sorted array == DuckDB
+``list_reduce`` over ``LIST(... ORDER BY ...)``, 0.0-seed == first-
+element-seed because ``0.0 + x == x``).
+
+Reference parity: the reference engine's analytics surface stops at
+SQL windows (src/datarepo/*); these are the standard
+statistics-warehouse extensions (Mann-Whitney U, Kruskal-Wallis H,
+weighted median, Lorenz curve) every large-scale data-quality pipeline
+reaches for — public-textbook formulations, cited per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.twopass import distributed_ntile, distributed_prefix_sum
+from .registry import load, register
+
+_DEC = "decimal(38,0)"
+
+
+def _doubled_midrank_cells(df: DataFrame, val_col: str) -> DataFrame:
+    """(v, c, r2): per distinct value, its count and DOUBLED midrank
+    2*cum_before + c + 1 (doubling keeps ties' half-ranks integer).
+    The cum_before is the two-pass distributed prefix sum — value
+    cells of a continuous column are corpus-scaled (the spearman
+    lesson)."""
+    cells = df.groupBy(F.col(val_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cells = distributed_prefix_sum(
+        cells, ["v"], "c", out_col="cb", exclusive=True
+    )
+    return cells.select(
+        "v",
+        "c",
+        (F.lit(2) * F.col("cb").cast("long") + F.col("c") + F.lit(1)).alias(
+            "r2"
+        ),
+    )
+
+
+@register(
+    "profile_mann_whitney",
+    # Mann-Whitney U (Wilcoxon rank-sum) comparing the `value`
+    # distribution of click vs purchase events — THE nonparametric
+    # two-sample location test (textbook formulation: Mann & Whitney
+    # 1947; normal approximation with the standard tie correction).
+    # Doubled midranks over pooled value cells keep everything integer
+    # (the profile_spearman_rank machinery, two-pass distributed
+    # cum_before); rank sums and the tie term Σ(c³-c) accumulate in
+    # DECIMAL(38,0) with decimal-interior multiplies (exact to ~1e12
+    # rows: c³ ≤ 1e36 < 1e38). The only doubles are the final
+    # U/z/effect-size expressions — identical parenthesization on both
+    # engines, sqrt is IEEE-exact, ROUND 9. Effect size is the rank-
+    # biserial correlation r = -A/(n1*n2) where A = 2U - n1*n2.
+    oracle="""
+    WITH pool AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_x
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), cells AS (
+      SELECT v,
+             CAST(SUM(is_x) AS BIGINT) AS cx,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY v
+    ), ranked AS (
+      SELECT cx, c,
+             2 * CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) + c + 1 AS r2
+      FROM cells
+    ), s AS (
+      SELECT CAST(SUM(cx) AS DECIMAL(38,0)) AS nx,
+             CAST(SUM(c - cx) AS DECIMAL(38,0)) AS ny,
+             CAST(SUM(CAST(cx AS DECIMAL(38,0))
+                      * CAST(r2 AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s2rx,
+             CAST(SUM(CAST(c AS DECIMAL(38,0))
+                      * CAST(c AS DECIMAL(38,0))
+                      * CAST(c AS DECIMAL(38,0))
+                      - CAST(c AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS t_ties
+      FROM ranked
+    ), u AS (
+      SELECT nx, ny, t_ties,
+             CAST(s2rx - nx * (nx + 1) AS DECIMAL(38,0)) AS u2x,
+             CAST(s2rx - nx * (nx + 1) - nx * ny
+                  AS DECIMAL(38,0)) AS a
+      FROM s
+    )
+    SELECT CAST(nx AS BIGINT) AS n_click,
+           CAST(ny AS BIGINT) AS n_purchase,
+           CAST(u2x AS DOUBLE) / 2.0 AS u_click,
+           ROUND(CAST(a AS DOUBLE)
+                 / (2.0 * SQRT((CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                                / 12.0)
+                   * ((CAST(nx + ny AS DOUBLE) + 1.0)
+                      - CAST(t_ties AS DOUBLE)
+                        / (CAST(nx + ny AS DOUBLE)
+                           * (CAST(nx + ny AS DOUBLE) - 1.0))))),
+                 9) AS z_score,
+           ROUND(-CAST(a AS DOUBLE)
+                 / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)),
+                 9) AS rank_biserial
+    FROM u
+    """,
+    description="Mann-Whitney U test (click vs purchase event values):"
+    " doubled midranks via the two-pass distributed prefix sum, exact "
+    "DECIMAL rank sums and tie term, normal-approx z with tie "
+    "correction, rank-biserial effect size",
+)
+def profile_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pool = e.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "is_x"
+        ),
+    )
+    cells = pool.groupBy("v").agg(
+        F.sum("is_x").cast("long").alias("cx"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    cells = distributed_prefix_sum(
+        cells, ["v"], "c", out_col="cb", exclusive=True
+    )
+    ranked = cells.select(
+        "cx",
+        "c",
+        (F.lit(2) * F.col("cb").cast("long") + F.col("c") + F.lit(1)).alias(
+            "r2"
+        ),
+    )
+    cd = F.col("c").cast(_DEC)
+    s = ranked.agg(
+        F.sum("cx").cast(_DEC).alias("nx"),
+        F.sum(F.col("c") - F.col("cx")).cast(_DEC).alias("ny"),
+        F.sum(F.col("cx").cast(_DEC) * F.col("r2").cast(_DEC))
+        .cast(_DEC)
+        .alias("s2rx"),
+        F.sum(cd * cd * cd - cd).cast(_DEC).alias("t_ties"),
+    )
+    u = s.select(
+        "nx",
+        "ny",
+        "t_ties",
+        (F.col("s2rx") - F.col("nx") * (F.col("nx") + 1))
+        .cast(_DEC)
+        .alias("u2x"),
+        (
+            F.col("s2rx")
+            - F.col("nx") * (F.col("nx") + 1)
+            - F.col("nx") * F.col("ny")
+        )
+        .cast(_DEC)
+        .alias("a"),
+    )
+    nxd = F.col("nx").cast("double")
+    nyd = F.col("ny").cast("double")
+    nd = (F.col("nx") + F.col("ny")).cast("double")
+    td = F.col("t_ties").cast("double")
+    ad = F.col("a").cast("double")
+    return u.select(
+        F.col("nx").cast("long").alias("n_click"),
+        F.col("ny").cast("long").alias("n_purchase"),
+        (F.col("u2x").cast("double") / F.lit(2.0)).alias("u_click"),
+        F.round(
+            ad
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    (nxd * nyd / F.lit(12.0))
+                    * (
+                        (nd + F.lit(1.0))
+                        - td / (nd * (nd - F.lit(1.0)))
+                    )
+                )
+            ),
+            9,
+        ).alias("z_score"),
+        F.round(-ad / (nxd * nyd), 9).alias("rank_biserial"),
+    )
+
+
+@register(
+    "profile_kruskal_wallis",
+    # Kruskal-Wallis H across ALL FIVE event types — the k-group
+    # generalization of Mann-Whitney (textbook: Kruskal & Wallis
+    # 1952), with the standard tie correction H' = H/(1 - ΣT/(n³-n)).
+    # Pooled midranks come from value cells + the two-pass prefix sum;
+    # per-group doubled rank sums R2_g = Σ c_g·r2 stay exact DECIMAL.
+    # Σ_g R_g²/n_g squares R2_g in DOUBLE (R2_g² reaches ~4e48 at
+    # 1e12 rows — past any decimal width; double keeps it
+    # deterministic, and exact below 2^53) and folds the ≤5 group
+    # terms in event_type order with the pinned ordered fold (Spark
+    # aggregate over a sorted array == DuckDB list_reduce; 0.0-seed
+    # == first-element-seed). ROUND 9 on H and H'.
+    oracle="""
+    WITH vc AS (
+      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY value
+    ), ranked AS (
+      SELECT v, c,
+             2 * CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) + c + 1 AS r2
+      FROM vc
+    ), gv AS (
+      SELECT event_type AS g, value AS v, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM events GROUP BY event_type, value
+    ), per_g AS (
+      SELECT g,
+             CAST(SUM(cg) AS DECIMAL(38,0)) AS ng,
+             CAST(SUM(CAST(cg AS DECIMAL(38,0))
+                      * CAST(r2 AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS r2g
+      FROM gv JOIN ranked USING (v) GROUP BY g
+    ), tie AS (
+      SELECT CAST(SUM(CAST(c AS DECIMAL(38,0))
+                      * CAST(c AS DECIMAL(38,0))
+                      * CAST(c AS DECIMAL(38,0))
+                      - CAST(c AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS t_ties
+      FROM ranked
+    ), folded AS (
+      SELECT CAST(SUM(CAST(ng AS BIGINT)) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             LIST_REDUCE(
+               LIST(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                    / (4.0 * CAST(ng AS DOUBLE)) ORDER BY g),
+               (a, x) -> a + x) AS s_rank
+      FROM per_g
+    ), h AS (
+      SELECT n_rows, n_groups,
+             12.0 / (CAST(n_rows AS DOUBLE)
+                     * (CAST(n_rows AS DOUBLE) + 1.0)) * s_rank
+             - 3.0 * (CAST(n_rows AS DOUBLE) + 1.0) AS h_raw,
+             (SELECT t_ties FROM tie) AS t_ties
+      FROM folded
+    )
+    SELECT n_rows, n_groups,
+           ROUND(h_raw, 9) AS h_statistic,
+           ROUND(h_raw / (1.0 - CAST(t_ties AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                    * CAST(n_rows AS DOUBLE)
+                    - CAST(n_rows AS DOUBLE))), 9) AS h_tie_corrected
+    FROM h
+    """,
+    description="Kruskal-Wallis H across the five event types: pooled "
+    "two-pass midranks, exact DECIMAL per-group rank sums, ordered "
+    "double fold of the <=5 group terms, tie-corrected H; the k-group "
+    "nonparametric ANOVA",
+)
+def profile_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ranked = _doubled_midrank_cells(e, "value")
+    gv = e.groupBy(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cg"))
+    per_g = (
+        gv.join(ranked.select("v", "r2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast(_DEC).alias("ng"),
+            F.sum(F.col("cg").cast(_DEC) * F.col("r2").cast(_DEC))
+            .cast(_DEC)
+            .alias("r2g"),
+        )
+    )
+    cd = F.col("c").cast(_DEC)
+    tie = ranked.agg(
+        F.sum(cd * cd * cd - cd).cast(_DEC).alias("t_ties")
+    )
+    term = F.struct(
+        F.col("g").alias("g"),
+        (
+            F.col("r2g").cast("double")
+            * F.col("r2g").cast("double")
+            / (F.lit(4.0) * F.col("ng").cast("double"))
+        ).alias("term"),
+    )
+    folded = per_g.agg(
+        F.sum(F.col("ng").cast("long")).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda a, x: a + x["term"],
+        ).alias("s_rank"),
+    )
+    nd = F.col("n_rows").cast("double")
+    h_raw = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("s_rank")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    h = folded.crossJoin(F.broadcast(tie)).select(
+        "n_rows", "n_groups", h_raw.alias("h_raw"), "t_ties"
+    )
+    td = F.col("t_ties").cast("double")
+    nd2 = F.col("n_rows").cast("double")
+    return h.select(
+        "n_rows",
+        "n_groups",
+        F.round(F.col("h_raw"), 9).alias("h_statistic"),
+        F.round(
+            F.col("h_raw")
+            / (F.lit(1.0) - td / (nd2 * nd2 * nd2 - nd2)),
+            9,
+        ).alias("h_tie_corrected"),
+    )
+
+
+@register(
+    "profile_weighted_median",
+    # Quantity-weighted median of l_extendedprice per return flag —
+    # the weighted order statistic (lower weighted median convention:
+    # the smallest value whose cumulative weight reaches half the
+    # total). Weights are exact DECIMAL(38,6) sums of l_quantity per
+    # (flag, price) cell; the per-flag cumulative weight is the
+    # GROUPED two-pass prefix sum (partition_by) — three giant groups
+    # is precisely the shape where PARTITION BY hands each group to
+    # one task, the few-giant-groups trap. The median condition
+    # 2·cum >= total is exact decimal arithmetic; no rounding anywhere
+    # (the output is an input value).
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT flag, price, w, n,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price
+                   ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS cw
+      FROM cells
+    ), tot AS (
+      SELECT flag,
+             CAST(SUM(w) AS DECIMAL(38,6)) AS total_w,
+             CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM cells GROUP BY flag
+    )
+    SELECT c.flag AS l_returnflag, t.n_rows,
+           CAST(t.total_w AS DOUBLE) AS total_weight,
+           MIN(c.price) AS weighted_median
+    FROM cum c JOIN tot t ON c.flag = t.flag
+    WHERE 2 * c.cw >= t.total_w
+    GROUP BY c.flag, t.n_rows, t.total_w
+    ORDER BY l_returnflag
+    """,
+    description="quantity-weighted median price per return flag via "
+    "the GROUPED two-pass prefix sum (three giant groups — the "
+    "PARTITION-BY-hands-one-task shape), exact DECIMAL weights, "
+    "2*cum>=total pick",
+)
+def profile_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("w"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cum = distributed_prefix_sum(
+        cells, ["price"], "w", out_col="cw", partition_by=["flag"]
+    )
+    tot = cells.groupBy("flag").agg(
+        F.sum("w").cast("decimal(38,6)").alias("total_w"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .filter(F.lit(2) * F.col("cw") >= F.col("total_w"))
+        .groupBy("flag", "n_rows", "total_w")
+        .agg(F.min("price").alias("weighted_median"))
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n_rows",
+            F.col("total_w").cast("double").alias("total_weight"),
+            "weighted_median",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "window_lorenz_deciles",
+    # Lorenz curve of customer lifetime value at decile grain — the
+    # inequality profile behind the Gini coefficient
+    # (profile_gini's where-is-the-mass companion): customers ranked
+    # by DECIMAL monetary into exact NTILE(10) deciles via the
+    # distributed closed form (customer cells scale with the corpus —
+    # the RFM lesson), then per-decile revenue share and cumulative
+    # share. The only window left is over the TEN decile rows
+    # (bounded by construction). Shares are pinned divisions, ROUND 9;
+    # revenue displays as ROUND-2-then-cast (the pareto convention).
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT monetary,
+             CAST(NTILE(10) OVER (ORDER BY monetary, o_custkey)
+                  AS BIGINT) AS decile
+      FROM cust
+    ), cell AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(monetary) AS DECIMAL(38,6)) AS rev
+      FROM tiled GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS decile_revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 9) AS share,
+           ROUND(CAST(SUM(rev) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 9) AS cum_share
+    FROM cell ORDER BY decile
+    """,
+    description="Lorenz curve at decile grain: distributed NTILE(10) "
+    "over customer monetary cells, per-decile revenue share + "
+    "cumulative share (window only over the ten decile rows); the "
+    "Gini companion",
+)
+def window_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("monetary")
+    )
+    tiled = distributed_ntile(
+        cust,
+        [F.asc("monetary"), F.asc("o_custkey")],
+        10,
+        out_col="decile",
+    )
+    cell = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary").cast("decimal(38,6)").alias("rev"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return cell.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("rev"), 2).cast("double").alias("decile_revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            9,
+        ).alias("share"),
+        F.round(
+            F.sum("rev").over(w_cum).cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            9,
+        ).alias("cum_share"),
+    ).orderBy("decile")

@@ -620,7 +620,22 @@ class IncrementalTopK:
         exists = os.path.isdir(os.path.join(self.dest_uri, "_delta_log"))
 
         if not exists:
-            state = self._ranked_topk(inserts)
+            # derive the first state from the SOURCE at this batch's
+            # version, not from the batch's insert records: a
+            # multi-commit first window can insert a row and delete it
+            # again (or delete-then-reinsert), and replaying only the
+            # inserts would admit ghost rows — the source snapshot is
+            # the ground truth either way (r11 advice)
+            state = self._ranked_topk(
+                self._project(
+                    self._keyed(
+                        DeltalakeTable(
+                            os.path.basename(self.source_uri),
+                            self.source_uri,
+                        )(spark=spark, version=version)
+                    )
+                )
+            )
             write_delta(
                 state,
                 self.dest_uri,
@@ -647,10 +662,22 @@ class IncrementalTopK:
         )
         # groups where a delete evicted a STORED row: the old k+1-th is
         # unknowable from state — re-derive exactly these from the
-        # source at this batch's version
+        # source at this batch's version. ALSO re-derive any group
+        # where a delete's row key matches a same-batch insert (r11
+        # advice): within a multi-commit window the batch can carry
+        # insert-then-delete (a ghost if the insert were kept) or
+        # delete-then-reinsert (a lost row if the insert were netted
+        # away) — the change records don't order within the window, so
+        # the source snapshot at `version` is the only safe truth for
+        # those groups. Cost stays change-proportional: the set is
+        # keyed by the batch's own delete records.
+        same_batch = deletes.join(
+            inserts.select("__row_key"), "__row_key", "left_semi"
+        )
         rederive = (
             deletes.join(cur_aff, "__row_key", "left_semi")
             .select("__group_key")
+            .unionByName(same_batch.select("__group_key"))
             .distinct()
         )
         source_rows = self._project(

@@ -642,6 +642,91 @@ class TestIncrementalTopK:
             ("a", 1): (9, 40.0), ("a", 2): (1, 10.0),
         }
 
+    def test_same_row_insert_then_delete_one_window(self, spark, tmp_path):
+        """r11 advice: a row inserted and deleted again within ONE poll
+        window (two commits, one advance) must not ghost into the view
+        — its group has no stored-row delete, so only the same-batch
+        insert-vs-delete rederive expansion catches it."""
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta, write_delta,
+        )
+
+        agg = self._mk(spark, tmp_path)
+        write_delta(
+            spark.createDataFrame(
+                [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0)],
+                ["g", "id", "v"],
+            ),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        # id 9 (v=40, would out-rank everything) appears and vanishes
+        # within the same window; no stored row of group a is deleted
+        write_delta(
+            spark.createDataFrame([("a", 9, 40.0)], ["g", "id", "v"]),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        delete_delta(spark, agg.source_uri, [Filter("id", "=", 9)])
+        while agg.advance(spark) is not None:
+            pass
+        assert self._state(agg, spark) == {
+            ("a", 1): (2, 30.0), ("a", 2): (3, 20.0),
+        }
+
+    def test_same_row_delete_then_reinsert_one_window(self, spark, tmp_path):
+        """The mirror hazard: a stored row deleted and re-inserted in
+        one window must survive (netting inserts against deletes would
+        drop it; rederiving its group keeps it)."""
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta, write_delta,
+        )
+
+        agg = self._mk(spark, tmp_path)
+        write_delta(
+            spark.createDataFrame(
+                [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0)],
+                ["g", "id", "v"],
+            ),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        agg.advance(spark)
+        delete_delta(spark, agg.source_uri, [Filter("id", "=", 2)])
+        write_delta(
+            spark.createDataFrame([("a", 2, 30.0)], ["g", "id", "v"]),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        while agg.advance(spark) is not None:
+            pass
+        assert self._state(agg, spark) == {
+            ("a", 1): (2, 30.0), ("a", 2): (3, 20.0),
+        }
+
+    def test_bootstrap_window_with_delete(self, spark, tmp_path):
+        """The FIRST batch can already span an insert commit and a
+        delete commit — bootstrap must reflect the source snapshot,
+        not replay only the insert records (r11 advice)."""
+        from datarepo_spark.core.filters import Filter
+        from datarepo_spark.tables.delta_writer import (
+            delete_delta, write_delta,
+        )
+
+        agg = self._mk(spark, tmp_path)
+        write_delta(
+            spark.createDataFrame(
+                [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0)],
+                ["g", "id", "v"],
+            ),
+            agg.source_uri, checkpoint_interval=None,
+        )
+        delete_delta(spark, agg.source_uri, [Filter("id", "=", 2)])
+        while agg.advance(spark) is not None:
+            pass
+        assert self._state(agg, spark) == {
+            ("a", 1): (3, 20.0), ("a", 2): (1, 10.0),
+        }
+
     def test_validates_args(self, tmp_path):
         import pytest as _pytest
 

@@ -21,6 +21,7 @@ from datarepo_spark.queries import delta_queries  # noqa: F401  (registers)
 from datarepo_spark.queries import extensions  # noqa: F401  (registers)
 from datarepo_spark.queries import insights  # noqa: F401  (registers)
 from datarepo_spark.queries import physical  # noqa: F401  (registers)
+from datarepo_spark.queries import ranked  # noqa: F401  (registers)
 from datarepo_spark.queries import sources  # noqa: F401  (registers)
 from datarepo_spark.queries import tpch_extra  # noqa: F401  (registers)
 from datarepo_spark.queries.registry import REGISTRY

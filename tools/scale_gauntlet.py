@@ -92,6 +92,15 @@ GAUNTLET = [
     # explode-heavy lexical pass (linear in tokens)
     "graph_common_neighbors",
     "text_ttr_hapax",
+    # r12 additions (VERDICT r11 #4): exactly the queries whose scale
+    # behavior was flagged — the three rewritten onto the two-pass
+    # primitive (spearman / peak concurrency / cosine histogram) and
+    # the migrated NTILE + percentile shapes
+    "profile_spearman_rank",
+    "events_peak_concurrency",
+    "similarity_cosine_histogram",
+    "profile_rfm_segmentation",
+    "events_conversion_latency",
 ]
 
 
