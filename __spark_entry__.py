@@ -108,6 +108,9 @@ _PRIORITY_R13: list[str] = [
     "profile_kruskal_wallis",
     "profile_weighted_median",
     "window_lorenz_deciles",
+    "events_kaplan_meier",
+    "events_interarrival",
+    "agg_association_rules",
 ]
 
 

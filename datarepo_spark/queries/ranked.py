@@ -17,8 +17,9 @@ element-seed because ``0.0 + x == x``).
 Reference parity: the reference engine's analytics surface stops at
 SQL windows (src/datarepo/*); these are the standard
 statistics-warehouse extensions (Mann-Whitney U, Kruskal-Wallis H,
-weighted median, Lorenz curve) every large-scale data-quality pipeline
-reaches for — public-textbook formulations, cited per query.
+weighted median, Lorenz curve, Kaplan-Meier survival, inter-arrival
+percentiles, association rules) every large-scale data-quality
+pipeline reaches for — public-textbook formulations, cited per query.
 """
 
 from __future__ import annotations
@@ -481,3 +482,420 @@ def window_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+@register(
+    "events_kaplan_meier",
+    # Kaplan-Meier time-to-conversion survival — the product-limit
+    # estimator (Kaplan & Meier 1958) on the first-click →
+    # first-purchase duration: the survival curve S(t) is the fraction
+    # of clicking users NOT yet converted t hours after their first
+    # click, with users who never purchase after their first click
+    # CENSORED at the corpus end (observation stopped, not
+    # non-conversion — the censoring KM exists for; the conversion-
+    # latency percentiles ignore those users entirely). Durations are
+    # exact integer hours (µs DIV). Risk set n(t) = users with
+    # duration >= t comes from the total minus the two-pass exclusive
+    # prefix sum over duration-hour cells; S(t) =
+    # prod_{t'<=t, events>0} (1 - d/n). The product is the pinned
+    # ordered fold over the (bounded: corpus-duration-in-hours) death
+    # cells — each ratio is one IEEE division, the multiply chain is
+    # identical on both engines (Spark `aggregate` seeded 1.0 over a
+    # t-sorted array == DuckDB list_reduce seeded by the first
+    # element, since 1.0*x == x). ROUND 9 on display.
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(ts) AS maxt FROM events
+    ), c AS (
+      SELECT user_id, MIN(ts) AS fc
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT c.user_id, MIN(e.ts) AS fp
+      FROM c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.ts >= c.fc
+      GROUP BY c.user_id
+    ), users AS (
+      SELECT c.user_id,
+             CAST(CASE WHEN p.fp IS NOT NULL
+                  THEN (EPOCH_US(p.fp) - EPOCH_US(c.fc)) // 3600000000
+                  ELSE (EPOCH_US((SELECT maxt FROM anchor))
+                        - EPOCH_US(c.fc)) // 3600000000
+                  END AS BIGINT) AS t_hours,
+             CASE WHEN p.fp IS NULL THEN 1 ELSE 0 END AS censored
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+    ), cells AS (
+      SELECT t_hours AS t,
+             CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(SUM(censored) AS BIGINT) AS cens
+      FROM users GROUP BY t_hours
+    ), risk AS (
+      SELECT t, d, cens,
+             CAST((SELECT COUNT(*) FROM users) AS BIGINT)
+             - CAST(COALESCE(SUM(d + cens) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS n_risk
+      FROM cells
+    ), dcells AS (
+      SELECT t, d, cens, n_risk,
+             1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS ratio
+      FROM risk WHERE d > 0
+    ), arr AS (
+      SELECT LIST(struct_pack(t := t, r := ratio) ORDER BY t) AS a
+      FROM dcells
+    )
+    SELECT c.t AS t_hours, c.n_risk, c.d AS d_converted,
+           c.cens AS n_censored,
+           ROUND(LIST_REDUCE(
+                   LIST_TRANSFORM(LIST_FILTER(a, x -> x.t <= c.t),
+                                  x -> x.r),
+                   (p, q) -> p * q), 9) AS survival
+    FROM dcells c, arr ORDER BY t_hours
+    """,
+    description="Kaplan-Meier time-to-conversion survival (first "
+    "click to first purchase, hour grain, never-converting users "
+    "censored at corpus end): two-pass risk sets over duration "
+    "cells, pinned ordered-fold product-limit estimator",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("maxt"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    # AQE-planned join (first-clicks are per-user, corpus-scaled —
+    # the conversion_latency convention: never a forced broadcast)
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    hours = lambda a, b: F.expr(  # noqa: E731
+        f"(unix_micros({a}) - unix_micros({b})) DIV 3600000000"
+    ).cast("long")
+    users = (
+        c.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(F.col("fp").isNotNull(), hours("fp", "fc"))
+            .otherwise(hours("maxt", "fc"))
+            .alias("t_hours"),
+            F.when(F.col("fp").isNull(), 1).otherwise(0).alias(
+                "censored"
+            ),
+        )
+    )
+    from ..functions.dedup import _scoped_persist
+
+    cells = _scoped_persist(
+        users.groupBy(F.col("t_hours").alias("t")).agg(
+            F.sum(1 - F.col("censored")).cast("long").alias("d"),
+            F.sum("censored").cast("long").alias("cens"),
+        )
+    )
+    # risk set: total clicking users minus everyone whose duration
+    # ended before t — the exclusive prefix sum of (d + cens) over
+    # duration-hour cells. Hour cells are bounded by corpus duration,
+    # but the SAME primitive costs nothing extra and keeps the
+    # module's invariant: no unpartitioned window anywhere.
+    pre = distributed_prefix_sum(
+        cells.withColumn("ended", F.col("d") + F.col("cens")),
+        ["t"],
+        "ended",
+        out_col="ended_before",
+        exclusive=True,
+    )
+    total = users.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    risk = pre.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "cens",
+        (F.col("__total") - F.col("ended_before").cast("long")).alias(
+            "n_risk"
+        ),
+    )
+    dcells = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "cens",
+        "n_risk",
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ).alias("ratio"),
+    )
+    arr = dcells.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("t").alias("t"), F.col("ratio").alias("r"))
+            )
+        ).alias("a")
+    )
+    return (
+        dcells.crossJoin(F.broadcast(arr))
+        .select(
+            F.col("t").alias("t_hours"),
+            "n_risk",
+            F.col("d").alias("d_converted"),
+            F.col("cens").alias("n_censored"),
+            F.round(
+                F.aggregate(
+                    F.filter(
+                        F.col("a"), lambda x: x["t"] <= F.col("t")
+                    ),
+                    F.lit(1.0),
+                    lambda acc, x: acc * x["r"],
+                ),
+                9,
+            ).alias("survival"),
+        )
+        .orderBy("t_hours")
+    )
+
+
+@register(
+    "events_interarrival",
+    # Inter-arrival time profile per event type — the traffic-model
+    # operator (exponential-fit input, capacity planning): for each
+    # consecutive same-user same-type event pair, the exact-µs gap;
+    # per type, the count, mean, and pinned-interpolated p50/p95. The
+    # lag runs in per-(user, type) windows (bounded per user); the
+    # percentile indexes come from gap-µs cells + the GROUPED two-pass
+    # prefix sum (five giant groups — the weighted-median shape). Gap
+    # arithmetic is exact integer µs; the mean and the interpolation
+    # are pinned double expressions scaled to seconds in one division,
+    # ROUND 6.
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), g AS (
+      SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL
+    ), r AS (
+      SELECT event_type, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gap_us) - 1 AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) - 1
+                  AS DOUBLE) AS nm1
+      FROM g
+    ), q AS (
+      SELECT event_type,
+             (MIN(CASE WHEN i = CAST(FLOOR(nm1 * 0.5) AS BIGINT)
+                       THEN gap_us END)
+              + (MAX(CASE WHEN i = CAST(CEIL(nm1 * 0.5) AS BIGINT)
+                          THEN gap_us END)
+                 - MIN(CASE WHEN i = CAST(FLOOR(nm1 * 0.5) AS BIGINT)
+                            THEN gap_us END))
+                * (MIN(nm1 * 0.5) - FLOOR(MIN(nm1 * 0.5))))
+               / 1000000.0 AS p50_s,
+             (MIN(CASE WHEN i = CAST(FLOOR(nm1 * 0.95) AS BIGINT)
+                       THEN gap_us END)
+              + (MAX(CASE WHEN i = CAST(CEIL(nm1 * 0.95) AS BIGINT)
+                          THEN gap_us END)
+                 - MIN(CASE WHEN i = CAST(FLOOR(nm1 * 0.95) AS BIGINT)
+                            THEN gap_us END))
+                * (MIN(nm1 * 0.95) - FLOOR(MIN(nm1 * 0.95))))
+               / 1000000.0 AS p95_s
+      FROM r
+      WHERE i IN (CAST(FLOOR(nm1 * 0.5) AS BIGINT),
+                  CAST(CEIL(nm1 * 0.5) AS BIGINT),
+                  CAST(FLOOR(nm1 * 0.95) AS BIGINT),
+                  CAST(CEIL(nm1 * 0.95) AS BIGINT))
+      GROUP BY event_type
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sum_us
+      FROM g GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_gaps,
+           ROUND(CAST(m.sum_us AS DOUBLE) / CAST(m.n_gaps AS DOUBLE)
+                 / 1000000.0, 6) AS mean_gap_s,
+           ROUND(q.p50_s, 6) AS p50_s,
+           ROUND(q.p95_s, 6) AS p95_s
+    FROM m JOIN q ON m.event_type = q.event_type
+    ORDER BY m.event_type
+    """,
+    description="per-type inter-arrival profile: exact-us gaps from "
+    "per-(user,type) lag windows, mean + pinned p50/p95 via gap cells "
+    "and the grouped two-pass prefix sum; the traffic-model operator",
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w_lag)
+    g = (
+        e.select("event_type", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    from ..functions.dedup import _scoped_persist
+
+    g = _scoped_persist(g)
+    cells = g.groupBy("event_type", "gap_us").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cells = distributed_prefix_sum(
+        cells,
+        ["gap_us"],
+        "c",
+        out_col="cb",
+        exclusive=True,
+        partition_by=["event_type"],
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("gap_us").cast(_DEC)).cast(_DEC).alias("sum_us"),
+    )
+    r = cells.join(
+        F.broadcast(m.select("event_type", "n_gaps")), "event_type"
+    ).withColumn("nm1", (F.col("n_gaps") - 1).cast("double"))
+
+    def covers(k):
+        idx = k.cast("long")
+        return (F.col("cb") <= idx) & (idx < F.col("cb") + F.col("c"))
+
+    def interp(q: float):
+        k = F.col("nm1") * F.lit(q)
+        lo = F.min(F.when(covers(F.floor(k)), F.col("gap_us")))
+        hi = F.max(F.when(covers(F.ceil(k)), F.col("gap_us")))
+        return (
+            lo + (hi - lo) * (F.min(k) - F.floor(F.min(k)))
+        ) / F.lit(1000000.0)
+
+    k50 = F.col("nm1") * F.lit(0.5)
+    k95 = F.col("nm1") * F.lit(0.95)
+    hits = r.filter(
+        covers(F.floor(k50))
+        | covers(F.ceil(k50))
+        | covers(F.floor(k95))
+        | covers(F.ceil(k95))
+    )
+    q = hits.groupBy("event_type").agg(
+        F.round(interp(0.5), 6).alias("p50_s"),
+        F.round(interp(0.95), 6).alias("p95_s"),
+    )
+    return (
+        m.join(q, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(
+                F.col("sum_us").cast("double")
+                / F.col("n_gaps").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_gap_s"),
+            "p50_s",
+            "p95_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_association_rules",
+    # Association rules over order baskets (Agrawal et al. 1993 —
+    # support / confidence / lift), the market-basket companion of
+    # agg_frequent_itemsets: item = part, basket = order. Pair
+    # candidates come from the ONLY scalable generator — the basket-
+    # keyed self-join (work = sum of C(items_per_basket, 2), never
+    # parts²) — aggregated to pair cells, floored at pair count >= 3,
+    # top-20 by (lift DESC, part keys). Counts are exact integers;
+    # lift/confidence/support are pinned double expressions (counts
+    # cast to double BEFORE multiplying — c_ab * N overflows int64
+    # past ~1e10 baskets), ROUND 9.
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets
+      FROM items
+    ), ic AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk
+    ), pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM items a JOIN items b
+        ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= 3
+    )
+    SELECT pa AS part_a, pb AS part_b, cab AS n_pairs,
+           ROUND(CAST(cab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 9)
+             AS support,
+           ROUND(CAST(cab AS DOUBLE) / CAST(ia.c AS DOUBLE), 9)
+             AS conf_a_to_b,
+           ROUND(CAST(cab AS DOUBLE) / CAST(ib.c AS DOUBLE), 9)
+             AS conf_b_to_a,
+           ROUND((CAST(cab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+                 / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)), 9)
+             AS lift
+    FROM pairs
+    JOIN ic ia ON pa = ia.pk
+    JOIN ic ib ON pb = ib.pk
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+    description="association rules over order baskets: basket-keyed "
+    "pair generation, support floor 3, confidence both directions, "
+    "lift with double-interior products; top-20 by lift",
+)
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    from ..functions.dedup import _scoped_persist
+
+    items = _scoped_persist(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+    )
+    n = items.agg(
+        F.countDistinct("ok").cast("long").alias("n_baskets")
+    )
+    ic = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    ia = ic.select(F.col("pk").alias("pa"), F.col("c").alias("ca"))
+    ib = ic.select(F.col("pk").alias("pb"), F.col("c").alias("cb"))
+    cabd = F.col("cab").cast("double")
+    nd = F.col("n_baskets").cast("double")
+    cad = F.col("ca").cast("double")
+    cbd = F.col("cb").cast("double")
+    return (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cab").alias("n_pairs"),
+            F.round(cabd / nd, 9).alias("support"),
+            F.round(cabd / cad, 9).alias("conf_a_to_b"),
+            F.round(cabd / cbd, 9).alias("conf_b_to_a"),
+            F.round((cabd * nd) / (cad * cbd), 9).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

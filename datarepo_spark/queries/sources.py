@@ -662,3 +662,73 @@ def streaming_delta_sink_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltalakeTable("events_delta", dest)(spark=spark).select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
+
+
+@register(
+    "streaming_running_total_twin",
+    # Streaming GLOBAL AGGREGATE with exactly-once partial-state
+    # persistence — the counters/metrics-pipeline shape none of the
+    # other twins cover (delta_sink persists raw rows; this persists
+    # per-batch PARTIAL AGGREGATES and finishes the fold at read
+    # time). Each micro-batch writes one (batch_id, count, DECIMAL sum)
+    # row through the SetTransaction ledger (write_delta txn_version =
+    # batch_id), so a replayed batch — crash between commit and
+    # checkpoint — is skipped off the ledger and never double-counts.
+    # Twin equivalence is exact, not approximate: COUNT and the
+    # DECIMAL(38,6) SUM are commutative monoids, so the fold over
+    # per-batch partials equals the batch aggregate for EVERY slicing
+    # and batch order — bit-identical to the SQL oracle.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38, 6))) AS DOUBLE), 6)
+             AS total_value
+    FROM events
+    """,
+    description="structured-streaming running global count/sum via "
+    "exactly-once per-batch partial aggregates (foreachBatch + "
+    "SetTransaction ledger) — the streaming metrics-counter twin; "
+    "monoid partials make the twin equivalence exact",
+)
+def streaming_running_total_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events import read_events_stream
+    from ..tables.delta_table import DeltalakeTable
+    from ..tables.delta_writer import write_delta
+
+    path = _sliced_events_fixture(sf_dir)
+    _STREAM_SEQ[0] += 1
+    dest = os.path.join(
+        _sink_dir(f"tot_{_STREAM_SEQ[0]}"), "totals_delta"
+    )
+    app_id = f"gate-running-total-{_STREAM_SEQ[0]}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("val"),
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        write_delta(
+            part,
+            dest,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+            checkpoint_interval=None,
+        )
+
+    with _stream_shuffle_partitions(spark):
+        stream = read_events_stream(spark, path, max_files_per_trigger=1)
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    totals = DeltalakeTable("totals_delta", dest)(spark=spark)
+    return totals.agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.round(
+            F.sum("val").cast("decimal(38,6)").cast("double"), 6
+        ).alias("total_value"),
+    )

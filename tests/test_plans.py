@@ -1211,3 +1211,77 @@ class TestR11Insights:
         plan = plan_of(spark, sf_dir, "events_conversion_latency")
         assert "row_number" not in plan.lower()
         _assert_windows_pid_scoped(plan)
+
+
+class TestR12Ranked:
+    """Plan pins for the r12 rank-statistics batch (queries/ranked.py):
+    every exact order statistic runs through the two-pass primitive —
+    no unpartitioned Window ever touches a data-scaled frame."""
+
+    def test_mann_whitney_two_pass_midranks(self, spark, sf_dir):
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "profile_mann_whitney")
+        assert "HashAggregate" in plan
+        _assert_windows_pid_scoped(plan)
+
+    def test_kruskal_wallis_two_pass_midranks(self, spark, sf_dir):
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "profile_kruskal_wallis")
+        assert "CartesianProduct" not in plan
+        _assert_windows_pid_scoped(plan)
+
+    def test_weighted_median_grouped_two_pass(self, spark, sf_dir):
+        """The grouped form: local windows partitioned by (flag,
+        __pid), the carry per flag ordered by __pid — both mention
+        __pid; no PARTITION-BY-only window hands a whole return flag
+        to one task."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "profile_weighted_median")
+        _assert_windows_pid_scoped(plan)
+
+    def test_lorenz_ntile_closed_form(self, spark, sf_dir):
+        """Customer deciles use the distributed NTILE closed form (no
+        ntile window function anywhere); the only remaining windows
+        run over the ten decile cells."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "window_lorenz_deciles")
+        assert "ntile" not in plan.lower()
+        assert "__pid" in plan  # the two-pass row-number machinery
+
+    def test_kaplan_meier_two_pass_risk_sets(self, spark, sf_dir):
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "events_kaplan_meier")
+        _assert_windows_pid_scoped(plan)
+
+    def test_interarrival_grouped_percentiles(self, spark, sf_dir):
+        """Gaps come from per-(user, type) lag windows (bounded per
+        user); percentile indexes from the grouped two-pass — no
+        global or per-type-only sort of the gap corpus."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "events_interarrival")
+        _assert_windows_pid_scoped(plan, also_allowed=("user_id",))
+
+    def test_association_rules_hash_pair_join(self, spark, sf_dir):
+        """Pair candidates come from the basket-keyed equi self-join —
+        a hash join on the order key, never a nested loop over
+        parts x parts; the final ranking is a TakeOrdered heap. (The
+        one BroadcastNestedLoopJoin in the plan is the 1-row
+        n_baskets scalar attach — bounded by construction.)"""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "agg_association_rules")
+        assert "CartesianProduct" not in plan
+        # the basket self-join must be an equi hash join carrying the
+        # pk<pk residual — not a nested loop
+        assert any(
+            ("BroadcastHashJoin" in ln or "SortMergeJoin" in ln)
+            and "ok" in ln
+            for ln in plan.splitlines()
+        )
+        assert "TakeOrderedAndProject" in plan
