@@ -111,6 +111,7 @@ _PRIORITY_R13: list[str] = [
     "events_kaplan_meier",
     "events_interarrival",
     "agg_association_rules",
+    "graph_local_clustering",
 ]
 
 

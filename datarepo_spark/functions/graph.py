@@ -349,47 +349,21 @@ def pagerank(
     )
 
 
-def triangle_count(
+def _oriented_adjacency(
     edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    broadcast_adjacency_bytes: int = 64 * 1024 * 1024,
-) -> DataFrame:
-    """Exact triangle count + wedge count + global clustering
-    coefficient of an undirected graph, as one row
-    (n_triangles, n_wedges, global_clustering).
-
-    Algorithm: degree-ordered orientation + edge-iterator neighbor
-    intersection. Orient every canonical edge from its lower-(degree,
-    id) endpoint to the higher (Schank & Wagner 2005) — out-degree is
-    then bounded by √(2m), so no hub vertex can blow up the work — and
-    for each oriented edge (s, t) count |N⁺(s) ∩ N⁺(t)| via
-    ``size(array_intersect(...))`` over sorted out-neighbor arrays.
-    Each triangle is counted exactly once (its orientation-minimum
-    vertex is the only s whose two out-neighbors are adjacent).
-
-    Why edge-iterator instead of materializing wedges: the wedge
-    self-join emits Σ C(outdeg, 2) rows through an exchange — on a
-    dense co-occurrence graph (sf0.1 suppliers: ~1000 nodes, ~87% of
-    all possible edges, 1.2×10⁸ oriented wedges) that is a hundred
-    million shuffled rows for a 3-column count. The neighbor-array
-    form does the same Σ(outdeg(s)+outdeg(t)) element work inside one
-    whole-stage-codegen pipeline and shuffles only the adjacency lists
-    themselves (O(m) entries total).
-
-    Shuffle inventory: one distinct (canonical edges), one degree
-    aggregate, two hash joins to attach degrees, one groupBy to build
-    adjacency arrays, then two joins to attach N⁺(s) / N⁺(t) to each
-    oriented edge — broadcast when the adjacency table is under
-    ``broadcast_adjacency_bytes`` (16 bytes/entry estimate), plain
-    shuffle hash joins otherwise (total shuffled bytes O(Σ outdeg per
-    edge endpoint) = O(m^1.5) worst case — the standard distributed
-    edge-iterator bound, cf. Suri & Vassilvitskii WWW'11). The
-    adjacency misses sink vertices (out-degree 0); left joins +
-    empty-array coalesce keep those edges counted with 0
-    intersections. The single BroadcastNestedLoopJoin in the plan is
-    the deliberate 1-row × 1-row scalar cross at the end.
-    """
+    src: str,
+    dst: str,
+    broadcast_adjacency_bytes: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the edge-iterator triangle family: canonical
+    undirected edges → full degrees → degree-ordered orientation
+    (Schank & Wagner 2005; out-degree ≤ √(2m), hub-safe) → sorted
+    out-neighbor adjacency joined onto both endpoints of every
+    oriented edge. Returns (deg, with_nbrs) where ``deg`` is
+    (node, d) full undirected degrees and ``with_nbrs`` is
+    (s, t, nbrs_s, nbrs_t) with null-free (coalesced-empty) neighbor
+    arrays — ``array_intersect(nbrs_s, nbrs_t)`` enumerates exactly
+    the triangles whose orientation-minimum vertex is s."""
     from .dedup import _scoped_persist
 
     e = _scoped_persist(
@@ -437,15 +411,105 @@ def triangle_count(
     )
     # empty-array literal of the node type (sinks fall out of adj)
     empty = F.array().cast(adj.schema["nbrs"].dataType.simpleString())
-    tri = (
+    with_nbrs = (
         oriented.join(adj_s, "s", "left")
         .join(adj_t, "t", "left")
         .select(
+            "s",
+            "t",
+            F.coalesce(F.col("nbrs_s"), empty).alias("nbrs_s"),
+            F.coalesce(F.col("nbrs_t"), empty).alias("nbrs_t"),
+        )
+    )
+    return deg, with_nbrs
+
+
+def local_triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_adjacency_bytes: int = 64 * 1024 * 1024,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-node triangle counts via the same degree-ordered
+    edge-iterator as :func:`triangle_count`, with the neighbor
+    intersection EXPLODED so every triangle (s, t, w) credits all
+    three vertices. Output is triangle-enumeration-sized — inherent to
+    any per-node attribution (LOCAL clustering needs to know where
+    each triangle lands), and each triangle is emitted exactly once
+    (by its orientation-minimum vertex), never three times.
+
+    Returns (deg, per_node): ``deg`` = (node, d) full undirected
+    degrees for every node, ``per_node`` = (node, n_tri) for nodes in
+    at least one triangle (left-join + zero-coalesce at the caller
+    covers the rest)."""
+    deg, with_nbrs = _oriented_adjacency(
+        edges, src, dst, broadcast_adjacency_bytes
+    )
+    tri_w = with_nbrs.select(
+        "s",
+        "t",
+        F.explode(
+            F.array_intersect(F.col("nbrs_s"), F.col("nbrs_t"))
+        ).alias("w"),
+    )
+    per_node = (
+        tri_w.select(F.col("s").alias("node"))
+        .unionAll(tri_w.select(F.col("t").alias("node")))
+        .unionAll(tri_w.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return deg, per_node
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_adjacency_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Exact triangle count + wedge count + global clustering
+    coefficient of an undirected graph, as one row
+    (n_triangles, n_wedges, global_clustering).
+
+    Algorithm: degree-ordered orientation + edge-iterator neighbor
+    intersection. Orient every canonical edge from its lower-(degree,
+    id) endpoint to the higher (Schank & Wagner 2005) — out-degree is
+    then bounded by √(2m), so no hub vertex can blow up the work — and
+    for each oriented edge (s, t) count |N⁺(s) ∩ N⁺(t)| via
+    ``size(array_intersect(...))`` over sorted out-neighbor arrays.
+    Each triangle is counted exactly once (its orientation-minimum
+    vertex is the only s whose two out-neighbors are adjacent).
+
+    Why edge-iterator instead of materializing wedges: the wedge
+    self-join emits Σ C(outdeg, 2) rows through an exchange — on a
+    dense co-occurrence graph (sf0.1 suppliers: ~1000 nodes, ~87% of
+    all possible edges, 1.2×10⁸ oriented wedges) that is a hundred
+    million shuffled rows for a 3-column count. The neighbor-array
+    form does the same Σ(outdeg(s)+outdeg(t)) element work inside one
+    whole-stage-codegen pipeline and shuffles only the adjacency lists
+    themselves (O(m) entries total).
+
+    Shuffle inventory: one distinct (canonical edges), one degree
+    aggregate, two hash joins to attach degrees, one groupBy to build
+    adjacency arrays, then two joins to attach N⁺(s) / N⁺(t) to each
+    oriented edge — broadcast when the adjacency table is under
+    ``broadcast_adjacency_bytes`` (16 bytes/entry estimate), plain
+    shuffle hash joins otherwise (total shuffled bytes O(Σ outdeg per
+    edge endpoint) = O(m^1.5) worst case — the standard distributed
+    edge-iterator bound, cf. Suri & Vassilvitskii WWW'11). The
+    adjacency misses sink vertices (out-degree 0); left joins +
+    empty-array coalesce keep those edges counted with 0
+    intersections. The single BroadcastNestedLoopJoin in the plan is
+    the deliberate 1-row × 1-row scalar cross at the end.
+    """
+    deg, with_nbrs = _oriented_adjacency(
+        edges, src, dst, broadcast_adjacency_bytes
+    )
+    tri = (
+        with_nbrs.select(
             F.size(
-                F.array_intersect(
-                    F.coalesce(F.col("nbrs_s"), empty),
-                    F.coalesce(F.col("nbrs_t"), empty),
-                )
+                F.array_intersect(F.col("nbrs_s"), F.col("nbrs_t"))
             ).alias("closed")
         )
         .agg(

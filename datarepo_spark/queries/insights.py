@@ -2335,3 +2335,113 @@ def classify_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("f1"),
     ).orderBy("label")
+
+
+@register(
+    "graph_local_clustering",
+    # Average LOCAL clustering coefficient (Watts & Strogatz 1998) of
+    # the supplier co-occurrence graph — the per-node companion of
+    # graph_triangle_count's GLOBAL coefficient (the two diverge on
+    # hub-heavy graphs, which is exactly why both are reported in
+    # network analysis). Per-node triangle counts come from the same
+    # degree-ordered edge-iterator (functions/graph.py:
+    # local_triangle_counts — orientation bounds out-degree at √(2m),
+    # the intersection EXPLODES once per triangle and credits its
+    # three vertices). Determinism: every count is exact; each node's
+    # local coefficient 2t/(d(d-1)) is one pinned double expression
+    # CAST to DECIMAL(18,9) BEFORE the cross-node sum (the
+    # graph_common_neighbors Adamic-Adar convention — the decimal sum
+    # is order-independent where a double sum over corpus-scaled nodes
+    # would not be; the cast is engine-identical while |v|·10⁹ < 2⁵³,
+    # and coefficients are ≤ 1). One division + ROUND 9 at the end.
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_suppkey AS x, l2.l_suppkey AS y
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_suppkey < l2.l_suppkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT x AS node FROM raw UNION ALL SELECT y FROM raw
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM raw e1
+      JOIN raw e2 ON e2.x = e1.y
+      JOIN raw e3 ON e3.x = e1.x AND e3.y = e2.y
+    ), pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ), loc AS (
+      SELECT deg.node, deg.d,
+             CAST(2.0 * COALESCE(pn.n_tri, 0)
+                  / (CAST(deg.d AS DOUBLE)
+                     * (CAST(deg.d AS DOUBLE) - 1.0))
+                  AS DECIMAL(18, 9)) AS lc
+      FROM deg LEFT JOIN pn USING (node) WHERE deg.d >= 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_eligible,
+           CAST(COALESCE((SELECT CAST(SUM(n_tri) AS BIGINT) // 3
+                          FROM pn), 0) AS BIGINT) AS n_triangles,
+           ROUND(CAST(SUM(lc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+             AS avg_local_clustering
+    FROM loc
+    """,
+    description="average local clustering coefficient of the supplier "
+    "co-occurrence graph: per-node triangles via the degree-ordered "
+    "edge-iterator, decimal-pinned 2t/(d(d-1)) terms; the per-node "
+    "companion of the global coefficient",
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import local_triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        li.join(l2, li.l_orderkey == l2.k2)
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    deg, per_node = local_triangle_counts(pairs)
+    dd = F.col("d").cast("double")
+    loc = (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            (
+                F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (dd * (dd - F.lit(1.0)))
+            )
+            .cast("decimal(18,9)")
+            .alias("lc")
+        )
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_tri = per_node.agg(
+        F.coalesce(F.expr("CAST(SUM(n_tri) AS BIGINT) DIV 3"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles")
+    )
+    summary = loc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eligible"),
+        F.round(
+            F.sum("lc").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("avg_local_clustering"),
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes", "n_eligible", "n_triangles",
+            "avg_local_clustering",
+        )
+    )

@@ -278,6 +278,60 @@ class TestTriangleCount:
         assert r.n_triangles == want
 
 
+class TestLocalTriangleCounts:
+    """Per-node attribution of the edge-iterator triangle family: each
+    triangle must credit exactly its three vertices, once."""
+
+    def _per_node(self, spark, edges):
+        from datarepo_spark.functions.graph import local_triangle_counts
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        deg, per = local_triangle_counts(df)
+        return (
+            {r.node: r.d for r in deg.collect()},
+            {r.node: r.n_tri for r in per.collect()},
+        )
+
+    def test_k4_every_node_in_three(self, spark):
+        import itertools
+
+        deg, per = self._per_node(
+            spark, list(itertools.combinations(range(4), 2))
+        )
+        assert per == {0: 3, 1: 3, 2: 3, 3: 3}
+        assert deg == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_triangle_plus_pendant(self, spark):
+        deg, per = self._per_node(
+            spark, [(0, 1), (1, 2), (0, 2), (2, 3)]
+        )
+        assert per == {0: 1, 1: 1, 2: 1}  # pendant node 3 absent
+        assert deg[3] == 1
+
+    def test_matches_brute_force_random(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(13)
+        nodes = list(range(25))
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.25
+        ]
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+        _, per = self._per_node(spark, edges)
+        assert per == want
+
+
 class TestPersonalizedPageRank:
     def test_teleport_mass_concentrates_on_seeds(self, spark):
         from datarepo_spark.functions.graph import pagerank

@@ -38,6 +38,7 @@ from datarepo_spark.queries import analysis  # noqa: E402,F401
 from datarepo_spark.queries import extensions  # noqa: E402,F401
 from datarepo_spark.queries import insights  # noqa: E402,F401
 from datarepo_spark.queries import physical  # noqa: E402,F401
+from datarepo_spark.queries import ranked  # noqa: E402,F401
 from datarepo_spark.queries import sources  # noqa: E402,F401
 from datarepo_spark.functions.dedup import unpersist_intermediates  # noqa: E402
 
