@@ -50,6 +50,7 @@ from datarepo_spark.queries import analysis  # noqa: E402,F401  (registers the r
 from datarepo_spark.queries import extensions  # noqa: E402,F401
 from datarepo_spark.queries import insights  # noqa: E402,F401  (registers the r11 batch)
 from datarepo_spark.queries import physical  # noqa: E402,F401  (registers bench_calibration)
+from datarepo_spark.queries import ranked  # noqa: E402,F401  (registers the r12 batch)
 from datarepo_spark.queries import sources  # noqa: E402,F401  (registers streaming_ewma_twin)
 from datarepo_spark.queries import tpch_extra  # noqa: E402,F401  (registers q18)
 from datarepo_spark.functions.dedup import unpersist_intermediates  # noqa: E402
@@ -181,6 +182,17 @@ HEADLINE = [
     "text_ttr_hapax",
     "profile_spearman_rank",
     "events_peak_concurrency",
+    # added r12 (headline count 76 → 82): the rank-statistics batch on
+    # the two-pass primitive — grouped weighted median + inter-arrival
+    # percentiles (the few-giant-groups shapes), pooled-midrank
+    # Mann-Whitney, the Kaplan-Meier fold, basket-pair association
+    # rules, and the per-node triangle attribution
+    "profile_weighted_median",
+    "events_interarrival",
+    "profile_mann_whitney",
+    "events_kaplan_meier",
+    "agg_association_rules",
+    "graph_local_clustering",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -180,10 +180,22 @@ def distributed_prefix_sum(
         ],
     )
 
-    join_keys = [*grp, "__pid"]
-    out = local.join(
-        carries if grp else F.broadcast(carries), join_keys
-    )
+    if grp:
+        # null-safe equality on the group keys: a null group is a
+        # legitimate cell (SQL windows partition null into its own
+        # group) and a plain equi-join would silently drop it
+        right = carries
+        for g in grp:
+            right = right.withColumnRenamed(g, f"__r_{g}")
+        right = right.withColumnRenamed("__pid", "__r_pid")
+        cond = F.col("__pid") == F.col("__r_pid")
+        for g in grp:
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__r_{g}"))
+        out = local.join(right, cond).drop(
+            "__r_pid", *[f"__r_{g}" for g in grp]
+        )
+    else:
+        out = local.join(F.broadcast(carries), ["__pid"])
     for i, (o, t) in enumerate(zip(outs, sum_types)):
         out = out.withColumn(
             o,

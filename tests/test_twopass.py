@@ -157,6 +157,36 @@ class TestPrefixSum:
         }
         assert got == want
 
+    def test_grouped_null_group_key_survives(self, spark):
+        """A null group is a legitimate window partition — the carry
+        join must be null-safe, not silently drop it."""
+        rows = [("a", 1, 5), (None, 2, 7), (None, 3, 11), ("a", 4, 2)]
+        df = spark.createDataFrame(rows, "g string, k long, v long")
+        got = {
+            (r.g, r.k): r.cum
+            for r in distributed_prefix_sum(
+                df,
+                ["k"],
+                "v",
+                out_col="cum",
+                partition_by=["g"],
+                num_partitions=3,
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = {
+            (r.g, r.k): r.cum
+            for r in df.select(
+                "g", "k", F.sum("v").over(w).alias("cum")
+            ).collect()
+        }
+        assert got == want
+        assert (None, 3) in got and got[(None, 3)] == 18
+
     def test_empty_frame(self, spark):
         df = _mkdf(spark, 10, seed=1).filter(F.lit(False))
         assert (
