@@ -112,6 +112,7 @@ _PRIORITY_R13: list[str] = [
     "events_interarrival",
     "agg_association_rules",
     "graph_local_clustering",
+    "events_cohort_ltv",
 ]
 
 

@@ -2808,16 +2808,19 @@ def classify_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_pos"),
         F.count(F.lit(1)).alias("c_tot"),
     )
-    w = (
-        Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pre = cell.select(
+    # two-pass distributed cum_less (r12 window audit): length cells
+    # are value-domain bounded, but a corpus of megabyte documents
+    # still yields ~1e6 cells — no reason to sort them in one task
+    # when the primitive is a drop-in (result identical: cells are
+    # uniquely keyed by v)
+    from ..functions.twopass import distributed_prefix_sum
+
+    pre = distributed_prefix_sum(
+        cell, ["v"], "c_tot", out_col="__cl", exclusive=True
+    ).select(
         "c_pos",
         "c_tot",
-        F.coalesce(F.sum("c_tot").over(w), F.lit(0))
-        .cast("long")
-        .alias("cum_less"),
+        F.col("__cl").cast("long").alias("cum_less"),
     )
     s = pre.agg(
         F.sum("c_pos").cast("long").alias("n_pos"),

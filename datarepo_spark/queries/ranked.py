@@ -899,3 +899,119 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "events_cohort_ltv",
+    # Cohort LTV curve — events_retention's value-weighted companion
+    # (the growth-analytics pair: retention answers "do they come
+    # back", LTV answers "what are they worth over time"): per weekly
+    # first-activity cohort and week offset, active users, the DECIMAL
+    # value total, the running cumulative value, and cumulative value
+    # per cohort user. The cumulative window runs over (cohort_week,
+    # week_offset) CELLS — bounded by the corpus timespan squared in
+    # weeks (a few hundred rows even at years of data), never by the
+    # corpus. Exact integer/decimal folds; two pinned divisions,
+    # display rounding decimal-first (the pareto convention).
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS w,
+             CAST(value AS DECIMAL(38, 6)) AS v
+      FROM events
+    ), coh AS (
+      SELECT user_id, MIN(w) AS cw FROM weeks GROUP BY 1
+    ), sz AS (
+      SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM coh GROUP BY 1
+    ), cell AS (
+      SELECT c.cw AS cohort_week,
+             CAST(DATE_DIFF('day', CAST(c.cw AS DATE),
+                            CAST(w.w AS DATE)) / 7 AS INT)
+               AS week_offset,
+             CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active,
+             CAST(SUM(v) AS DECIMAL(38, 6)) AS value_sum
+      FROM weeks w JOIN coh c USING (user_id) GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort_week, week_offset, n_active, value_sum,
+             CAST(SUM(value_sum) OVER (PARTITION BY cohort_week
+                   ORDER BY week_offset ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38, 6)) AS cum_value
+      FROM cell
+    )
+    SELECT cohort_week, week_offset, n_active,
+           CAST(ROUND(value_sum, 2) AS DOUBLE) AS value_sum,
+           CAST(ROUND(cum_value, 2) AS DOUBLE) AS cum_value,
+           ROUND(CAST(cum_value AS DOUBLE)
+                 / CAST(s.cohort_users AS DOUBLE), 6) AS ltv_per_user
+    FROM cum JOIN sz s ON cum.cohort_week = s.cw
+    ORDER BY cohort_week, week_offset
+    """,
+    description="weekly-cohort LTV curve: active users, DECIMAL value "
+    "totals, cumulative value and per-user LTV by week offset — "
+    "events_retention's value-weighted companion; windows only over "
+    "(cohort, offset) cells",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("w"),
+        F.col("value").cast("decimal(38,6)").alias("v"),
+    )
+    coh = weeks.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sz = coh.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    cell = (
+        weeks.join(coh, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (
+                F.datediff(F.col("w").cast("date"), F.col("cw").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.sum("v").cast("decimal(38,6)").alias("value_sum"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cell.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "value_sum",
+        F.sum("value_sum").over(w_cum).cast("decimal(38,6)").alias(
+            "cum_value"
+        ),
+    )
+    return (
+        cum.join(
+            F.broadcast(sz),
+            cum.cohort_week == sz.cw,
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("value_sum"), 2).cast("double").alias(
+                "value_sum"
+            ),
+            F.round(F.col("cum_value"), 2).cast("double").alias(
+                "cum_value"
+            ),
+            F.round(
+                F.col("cum_value").cast("double")
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
