@@ -113,6 +113,8 @@ _PRIORITY_R13: list[str] = [
     "agg_association_rules",
     "graph_local_clustering",
     "events_cohort_ltv",
+    "agg_count_min_sketch",
+    "sample_neyman_allocation",
 ]
 
 

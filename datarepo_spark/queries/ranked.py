@@ -1015,3 +1015,283 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# pinned CMS hash parameters: h_i(x) = ((a_i*x + b_i) mod p) mod w —
+# pure int64 arithmetic both engines (a*x stays under 2^63 for any
+# realistic key range: a <= 7e4, keys to ~1e14)
+_CMS_P = 2147483647
+_CMS_W = 1024
+_CMS_PARAMS = [(0, 48271, 11), (1, 16807, 101), (2, 69621, 1009),
+               (3, 40692, 10007)]
+
+
+@register(
+    "agg_count_min_sketch",
+    # Count-Min sketch (Cormode & Muthukrishnan 2005) over part
+    # frequencies — THE mergeable point-frequency sketch: d=4 pinned
+    # universal-ish hash rows x w=1024 counters, estimate = min over
+    # rows, one-sided error (never underestimates). Unlike the
+    # engine-native HLL (agg_sketch_rollup, contract-gated because the
+    # sketch bits differ per engine), THIS sketch is pinned integer
+    # arithmetic end to end — both engines build the identical 4096
+    # counters and the oracle matches bit-exactly, overestimates
+    # included. Scale: the build is ONE map-side-combinable aggregate
+    # into <= d*w cells regardless of corpus size (the pre-aggregate-
+    # and-merge pattern: per-partition sketches sum); the probe joins
+    # the top-10 exact keys against the broadcast-sized sketch.
+    oracle="""
+    WITH params(i, a, b) AS (
+      VALUES (0, 48271, 11), (1, 16807, 101), (2, 69621, 1009),
+             (3, 40692, 10007)
+    ), pk AS (
+      SELECT l_partkey AS x FROM lineitem
+    ), sketch AS (
+      SELECT i, ((a * x + b) % 2147483647) % 1024 AS col,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM pk CROSS JOIN params GROUP BY 1, 2
+    ), exact AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM pk GROUP BY x ORDER BY exact_count DESC, x LIMIT 10
+    ), est AS (
+      SELECT e.x, e.exact_count,
+             CAST(MIN(s.c) AS BIGINT) AS cms_estimate
+      FROM exact e CROSS JOIN params p
+      JOIN sketch s
+        ON s.i = p.i
+       AND s.col = ((p.a * e.x + p.b) % 2147483647) % 1024
+      GROUP BY e.x, e.exact_count
+    )
+    SELECT x AS l_partkey, exact_count, cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_count DESC, l_partkey
+    """,
+    description="count-min sketch (d=4, w=1024, pinned integer "
+    "hashes) over part frequencies: one combinable aggregate builds "
+    "4096 counters at any corpus size; top-10 exact keys probed "
+    "against the broadcast sketch — bit-exact cross-engine, "
+    "one-sided overestimates reported",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x")
+    )
+
+    def h(a: int, b: int, x):
+        return F.pmod(
+            F.pmod(F.lit(a) * x + F.lit(b), F.lit(_CMS_P)), F.lit(_CMS_W)
+        )
+
+    hash_arr = F.array(
+        *[h(a, b, F.col("x")) for (_, a, b) in _CMS_PARAMS]
+    )
+    cells = (
+        li.select(F.posexplode(hash_arr).alias("i", "col"))
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = (
+        li.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("x"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "x", "exact_count", F.posexplode(hash_arr).alias("i", "col")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["i", "col"])
+        .groupBy("x", "exact_count")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("x").alias("l_partkey"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "l_partkey")
+
+
+@register(
+    "sample_neyman_allocation",
+    # Neyman-optimal stratified sampling (Neyman 1934): a fixed
+    # 1000-row budget allocated across the l_returnflag strata
+    # proportional to N_h·S_h (stratum size x stddev of the surveyed
+    # variable) — the variance-minimizing allocation every large-scale
+    # eval-set builder should use instead of proportional quotas
+    # (sample_stratified). Per-stratum stddev comes from exact DECIMAL
+    # co-moments (price scaled /1000 per the r8 cast bound, sqrt is
+    # IEEE-exact); the 3-term N·S normalizer folds in flag order
+    # (pinned ordered fold). Allocation is FLOOR(budget·w_h/W) —
+    # spends <= budget; remainder-seat policy is the caller's.
+    # Selection inside each stratum is deterministic: rank by the
+    # Lehmer mix of the unique (orderkey, linenumber) row key via the
+    # GROUPED two-pass row number (three giant strata — a PARTITION BY
+    # rank would hand each stratum to one task), keep rank <= n_h.
+    # Output: per-stratum N, stddev, allocation, realized sample size
+    # and sample mean — exact integers/decimals, ROUND 6 on libm-free
+    # divisions.
+    oracle="""
+    WITH src AS (
+      SELECT l_returnflag AS flag,
+             l_extendedprice AS price,
+             (l_orderkey * 8 + l_linenumber) AS rid
+      FROM lineitem
+    ), stats AS (
+      SELECT flag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(price / 1000 AS DECIMAL(38, 6)))
+                  AS DECIMAL(38, 6)) AS sx,
+             CAST(SUM(CAST(price / 1000 AS DECIMAL(38, 6))
+                      * CAST(price / 1000 AS DECIMAL(38, 6)))
+                  AS DECIMAL(38, 6)) AS sxx
+      FROM src GROUP BY flag
+    ), sd AS (
+      SELECT flag, n_rows,
+             SQRT((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n_rows AS DOUBLE)
+                     * (CAST(n_rows AS DOUBLE) - 1.0))) * 1000.0
+               AS stddev
+      FROM stats
+    ), wsum AS (
+      SELECT LIST_REDUCE(
+               LIST(CAST(n_rows AS DOUBLE) * stddev ORDER BY flag),
+               (a, x) -> a + x) AS w_total
+      FROM sd
+    ), alloc AS (
+      SELECT flag, n_rows, stddev,
+             CAST(FLOOR(1000.0 * (CAST(n_rows AS DOUBLE) * stddev)
+                        / w_total) AS BIGINT) AS n_alloc
+      FROM sd, wsum
+    ), ranked AS (
+      SELECT s.flag, s.price,
+             ROW_NUMBER() OVER (PARTITION BY s.flag
+               ORDER BY (s.rid * 48271) % 2147483647, s.rid) AS rn
+      FROM src s
+    ), sample_ AS (
+      SELECT r.flag,
+             CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(CAST(r.price AS DECIMAL(38, 6)))
+                  AS DECIMAL(38, 6)) AS samp_sum
+      FROM ranked r JOIN alloc a ON r.flag = a.flag
+      WHERE r.rn <= a.n_alloc
+      GROUP BY r.flag
+    )
+    SELECT a.flag AS l_returnflag, a.n_rows,
+           ROUND(a.stddev, 6) AS stddev,
+           a.n_alloc, s.n_sampled,
+           ROUND(CAST(s.samp_sum AS DOUBLE)
+                 / CAST(s.n_sampled AS DOUBLE), 6) AS sample_mean
+    FROM alloc a JOIN sample_ s ON a.flag = s.flag
+    ORDER BY l_returnflag
+    """,
+    description="Neyman-allocation stratified sample (budget 1000, "
+    "allocation proportional to stratum size x stddev): exact DECIMAL "
+    "co-moment stddevs, pinned allocation, deterministic Lehmer-mix "
+    "selection via the grouped two-pass rank; per-stratum summary",
+)
+def sample_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+    )
+    from ..functions.dedup import _scoped_persist
+
+    src = _scoped_persist(src)
+    ps = (F.col("price") / 1000).cast("decimal(38,6)")
+    stats = src.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(ps).cast("decimal(38,6)").alias("sx"),
+        F.sum(ps * ps).cast("decimal(38,6)").alias("sxx"),
+    )
+    nd = F.col("n_rows").cast("double")
+    sd = stats.select(
+        "flag",
+        "n_rows",
+        (
+            F.sqrt(
+                (
+                    nd * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                )
+                / (nd * (nd - F.lit(1.0)))
+            )
+            * F.lit(1000.0)
+        ).alias("stddev"),
+    )
+    wsum = sd.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("flag").alias("flag"),
+                        (F.col("n_rows").cast("double") * F.col("stddev"))
+                        .alias("w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["w"],
+        ).alias("w_total")
+    )
+    alloc = sd.crossJoin(F.broadcast(wsum)).select(
+        "flag",
+        "n_rows",
+        "stddev",
+        F.floor(
+            F.lit(1000.0)
+            * (F.col("n_rows").cast("double") * F.col("stddev"))
+            / F.col("w_total")
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    # deterministic per-stratum rank without a per-stratum single-task
+    # sort: grouped two-pass row number over the Lehmer-mixed row key
+    mixed = src.withColumn(
+        "__mix", F.pmod(F.col("rid") * F.lit(48271), F.lit(2147483647))
+    )
+    ranked = distributed_prefix_sum(
+        mixed.withColumn("__one", F.lit(1).cast("long")),
+        [F.asc("__mix"), F.asc("rid")],
+        "__one",
+        out_col="rn",
+        partition_by=["flag"],
+    )
+    sample_ = (
+        ranked.join(
+            F.broadcast(alloc.select("flag", "n_alloc")), "flag"
+        )
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum(F.col("price").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("samp_sum"),
+        )
+    )
+    return (
+        alloc.join(sample_, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "n_rows",
+            F.round(F.col("stddev"), 6).alias("stddev"),
+            "n_alloc",
+            "n_sampled",
+            F.round(
+                F.col("samp_sum").cast("double")
+                / F.col("n_sampled").cast("double"),
+                6,
+            ).alias("sample_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

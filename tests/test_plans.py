@@ -1285,3 +1285,31 @@ class TestR12Ranked:
             for ln in plan.splitlines()
         )
         assert "TakeOrderedAndProject" in plan
+
+    def test_cms_one_combinable_aggregate(self, spark, sf_dir):
+        """The sketch build is partial+final aggregation into <= d*w
+        cells; the probe side joins the broadcast sketch."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "agg_count_min_sketch")
+        assert plan.count("HashAggregate") >= 2
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_neyman_grouped_rank_two_pass(self, spark, sf_dir):
+        """Per-stratum selection ranks go through the grouped two-pass
+        — no PARTITION-BY-stratum ROW_NUMBER handing a whole return
+        flag to one task."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "sample_neyman_allocation")
+        assert "row_number" not in plan.lower()
+        _assert_windows_pid_scoped(plan)
+
+    def test_cohort_ltv_windows_cell_bounded(self, spark, sf_dir):
+        """The cumulative runs over (cohort, offset) cells — the only
+        Window partitions by cohort_week above the cell aggregate."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "events_cohort_ltv")
+        _assert_windows_pid_scoped(plan, also_allowed=("cohort_week",))
