@@ -115,6 +115,7 @@ _PRIORITY_R13: list[str] = [
     "events_cohort_ltv",
     "agg_count_min_sketch",
     "sample_neyman_allocation",
+    "streaming_running_total_twin",
 ]
 
 

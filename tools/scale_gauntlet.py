@@ -102,6 +102,13 @@ GAUNTLET = [
     "similarity_cosine_histogram",
     "profile_rfm_segmentation",
     "events_conversion_latency",
+    # r12b additions: the heavy r12-born shapes — per-node triangle
+    # attribution (enumeration-sized output), basket pair mining with
+    # lift, pooled-midrank Mann-Whitney, and the constant-size CMS build
+    "graph_local_clustering",
+    "agg_association_rules",
+    "profile_mann_whitney",
+    "agg_count_min_sketch",
 ]
 
 
