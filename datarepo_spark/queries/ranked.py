@@ -1126,10 +1126,16 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE-exact); the 3-term N·S normalizer folds in flag order
     # (pinned ordered fold). Allocation is FLOOR(budget·w_h/W) —
     # spends <= budget; remainder-seat policy is the caller's.
-    # Selection inside each stratum is deterministic: rank by the
-    # Lehmer mix of the unique (orderkey, linenumber) row key via the
-    # GROUPED two-pass row number (three giant strata — a PARTITION BY
-    # rank would hand each stratum to one task), keep rank <= n_h.
+    # Selection inside each stratum is deterministic: rank by
+    # (Lehmer mix of the (orderkey, linenumber) row key, key, PRICE)
+    # via the GROUPED two-pass row number (three giant strata — a
+    # PARTITION BY rank would hand each stratum to one task), keep
+    # rank <= n_h. The synthetic data repeats (orderkey, linenumber),
+    # so the row key alone is NOT total — the price tiebreak makes any
+    # residual tie OUTPUT-invariant: tied rows carry equal price, so
+    # whichever side of the allocation boundary each lands on, the
+    # selected price multiset (and thus n_sampled and sample_mean) is
+    # identical on both engines.
     # Output: per-stratum N, stddev, allocation, realized sample size
     # and sample mean — exact integers/decimals, ROUND 6 on libm-free
     # divisions.
@@ -1169,7 +1175,8 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT s.flag, s.price,
              ROW_NUMBER() OVER (PARTITION BY s.flag
-               ORDER BY (s.rid * 48271) % 2147483647, s.rid) AS rn
+               ORDER BY (s.rid * 48271) % 2147483647, s.rid,
+                        s.price) AS rn
       FROM src s
     ), sample_ AS (
       SELECT r.flag,
@@ -1261,7 +1268,7 @@ def sample_neyman_allocation(
     )
     ranked = distributed_prefix_sum(
         mixed.withColumn("__one", F.lit(1).cast("long")),
-        [F.asc("__mix"), F.asc("rid")],
+        [F.asc("__mix"), F.asc("rid"), F.asc("price")],
         "__one",
         out_col="rn",
         partition_by=["flag"],
