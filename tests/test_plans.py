@@ -1011,13 +1011,15 @@ class TestCardinalityEstimateShape:
 
 class TestAucShape:
     def test_auc_cells_then_prefix_window(self, spark, sf_dir):
-        """AUC aggregates per-VALUE cells first (combinable), then one
-        prefix window over the tiny cell frame — the corpus never
-        reaches a window."""
+        """AUC aggregates per-VALUE cells first (combinable), then the
+        two-pass distributed prefix sum over those cells (r12
+        migration: length cells are value-domain bounded but megabyte
+        documents make that ~1e6 cells — no single-task sort). The
+        only join is the primitive's bounded carry broadcast."""
         plan = plan_of(spark, sf_dir, "classify_auc")
         assert "Window" in plan
-        assert "Join" not in plan
         assert plan.count("HashAggregate") >= 2
+        _assert_windows_pid_scoped(plan)
 
 
 class TestCalibrationShape:
