@@ -116,6 +116,7 @@ _PRIORITY_R13: list[str] = [
     "agg_count_min_sketch",
     "sample_neyman_allocation",
     "streaming_running_total_twin",
+    "agg_bloom_filter",
 ]
 
 

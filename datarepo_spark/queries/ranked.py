@@ -1302,3 +1302,143 @@ def sample_neyman_allocation(
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_bloom_filter",
+    # Bloom-filter membership (Bloom 1970) with pinned integer hashes —
+    # the sketch family's membership member (count-min answers "how
+    # many", HLL "how many distinct", Bloom "is it in the set"):
+    # build a m=4096-bit / k=3 filter over the part keys with size >
+    # 40, probe every distinct lineitem part key, and report the
+    # measured false-positive behavior against exact membership. Both
+    # the BUILD (distinct set bit positions — <= m cells however large
+    # the key set) and the PROBE (per key, matched-position count ==
+    # k) are pinned integer arithmetic, so the filter bits and every
+    # individual false positive match the oracle exactly — the
+    # engine-native bloom_filter_agg could only be contract-gated.
+    # Scale: build is one combinable distinct into <= 4096 cells
+    # (broadcastable at any corpus); probe is a hash join of probe-key
+    # positions against those cells. The observed fp_rate row is the
+    # standard (1-e^{-kn/m})^k regime check a pipeline uses to size m.
+    oracle="""
+    WITH params(i, a, b) AS (
+      VALUES (0, 48271, 11), (1, 16807, 101), (2, 69621, 1009)
+    ), keys AS (
+      SELECT p_partkey AS x FROM part WHERE p_size > 40
+    ), bits AS (
+      SELECT DISTINCT i, ((a * x + b) % 2147483647) % 4096 AS pos
+      FROM keys CROSS JOIN params
+    ), probe AS (
+      SELECT DISTINCT l_partkey AS x FROM lineitem
+    ), hits AS (
+      SELECT pr.x, CAST(COUNT(*) AS BIGINT) AS matched
+      FROM probe pr CROSS JOIN params p
+      JOIN bits b
+        ON b.i = p.i
+       AND b.pos = ((p.a * pr.x + p.b) % 2147483647) % 4096
+      GROUP BY pr.x
+    ), verdicts AS (
+      SELECT pr.x,
+             CASE WHEN COALESCE(h.matched, 0) = 3 THEN 1 ELSE 0 END
+               AS bloom_positive,
+             CASE WHEN k.x IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM probe pr
+      LEFT JOIN hits h ON pr.x = h.x
+      LEFT JOIN keys k ON pr.x = k.x
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(bloom_positive) AS BIGINT) AS n_positive,
+           CAST(SUM(bloom_positive) - SUM(is_member) AS BIGINT)
+             AS n_false_positive,
+           ROUND(CAST(SUM(bloom_positive) - SUM(is_member) AS DOUBLE)
+                 / CAST(COUNT(*) - SUM(is_member) AS DOUBLE), 9)
+             AS fp_rate
+    FROM verdicts
+    """,
+    description="bloom-filter membership (m=4096, k=3, pinned integer "
+    "hashes) over size>40 part keys probed by all lineitem part keys: "
+    "bit-exact filter and false positives on both engines; build "
+    "state <= m cells at any corpus size",
+)
+def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    params = [(0, 48271, 11), (1, 16807, 101), (2, 69621, 1009)]
+
+    def pos(a: int, b: int, x):
+        return F.pmod(
+            F.pmod(F.lit(a) * x + F.lit(b), F.lit(2147483647)),
+            F.lit(4096),
+        )
+
+    keys = part.filter(F.col("p_size") > 40).select(
+        F.col("p_partkey").alias("x")
+    )
+    from ..functions.dedup import _scoped_persist
+
+    keys = _scoped_persist(keys)
+    bits = (
+        keys.select(
+            F.posexplode(
+                F.array(*[pos(a, b, F.col("x")) for (_, a, b) in params])
+            ).alias("i", "pos")
+        )
+        .distinct()
+    )
+    probe = li.select(F.col("l_partkey").alias("x")).distinct()
+    probe_pos = probe.select(
+        "x",
+        F.posexplode(
+            F.array(*[pos(a, b, F.col("x")) for (_, a, b) in params])
+        ).alias("i", "pos"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), ["i", "pos"])
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched"))
+    )
+    verdicts = (
+        probe.join(hits, "x", "left")
+        .join(
+            keys.withColumn("__m", F.lit(1)).select("x", "__m"),
+            "x",
+            "left",
+        )
+        .select(
+            F.when(F.coalesce(F.col("matched"), F.lit(0)) == 3, 1)
+            .otherwise(0)
+            .alias("bloom_positive"),
+            F.when(F.col("__m").isNotNull(), 1).otherwise(0).alias(
+                "is_member"
+            ),
+        )
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    n_bits = bits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bits_set")
+    )
+    summary = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("bloom_positive").cast("long").alias("n_positive"),
+        (F.sum("bloom_positive") - F.sum("is_member"))
+        .cast("long")
+        .alias("n_false_positive"),
+        F.round(
+            (F.sum("bloom_positive") - F.sum("is_member")).cast("double")
+            / (F.count(F.lit(1)) - F.sum("is_member")).cast("double"),
+            9,
+        ).alias("fp_rate"),
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "n_keys", "n_bits_set", "n_probed", "n_members",
+            "n_positive", "n_false_positive", "fp_rate",
+        )
+    )

@@ -1315,3 +1315,15 @@ class TestR12Ranked:
 
         plan = plan_of(spark, sf_dir, "events_cohort_ltv")
         _assert_windows_pid_scoped(plan, also_allowed=("cohort_week",))
+
+    def test_bloom_build_bounded_and_probe_hash_join(self, spark, sf_dir):
+        """The filter builds as a distinct into <= m cells (partial+
+        final aggregate) and the probe joins those cells broadcast —
+        no data-scaled window, no nested loop beyond the 1-row scalar
+        attaches."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "agg_bloom_filter")
+        assert plan.count("HashAggregate") >= 2
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
