@@ -214,11 +214,15 @@ def distributed_row_number(
     *,
     out_col: str = "rn",
     num_partitions: int | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
-    """``ROW_NUMBER() OVER (ORDER BY order_by)`` (1-based) as the
-    inclusive distributed prefix sum of ones. ``order_by`` must be a
-    total order — with ties ROW_NUMBER is not well-defined in any
-    engine, so requiring uniqueness loses nothing."""
+    """``ROW_NUMBER() OVER ([PARTITION BY partition_by] ORDER BY
+    order_by)`` (1-based) as the inclusive distributed prefix sum of
+    ones. ``partition_by`` + ``order_by`` must be a total order — with
+    ties ROW_NUMBER is not well-defined in any engine, so requiring
+    uniqueness loses nothing (and when tied rows are interchangeable
+    for the downstream output, an output-column tiebreak restores
+    determinism — the sample_neyman_allocation lesson)."""
     with_one = df.withColumn("__one", F.lit(1).cast("long"))
     out = distributed_prefix_sum(
         with_one,
@@ -227,6 +231,7 @@ def distributed_row_number(
         out_col=out_col,
         exclusive=False,
         num_partitions=num_partitions,
+        partition_by=partition_by,
     )
     return out.drop("__one")
 
@@ -238,22 +243,43 @@ def distributed_ntile(
     *,
     out_col: str,
     num_partitions: int | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
-    """``NTILE(n) OVER (ORDER BY order_by)`` via the distributed row
-    number and the closed form of SQL NTILE: with N rows and k tiles,
-    ``q = N div k``, ``r = N mod k``, the first ``r`` tiles hold
-    ``q+1`` rows — row ``i`` (0-based) lands in tile
-    ``i div (q+1) + 1`` when ``i < r*(q+1)``, else
-    ``r + (i - r*(q+1)) div q + 1``. Exact integer arithmetic (SQL
-    ``DIV``), never a global window."""
+    """``NTILE(n) OVER ([PARTITION BY partition_by] ORDER BY
+    order_by)`` via the distributed row number and the closed form of
+    SQL NTILE: with N rows and k tiles, ``q = N div k``,
+    ``r = N mod k``, the first ``r`` tiles hold ``q+1`` rows — row
+    ``i`` (0-based) lands in tile ``i div (q+1) + 1`` when
+    ``i < r*(q+1)``, else ``r + (i - r*(q+1)) div q + 1``. Exact
+    integer arithmetic (SQL ``DIV``), never a global window. In the
+    grouped form N is each group's own row count (null-safe group
+    join, like the prefix sum's carries)."""
     k = int(n_tiles)
+    grp = list(partition_by) if partition_by else []
     rn = distributed_row_number(
-        df, order_by, out_col="__rn", num_partitions=num_partitions
+        df,
+        order_by,
+        out_col="__rn",
+        num_partitions=num_partitions,
+        partition_by=partition_by,
     )
-    total = rn.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    if grp:
+        totals = rn.groupBy(*grp).agg(
+            F.count(F.lit(1)).cast("long").alias("__N")
+        )
+        right = totals
+        for g in grp:
+            right = right.withColumnRenamed(g, f"__r_{g}")
+        cond = None
+        for g in grp:
+            c = F.col(g).eqNullSafe(F.col(f"__r_{g}"))
+            cond = c if cond is None else (cond & c)
+        j = rn.join(right, cond).drop(*[f"__r_{g}" for g in grp])
+    else:
+        total = rn.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+        j = rn.crossJoin(F.broadcast(total))
     j = (
-        rn.crossJoin(F.broadcast(total))
-        .withColumn("__i", (F.col("__rn") - 1).cast("long"))
+        j.withColumn("__i", (F.col("__rn") - 1).cast("long"))
         .withColumn("__q", F.expr(f"__N DIV {k}"))
         .withColumn("__r", F.expr(f"__N % {k}"))
     )

@@ -238,6 +238,57 @@ class TestRowNumberNtile:
         }
         assert got == want
 
+    def test_grouped_row_number_matches_partitioned_window(self, spark):
+        rng = random.Random(31)
+        rows = [
+            (rng.choice(["a", "b", None]), k, rng.randint(0, 99))
+            for k in rng.sample(range(5000), 300)
+        ]
+        df = spark.createDataFrame(rows, "g string, k long, v long")
+        got = {
+            (r.g, r.k): r.rn
+            for r in distributed_row_number(
+                df,
+                [F.desc("v"), F.asc("k")],
+                partition_by=["g"],
+                num_partitions=7,
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("k"))
+        want = {
+            (r.g, r.k): r.rn
+            for r in df.select(
+                "g", "k",
+                F.row_number().over(w).cast("long").alias("rn"),
+            ).collect()
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("k", [4, 7])
+    def test_grouped_ntile_matches_partitioned_window(self, spark, k):
+        rng = random.Random(37 + k)
+        rows = [
+            (rng.choice(["a", "b", "c"]), i)
+            for i in rng.sample(range(4000), 211)
+        ]
+        df = spark.createDataFrame(rows, "g string, k long")
+        got = {
+            (r.g, r.k): r.t
+            for r in distributed_ntile(
+                df, ["k"], k, out_col="t",
+                partition_by=["g"], num_partitions=5,
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy("k")
+        want = {
+            (r.g, r.k): r.t
+            for r in df.select(
+                "g", "k",
+                F.ntile(k).over(w).cast("long").alias("t"),
+            ).collect()
+        }
+        assert got == want
+
     @pytest.mark.parametrize(
         "n,k", [(229, 5), (229, 13), (3, 5), (1, 4), (229, 229), (229, 400)]
     )
