@@ -31,79 +31,23 @@ from datarepo_spark.queries import ranked as _ranked  # noqa: E402,F401
 # family per rotation. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 #
-# -- r12 window (VERDICT r11 #3): the 29 r11-born queries that have
-# never held a driver row (the insights analytics batch — including
-# the three queries REWRITTEN this round onto the two-pass distributed
-# rank/prefix-sum primitive per VERDICT r11 #1, plus the migrated RFM
-# NTILE and conversion-latency percentiles — the k-core/link-
-# prediction graph pair, the three remaining streaming twins, the
-# replaceWhere writer path, top-k IVM, and the confusion matrix), then
-# 21 refresh slots on the oldest green cohort (r8): the heavy curate/
-# decontaminate pipelines (also the r11 perf watch items), the delta
-# write/maintenance paths, the text-quality layer, ANN variants, and
-# event analytics. After r12: every registry query as of r11 has held
-# a driver row and none is older than r9.
+# -- r13 window (VERDICT r12 #1): the 13 r12-born queries that have
+# never held a driver row (the rank-statistics batch — all riding the
+# two-pass primitive whose range tags were REWRITTEN this round to
+# deterministic literal boundaries per VERDICT r12 #3 — the mergeable
+# count-min/bloom sketches, Neyman allocation, cohort LTV, local
+# clustering, and the running-total streaming twin), then 37 refresh
+# slots on the TRUE oldest green cohort. Note: the r12 verdict said
+# the oldest cohort was r9, but the CORRECTNESS_r* artifacts show 46
+# registry queries whose latest green row is r7 and 28 at r8 (the
+# early rounds gated more than 50 slots, so those rows never rotated);
+# this window refreshes 37 of the 46 r7-latest rows — TPC-H Q2/Q7-Q9/
+# Q11/Q17/Q21, the core dedup family (sha/simhash/ngram/embedding/
+# components), multimodal, sampling splits, ANN LSH/IVF, the CSV/JSON
+# sources, and the text scoring layer. The 9 deferred r7 rows + the
+# r8 cohort lead _PRIORITY_R14.
 _PRIORITY = [
-    # -- r11-born, never driver-gated (staged r11 as _PRIORITY_R12) ----
-    "bench_calibration",
-    "profile_psi_drift",
-    "profile_spearman_rank",
-    "profile_jensen_shannon",
-    "profile_covariance_matrix",
-    "events_ohlc_bars",
-    "events_rate_of_change",
-    "agg_collect_ordered",
-    "window_pareto_cumshare",
-    "graph_common_neighbors",
-    "graph_kcore_peel",
-    "window_top_with_ties",
-    "text_ttr_hapax",
-    "text_readability",
-    "similarity_cosine_histogram",
-    "streaming_dedup_first_twin",
-    "ivm_topk_by_status",
-    "profile_key_skew",
-    "profile_qq_deciles",
-    "window_yoy_growth",
-    "streaming_stream_static_twin",
-    "events_peak_concurrency",
-    "events_conversion_latency",
-    "events_dau_wau_mau",
-    "delta_replace_where",
-    "streaming_delta_sink_twin",
-    "events_error_rate_slo",
-    "profile_rfm_segmentation",
-    "classify_confusion_matrix",
-    # -- r8-cohort refresh (oldest green rows, 21 slots) ---------------
-    "pipeline_curate_v3",
-    "pipeline_decontaminate_neardup",
-    "pipeline_pack_sequences",
-    "pipeline_mixture_sample",
-    "delta_merge_upsert",
-    "delta_dv_delete",
-    "delta_zorder_skip",
-    "classify_nb_language",
-    "text_perplexity",
-    "text_quality_rank",
-    "text_normalize",
-    "dedup_semantic",
-    "dedup_cluster_survivors",
-    "similarity_ann_ivfpq",
-    "similarity_kmeans_assign",
-    "similarity_ann_index",
-    "events_funnel",
-    "events_retention",
-    "events_transition_matrix",
-    "q4_order_priority",
-    "q19_disjunctive_predicates",
-    # exactly 50 entries total — the driver gates the first 50
-]
-
-# r13 rotation staging: queries born in r12 that should lead the next
-# window (filled as they land; drained into _PRIORITY at the r13
-# rotation), then the oldest-cohort refresh picks up from r9. Each is
-# driver-sim-verified green at sf0.01 when it lands here.
-_PRIORITY_R13: list[str] = [
+    # -- r12-born, never driver-gated (staged r12 as _PRIORITY_R13) ----
     "profile_mann_whitney",
     "profile_kruskal_wallis",
     "profile_weighted_median",
@@ -117,12 +61,77 @@ _PRIORITY_R13: list[str] = [
     "sample_neyman_allocation",
     "streaming_running_total_twin",
     "agg_bloom_filter",
+    # -- r7-cohort refresh (oldest green rows, 37 of 46 slots) ---------
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "dedup_exact_sha256",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "multimodal_near_dup",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "pipeline_contamination",
+    "pipeline_curate_documents",
+    "pipeline_token_budget",
+    "sample_hash_split",
+    "sample_stratified",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_quantize_int8",
+    "skew_salted_agg",
+    "skyline_parts",
+    "source_csv_scan",
+    "source_json_scan",
+    "text_chunk_documents",
+    "text_fingerprint",
+    "text_language_id",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_token_stats",
+    "agg_approx_distinct",
+    "bucketed_cobucket_join",
+    "fn_date_parse_format",
+    "reshape_posexplode",
+    # exactly 50 entries total — the driver gates the first 50
+]
+
+# r14 rotation staging: new r13-born queries lead (filled as they
+# land, each driver-sim-verified green at sf0.01), then the 9 r7 rows
+# deferred from the r13 window, then the r8 cohort (28 queries:
+# q12-q14/q16/q22, approx percentile/mode/having/sketch-rollup,
+# duplicate spans, fuzzy joins, curriculum/nucleus pipelines, dv-read
+# and maintenance, sampling kfold/cluster/diverse, ANN PQ, text
+# boilerplate/novelty/repetition, zscore anomalies, sliding windows,
+# winsorized profile) picks up the remaining slots.
+_PRIORITY_R14: list[str] = [
+    # r13-born (staged as they land)
+    "agg_quantile_sketch",
+    "streaming_quantile_sketch_twin",
+    # r7 cohort remainder (deferred from the r13 window)
+    "multimodal_ahash",
+    "multimodal_audio_near_dup",
+    "multimodal_video_frame_hashes",
+    "dedup_incremental_index",
+    "pipeline_curate_multimodal",
+    "q15_top_supplier",
+    "q20_potential_promotion",
+    "set_union_distinct",
+    "fn_struct_map",
 ]
 
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
-    for name in _PRIORITY + _PRIORITY_R13:
+    for name in _PRIORITY + [
+        n for n in _PRIORITY_R14 if n in _registry.REGISTRY
+    ]:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():
         if name not in ordered:
@@ -141,9 +150,34 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _gate_wrapped(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's pinned caches before building the
+    next plan: the gate runner never calls unpersist_intermediates()
+    itself, so a full registry drive used to accumulate every
+    persisted intermediate (and its spilled disk blocks) for the
+    process lifetime (r12 ADVICE). By the time the next query's
+    builder runs, the prior query's DataFrame has been collected, so
+    severing its caches is safe — bench.py and scale_gauntlet.py
+    already follow the same release discipline."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datarepo_spark.functions.dedup import unpersist_intermediates
+
+        unpersist_intermediates()
+        return fn(spark, sf_dir)
+
+    run.__wrapped__ = fn  # type: ignore[attr-defined]
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark_fn for name, q in _ordered_registry().items()}
+    return {
+        name: _gate_wrapped(q.spark_fn)
+        for name, q in _ordered_registry().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:

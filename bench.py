@@ -193,6 +193,11 @@ HEADLINE = [
     "events_kaplan_meier",
     "agg_association_rules",
     "graph_local_clustering",
+    # added r13 (headline count 82 → 83): the mergeable bottom-k
+    # quantile sketch — per-partition TakeOrdered heaps + exact
+    # realized-rank verification; "p95 without a sort" becomes
+    # bench-visible
+    "agg_quantile_sketch",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -12,36 +12,46 @@ The fix is the textbook two-pass sample-sort scheme (the TeraSort /
 parallel-prefix pattern; see also DuckDB's and Flink's parallel window
 implementations — public knowledge, no code consulted):
 
-  pass 1  ``repartitionByRange`` on the order key: contiguous,
-          count-balanced key ranges, partition id ascending in key
-          order (Spark's ``RangePartitioner`` guarantees both).
-  local   one windowed pass PER PARTITION (``PARTITION BY __pid``) —
-          every task sorts and scans only its own range.
-  carry   per-partition totals form a frame of ``num_partitions`` rows
-          (bounded: 32-2000, never data-scaled); an exclusive running
-          sum over THAT tiny frame yields each partition's carry-in.
-          This is the only unpartitioned window in the plan and its
-          input is bounded by the partition count, not the data.
-  pass 2  broadcast the carries back; global = local + carry.
+  bounds   sample the order key ONCE on the driver (deterministic
+           hash-mod filter, never ``rand()``), sort, and pick ``n-1``
+           evenly spaced split keys. The splits are embedded in the
+           plan as LITERALS, so every consumer — and every task retry —
+           computes the identical range assignment by construction.
+  tag      ``__pid`` = number of split keys at-or-before the row in
+           sort order, evaluated as a balanced ``when``-tree (log2(n)
+           comparisons per row, pure deterministic expression; no
+           ``spark_partition_id()``, no physical-plan property is
+           load-bearing — the r12 design pinned the assignment with a
+           persist, which a refactor could silently drop).
+  local    one windowed pass PER RANGE (``PARTITION BY __pid``) —
+           every task sorts and scans only its own range.
+  carry    per-range totals form a frame of ``num_partitions`` rows
+           (bounded: 32-2000, never data-scaled); an exclusive running
+           sum over THAT tiny frame yields each range's carry-in.
+           This is the only unpartitioned window in the plan and its
+           input is bounded by the range count, not the data.
+  pass 2   broadcast the carries back; global = local + carry.
 
-Correctness requirements (both asserted by the property tests, neither
-checkable cheaply at runtime):
+Correctness requirements (asserted by the property tests):
 
 * ``order_by`` must be a TOTAL order — it uniquely keys rows. Callers
   therefore operate at CELL grain (one row per distinct key), which is
-  also what keeps pass 1's sort linear-in-cells. With ties the running
+  also what keeps the local sort linear-in-cells. With ties the running
   sum at intermediate tied rows would be order-dependent in ANY
   engine; at cell grain the question cannot arise.
-* The range-partitioned, pid-tagged frame is **persisted** before it
-  fans out to the local-window and totals branches.
-  ``RangePartitioner`` derives its boundary sample from a
-  per-materialization seed, so two independent materializations of the
-  same logical exchange could place boundaries differently and the two
-  branches would disagree on ``__pid``. Exchange reuse usually
-  prevents that, but "usually" is not a correctness argument — the
-  persist pins one physical assignment. (The persist is linear,
-  distributed, spillable — any exact global order statistic
-  materializes comparable state.)
+* The ``__pid`` expression must order rows exactly as the local
+  window's ``ORDER BY`` does — same per-column direction, same
+  NULLS FIRST/LAST placement, same NaN-is-largest total order. Both
+  sides derive from the same parsed sort specs, and the boundary
+  comparison expression mirrors Spark's comparison semantics
+  (``eqNullSafe`` groups nulls, ``<``/``>`` already implement the
+  NaN-largest total order).
+
+The input is persisted (``_scoped_persist``) purely as a PERFORMANCE
+measure — the count/sample jobs and both downstream branches reread
+it. Removing the persist recomputes lineage but cannot change any
+``__pid``: the split keys are literals (proved by the property test
+that monkeypatches ``_scoped_persist`` to identity).
 
 Plan invariant (pinned by tests/test_plans.py): every ``Window`` node
 in a two-pass plan mentions ``__pid`` — either as its partition spec
@@ -51,6 +61,9 @@ window orders the corpus in one task.
 
 from __future__ import annotations
 
+import functools
+import math
+import re
 from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
@@ -66,31 +79,186 @@ __all__ = [
     "distributed_ntile",
 ]
 
+# str(Column) of a sort spec prints as Column<'name [ASC|DESC]
+# [NULLS FIRST|LAST]'> — the stable classic-mode repr of the underlying
+# SortOrder/attribute expression.
+_ORDER_RE = re.compile(
+    r"^Column<'(.+?)(?: (ASC|DESC))?(?: NULLS (FIRST|LAST))?'>$"
+)
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
-def _order_cols(order_by: Sequence[OrderSpec]) -> list[Column]:
-    return [F.col(o) if isinstance(o, str) else o for o in order_by]
+
+def _parse_order(spec: OrderSpec) -> tuple[str, bool, bool]:
+    """Normalize one order spec to ``(column, ascending, nulls_first)``.
+
+    Accepts a column name or a simple sort Column (``F.asc``/``F.desc``
+    /``.asc_nulls_last()`` … over a plain column reference). Computed
+    sort EXPRESSIONS are rejected: the deterministic range boundaries
+    must be collectable and re-expressible as literal comparisons, so
+    callers materialize the sort key as a real column first (every
+    in-repo caller already does — cell grain implies named key
+    columns)."""
+    if isinstance(spec, str):
+        return spec, True, True
+    m = _ORDER_RE.match(str(spec))
+    if not m or not _IDENT_RE.match(m.group(1)):
+        raise ValueError(
+            "two-pass order_by must be a column name or asc()/desc() of "
+            f"a plain column (got {spec}); materialize computed sort "
+            "keys as columns first"
+        )
+    asc = (m.group(2) or "ASC") == "ASC"
+    nulls_first = (m.group(3) or ("FIRST" if asc else "LAST")) == "FIRST"
+    return m.group(1), asc, nulls_first
+
+
+def _order_cols(specs: Sequence[tuple[str, bool, bool]]) -> list[Column]:
+    out = []
+    for name, asc, nulls_first in specs:
+        c = F.col(name)
+        if asc:
+            out.append(
+                c.asc_nulls_first() if nulls_first else c.asc_nulls_last()
+            )
+        else:
+            out.append(
+                c.desc_nulls_first() if nulls_first else c.desc_nulls_last()
+            )
+    return out
+
+
+def _is_nan(x) -> bool:
+    return isinstance(x, float) and math.isnan(x)
+
+
+def _row_cmp(specs: Sequence[tuple[str, bool, bool]]):
+    """Python comparator matching Spark's sort order for the specs:
+    NULLS FIRST/LAST as declared, NaN greater than every non-NaN (and
+    equal to itself) — the same total order the boundary comparison
+    expression implements."""
+
+    def cmp(a: tuple, b: tuple) -> int:
+        for (_, asc, nulls_first), x, y in zip(specs, a, b):
+            if x is None or y is None:
+                if x is None and y is None:
+                    continue
+                first = -1 if nulls_first else 1
+                return first if x is None else -first
+            if _is_nan(x) or _is_nan(y):
+                if _is_nan(x) and _is_nan(y):
+                    continue
+                base = 1 if _is_nan(x) else -1
+            else:
+                base = (x > y) - (x < y)
+            if base:
+                return base if asc else -base
+        return 0
+
+    return cmp
+
+
+def _sort_lt(specs: Sequence[tuple[str, bool, bool]], bound: tuple) -> Column:
+    """Expression: the row sorts STRICTLY BEFORE the literal boundary
+    tuple, under exactly the order ``_row_cmp`` defines. Built
+    lexicographically right-to-left: lt_i OR (eq_i AND rest)."""
+    expr = F.lit(False)
+    for (name, asc, nulls_first), v in reversed(list(zip(specs, bound))):
+        c = F.col(name)
+        if v is None:
+            eq = c.isNull()
+            # nulls first: nothing sorts before a null boundary;
+            # nulls last: every non-null does
+            lt = F.lit(False) if nulls_first else c.isNotNull()
+        else:
+            lit = F.lit(v)
+            eq = c.eqNullSafe(lit)
+            before = (c < lit) if asc else (c > lit)
+            lt = F.when(c.isNull(), F.lit(nulls_first)).otherwise(before)
+        expr = lt | (eq & expr)
+    return expr
+
+
+def _pid_expr(
+    specs: Sequence[tuple[str, bool, bool]], bounds: list[tuple]
+) -> Column:
+    """``__pid`` = number of split keys at-or-before the row, as a
+    balanced binary ``when``-tree: log2(len(bounds)) comparisons per
+    row, all literal — deterministic under any retry or re-plan."""
+    if not bounds:
+        return F.lit(0)
+
+    def tree(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(_sort_lt(specs, bounds[mid]), tree(lo, mid)).otherwise(
+            tree(mid + 1, hi)
+        )
+
+    return tree(0, len(bounds)).cast("int")
+
+
+def _range_boundaries(
+    df: DataFrame, specs: Sequence[tuple[str, bool, bool]], n: int
+) -> list[tuple]:
+    """Collect ``n-1`` evenly spaced split keys from a deterministic
+    hash-mod sample of the order key (the TeraSort sampling step, made
+    retry-proof: no ``rand()``, and the result is driver-side literals).
+    Sample size ~20 per range capped at 1e5 keys — the same budget
+    Spark's own RangePartitioner uses; the collect is bounded by the
+    cap, never by the data."""
+    if n <= 1:
+        return []
+    cnt = df.count()
+    if cnt <= 1:
+        return []
+    target = min(max(20 * n, 100), 100_000)
+    k = cnt // target
+    names = [s[0] for s in specs]
+    sample_df = df.select(*names)
+    if k > 1:
+        sample_df = sample_df.where(
+            F.pmod(F.xxhash64(*names), F.lit(int(k))) == 0
+        )
+    rows = [tuple(r) for r in sample_df.collect()]
+    if not rows:
+        return []
+    cmp = _row_cmp(specs)
+    rows.sort(key=functools.cmp_to_key(cmp))
+    m = len(rows)
+    bounds: list[tuple] = []
+    for i in range(1, n):
+        b = rows[(i * m) // n]
+        if not bounds or cmp(bounds[-1], b) < 0:
+            bounds.append(b)
+    return bounds
 
 
 def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     if num_partitions is not None:
         return max(1, int(num_partitions))
-    return max(
-        1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
+    try:
+        raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        return max(1, int(raw))
+    except Exception:
+        # e.g. "auto" under adaptive-partitioning platforms (and Spark 4
+        # validates even the DEFAULT passed to conf.get, so no-default
+        # get + catch is the portable form)
+        return max(1, df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _range_tagged(
     df: DataFrame, order_by: Sequence[OrderSpec], n: int
 ) -> DataFrame:
-    """Range-partition on the order key and pin the partition ids.
+    """Tag every row with its deterministic range index ``__pid``.
 
-    ``spark_partition_id()`` is evaluated in the post-shuffle stage, so
-    the tag IS the range-partition index; the persist pins one boundary
-    sample across every downstream branch (module docstring)."""
-    tagged = df.repartitionByRange(n, *_order_cols(order_by)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    return _scoped_persist(tagged)
+    The persist is performance-only (the boundary jobs and both
+    downstream branches reread the input); correctness never depends
+    on it — the split keys are plan literals (module docstring)."""
+    specs = [_parse_order(o) for o in order_by]
+    df = _scoped_persist(df)
+    bounds = _range_boundaries(df, specs, n)
+    return df.withColumn("__pid", _pid_expr(specs, bounds))
 
 
 def distributed_prefix_sum(
@@ -114,16 +282,16 @@ def distributed_prefix_sum(
     grain).
 
     ``value_col``/``out_col`` accept parallel sequences: several
-    running sums over the SAME order share one shuffle, one persist,
-    and one window stage (e.g. a cumulative measure plus a running
-    count = rank, the Pareto shape).
+    running sums over the SAME order share one boundary sample, one
+    persist, and one window stage (e.g. a cumulative measure plus a
+    running count = rank, the Pareto shape).
 
     ``partition_by`` is for FEW GIANT groups (a per-group ordinary
-    window would hand each group to one task): the range partitioner
+    window would hand each group to one task): the boundary sample
     splits on (groups, order), the local pass windows on (groups,
     __pid), and the carry frame holds one row per (group, touched
-    range-partition) — <= n_groups + num_partitions - 1 rows, since a
-    group's pids are contiguous. With MANY small groups use a plain
+    range) — <= n_groups + num_partitions - 1 rows, since a group's
+    pids are contiguous. With MANY small groups use a plain
     partitioned window instead — every group already fits a task, and
     the carry frame (and its join) would scale with group count; for
     that reason the grouped carry join is AQE-planned, not
@@ -134,13 +302,13 @@ def distributed_prefix_sum(
         raise ValueError("value_col and out_col lengths differ")
     grp = list(partition_by) if partition_by else []
     n = _num_partitions(df, num_partitions)
-    obs = _order_cols(order_by)
     sums = df.select(
         *[F.sum(v).alias(f"__s{i}") for i, v in enumerate(vals)]
     ).schema
     sum_types = [sums[f"__s{i}"].dataType for i in range(len(vals))]
     zeros = [F.lit(0).cast(t) for t in sum_types]
     tagged = _range_tagged(df, [*grp, *order_by], n)
+    obs = _order_cols([_parse_order(o) for o in order_by])
 
     end = -1 if exclusive else 0
     w_local = (
@@ -156,11 +324,10 @@ def distributed_prefix_sum(
         ],
     )
 
-    # bounded frame: one row per (group x touched range partition) —
-    # the carry window is per group over <= n pids by construction
-    # (unpartitioned over <= n rows in the ungrouped form). Reads the
-    # SAME persisted tag assignment as the local pass (map-side partial
-    # aggregation collapses each partition to one row before shuffling).
+    # bounded frame: one row per (group x touched range) — the carry
+    # window is per group over <= n pids by construction (unpartitioned
+    # over <= n rows in the ungrouped form). Map-side partial
+    # aggregation collapses each range to one row before shuffling.
     totals = tagged.groupBy(*grp, "__pid").agg(
         *[F.sum(v).alias(f"__ptot{i}") for i, v in enumerate(vals)]
     )

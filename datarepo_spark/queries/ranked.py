@@ -34,24 +34,105 @@ from .registry import load, register
 _DEC = "decimal(38,0)"
 
 
-def _doubled_midrank_cells(df: DataFrame, val_col: str) -> DataFrame:
-    """(v, c, r2): per distinct value, its count and DOUBLED midrank
+def _value_cells(df: DataFrame, val_col: str) -> DataFrame:
+    """(v, c): per distinct value, its count — the pre-rank cell frame.
+    Consumers that only need cell counts (tie terms) read THIS, not the
+    ranked output, so they never drag the prefix-sum pipeline into
+    their branch (r12 ADVICE on profile_kruskal_wallis)."""
+    return df.groupBy(F.col(val_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def _doubled_midrank_from_cells(cells: DataFrame) -> DataFrame:
+    """(v, c, r2) from a (v, c) cell frame: the DOUBLED midrank
     2*cum_before + c + 1 (doubling keeps ties' half-ranks integer).
     The cum_before is the two-pass distributed prefix sum — value
     cells of a continuous column are corpus-scaled (the spearman
     lesson)."""
-    cells = df.groupBy(F.col(val_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    cells = distributed_prefix_sum(
+    ranked = distributed_prefix_sum(
         cells, ["v"], "c", out_col="cb", exclusive=True
     )
-    return cells.select(
+    return ranked.select(
         "v",
         "c",
         (F.lit(2) * F.col("cb").cast("long") + F.col("c") + F.lit(1)).alias(
             "r2"
         ),
+    )
+
+
+def _doubled_midrank_cells(df: DataFrame, val_col: str) -> DataFrame:
+    return _doubled_midrank_from_cells(_value_cells(df, val_col))
+
+
+_SKETCH_K = 4096
+
+
+def bottomk_quantile_summary(
+    samp: DataFrame, src: DataFrame, value_out: str
+) -> DataFrame:
+    """Quantile estimates from a bottom-k sample + exact realized-rank
+    verification (shared by agg_quantile_sketch and the streaming
+    twin). ``samp``: the k-row uniform sample, one column ``v``;
+    ``src``: the full data, one column ``v``. Returns one row per
+    p ∈ {50, 90, 95, 99}: the sample's p-quantile (element at index
+    (p*(m-1)) DIV 100 of the value-sorted sample — integer arithmetic,
+    no double rounding at the index), its EXACT realized rank in the
+    full data (one conditional-count pass with the 4-row estimate
+    frame broadcast), and the pinned eps=0.05 rank-error check.
+
+    Everything here is bounded: the sample collapses to one k-array
+    row, the estimate frame is 4 rows, and the only data-scaled pass
+    is the rank count (a broadcast-filtered aggregate)."""
+    spark = src.sparkSession
+    arr = samp.agg(
+        F.sort_array(F.collect_list("v")).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    n = src.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    ps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in (50, 90, 95, 99)])
+        ).alias("p_pct")
+    )
+    est = ps.crossJoin(F.broadcast(arr)).select(
+        "p_pct",
+        F.col("m").alias("sketch_m"),
+        F.element_at(
+            F.col("a"),
+            (F.expr("(p_pct * (m - 1)) DIV 100") + F.lit(1)).cast("int"),
+        ).alias("__est"),
+    )
+    rk = (
+        src.crossJoin(F.broadcast(est.select("p_pct", "__est")))
+        .filter(F.col("v") <= F.col("__est"))
+        .groupBy("p_pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_le"))
+    )
+    err = (
+        F.col("n_le").cast("double") / F.col("n_rows").cast("double")
+        - F.col("p_pct").cast("double") / F.lit(100.0)
+    )
+    return (
+        est.join(F.broadcast(rk), "p_pct")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p_pct",
+            "sketch_m",
+            "n_rows",
+            F.col("__est").alias(value_out),
+            F.round(
+                F.col("n_le").cast("double")
+                / F.col("n_rows").cast("double"),
+                9,
+            ).alias("realized_q"),
+            F.round(F.abs(err), 9).alias("rank_err"),
+            F.when(F.abs(err) <= 0.05, 1).otherwise(0).alias(
+                "within_eps"
+            ),
+        )
+        .orderBy("p_pct")
     )
 
 
@@ -271,7 +352,8 @@ def profile_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    ranked = _doubled_midrank_cells(e, "value")
+    cells = _value_cells(e, "value")
+    ranked = _doubled_midrank_from_cells(cells)
     gv = e.groupBy(
         F.col("event_type").alias("g"), F.col("value").alias("v")
     ).agg(F.count(F.lit(1)).alias("cg"))
@@ -285,8 +367,11 @@ def profile_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r2g"),
         )
     )
+    # tie term needs only the pre-rank (v, c) cell counts — computing
+    # it from `ranked` would drag the whole prefix-sum pipeline (range
+    # sample, persist, local+carry windows, join) into this branch
     cd = F.col("c").cast(_DEC)
-    tie = ranked.agg(
+    tie = cells.agg(
         F.sum(cd * cd * cd - cd).cast(_DEC).alias("t_ties")
     )
     term = F.struct(
@@ -1441,4 +1526,110 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys", "n_bits_set", "n_probed", "n_members",
             "n_positive", "n_false_positive", "fp_rate",
         )
+    )
+
+
+@register(
+    "agg_quantile_sketch",
+    # Mergeable approximate quantiles — the sketch family's order-
+    # statistics member (VERDICT r12 #6: "p95 without a sort"), as a
+    # bottom-k uniform-sample sketch (the KMV/bottom-k construction,
+    # Cohen & Kaplan 2007; the mergeable-summaries framing is Agarwal
+    # et al. 2013 — public textbook material). Each partition keeps
+    # only the k=4096 rows with the smallest pinned Lehmer mix of the
+    # row key — a constant-size heap, merged by keeping the bottom-k
+    # of the union (exactly what Spark's TakeOrderedAndProject
+    # executes: per-partition heaps, one bounded merge). The retained
+    # rows are a uniform sample of the data, so the sample's own
+    # p-quantile estimates the population's with rank error
+    # O(sqrt(p(1-p)/k)) — the same state-bounded contract as
+    # count-min/bloom, here for "what value sits at p95".
+    #
+    # Why not literal KLL/t-digest: their compactors are randomized
+    # and partition-ORDER-dependent — no SQL oracle can reproduce the
+    # exact sketch, so they could only be contract-gated. The bottom-k
+    # sketch is a pure function of the data multiset under the pinned
+    # hash: both engines materialize the identical sample, estimates,
+    # and realized ranks, bit-exact — and it keeps the same
+    # per-partition-state/merge/query execution shape.
+    #
+    # Determinism at the k boundary: (mix, rid) is not total (the
+    # synthetic data repeats (orderkey, linenumber)), so price joins
+    # the sort key — residual ties are full duplicates whose boundary
+    # placement cannot change the sampled price multiset (the
+    # sample_neyman_allocation lesson). Estimate convention: element
+    # at index (p*(m-1)) DIV 100 of the value-sorted sample — integer
+    # arithmetic, no double rounding at the index. The realized rank
+    # of each estimate is then measured EXACTLY against the full data
+    # (one conditional-count pass with a 4-row broadcast), and the
+    # within_eps flag checks the pinned rank-error budget eps=0.05
+    # (loose vs the ~0.003 sampling sd at k=4096 — regime check, not
+    # a tail bound).
+    oracle="""
+    WITH src AS (
+      SELECT l_extendedprice AS price,
+             (l_orderkey * 8 + l_linenumber) AS rid
+      FROM lineitem
+    ), samp AS (
+      SELECT price FROM src
+      ORDER BY (rid * 48271) % 2147483647, rid, price
+      LIMIT 4096
+    ), arr AS (
+      SELECT LIST(price ORDER BY price) AS a,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM samp
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM src
+    ), ps(p_pct) AS (
+      VALUES (CAST(50 AS BIGINT)), (90), (95), (99)
+    ), est AS (
+      SELECT p_pct, m,
+             a[CAST((p_pct * (m - 1)) // 100 AS BIGINT) + 1] AS est_price
+      FROM ps CROSS JOIN arr
+    ), rk AS (
+      SELECT e.p_pct, CAST(COUNT(*) AS BIGINT) AS n_le
+      FROM est e JOIN src s ON s.price <= e.est_price
+      GROUP BY e.p_pct
+    )
+    SELECT e.p_pct AS p_pct,
+           e.m AS sketch_m,
+           n.n_rows,
+           e.est_price,
+           ROUND(CAST(rk.n_le AS DOUBLE) / CAST(n.n_rows AS DOUBLE), 9)
+             AS realized_q,
+           ROUND(ABS(CAST(rk.n_le AS DOUBLE) / CAST(n.n_rows AS DOUBLE)
+                     - CAST(e.p_pct AS DOUBLE) / 100.0), 9) AS rank_err,
+           CASE WHEN ABS(CAST(rk.n_le AS DOUBLE)
+                         / CAST(n.n_rows AS DOUBLE)
+                         - CAST(e.p_pct AS DOUBLE) / 100.0) <= 0.05
+                THEN 1 ELSE 0 END AS within_eps
+    FROM est e CROSS JOIN n JOIN rk ON rk.p_pct = e.p_pct
+    ORDER BY e.p_pct
+    """,
+    description="mergeable bottom-k quantile sketch (k=4096, pinned "
+    "Lehmer-mix sampling) over l_extendedprice: per-partition heaps "
+    "merged by TakeOrdered, p50/p90/p95/p99 estimated from the "
+    "value-sorted sample, realized ranks measured exactly — constant "
+    "sketch state at any corpus size; bit-exact on both engines",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+    )
+    from ..functions.dedup import _scoped_persist
+
+    src = _scoped_persist(src)
+    mix = F.pmod(F.col("rid") * F.lit(48271), F.lit(2147483647))
+    # the sketch: bottom-k by the pinned hash — per-partition heaps +
+    # one bounded merge (TakeOrderedAndProject; plan-pinned), never a
+    # global sort of the data
+    samp = (
+        src.orderBy(mix.asc(), F.asc("rid"), F.asc("price"))
+        .limit(_SKETCH_K)
+        .select(F.col("price").alias("v"))
+    )
+    return bottomk_quantile_summary(
+        samp, src.select(F.col("price").alias("v")), "est_price"
     )

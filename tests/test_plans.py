@@ -1327,3 +1327,27 @@ class TestR12Ranked:
         assert plan.count("HashAggregate") >= 2
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestR13Sketches:
+    """Plan pins for the r13 sketch additions."""
+
+    def test_quantile_sketch_bottomk_heap_no_global_sort(
+        self, spark, sf_dir
+    ):
+        """The bottom-k sample must plan as TakeOrderedAndProject —
+        per-partition heaps of k rows merged once (the mergeable-
+        sketch execution) — never a rangepartitioning global sort of
+        the data; the estimate/rank plumbing is all bounded
+        broadcasts, no data-scaled window anywhere."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "agg_quantile_sketch")
+        assert "TakeOrderedAndProject(limit=4096" in plan
+        # the only range exchange allowed is the final 4-row output
+        # sort on p_pct — never one over the data
+        for ln in plan.splitlines():
+            if "rangepartitioning" in ln:
+                assert "p_pct" in ln, ln.strip()[:200]
+        assert "Window [" not in plan
+        assert "CartesianProduct" not in plan

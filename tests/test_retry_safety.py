@@ -44,18 +44,12 @@ NONDET_FUNCS = {
 
 # (relative path, function name) pairs allowed to call a nondeterministic
 # function. Each entry must pin the result BEFORE any exchange consumes
-# it — either an eager localCheckpoint (delta_writer.py:487 pattern) or
-# a persist that collapses every consumer onto ONE RDD lineage:
-# twopass._range_tagged tags rows with spark_partition_id() directly
-# above a repartitionByRange and persists the tagged frame, so all
-# downstream branches (local windows, partition totals) read the same
-# InMemoryRelation — one RDD, one range partitioner, one pid
-# assignment; an evicted cache partition recomputes from the SAME
-# shuffle dependency (boundaries are pinned in the cached plan's
-# lineage), so retries cannot re-roll the tag.
+# it — an eager localCheckpoint (delta_writer.py:487 pattern). The
+# two-pass primitive (functions/twopass.py) needs no entry since r13:
+# its range tags are literal-boundary expressions, not
+# spark_partition_id().
 ALLOWLIST = {
     ("tables/delta_writer.py", "_assign_identity"),
-    ("functions/twopass.py", "_range_tagged"),
 }
 
 # Markers as they print in optimized-plan strings. Negative lookbehind
@@ -131,18 +125,12 @@ class TestPlanSweep:
             plan = df._jdf.queryExecution().optimizedPlan().toString()
             m = PLAN_NONDET.search(plan)
             if m:
-                # SPARK_PARTITION_ID aliased to __pid is the two-pass
-                # primitive's pinned tag (functions/twopass.py): it sits
-                # directly above a repartitionByRange inside a persisted
-                # frame, so every consumer shares one RDD lineage and
-                # retries replay the same shuffle — see ALLOWLIST note.
-                if m.group(0) == "SPARK_PARTITION_ID" and "__pid" in plan:
-                    rest = PLAN_NONDET.search(
-                        plan.replace("SPARK_PARTITION_ID", "")
-                    )
-                    if rest is None:
-                        continue
-                    m = rest
+                # No exemptions: since the r13 rewrite the two-pass
+                # primitive tags ranges with literal-boundary
+                # expressions, so SPARK_PARTITION_ID never appears in
+                # a registry plan either (the r12 ADVICE flagged the
+                # old whole-plan "__pid" substring carve-out as a
+                # hole a future query could slip through).
                 bad[name] = m.group(0)
         assert bad == {}, (
             "Registry queries whose optimized plan still carries a "

