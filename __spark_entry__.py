@@ -114,6 +114,7 @@ _PRIORITY_R14: list[str] = [
     # r13-born (staged as they land)
     "agg_quantile_sketch",
     "streaming_quantile_sketch_twin",
+    "agg_exp_histogram",
     # r7 cohort remainder (deferred from the r13 window)
     "multimodal_ahash",
     "multimodal_audio_near_dup",

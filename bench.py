@@ -193,11 +193,13 @@ HEADLINE = [
     "events_kaplan_meier",
     "agg_association_rules",
     "graph_local_clustering",
-    # added r13 (headline count 82 → 83): the mergeable bottom-k
-    # quantile sketch — per-partition TakeOrdered heaps + exact
-    # realized-rank verification; "p95 without a sort" becomes
-    # bench-visible
+    # added r13 (headline count 82 → 84): the two quantile sketches —
+    # mergeable bottom-k (per-partition TakeOrdered heaps + exact
+    # realized-rank verification) and the integer-exact exponential
+    # histogram (pure-aggregate relative-error quantiles); "p95
+    # without a sort" becomes bench-visible
     "agg_quantile_sketch",
+    "agg_exp_histogram",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"

@@ -12,10 +12,11 @@ The fix is the textbook two-pass sample-sort scheme (the TeraSort /
 parallel-prefix pattern; see also DuckDB's and Flink's parallel window
 implementations — public knowledge, no code consulted):
 
-  bounds   sample the order key ONCE on the driver (deterministic
-           hash-mod filter, never ``rand()``), sort, and pick ``n-1``
-           evenly spaced split keys. The splits are embedded in the
-           plan as LITERALS, so every consumer — and every task retry —
+  bounds   sample the order key ONCE (a single bottom-target-by-hash
+           TakeOrdered job — per-partition heaps, never ``rand()``, no
+           count pass), sort driver-side, and pick ``n-1`` evenly
+           spaced split keys. The splits are embedded in the plan as
+           LITERALS, so every consumer — and every task retry —
            computes the identical range assignment by construction.
   tag      ``__pid`` = number of split keys at-or-before the row in
            sort order, evaluated as a balanced ``when``-tree (log2(n)
@@ -201,27 +202,29 @@ def _pid_expr(
 def _range_boundaries(
     df: DataFrame, specs: Sequence[tuple[str, bool, bool]], n: int
 ) -> list[tuple]:
-    """Collect ``n-1`` evenly spaced split keys from a deterministic
-    hash-mod sample of the order key (the TeraSort sampling step, made
-    retry-proof: no ``rand()``, and the result is driver-side literals).
-    Sample size ~20 per range capped at 1e5 keys — the same budget
-    Spark's own RangePartitioner uses; the collect is bounded by the
-    cap, never by the data."""
+    """Collect ``n-1`` evenly spaced split keys from a bottom-target
+    hash sample of the order key (the TeraSort sampling step as ONE
+    TakeOrdered job: per-partition heaps of ``target`` rows, bounded
+    merge — no count pass, no ``rand()``). Sample size ~20 per range
+    capped at 1e5 keys — the same budget Spark's own RangePartitioner
+    uses; the collect is bounded by the cap, never by the data. The
+    sample itself need not be deterministic for correctness (it is, up
+    to hash ties): the splits are collected ONCE and embedded as plan
+    literals, so every consumer and every retry sees one assignment
+    regardless of how the sample was drawn."""
     if n <= 1:
         return []
-    cnt = df.count()
-    if cnt <= 1:
-        return []
     target = min(max(20 * n, 100), 100_000)
-    k = cnt // target
     names = [s[0] for s in specs]
-    sample_df = df.select(*names)
-    if k > 1:
-        sample_df = sample_df.where(
-            F.pmod(F.xxhash64(*names), F.lit(int(k))) == 0
-        )
-    rows = [tuple(r) for r in sample_df.collect()]
-    if not rows:
+    rows = [
+        tuple(r)[:-1]
+        for r in df.select(*names)
+        .withColumn("__h", F.xxhash64(*names))
+        .orderBy(F.asc("__h"))
+        .limit(target)
+        .collect()
+    ]
+    if len(rows) <= 1:
         return []
     cmp = _row_cmp(specs)
     rows.sort(key=functools.cmp_to_key(cmp))

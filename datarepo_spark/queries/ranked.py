@@ -1633,3 +1633,174 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_quantile_summary(
         samp, src.select(F.col("price").alias("v")), "est_price"
     )
+
+
+@register(
+    "agg_exp_histogram",
+    # Exponential-histogram quantile sketch — the PURE-AGGREGATE member
+    # of the sketch family (r13; the bottom-k sketch gives rank-error
+    # quantiles via TakeOrdered, this gives RELATIVE-VALUE-error
+    # quantiles via nothing but a groupBy). The DDSketch idea (Masson,
+    # Rim & Lee, VLDB 2019: log-bucketed counters, relative-error
+    # guarantee, trivially mergeable) made integer-exact: libm log()
+    # differs in the last ulp across engines and a boundary-adjacent
+    # value could land in different buckets, so the bucket key is pure
+    # integer arithmetic — msb = bit-length of the price in cents
+    # (length of the base-2 string on both engines), sub-bucket = the
+    # top 5 bits. That is 16 log-spaced sub-buckets per octave: bucket
+    # width / lower bound <= 1/16, so the midpoint estimate carries a
+    # guaranteed <= ~3.1% relative error, engine-exact.
+    #
+    # Scale contract: the sketch state is the bucket-count map —
+    # <= 16 cells per octave, ~64 octaves for any int64 domain (here
+    # ~8: prices span 914..105k) — built by ONE combinable partial+
+    # final aggregate; merge = count addition (the mergeable-sketch
+    # property, map-side combine IS the merge). The quantile query
+    # walks the <= 1024-cell frame with one bounded unpartitioned
+    # window (value-domain-bounded, the KS-drift class in the SCALE.md
+    # window audit). The realized rank bounds come FREE from the cums
+    # (buckets partition the domain: count(x <= hi_b) == cum_b
+    # exactly) — no second data pass.
+    #
+    # Cents via ROUND(price*100) on BOTH engines: the parquet price is
+    # DOUBLE and a bare CAST truncates in Spark but rounds in DuckDB —
+    # rounding first is engine-identical (no product lands exactly on
+    # .5: doubles near cents values are off by <1e-6 ulps).
+    oracle="""
+    WITH src AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_extendedprice > 0
+    ), b AS (
+      SELECT length(to_base(cents, 2)) AS msb,
+             cents >> GREATEST(length(to_base(cents, 2)) - 5, 0) AS sub,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM src GROUP BY 1, 2
+    ), cells AS (
+      SELECT msb, sub, GREATEST(msb - 5, 0) AS sh, c,
+             CAST(SUM(c) OVER (ORDER BY msb, sub
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM b
+    ), n AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM b
+    ), ps(p_pct) AS (
+      VALUES (CAST(50 AS BIGINT)), (90), (95), (99)
+    ), pick AS (
+      SELECT p.p_pct,
+             MIN_BY(struct_pack(
+               lo := sub << sh,
+               hi := ((sub + 1) << sh) - 1,
+               c := c, cum := cum), cum) AS s
+      FROM ps p
+      CROSS JOIN n
+      JOIN cells ON cells.cum >= (p.p_pct * n.n_rows + 99) // 100
+      GROUP BY p.p_pct
+    )
+    SELECT k.p_pct AS p_pct, n.n_rows, n.n_buckets,
+           CAST((k.s.lo + k.s.hi) // 2 AS BIGINT) AS est_cents,
+           CAST(k.s.lo AS BIGINT) AS bucket_lo,
+           CAST(k.s.hi AS BIGINT) AS bucket_hi,
+           ROUND(CAST(k.s.cum - k.s.c AS DOUBLE)
+                 / CAST(n.n_rows AS DOUBLE), 9) AS realized_lo,
+           ROUND(CAST(k.s.cum AS DOUBLE)
+                 / CAST(n.n_rows AS DOUBLE), 9) AS realized_hi,
+           ROUND(CAST(k.s.hi - k.s.lo AS DOUBLE)
+                 / CAST(k.s.lo AS DOUBLE), 9) AS rel_width
+    FROM pick k CROSS JOIN n
+    ORDER BY k.p_pct
+    """,
+    description="exponential-histogram quantile sketch (integer-exact "
+    "DDSketch: bit-length octaves x 16 sub-buckets, <=3.1% relative "
+    "error): one combinable aggregate builds the <=1024-cell state, "
+    "counts merge by addition; p50/p90/p95/p99 with exact realized "
+    "rank bounds read off the bucket cums — bit-exact on both engines",
+)
+def agg_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    src = li.filter(F.col("l_extendedprice") > 0).select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    b = (
+        src.select(
+            F.length(F.bin(F.col("cents"))).cast("int").alias("msb"),
+            F.expr(
+                "shiftright(cents, greatest("
+                "length(bin(cents)) - 5, 0))"
+            ).alias("sub"),
+        )
+        .groupBy("msb", "sub")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # bounded frame: <= 16 sub-buckets per octave, ~64 octaves max for
+    # int64 — the unpartitioned window runs over <= 1024 cells by
+    # construction (value-domain-bounded), never over the data
+    w = Window.orderBy("msb", "sub").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cells = b.select(
+        "msb",
+        "sub",
+        F.greatest(F.col("msb") - 5, F.lit(0)).alias("sh"),
+        "c",
+        F.sum("c").over(w).cast("long").alias("cum"),
+    )
+    n = b.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    ps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in (50, 90, 95, 99)])
+        ).alias("p_pct")
+    )
+    cand = (
+        cells.crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("cum")
+            >= F.expr("(p_pct * n_rows + 99) DIV 100")
+        )
+    )
+    s = F.struct(
+        F.expr("shiftleft(sub, sh)").alias("lo"),
+        (F.expr("shiftleft(sub + 1, sh)") - 1).alias("hi"),
+        F.col("c").alias("c"),
+        F.col("cum").alias("cum"),
+    )
+    pick = cand.groupBy("p_pct").agg(
+        F.min_by(s, F.col("cum")).alias("s")
+    )
+    return (
+        pick.crossJoin(F.broadcast(n))
+        .select(
+            "p_pct",
+            "n_rows",
+            "n_buckets",
+            F.expr("(s.lo + s.hi) DIV 2").cast("long").alias(
+                "est_cents"
+            ),
+            F.col("s.lo").cast("long").alias("bucket_lo"),
+            F.col("s.hi").cast("long").alias("bucket_hi"),
+            F.round(
+                (F.col("s.cum") - F.col("s.c")).cast("double")
+                / F.col("n_rows").cast("double"),
+                9,
+            ).alias("realized_lo"),
+            F.round(
+                F.col("s.cum").cast("double")
+                / F.col("n_rows").cast("double"),
+                9,
+            ).alias("realized_hi"),
+            F.round(
+                (F.col("s.hi") - F.col("s.lo")).cast("double")
+                / F.col("s.lo").cast("double"),
+                9,
+            ).alias("rel_width"),
+        )
+        .orderBy("p_pct")
+    )

@@ -1344,10 +1344,26 @@ class TestR13Sketches:
 
         plan = plan_of(spark, sf_dir, "agg_quantile_sketch")
         assert "TakeOrderedAndProject(limit=4096" in plan
+        self._only_output_range_sort(plan)
+        assert "Window [" not in plan
+        assert "CartesianProduct" not in plan
+
+    @staticmethod
+    def _only_output_range_sort(plan):
         # the only range exchange allowed is the final 4-row output
         # sort on p_pct — never one over the data
         for ln in plan.splitlines():
             if "rangepartitioning" in ln:
                 assert "p_pct" in ln, ln.strip()[:200]
-        assert "Window [" not in plan
+
+    def test_exp_histogram_one_combinable_aggregate(self, spark, sf_dir):
+        """The bucket build is ONE partial+final aggregate (map-side
+        combine IS the sketch merge); the quantile walk's window runs
+        over the <= 1024-cell bucket frame above that aggregate, and
+        the only range exchange is the 4-row output sort."""
+        from datarepo_spark.queries import ranked  # noqa: F401
+
+        plan = plan_of(spark, sf_dir, "agg_exp_histogram")
+        assert plan.count("HashAggregate") >= 2
+        self._only_output_range_sort(plan)
         assert "CartesianProduct" not in plan

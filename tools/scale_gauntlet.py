@@ -109,10 +109,11 @@ GAUNTLET = [
     "agg_association_rules",
     "profile_mann_whitney",
     "agg_count_min_sketch",
-    # r13 additions: the bottom-k quantile sketch (constant k-row
-    # state — the mergeable-sketch contract should be visible as
-    # near-flat growth, like count-min)
+    # r13 additions: the two quantile sketches (constant state — the
+    # mergeable-sketch contract should be visible as near-flat
+    # growth, like count-min)
     "agg_quantile_sketch",
+    "agg_exp_histogram",
 ]
 
 
