@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.filters import Filter
+from ..core.tmp import session_tmp
 from ..tables.delta_table import DeltalakeTable
 from ..tables.delta_writer import write_delta
 from .registry import load, register
@@ -42,7 +43,7 @@ def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(_BUILT[key], "_delta_log")
     ):
         return _BUILT[key]
-    base = tempfile.mkdtemp(prefix="datarepo_delta_gate_")
+    base = session_tmp("datarepo_delta_gate_")
     uri = os.path.join(base, "orders_delta")
     src = (
         load(spark, sf_dir, "orders")
@@ -148,7 +149,7 @@ def _maintenance_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT_MAINT[key]
     from ..tables.delta_writer import compact, vacuum
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_maint_")
+    base = session_tmp("datarepo_delta_maint_")
     uri = os.path.join(base, "orders_maint")
     src = (
         load(spark, sf_dir, "orders")
@@ -217,7 +218,7 @@ def _merge_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT_MERGE[key]
     from ..tables.delta_writer import merge_delta, zorder_by
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_merge_")
+    base = session_tmp("datarepo_delta_merge_")
     uri = os.path.join(base, "orders_merge")
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     src_all = load(spark, sf_dir, "orders").select(*cols)
@@ -308,7 +309,7 @@ def _dv_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..tables.delta_dv import write_dv_file
     from ..tables.delta_log import DeltaLog, invalidate_snapshot_cache
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_dv_")
+    base = session_tmp("datarepo_delta_dv_")
     uri = os.path.join(base, "orders_dv")
     src = (
         load(spark, sf_dir, "orders")
@@ -386,7 +387,7 @@ def _dv_delete_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT_DVDEL[key]
     from ..tables.delta_writer import delete_delta
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_dvdel_")
+    base = session_tmp("datarepo_delta_dvdel_")
     uri = os.path.join(base, "orders_dvdel")
     src = (
         load(spark, sf_dir, "orders")
@@ -444,7 +445,7 @@ def _update_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT_UPD[key]
     from ..tables.delta_writer import update_delta
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_upd_")
+    base = session_tmp("datarepo_delta_upd_")
     uri = os.path.join(base, "orders_upd")
     src = (
         load(spark, sf_dir, "orders")
@@ -506,7 +507,7 @@ def _cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT_CDF[key]
     from ..tables.delta_writer import delete_delta
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_cdf_")
+    base = session_tmp("datarepo_delta_cdf_")
     uri = os.path.join(base, "orders_cdf")
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     src = load(spark, sf_dir, "orders").select(*cols)
@@ -608,7 +609,7 @@ def _ivm_fixture(spark: SparkSession, sf_dir: str):
     from ..tables.delta_writer import delete_delta
     from ..tables.ivm import IncrementalAggregate
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_ivm_")
+    base = session_tmp("datarepo_delta_ivm_")
     src = os.path.join(base, "orders_src")
     dst = os.path.join(base, "orders_by_status")
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -679,7 +680,7 @@ def _clone_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..tables.clone import clone_delta
     from ..tables.delta_writer import delete_delta
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_clone_")
+    base = session_tmp("datarepo_delta_clone_")
     src = os.path.join(base, "orders_src")
     dst = os.path.join(base, "orders_clone")
     orders = (
@@ -736,7 +737,7 @@ def _ivm_mm_fixture(spark: SparkSession, sf_dir: str):
     from ..tables.delta_writer import delete_delta
     from ..tables.ivm import IncrementalAggregate
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_ivm_mm_")
+    base = session_tmp("datarepo_delta_ivm_mm_")
     src = os.path.join(base, "orders_src")
     dst = os.path.join(base, "orders_extrema")
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -810,7 +811,7 @@ def _restore_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT_RESTORE[key]
     from ..tables.delta_writer import delete_delta, restore_table
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_restore_")
+    base = session_tmp("datarepo_delta_restore_")
     uri = os.path.join(base, "orders_restore")
     src = (
         load(spark, sf_dir, "orders")
@@ -859,7 +860,7 @@ def _convert_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT_CONVERT[key]
     from ..tables.delta_writer import convert_to_delta
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_convert_")
+    base = session_tmp("datarepo_delta_convert_")
     uri = os.path.join(base, "orders_convert")
     src = (
         load(spark, sf_dir, "orders")
@@ -905,7 +906,7 @@ def _identity_fixture(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(_BUILT_IDENTITY[key], "_delta_log")
     ):
         return _BUILT_IDENTITY[key]
-    base = tempfile.mkdtemp(prefix="datarepo_delta_identity_")
+    base = session_tmp("datarepo_delta_identity_")
     uri = os.path.join(base, "orders_identity")
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
@@ -973,7 +974,7 @@ def _ivm_join_fixture(spark: SparkSession, sf_dir: str):
     from ..tables.delta_writer import delete_delta
     from ..tables.ivm import IncrementalJoinAggregate
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_ivm_join_")
+    base = session_tmp("datarepo_delta_ivm_join_")
     src = os.path.join(base, "orders_src")
     dst = os.path.join(base, "revenue_by_nation")
     orders = load(spark, sf_dir, "orders").select(
@@ -1066,7 +1067,7 @@ def _ivm_distinct_fixture(spark: SparkSession, sf_dir: str):
     from ..tables.delta_writer import delete_delta
     from ..tables.ivm import IncrementalDistinctCount
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_ivmd_")
+    base = session_tmp("datarepo_delta_ivmd_")
     src = os.path.join(base, "orders_src")
     dst = os.path.join(base, "custkeys_by_status")
     cols = ["o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice"]
@@ -1137,7 +1138,7 @@ def _ivm_topk_fixture(spark: SparkSession, sf_dir: str):
     from ..tables.delta_writer import delete_delta
     from ..tables.ivm import IncrementalTopK
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_ivmtk_")
+    base = session_tmp("datarepo_delta_ivmtk_")
     src = os.path.join(base, "orders_src")
     dst = os.path.join(base, "top_orders_by_status")
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -1208,7 +1209,7 @@ def _replace_where_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT_RW[key]
     from ..tables.delta_writer import overwrite_where
 
-    base = tempfile.mkdtemp(prefix="datarepo_delta_rw_")
+    base = session_tmp("datarepo_delta_rw_")
     uri = os.path.join(base, "orders_rw")
     src = (
         load(spark, sf_dir, "orders")

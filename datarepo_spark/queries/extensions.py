@@ -1929,7 +1929,7 @@ _ANN_INDEX_BUILT: dict[str, str] = {}
 
 def _ann_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
-    import tempfile as _tempfile
+    from ..core.tmp import session_tmp
 
     from ..functions.ann_index import build_ann_index
 
@@ -1938,7 +1938,7 @@ def _ann_index_fixture(spark: SparkSession, sf_dir: str) -> str:
         _os.path.join(_ANN_INDEX_BUILT[key], "_delta_log")
     ):
         return _ANN_INDEX_BUILT[key]
-    base = _tempfile.mkdtemp(prefix="datarepo_ann_index_")
+    base = session_tmp("datarepo_ann_index_")
     uri = _os.path.join(base, "embeddings_ivf")
     emb = load(spark, sf_dir, "embeddings")
     # one shared fixture serves both the plain-IVF and the IVF-PQ query:
@@ -2013,7 +2013,7 @@ def _dedup_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Index the corpus slice (doc_id % 10 < 8) once per sf_dir; probes
     dedup the remaining 20% 'new batch' against it."""
     import os as _os
-    import tempfile as _tempfile
+    from ..core.tmp import session_tmp
 
     from ..functions.dedup_index import build_dedup_index
 
@@ -2022,7 +2022,7 @@ def _dedup_index_fixture(spark: SparkSession, sf_dir: str) -> str:
         _os.path.join(_DEDUP_INDEX_BUILT[key], "buckets", "_delta_log")
     ):
         return _DEDUP_INDEX_BUILT[key]
-    base = _tempfile.mkdtemp(prefix="datarepo_dedup_index_")
+    base = session_tmp("datarepo_dedup_index_")
     uri = _os.path.join(base, "documents_lsh")
     corpus = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 < 8

@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..core.tmp import session_tmp
 from ..functions.skew import salted_agg
 from ..tables.bucketed import BucketedTable, write_bucketed
 from .registry import load, register
@@ -68,7 +69,7 @@ def _bucketed_fixture(spark: SparkSession, sf_dir: str) -> None:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if _BUILT.get(key) and spark.catalog.tableExists("gate_b_orders"):
         return
-    base = tempfile.mkdtemp(prefix="datarepo_bucketed_gate_")
+    base = session_tmp("datarepo_bucketed_gate_")
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") <= 5000
     )
