@@ -282,20 +282,28 @@ def pagerank(
                     ).cast("long").alias("__share")
                 )
             )
+        # per-SOURCE contribution floor(rank/deg) is a node-level value:
+        # compute it on the O(nodes) rank⋈degree frame FIRST, then join
+        # the edge list once — the edge-sized frame used to flow through
+        # TWO joins (ranks, then degrees) per iteration (r13: one
+        # edge-sized join per iteration instead of two; integer sums
+        # keep the result bit-identical)
+        cpn = (
+            ranks.join(degrees, "node")
+            .select(
+                "node",
+                F.floor(F.col("rank_micro") / F.col("__deg"))
+                .cast("long")
+                .alias("__cpn"),
+            )
+        )
         contribs = (
             base.select(
                 F.col("__from").alias("node"), F.col("__to")
             )
-            .join(ranks, "node")
-            .join(degrees, "node")
+            .join(cpn, "node")
             .groupBy(F.col("__to").alias("node"))
-            .agg(
-                F.sum(
-                    F.floor(
-                        F.col("rank_micro") / F.col("__deg")
-                    ).cast("long")
-                ).alias("__c")
-            )
+            .agg(F.sum("__cpn").alias("__c"))
         )
         updated = nodes.join(contribs, "node", "left")
         if has_dangling:
@@ -441,25 +449,69 @@ def local_triangle_counts(
     Returns (deg, per_node): ``deg`` = (node, d) full undirected
     degrees for every node, ``per_node`` = (node, n_tri) for nodes in
     at least one triangle (left-join + zero-coalesce at the caller
-    covers the rest)."""
+    covers the rest).
+
+    Credit attribution is TWO bounded passes over the oriented edges
+    (r13 optimization): the old form unioned three projections of the
+    exploded intersection, and each union branch re-planned (and
+    re-executed) the whole adjacency-join + intersect + explode
+    subtree — the dominant cost ran 3×, and its aggregation consumed
+    3·T rows (T = triangle count). Now the s/t credits come from
+    ``size(intersect)`` per edge (NO explode — each endpoint of an
+    oriented edge closes exactly |I| triangles), and only the w
+    credits explode the intersection once; the aggregation input
+    shrinks to T + 2·m and the enumeration-sized stream is computed
+    twice instead of three times. (A single-pass struct-array form —
+    [(s,|I|),(t,|I|)] ++ [(w,1)…] exploded once — was measured SLOWER
+    than the 3-union original, 11.0 s vs 8.7 s at sf0.1: per-row
+    struct-array allocation beat the saved pass; the two-branch form
+    measured 7.4 s.) Identical per-node totals: each triangle still
+    credits its three vertices exactly once. Both outputs are
+    ``_scoped_persist``-pinned: they are node-sized (≤ |V| rows), and
+    callers fan out over each more than once (summary + per-node
+    join), which would otherwise re-execute the enumeration per
+    reference."""
+    from .dedup import _scoped_persist
+
     deg, with_nbrs = _oriented_adjacency(
         edges, src, dst, broadcast_adjacency_bytes
     )
-    tri_w = with_nbrs.select(
+    sized = with_nbrs.select(
         "s",
         "t",
-        F.explode(
+        F.size(
             F.array_intersect(F.col("nbrs_s"), F.col("nbrs_t"))
-        ).alias("w"),
+        ).alias("__c"),
     )
-    per_node = (
-        tri_w.select(F.col("s").alias("node"))
-        .unionAll(tri_w.select(F.col("t").alias("node")))
-        .unionAll(tri_w.select(F.col("w").alias("node")))
+    st = (
+        sized.select(F.col("s").alias("node"), "__c")
+        .unionAll(sized.select(F.col("t").alias("node"), "__c"))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+        .agg(F.sum("__c").alias("__n1"))
     )
-    return deg, per_node
+    wside = (
+        with_nbrs.select(
+            F.explode(
+                F.array_intersect(F.col("nbrs_s"), F.col("nbrs_t"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__n2"))
+    )
+    per_node = _scoped_persist(
+        st.join(wside, "node", "full")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("__n1"), F.lit(0))
+                + F.coalesce(F.col("__n2"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tri"),
+        )
+        .filter(F.col("n_tri") > 0)
+    )
+    return _scoped_persist(deg), per_node
 
 
 def triangle_count(

@@ -288,9 +288,11 @@ def extract_features(
                     }
                 )
 
-    return df.select("media_id", "content").mapInPandas(
-        per_batch, schema=FEATURES_SCHEMA
-    )
+    from .dedup import spread_input
+
+    return spread_input(
+        df.select("media_id", "content"), "media_id"
+    ).mapInPandas(per_batch, schema=FEATURES_SCHEMA)
 
 
 def frame_sample(
@@ -399,9 +401,11 @@ def _signature_hashes(
             cols["sh"] = out_sh
             yield pd.DataFrame(cols)
 
-    return df.select("media_id", "content").mapInPandas(
-        per_batch, schema=schema
-    )
+    from .dedup import spread_input
+
+    return spread_input(
+        df.select("media_id", "content"), "media_id"
+    ).mapInPandas(per_batch, schema=schema)
 
 
 def image_hashes(
@@ -475,7 +479,11 @@ def documents_as_wav(
             T.StructField("content", T.BinaryType()),
         ]
     )
-    return df.select(id_col, text_col).mapInPandas(per_batch, schema=schema)
+    from .dedup import spread_input
+
+    return spread_input(df.select(id_col, text_col), id_col).mapInPandas(
+        per_batch, schema=schema
+    )
 
 
 VIDEO_MAGIC = b"PVID"
@@ -598,9 +606,11 @@ hamming_band_pairs` for near-dup frames; only 8-byte hashes leave the
                 }
             )
 
-    return df.select("media_id", "content").mapInPandas(
-        per_batch, schema=FRAME_HASH_SCHEMA
-    )
+    from .dedup import spread_input
+
+    return spread_input(
+        df.select("media_id", "content"), "media_id"
+    ).mapInPandas(per_batch, schema=FRAME_HASH_SCHEMA)
 
 
 def video_near_dup_pairs(

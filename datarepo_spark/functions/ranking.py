@@ -38,7 +38,12 @@ def tfidf_keywords(
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF
     (idf = ln(N / df), both rounded for cross-engine determinism).
-    Returns (id, token, score) with ties broken on the token."""
+    Returns (id, token, score) with ties broken on the token.
+    Input spread_input-routed: the tokenize+explode+tf stage otherwise
+    runs on a single-file scan's one task (r13)."""
+    from .dedup import spread_input
+
+    df = spread_input(df, id_col)
     toks = df.select(
         F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("token")
     )
@@ -93,7 +98,12 @@ def bm25_search(
     3. doc lengths: the same projection joined to the broadcast TF
        frame — the corpus never shuffles.
     Document frequency derives from TF with a window (no extra pass);
-    the result is a global top-k (TakeOrdered), never a full sort."""
+    the result is a global top-k (TakeOrdered), never a full sort.
+    Input spread_input-routed (three tokenizing corpus scans — all
+    single-task on a one-file scan otherwise; r13)."""
+    from .dedup import spread_input
+
+    df = spread_input(df, id_col)
     qtoks = sorted(set(query_tokens))
     dl = F.coalesce(
         F.size(tokens_of(F.col(text_col))), F.lit(0)

@@ -313,8 +313,11 @@ def repetition_stats(
     also require a minimum token count (as Gopher does)."""
     from pyspark.sql import functions as F  # local alias, matches module
 
-    from .dedup import shingle_rows
+    from .dedup import shingle_rows, spread_input
 
+    # both branches tokenize/split every document — parallelize a
+    # single-task scan before that work (r13; see spread_input)
+    df = spread_input(df, id_col)
     lines = df.select(
         F.col(id_col),
         F.explode_outer(
@@ -379,9 +382,18 @@ def unigram_perplexity(
     decimals and accumulated as DECIMAL(38,6) (float sums are
     order-dependent; decimal sums are exact), then one documented
     double conversion at the end. Output: (id, n_tokens, perplexity
-    rounded to 4)."""
-    from .dedup import tokens_of
+    rounded to 4).
 
+    r13: the input is spread_input-routed first — the tokenize +
+    explode + both aggregates otherwise run on the one task a
+    single-row-group parquet scan plans to (measured 0.87-1.26 s →
+    0.66 s at sf0.1; a (doc, token, tf)-grain rewrite of the score
+    join was also tried and measured SLOWER — the vocab join is
+    broadcast-fused, so the added tf exchange cost more than the
+    row reduction saved)."""
+    from .dedup import spread_input, tokens_of
+
+    df = spread_input(df, id_col)
     toks = df.select(
         F.col(id_col),
         F.explode(tokens_of(F.col(text_col))).alias("__tok"),
@@ -480,8 +492,9 @@ def bigram_perplexity(
     Output: (id, n_bigrams, perplexity rounded to 4)."""
     from pyspark.sql import Window
 
-    from .dedup import tokens_of
+    from .dedup import spread_input, tokens_of
 
+    df = spread_input(df, id_col)
     toks_arr = df.select(
         F.col(id_col), tokens_of(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") >= 2)

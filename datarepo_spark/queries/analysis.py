@@ -885,21 +885,36 @@ def similarity_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import graph as G
 
+    # LONG node ids (customer 2k, supplier 2k+1) for the iteration,
+    # display strings re-derived on the final O(nodes) frame — same
+    # isomorphic-graph argument as graph_pagerank (r13); the seed set
+    # 'c1','c2','c3' encodes to 2, 4, 6 and seed membership is pure
+    # identity, so every integer rank is bit-identical.
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
         .distinct()
     )
     edges = base.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    pr = G.pagerank(edges, iterations=2, personalize=["c1", "c2", "c3"])
-    return pr.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
+    pr = G.pagerank(edges, iterations=2, personalize=[2, 4, 6])
+    decoded = pr.select(
+        F.concat(
+            F.when(F.col("node").bitwiseAND(1) == 0, F.lit("c")).otherwise(
+                F.lit("s")
+            ),
+            F.shiftright(F.col("node"), 1).cast("string"),
+        ).alias("node"),
+        "rank_micro",
+        "rank",
+    )
+    return decoded.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
 
 
 @register(

@@ -2729,13 +2729,19 @@ from ..functions import graph as G  # noqa: E402
     "flattened into Catalyst; the graph never collects",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The iteration runs on LONG node ids (customer 2k, supplier 2k+1
+    # — injective, so the graph is isomorphic and every integer rank
+    # is bit-identical; r13, guide §2.3 narrower shuffle keys); the
+    # 'c…'/'s…' display strings are re-derived only on the final
+    # O(nodes) frame. PageRank uses node identity alone — no
+    # order-sensitivity — so the encoding cannot change any value.
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
         .distinct()
     )
@@ -2743,7 +2749,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     pr = G.pagerank(edges, iterations=3)
-    return pr.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
+    decoded = pr.select(
+        F.concat(
+            F.when(F.col("node").bitwiseAND(1) == 0, F.lit("c")).otherwise(
+                F.lit("s")
+            ),
+            F.shiftright(F.col("node"), 1).cast("string"),
+        ).alias("node"),
+        "rank_micro",
+        "rank",
+    )
+    return decoded.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
 
 
 @register(

@@ -1105,7 +1105,11 @@ def window_top_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cells, two pinned divisions",
 )
 def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    from ..functions.dedup import spread_input
+
+    # parallelize the tokenize + cell partial-agg past the one-task
+    # single-file scan (r13; see spread_input)
+    d = spread_input(load(spark, sf_dir, "documents"), "doc_id")
     tok = (
         d.select(
             "doc_id",

@@ -561,11 +561,28 @@ class TestRound9Plans:
         assert "Join" not in plan
 
     def test_phash_is_pure_map(self, spark, sf_dir):
-        """The DCT hasher is a single Arrow-batched map stage: no
-        exchange, no join — image bytes never leave their scan tasks."""
+        """The DCT hasher is a single Arrow-batched map stage: no join,
+        and on a healthy (parallel) input no exchange — image bytes
+        never leave their scan tasks. The ONE exception (r13) is a
+        degenerate single-task scan, where spread_input pays exactly
+        one repartition exchange to unlock decode parallelism (guide
+        §2.5 input skew); the no-op-at-scale half of that contract is
+        pinned directly below."""
         plan = plan_of(spark, sf_dir, "multimodal_phash")
-        assert "Exchange" not in plan
+        # single-row-group testdata ⇒ the degenerate case: exactly the
+        # spread_input repartition, nothing else
+        assert plan.count("Exchange") <= 1
         assert "Join" not in plan
+
+        from datarepo_spark.functions.dedup import spread_input
+        from datarepo_spark.queries.extensions import _ahash_gate_media
+
+        media = _ahash_gate_media(spark, sf_dir).repartition(
+            8, "media_id"
+        )
+        # already-parallel input: spread_input must be an exact no-op,
+        # so the production-scale plan stays a pure map stage
+        assert spread_input(media, "media_id") is media
 
     def test_runtime_bloom_filter_reaches_fact_scan(self, spark, sf_dir):
         """At 100 TB a selective dim predicate must reach the FACT side

@@ -26,7 +26,9 @@ import pytest
 from datarepo_spark.queries import analysis  # noqa: F401  (registers)
 from datarepo_spark.queries import delta_queries  # noqa: F401  (registers)
 from datarepo_spark.queries import extensions  # noqa: F401  (registers)
+from datarepo_spark.queries import insights  # noqa: F401  (registers)
 from datarepo_spark.queries import physical  # noqa: F401  (registers)
+from datarepo_spark.queries import ranked  # noqa: F401  (registers)
 from datarepo_spark.queries import sources  # noqa: F401  (registers)
 from datarepo_spark.queries import tpch_extra  # noqa: F401  (registers)
 from datarepo_spark.queries.registry import REGISTRY
@@ -120,7 +122,12 @@ class TestPlanSweep:
         self, spark, sf_dir
     ):
         bad = {}
-        for name, q in REGISTRY.items():
+        # snapshot: a query body may lazily import a registering module
+        # (sources.py's sketch twin pulls in queries.ranked), and a
+        # mid-iteration registration would otherwise RuntimeError —
+        # every module is imported above, but the sweep shouldn't
+        # depend on that staying true
+        for name, q in list(REGISTRY.items()):
             df = q.spark_fn(spark, sf_dir)
             plan = df._jdf.queryExecution().optimizedPlan().toString()
             m = PLAN_NONDET.search(plan)
