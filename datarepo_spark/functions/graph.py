@@ -225,25 +225,39 @@ def pagerank(
         .coalesce(par),
         checkpoint_dir,
     )
-    nodes = _pin(
-        base.select(F.col("__from").alias("node"))
-        .unionByName(base.select(F.col("__to").alias("node")))
-        .distinct()
-        .coalesce(par),
-        checkpoint_dir,
-    )
     degrees = _pin(
         base.groupBy(F.col("__from").alias("node"))
         .agg(F.count(F.lit(1)).alias("__deg"))
         .coalesce(par),
         checkpoint_dir,
     )
-    n_total = nodes.count()  # loop-constant scalar, one tiny job
     # dangling-ness is a loop invariant: one anti-join count up front
-    # decides whether ANY per-iteration dangling work is needed at all
+    # decides whether ANY per-iteration dangling work is needed at all.
+    # Every source node has out-edges by construction, so any dangling
+    # node must appear on the DESTINATION side — probing dst against
+    # the degree table is equivalent to probing the full node set, and
+    # doing it FIRST lets the no-dangling case skip materializing the
+    # node set altogether (r13): no dangling ⇒ every endpoint has
+    # out-edges ⇒ the node set IS the degree table's key set, no
+    # union-distinct pass needed.
     has_dangling = (
-        nodes.join(degrees, "node", "left_anti").limit(1).count() > 0
+        base.select(F.col("__to").alias("node"))
+        .join(degrees, "node", "left_anti")
+        .limit(1)
+        .count()
+        > 0
     )
+    if has_dangling:
+        nodes = _pin(
+            base.select(F.col("__from").alias("node"))
+            .unionByName(base.select(F.col("__to").alias("node")))
+            .distinct()
+            .coalesce(par),
+            checkpoint_dir,
+        )
+    else:
+        nodes = degrees.select("node")
+    n_total = nodes.count()  # loop-constant scalar, one tiny job
     ranks = nodes.select(
         "node", F.lit(UNIT).cast("long").alias("rank_micro")
     )
