@@ -273,7 +273,7 @@ def shingle_rows(
     xxhash lanes) that would otherwise run on the single task a
     one-row-group parquet scan plans to (r13; measured 2.64 s → 1.90 s
     on the sf0.1 portable-SimHash signature)."""
-    df = spread_input(df, id_col)
+    df = spread_input(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks = df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__toks"))
     idx = toks.select(
         F.col(id_col),

@@ -43,7 +43,7 @@ def tfidf_keywords(
     runs on a single-file scan's one task (r13)."""
     from .dedup import spread_input
 
-    df = spread_input(df, id_col)
+    df = spread_input(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks = df.select(
         F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("token")
     )
@@ -103,7 +103,7 @@ def bm25_search(
     single-task on a one-file scan otherwise; r13)."""
     from .dedup import spread_input
 
-    df = spread_input(df, id_col)
+    df = spread_input(df.select(F.col(id_col), F.col(text_col)), id_col)
     qtoks = sorted(set(query_tokens))
     dl = F.coalesce(
         F.size(tokens_of(F.col(text_col))), F.lit(0)

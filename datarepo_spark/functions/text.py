@@ -316,8 +316,10 @@ def repetition_stats(
     from .dedup import shingle_rows, spread_input
 
     # both branches tokenize/split every document — parallelize a
-    # single-task scan before that work (r13; see spread_input)
-    df = spread_input(df, id_col)
+    # single-task scan before that work (r13; see spread_input),
+    # projected to the two columns both branches read so the exchange
+    # never carries unused width
+    df = spread_input(df.select(F.col(id_col), F.col(text_col)), id_col)
     lines = df.select(
         F.col(id_col),
         F.explode_outer(
@@ -393,7 +395,7 @@ def unigram_perplexity(
     row reduction saved)."""
     from .dedup import spread_input, tokens_of
 
-    df = spread_input(df, id_col)
+    df = spread_input(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks = df.select(
         F.col(id_col),
         F.explode(tokens_of(F.col(text_col))).alias("__tok"),
@@ -494,7 +496,7 @@ def bigram_perplexity(
 
     from .dedup import spread_input, tokens_of
 
-    df = spread_input(df, id_col)
+    df = spread_input(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks_arr = df.select(
         F.col(id_col), tokens_of(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") >= 2)

@@ -1108,8 +1108,12 @@ def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import spread_input
 
     # parallelize the tokenize + cell partial-agg past the one-task
-    # single-file scan (r13; see spread_input)
-    d = spread_input(load(spark, sf_dir, "documents"), "doc_id")
+    # single-file scan (r13; see spread_input); projected to the two
+    # columns read so the exchange never carries unused width
+    d = spread_input(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     tok = (
         d.select(
             "doc_id",

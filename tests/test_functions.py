@@ -1639,3 +1639,28 @@ class TestPhash:
         # luma uses integer //3 so a uniform +30 shift perturbs cells by
         # at most one quantization step: hamming stays tiny
         assert sum(x != y for x, y in zip(b0, b1)) <= 2
+
+
+class TestSpreadInput:
+    """spread_input (r13): the degenerate-scan repartition must fire
+    only below min(4, defaultParallelism) partitions, raise the
+    frame to cluster parallelism, and never change the row multiset."""
+
+    def test_fires_on_single_partition_and_preserves_rows(self, spark):
+        from datarepo_spark.functions.dedup import spread_input
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(50)], ["doc_id", "text"]
+        ).coalesce(1)
+        assert df.rdd.getNumPartitions() == 1
+        out = spread_input(df, "doc_id")
+        par = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == max(par, 1)
+        assert sorted(r.doc_id for r in out.collect()) == list(range(50))
+
+    def test_noop_on_parallel_input(self, spark):
+        from datarepo_spark.functions.dedup import spread_input
+
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        df = df.repartition(4, "doc_id")
+        assert spread_input(df, "doc_id") is df
