@@ -635,15 +635,16 @@ def label_propagation(
         ).coalesce(par),
         checkpoint_dir,
     )
-    nodes = _pin(
+    # one pinned seed frame: (node, label=node) over the distinct node
+    # set. The update below preserves the key set exactly (left join on
+    # the full labeling), so ``labels`` holds every node at every round
+    # — no separate node-set frame is needed to re-complete it.
+    labels = _pin(
         e.select(F.col("__from").alias("node"))
         .unionByName(e.select(F.col("__to").alias("node")))
         .distinct()
+        .select("node", F.col("node").alias("label"))
         .coalesce(par),
-        checkpoint_dir,
-    )
-    labels = _pin(
-        nodes.select("node", F.col("node").alias("label")).coalesce(par),
         checkpoint_dir,
     )
     from pyspark.sql.window import Window
@@ -651,7 +652,7 @@ def label_propagation(
     for _ in range(iterations):
         votes = (
             e.select(F.col("__from").alias("node"), "__to")
-            .join(labels, "node")
+            .join(labels.select("node", "label"), "node")
             .groupBy(F.col("__to").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
@@ -663,9 +664,12 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("node", F.col("label").alias("__new"))
         )
+        # labels LEFT JOIN winner ≡ the textbook nodes ⋈ labels ⋈ winner
+        # re-completion: labels' key set IS the node set (invariant
+        # above), so the extra nodes join was an identity join — one
+        # join + exchange per round saved, bit-identical labeling.
         labels = _pin(
-            nodes.join(labels, "node")
-            .join(winner, "node", "left")
+            labels.join(winner, "node", "left")
             .select(
                 "node",
                 F.coalesce(F.col("__new"), F.col("label")).alias("label"),
