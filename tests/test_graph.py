@@ -400,6 +400,30 @@ class TestLabelPropagation:
         assert len(a_labels) == 1
         assert len(b_labels) == 1
 
+    def test_pure_source_and_sink_nodes_survive(self, spark):
+        """Pins the r13 update-shape invariant: the labeling frame IS the
+        node set every round (the update is a left join on itself, with
+        no separate node-set re-completion join), so a node with only
+        out-edges (never voted for) must still appear in the output with
+        its own label, and a pure sink must appear with its voted label."""
+        from datarepo_spark.functions.graph import label_propagation
+
+        # z -> a: z has no in-edges (keeps label "z"); sink "s" has only
+        # in-edges from the a-clique (adopts the clique's min label "a0")
+        clique = [(f"a{i}", f"a{j}") for i in range(3) for j in range(3)]
+        sym = [(b, a) for a, b in clique] + clique
+        edges = spark.createDataFrame(
+            sym + [("z", "a0"), ("a0", "s"), ("a1", "s"), ("a2", "s")],
+            ["src", "dst"],
+        )
+        labels = {
+            r.node: r.label
+            for r in label_propagation(edges, iterations=3).collect()
+        }
+        assert set(labels) == {"a0", "a1", "a2", "z", "s"}
+        assert labels["z"] == "z"
+        assert labels["s"] == "a0"
+
     def test_deterministic_under_repartitioning(self, spark):
         from datarepo_spark.functions.graph import label_propagation
 
