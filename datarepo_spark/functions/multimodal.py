@@ -288,11 +288,15 @@ def extract_features(
                     }
                 )
 
-    from .dedup import spread_input
-
-    return spread_input(
-        df.select("media_id", "content"), "media_id"
-    ).mapInPandas(per_batch, schema=FEATURES_SCHEMA)
+    # NOT spread_input-routed (r13 final): media-decode gate frames are
+    # O(100) rows, where the extra exchange + 32 Arrow task setups
+    # measured a 1.3-2x LOSS in a paired same-session A/B (spread on
+    # 0.75 s vs off 0.43 s for the features query; audio 1.84 vs 0.92),
+    # while a production media scan is multi-split so the helper
+    # no-ops there anyway — the gram/tokenize corpus paths keep it.
+    return df.select("media_id", "content").mapInPandas(
+        per_batch, schema=FEATURES_SCHEMA
+    )
 
 
 def frame_sample(
@@ -401,11 +405,12 @@ def _signature_hashes(
             cols["sh"] = out_sh
             yield pd.DataFrame(cols)
 
-    from .dedup import spread_input
-
-    return spread_input(
-        df.select("media_id", "content"), "media_id"
-    ).mapInPandas(per_batch, schema=schema)
+    # no spread_input here — see extract_features (r13 final: paired
+    # A/B measured the repartition a loss on the O(100)-row gate
+    # frames, and it is a no-op on any healthy multi-split media scan)
+    return df.select("media_id", "content").mapInPandas(
+        per_batch, schema=schema
+    )
 
 
 def image_hashes(
@@ -479,9 +484,8 @@ def documents_as_wav(
             T.StructField("content", T.BinaryType()),
         ]
     )
-    from .dedup import spread_input
-
-    return spread_input(df.select(id_col, text_col), id_col).mapInPandas(
+    # no spread_input here — see extract_features (r13 final)
+    return df.select(id_col, text_col).mapInPandas(
         per_batch, schema=schema
     )
 
@@ -606,11 +610,10 @@ hamming_band_pairs` for near-dup frames; only 8-byte hashes leave the
                 }
             )
 
-    from .dedup import spread_input
-
-    return spread_input(
-        df.select("media_id", "content"), "media_id"
-    ).mapInPandas(per_batch, schema=FRAME_HASH_SCHEMA)
+    # no spread_input here — see extract_features (r13 final)
+    return df.select("media_id", "content").mapInPandas(
+        per_batch, schema=FRAME_HASH_SCHEMA
+    )
 
 
 def video_near_dup_pairs(

@@ -562,16 +562,14 @@ class TestRound9Plans:
 
     def test_phash_is_pure_map(self, spark, sf_dir):
         """The DCT hasher is a single Arrow-batched map stage: no join,
-        and on a healthy (parallel) input no exchange — image bytes
-        never leave their scan tasks. The ONE exception (r13) is a
-        degenerate single-task scan, where spread_input pays exactly
-        one repartition exchange to unlock decode parallelism (guide
-        §2.5 input skew); the no-op-at-scale half of that contract is
-        pinned directly below."""
+        no exchange — image bytes never leave their scan tasks. (r13
+        final: the mid-round spread_input routing of the media-decode
+        boundaries was REVERTED after a paired same-session A/B
+        measured it a 1.3-2x loss on the O(100)-row gate frames; the
+        spread_input no-op-on-healthy-input contract itself stays
+        pinned below and in TestSpreadInput.)"""
         plan = plan_of(spark, sf_dir, "multimodal_phash")
-        # single-row-group testdata ⇒ the degenerate case: exactly the
-        # spread_input repartition, nothing else
-        assert plan.count("Exchange") <= 1
+        assert "Exchange" not in plan
         assert "Join" not in plan
 
         from datarepo_spark.functions.dedup import spread_input
@@ -581,7 +579,7 @@ class TestRound9Plans:
             8, "media_id"
         )
         # already-parallel input: spread_input must be an exact no-op,
-        # so the production-scale plan stays a pure map stage
+        # so a production-scale gram plan stays single-exchange
         assert spread_input(media, "media_id") is media
 
     def test_runtime_bloom_filter_reaches_fact_scan(self, spark, sf_dir):
