@@ -243,7 +243,7 @@ def with_shingles(
 
 def shingle_rows(
     df: DataFrame, text_col: str, id_col: str, n: int = 3,
-    distinct: bool = False,
+    distinct: bool = False, spread: bool = True,
 ) -> DataFrame:
     """(id, gram) ROWS — the high-throughput shingle path.
 
@@ -268,12 +268,23 @@ def shingle_rows(
     branch), so empty documents participate in dedup/contamination
     instead of silently vanishing from the row stream.
 
-    The input is routed through :func:`spread_input` first: every
-    consumer of this path does per-gram work (sha256 band hashes,
-    xxhash lanes) that would otherwise run on the single task a
-    one-row-group parquet scan plans to (r13; measured 2.64 s → 1.90 s
-    on the sf0.1 portable-SimHash signature)."""
-    df = spread_input(df.select(F.col(id_col), F.col(text_col)), id_col)
+    The input is routed through :func:`spread_input` first when
+    ``spread=True`` (the default): consumers of this path that do
+    per-gram HASH work before their first exchange (sha256 band hashes,
+    xxhash lanes — the MinHash/SimHash signature paths) would otherwise
+    run it on the single task a one-row-group parquet scan plans to
+    (r13; measured 2.64 s → 1.90 s on the sf0.1 portable-SimHash
+    signature). Consumers whose first post-tokenize operator is ITSELF
+    an exchange (a distinct / groupBy on (id, gram)) pass
+    ``spread=False``: the tokenize+concat work ahead of that exchange
+    is cheap, so the extra repartition is pure overhead there (r13
+    paired probes: contamination 0.45→0.37 s, curation-v3 4.62→3.94 s,
+    repetition 0.61→0.43 s, OFF winning 15/15 interleaved pairs). At
+    production scale both settings are identical — spread_input no-ops
+    on any multi-split scan."""
+    df = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        df = spread_input(df, id_col)
     toks = df.select(F.col(id_col), tokens_of(F.col(text_col)).alias("__toks"))
     idx = toks.select(
         F.col(id_col),

@@ -313,13 +313,15 @@ def repetition_stats(
     also require a minimum token count (as Gopher does)."""
     from pyspark.sql import functions as F  # local alias, matches module
 
-    from .dedup import shingle_rows, spread_input
+    from .dedup import shingle_rows
 
-    # both branches tokenize/split every document — parallelize a
-    # single-task scan before that work (r13; see spread_input),
-    # projected to the two columns both branches read so the exchange
-    # never carries unused width
-    df = spread_input(df.select(F.col(id_col), F.col(text_col)), id_col)
+    # NOT spread_input-routed (r13 final): both branches' first
+    # post-tokenize operator is a groupBy exchange on (id, …), so the
+    # degenerate-scan repartition buys nothing the exchange doesn't
+    # already provide and its extra shuffle measured a consistent loss
+    # (paired probe 0.61→0.43 s, OFF winning 7/7 pairs); projected to
+    # the two columns both branches read
+    df = df.select(F.col(id_col), F.col(text_col))
     lines = df.select(
         F.col(id_col),
         F.explode_outer(
@@ -348,7 +350,7 @@ def repetition_stats(
     )
     # bigram multiset (distinct=False): repetition is exactly what the
     # multiset keeps and a distinct would erase
-    grams = shingle_rows(df, text_col, id_col, n=2)
+    grams = shingle_rows(df, text_col, id_col, n=2, spread=False)
     gram_counts = grams.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -603,7 +605,12 @@ def boilerplate_fraction(
 
     if grams is None:
         grams = _scoped_persist(
-            shingle_rows(df, text_col, id_col, n, distinct=True)
+            # spread=False: the distinct IS the first exchange; the
+            # pre-exchange tokenize is cheap (no per-gram hashing), so
+            # the degenerate-scan repartition measured a consistent
+            # loss here (r13 paired probe, curate_v3 4.62→3.94 s)
+            shingle_rows(df, text_col, id_col, n, distinct=True,
+                         spread=False)
         )
     # the doc count rides the plan as a 1-row broadcast aggregate (the
     # oracle's nd CTE shape) — an eager df.count() here would run a
@@ -664,7 +671,12 @@ def novelty_score(
 
     if grams is None:
         grams = _scoped_persist(
-            shingle_rows(df, text_col, id_col, n, distinct=True)
+            # spread=False: the distinct IS the first exchange; the
+            # pre-exchange tokenize is cheap (no per-gram hashing), so
+            # the degenerate-scan repartition measured a consistent
+            # loss here (r13 paired probe, curate_v3 4.62→3.94 s)
+            shingle_rows(df, text_col, id_col, n, distinct=True,
+                         spread=False)
         )
     owner = grams.groupBy("gram").agg(F.min(id_col).alias("__owner"))
     joined = grams.join(owner, "gram")
@@ -768,7 +780,12 @@ def gram_set_scores(
 
     if grams is None:
         grams = _scoped_persist(
-            shingle_rows(df, text_col, id_col, n, distinct=True)
+            # spread=False: the distinct IS the first exchange; the
+            # pre-exchange tokenize is cheap (no per-gram hashing), so
+            # the degenerate-scan repartition measured a consistent
+            # loss here (r13 paired probe, curate_v3 4.62→3.94 s)
+            shingle_rows(df, text_col, id_col, n, distinct=True,
+                         spread=False)
         )
     nd = df.select(
         F.greatest(

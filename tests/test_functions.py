@@ -281,16 +281,32 @@ class TestSimHashConstructionParity:
     def test_signature_exchange_budget(self, spark, sf_dir):
         """SimHash signatures cost exactly two narrow exchanges (distinct
         on 16-byte (id, hash) rows + the 64-lane vote aggregate) — never a
-        shuffle of document text and never an interpreted per-row fold."""
+        shuffle of document text and never an interpreted per-row fold.
+        The one allowed text-carrying exchange is the degenerate-scan
+        spread_input repartition, and it must ship exactly (id, text).
+        (Asserted structurally off the formatted plan's Exchange Input
+        column lists — the previous substring-offset check was brittle
+        against expression-id width, i.e. test order.)"""
+        import re
+
         df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        plan = (
-            D.simhash_df(df, "text", "doc_id")
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
+        q = D.simhash_df(df, "text", "doc_id")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 3  # spread + distinct + votes
+        formatted = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
         )
-        assert plan.count("Exchange") <= 3  # 2 signature + union alignment
-        assert "text" not in plan.split("Exchange hashpartitioning")[1][:200]
+        text_exchanges = [
+            cols
+            for cols in re.findall(
+                r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", formatted
+            )
+            if "text#" in cols
+        ]
+        # at most the one spread repartition, projected to (id, text)
+        assert len(text_exchanges) <= 1, text_exchanges
+        for cols in text_exchanges:
+            assert len(cols.split(",")) == 2, cols
 
 
 class TestBucketPairs:
