@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 # stopped context is garbage-collected)
 _LAST_CHECKPOINT_DIR: dict[str, str] = {}
 
+# How many singly-referenced PageRank iterations may chain before a pin
+# bounds the lineage (see the loop comment in :func:`pagerank`): each
+# unpinned round adds one join+agg layer to the plan, so stride 4 keeps
+# planning O(1) while skipping the per-round eager materialization job
+# when nothing re-reads the intermediate state.
+_PIN_STRIDE = 4
+
 
 def _pin(df: DataFrame, checkpoint_dir: Optional[str]) -> DataFrame:
     """Materialize a loop invariant / iteration state, truncating its
@@ -277,10 +284,19 @@ def pagerank(
         teleport_col = F.lit((100 - d_pct) * UNIT // 100).cast("long")
         dang_div = n_total
     ranks = _pin(ranks.coalesce(par), checkpoint_dir)
-    for _ in range(iterations):
-        # the iteration state is O(nodes), pinned (below / before the
-        # loop) so the dangling aggregate, the contribution join, and
-        # the delta aggregate all share ONE computation
+    # Pin the per-iteration rank state only when it is MULTIPLY
+    # referenced within the loop (the dangling aggregate and the
+    # convergence delta each re-read it; without a pin those branches
+    # would re-execute the whole iteration chain), and otherwise only
+    # every _PIN_STRIDE rounds plus the final state — lineage stays
+    # bounded at stride depth (the planner-OOM guard the pins exist
+    # for), the executed work is identical (each unpinned state is
+    # referenced exactly once, by the next iteration's join), and the
+    # no-dangling/no-tol case — any symmetrized edge list — drops
+    # iterations-1 eager materialization jobs per query (r13; measured
+    # on the two benched PageRank queries, bit-identical ranks).
+    multi_ref = has_dangling or tol_micro is not None
+    for _it in range(iterations):
         prev = ranks
         if has_dangling:
             # per-recipient share of the dangling (no-out-edge) mass —
@@ -330,18 +346,23 @@ def pagerank(
             mass = F.coalesce(F.col("__c"), F.lit(0)) + share
         else:
             mass = F.coalesce(F.col("__c"), F.lit(0))
-        ranks = _pin(
-            updated.select(
-                "node",
-                (
-                    teleport_col
-                    + F.floor(
-                        F.lit(d_pct) * mass / F.lit(100)
-                    ).cast("long")
-                ).cast("long").alias("rank_micro"),
-            ).coalesce(par),
-            checkpoint_dir,
+        new_state = updated.select(
+            "node",
+            (
+                teleport_col
+                + F.floor(
+                    F.lit(d_pct) * mass / F.lit(100)
+                ).cast("long")
+            ).cast("long").alias("rank_micro"),
         )
+        if (
+            multi_ref
+            or _it == iterations - 1
+            or (_it + 1) % _PIN_STRIDE == 0
+        ):
+            ranks = _pin(new_state.coalesce(par), checkpoint_dir)
+        else:
+            ranks = new_state
         if tol_micro is not None:
             # one integer aggregate over two pinned O(nodes) states —
             # engine-exact, so an oracle can encode the same stop rule

@@ -230,6 +230,67 @@ class TestReliableCheckpoint:
         assert local == reliable  # integer fixed point: bit-identical
 
 
+class TestPageRankPinStride:
+    """r13: singly-referenced iteration states chain unpinned up to
+    _PIN_STRIDE rounds (no dangling, no tolerance — nothing re-reads
+    the intermediate state), the final state is always pinned, and the
+    ranks are bit-identical to pin-every-round."""
+
+    def _counting_pin(self, monkeypatch):
+        from datarepo_spark.functions import graph as G
+
+        real = G._pin
+        calls = []
+
+        def counted(df, ckpt):
+            calls.append(1)
+            return real(df, ckpt)
+
+        monkeypatch.setattr(G, "_pin", counted)
+        return calls
+
+    def test_stride_skips_single_reference_pins(self, spark, monkeypatch):
+        from datarepo_spark.functions import graph as G
+
+        calls = self._counting_pin(monkeypatch)
+        # symmetric edge list -> no dangling nodes -> multi_ref False
+        rows = [(i, (i * 3 + 1) % 17) for i in range(60)]
+        sym = rows + [(b, a) for a, b in rows]
+        edges = spark.createDataFrame(sym, ["src", "dst"])
+        got = sorted(
+            (r.node, r.rank_micro)
+            for r in G.pagerank(edges, iterations=3).collect()
+        )
+        # base + degrees + ranks-init + final-iteration pin only:
+        # iterations 1 and 2 chain unpinned (stride 4 never fires at 3
+        # rounds), and the no-dangling path never pins a node set
+        assert sum(calls) == 4, calls
+
+        # pin-every-round reference: identical integer fixed point
+        monkeypatch.setattr(G, "_PIN_STRIDE", 1)
+        calls.clear()
+        ref = sorted(
+            (r.node, r.rank_micro)
+            for r in G.pagerank(edges, iterations=3).collect()
+        )
+        assert sum(calls) == 6  # 3 shared pins + one per iteration
+        assert got == ref
+
+    def test_dangling_keeps_every_round_pinned(self, spark, monkeypatch):
+        from datarepo_spark.functions import graph as G
+
+        calls = self._counting_pin(monkeypatch)
+        # node 5 only ever appears as a destination -> dangling
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 5)], ["src", "dst"]
+        )
+        G.pagerank(edges, iterations=3).collect()
+        # base + degrees + nodes + ranks-init + one pin PER iteration:
+        # the dangling aggregate re-reads each round's state, so the
+        # multi_ref guard must pin every round regardless of stride
+        assert sum(calls) == 7, calls
+
+
 class TestTriangleCount:
     def _count(self, spark, edges):
         from datarepo_spark.functions.graph import triangle_count
