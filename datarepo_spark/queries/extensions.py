@@ -2028,6 +2028,14 @@ def _dedup_index_fixture(spark: SparkSession, sf_dir: str) -> str:
         F.col("doc_id") % 10 < 8
     )
     build_dedup_index(spark, corpus, uri)
+    # Deliberately NOT compacted here (r13, tried + measured): running
+    # optimize_dedup_index after the build left steady probes flat
+    # (3.25-3.59 s vs 3.0-3.3 s uncompacted — the gate's 128 small
+    # bucket files sit in page cache and 128 scan tasks amortize over
+    # 32 cores) while adding ~3 s of compaction to the first timed
+    # pass. At production scale compaction IS the answer to an
+    # append-accumulated index (the module docstring's maintenance
+    # step); at gate scale it is pure first-pass cost.
     _DEDUP_INDEX_BUILT[key] = uri
     return uri
 
