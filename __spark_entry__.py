@@ -31,91 +31,25 @@ from datarepo_spark.queries import ranked as _ranked  # noqa: E402,F401
 # family per rotation. Everything not listed follows in registration
 # order — still checked locally by tests/test_oracle_parity.py.
 #
-# -- r13 window (VERDICT r12 #1): the 13 r12-born queries that have
-# never held a driver row (the rank-statistics batch — all riding the
-# two-pass primitive whose range tags were REWRITTEN this round to
-# deterministic literal boundaries per VERDICT r12 #3 — the mergeable
-# count-min/bloom sketches, Neyman allocation, cohort LTV, local
-# clustering, and the running-total streaming twin), then 37 refresh
-# slots on the TRUE oldest green cohort. Note: the r12 verdict said
-# the oldest cohort was r9, but the CORRECTNESS_r* artifacts show 46
-# registry queries whose latest green row is r7 and 28 at r8 (the
-# early rounds gated more than 50 slots, so those rows never rotated);
-# this window refreshes 37 of the 46 r7-latest rows — TPC-H Q2/Q7-Q9/
-# Q11/Q17/Q21, the core dedup family (sha/simhash/ngram/embedding/
-# components), multimodal, sampling splits, ANN LSH/IVF, the CSV/JSON
-# sources, and the text scoring layer. The 9 deferred r7 rows + the
-# r8 cohort lead _PRIORITY_R14.
+# -- r14 window (VERDICT r13 #7): the 2 r14-born build rows + the 3
+# r13-born never-gated sketches lead; graph_label_propagation rides
+# along because its iteration was rewritten to long label keys this
+# round (changed queries get a driver row); then the 9 r7 rows
+# deferred from the r13 window, the full 28-query r8 cohort, and 7 of
+# the 49 r9-latest rows fill the remaining slots. The CORRECTNESS_r*
+# artifacts are the cohort source of truth (latest-green round per
+# query).
 _PRIORITY = [
-    # -- r12-born, never driver-gated (staged r12 as _PRIORITY_R13) ----
-    "profile_mann_whitney",
-    "profile_kruskal_wallis",
-    "profile_weighted_median",
-    "window_lorenz_deciles",
-    "events_kaplan_meier",
-    "events_interarrival",
-    "agg_association_rules",
-    "graph_local_clustering",
-    "events_cohort_ltv",
-    "agg_count_min_sketch",
-    "sample_neyman_allocation",
-    "streaming_running_total_twin",
-    "agg_bloom_filter",
-    # -- r7-cohort refresh (oldest green rows, 37 of 46 slots) ---------
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "dedup_exact_sha256",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    "multimodal_near_dup",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "pipeline_contamination",
-    "pipeline_curate_documents",
-    "pipeline_token_budget",
-    "sample_hash_split",
-    "sample_stratified",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_quantize_int8",
-    "skew_salted_agg",
-    "skyline_parts",
-    "source_csv_scan",
-    "source_json_scan",
-    "text_chunk_documents",
-    "text_fingerprint",
-    "text_language_id",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_token_stats",
-    "agg_approx_distinct",
-    "bucketed_cobucket_join",
-    "fn_date_parse_format",
-    "reshape_posexplode",
-    # exactly 50 entries total — the driver gates the first 50
-]
-
-# r14 rotation staging: new r13-born queries lead (filled as they
-# land, each driver-sim-verified green at sf0.01), then the 9 r7 rows
-# deferred from the r13 window, then the r8 cohort (28 queries:
-# q12-q14/q16/q22, approx percentile/mode/having/sketch-rollup,
-# duplicate spans, fuzzy joins, curriculum/nucleus pipelines, dv-read
-# and maintenance, sampling kfold/cluster/diverse, ANN PQ, text
-# boilerplate/novelty/repetition, zscore anomalies, sliding windows,
-# winsorized profile) picks up the remaining slots.
-_PRIORITY_R14: list[str] = [
-    # r13-born (staged as they land)
+    # -- r14-born (index build rows, VERDICT r13 #4) -------------------
+    "similarity_ann_index_build",
+    "dedup_incremental_index_build",
+    # -- r13-born, never driver-gated ----------------------------------
     "agg_quantile_sketch",
     "streaming_quantile_sketch_twin",
     "agg_exp_histogram",
-    # r7 cohort remainder (deferred from the r13 window)
+    # -- changed this round (long-key LPA rewrite) ---------------------
+    "graph_label_propagation",
+    # -- r7 cohort remainder (deferred from the r13 window) ------------
     "multimodal_ahash",
     "multimodal_audio_near_dup",
     "multimodal_video_frame_hashes",
@@ -125,13 +59,75 @@ _PRIORITY_R14: list[str] = [
     "q20_potential_promotion",
     "set_union_distinct",
     "fn_struct_map",
+    # -- r8 cohort (all 28) --------------------------------------------
+    "agg_approx_percentile",
+    "agg_having",
+    "agg_mode",
+    "agg_sketch_rollup",
+    "dedup_duplicate_spans",
+    "delta_dv_read",
+    "delta_maintenance_roundtrip",
+    "events_anomaly_zscore",
+    "events_sliding_window",
+    "join_fuzzy_editdist",
+    "join_fuzzy_link",
+    "pipeline_chunk_dedup",
+    "pipeline_curriculum_shards",
+    "pipeline_nucleus_topp",
+    "profile_orders",
+    "profile_winsorized",
+    "q12_priority_counting",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q22_global_sales_opportunity",
+    "sample_cluster_split",
+    "sample_diverse_cells",
+    "sample_kfold",
+    "similarity_ann_pq",
+    "text_boilerplate_fraction",
+    "text_novelty_score",
+    "text_repetition",
+    # -- r9 cohort start (7 of 49, alphabetical) -----------------------
+    "agg_weighted_avg",
+    "dedup_lines_c4",
+    "dedup_ngram_containment",
+    "dedup_rate_by_source",
+    "delta_convert_in_place",
+    "delta_identity_append",
+    "delta_restore_roundtrip",
+    # exactly 50 entries total — the driver gates the first 50
+]
+
+# r15 rotation staging: the remaining 42 r9-latest rows (delta
+# roundtrip/shallow-clone/time-travel/changes family, events debounce/
+# sequence-ngrams, the filter algebra rows, graph_pagerank, the ivm
+# family, join anti/asof-forward, …) continue alphabetically from
+# where the r14 window stopped; any r14-born query lands at the head.
+_PRIORITY_R15: list[str] = [
+    "delta_roundtrip",
+    "delta_shallow_clone",
+    "delta_table_changes",
+    "delta_time_travel",
+    "delta_update_set",
+    "events_debounce",
+    "events_sequence_ngrams",
+    "filter_comparisons",
+    "filter_in_contains_dnf",
+    "filter_not_in",
+    "filter_sql_string",
+    "graph_pagerank",
+    "ivm_minmax_by_status",
+    "ivm_orders_by_status",
+    "join_anti",
+    "join_asof_forward",
 ]
 
 
 def _ordered_registry() -> dict[str, _registry.Query]:
     ordered: dict[str, _registry.Query] = {}
     for name in _PRIORITY + [
-        n for n in _PRIORITY_R14 if n in _registry.REGISTRY
+        n for n in _PRIORITY_R15 if n in _registry.REGISTRY
     ]:
         ordered[name] = _registry.REGISTRY[name]
     for name, q in _registry.REGISTRY.items():

@@ -200,6 +200,14 @@ HEADLINE = [
     # without a sort" becomes bench-visible
     "agg_quantile_sketch",
     "agg_exp_histogram",
+    # added r14 (headline count 84 → 86, VERDICT r13 #4): the index
+    # BUILD halves of the two persisted-index serving shapes, each
+    # rebuilding into a fresh dir per invocation — build cost becomes
+    # its own bench row instead of riding the probe rows' first pass
+    # (dedup_incremental_index / similarity_ann_index{,_pq} above are
+    # the probe rows; their fixtures are unchanged)
+    "similarity_ann_index_build",
+    "dedup_incremental_index_build",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
@@ -238,8 +246,6 @@ def _steady_child(plan_path: str) -> None:
     steady: dict[str, float] = {}
     contaminated: list[str] = []
     for name in names:
-        unpersist_intermediates()
-        spark.catalog.clearCache()
         best = None
         # 2 base reps; up to 2 extra while the minimum still exceeds
         # the composite floor by >15% (steady <= composite within
@@ -249,6 +255,15 @@ def _steady_child(plan_path: str) -> None:
         for rep in range(4):
             if rep >= 2 and best <= timings[name] * 1.15:
                 break
+            # Release caches INSIDE the rep loop (r14, VERDICT r13
+            # what's-wrong #3): rep 2+ of a persist-using query used
+            # to hit rep 1's _scoped_persist caches via Spark's
+            # logical-plan cache matching, so its "steady" measured
+            # cache reads, not the query (graph_local_clustering read
+            # 1.16 s steady vs ~6.5 s honest fresh). Steady now means
+            # "quiet-session floor of the FULL computation".
+            unpersist_intermediates()
+            spark.catalog.clearCache()
             start = time.perf_counter()
             n = REGISTRY[name].spark_fn(spark, sf_dir).count()
             elapsed = round(time.perf_counter() - start, 4)
@@ -333,29 +348,56 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 
+    print(compact_line(out, timings))
+
+
+_LINE_BUDGET = 1950
+
+
+def compact_line(out: dict, timings: dict[str, float]) -> str:
+    """The ONE stdout JSON line, guaranteed to carry a per-query map.
+
+    r5's driver tail capture clips at 2000 chars (from the END of
+    stdout, so an over-long LAST line loses its head and parses as
+    null). The r13 fallback dropped the whole ``queries`` map once
+    2-decimal precision no longer fit — at 84 headline queries it
+    NEVER fit, so the driver's per-query table, geomean and scaling
+    block were all empty (PERF_r13). Now (VERDICT r13 #1): degrade
+    precision first, then keep the SLOWEST queries that fit and mark
+    how many were dropped (``queries_truncated`` = count of omitted
+    cheapest queries). The omitted rows are the sub-tenth-second tail;
+    full 4-decimal detail for every query is always in
+    BENCH_DETAIL.json."""
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries": {},
         "sf": out["sf"],
     }
     if "steady_total" in out:
         compact["steady_total"] = out["steady_total"]
-    line = json.dumps(compact, separators=(",", ":"))
-    # r5's driver tail capture clips at 2000 chars (from the END of
-    # stdout, so an over-long LAST line loses its head and parses as
-    # null). Degrade precision before dropping the map entirely — the
-    # per-query map in the driver artifact is what makes round-over-
-    # round comparisons recomputable (full 4-decimal detail is always
-    # in BENCH_DETAIL.json).
-    if len(line) > 1950:
-        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    for ndigits in (3, 2):
+        compact["queries"] = {
+            k: round(v, ndigits) for k, v in timings.items()
+        }
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:
-        compact.pop("queries", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+        if len(line) <= _LINE_BUDGET:
+            return line
+    # Slowest-first admission: every kept entry is costlier than every
+    # dropped one, so the driver's geomean/regression checks see the
+    # rows that carry the total.
+    order = sorted(timings, key=lambda k: (-timings[k], k))
+    kept: dict[str, float] = {}
+    compact["queries"] = kept
+    for name in order:
+        kept[name] = round(timings[name], 2)
+        compact["queries_truncated"] = len(order) - len(kept)
+        if len(json.dumps(compact, separators=(",", ":"))) > _LINE_BUDGET:
+            del kept[name]
+            compact["queries_truncated"] = len(order) - len(kept)
+            break
+    return json.dumps(compact, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -65,6 +65,17 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+# (session id, semanticHash) → observed partition count. The partition
+# probe below costs a full plan-to-RDD translation on the driver; the
+# same (id, text) projections are probed repeatedly within one query
+# build (both streams of a contamination join, every signature lane
+# family) and across bench passes, so the count is memoized per
+# semantically-equal plan. Staleness is possible only if the underlying
+# files change within a session — a performance-only miss (spread is
+# never result-bearing), accepted per the r13 advice.
+_SPREAD_PARTS_MEMO: dict[tuple[int, int], int] = {}
+
+
 def spread_input(df: DataFrame, id_col: str) -> DataFrame:
     """Fix severe input under-parallelism before per-row-expensive work
     (guide §2.5 "input skew": one unsplittable file — a single-row-group
@@ -77,10 +88,21 @@ def spread_input(df: DataFrame, id_col: str) -> DataFrame:
     hazard), and the shuffled bytes are the raw input read once, paid
     only in the degenerate case. Any healthy scan (or any post-shuffle
     frame) passes through untouched, so at production scale this is a
-    no-op by construction."""
+    no-op by construction. The partition-count probe (an RDD
+    translation) is memoized per semantically-equal plan — see
+    ``_SPREAD_PARTS_MEMO``."""
     sc = df.sparkSession.sparkContext
     target = max(sc.defaultParallelism, 1)
-    if df.rdd.getNumPartitions() >= min(4, target):
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:  # pragma: no cover - semanticHash is stable API
+        key = None
+    parts = _SPREAD_PARTS_MEMO.get(key) if key is not None else None
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+        if key is not None:
+            _SPREAD_PARTS_MEMO[key] = parts
+    if parts >= min(4, target):
         return df
     return df.repartition(target, F.col(id_col))
 
@@ -1161,11 +1183,18 @@ def shingle_rows_pos(
     for span-level work. Only documents with >= n tokens participate
     (shorter docs have no length-n substring, per the substring-dedup
     definition). Input routed through :func:`spread_input` like
-    :func:`shingle_rows` (same single-scan-task hazard)."""
-    toks = df.select(
+    :func:`shingle_rows` (same single-scan-task hazard): the raw
+    (id, text) projection is spread BEFORE tokenizing, so on a
+    degenerate single-task scan the tokenize itself parallelizes and
+    the exchange ships text, not the wider ``__toks`` arrays (r14,
+    per the r13 advice — the previous placement spread post-tokenize
+    rows)."""
+    base = spread_input(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    toks = base.select(
         F.col(id_col), tokens_of(F.col(text_col)).alias("__toks")
     ).filter(F.size("__toks") >= n)
-    toks = spread_input(toks, id_col)
     idx = toks.select(
         F.col(id_col),
         F.col("__toks"),

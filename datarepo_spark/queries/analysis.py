@@ -917,6 +917,51 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
 
 
+def _lpa_lex_key(k: F.Column, supplier: bool) -> F.Column:
+    """Order-isomorphic LONG encoding of the LPA label strings
+    'c<k>' / 's<k>' (r14, VERDICT r13 #3): label propagation's argmax
+    tie-break IS lexicographic label order, so its integer encoding
+    must preserve exactly that order — unlike PageRank's 2k/2k+1,
+    where any injection works. Closed form, no global sort:
+
+      key(prefix, k) = (k · 10^(10-L)) · 16 + L  [+ 2^48 if prefix 's']
+
+    where L = digit count of k (≤ 10 by the long-key bound). The
+    scaled term is the numeric value of the decimal string
+    right-zero-padded to 10 digits; comparing those equals comparing
+    the unpadded strings lexicographically except when one string
+    prefixes the other zero-extended — exactly the case the L
+    tiebreak settles ('1' < '10' ⇔ shorter first). The 2^48 block
+    offset encodes 'c' < 's'. Injective + order-preserving ⇒ the
+    integer argmax (count DESC, key ASC) picks the same winners as
+    the string argmax, every round, bit-for-bit."""
+    s = k.cast("string")
+    pad = (F.lit(10) - F.length(s)).cast("double")
+    scaled = k * F.pow(F.lit(10.0), pad).cast("long")
+    key = scaled * F.lit(16) + F.length(s).cast("long")
+    if supplier:
+        key = key + F.lit(1 << 48)
+    return key.cast("long")
+
+
+def _lpa_lex_decode(col: str) -> F.Column:
+    """Invert :func:`_lpa_lex_key` back to the display string."""
+    key = F.col(col)
+    is_s = key >= F.lit(1 << 48)
+    r = key - F.when(is_s, F.lit(1 << 48)).otherwise(F.lit(0))
+    length = r % F.lit(16)
+    scaled = (r / F.lit(16)).cast("long")
+    k = (
+        scaled
+        / F.pow(F.lit(10.0), (F.lit(10) - length).cast("double")).cast(
+            "long"
+        )
+    ).cast("long")
+    return F.concat(
+        F.when(is_s, F.lit("s")).otherwise(F.lit("c")), k.cast("string")
+    )
+
+
 @register(
     "graph_label_propagation",
     # synchronous LPA (2 unrolled iterations) on the trade graph;
@@ -979,13 +1024,19 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import graph as G
 
+    # LONG node ids via the order-isomorphic lexicographic key (see
+    # _lpa_lex_key): the per-round votes join, count aggregate and
+    # argmax window all shuffle 8-byte keys instead of strings, and
+    # the seed labels (= node ids) tie-break identically to the
+    # string form. Display strings are re-derived only on the final
+    # O(communities) frame.
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            _lpa_lex_key(F.col("o_custkey"), supplier=False).alias("a"),
+            _lpa_lex_key(F.col("l_suppkey"), supplier=True).alias("b"),
         )
         .distinct()
     )
@@ -996,6 +1047,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(_lpa_lex_decode("label").alias("label"), "n_members")
         .orderBy(F.desc("n_members"), F.asc("label"))
         .limit(20)
     )

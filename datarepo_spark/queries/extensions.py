@@ -2004,6 +2004,46 @@ def similarity_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_gate(ann, exact)
 
 
+@register(
+    "similarity_ann_index_build",
+    # r14 (VERDICT r13 #4): the index BUILD as its own timed row, so
+    # the serving rows above stop conflating one-off build cost with
+    # steady probe cost in the bench. Every invocation builds into a
+    # FRESH directory (no fixture reuse — the row times the build);
+    # the oracle checks the written table's cardinality and that every
+    # row carries PQ codes. Probe-side correctness stays gated by
+    # similarity_ann_index / similarity_ann_index_pq.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(1 AS BIGINT) AS all_coded
+    FROM embeddings
+    """,
+    description="IVF-PQ ANN index build, timed end-to-end into a fresh "
+    "Delta dir (centroid fit + corpus assign + PQ encode + "
+    "cell-partitioned write) — the build half of the persisted-index "
+    "serving shape; returns written-table cardinality + coded-row "
+    "check",
+)
+def similarity_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..core.tmp import session_tmp
+    from ..functions.ann_index import build_ann_index
+    from ..tables.delta_table import DeltalakeTable
+
+    base = session_tmp("datarepo_ann_index_build_")
+    uri = _os.path.join(base, "embeddings_ivf")
+    emb = load(spark, sf_dir, "embeddings")
+    build_ann_index(
+        spark, emb, uri, nlist=8, iterations=4, pq_m=8, pq_iterations=6
+    )
+    written = DeltalakeTable("embeddings_ivf_build", uri)(spark=spark)
+    return written.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min(F.col("codes").isNotNull().cast("long")).alias("all_coded"),
+    )
+
+
 # -- persisted MinHash-LSH dedup index (incremental corpus dedup) ------------
 
 _DEDUP_INDEX_BUILT: dict[str, str] = {}
@@ -2094,6 +2134,57 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 < 8)
     return dedup_against_index(
         spark, batch, uri, threshold=0.5, corpus_df=corpus
+    )
+
+
+@register(
+    "dedup_incremental_index_build",
+    # r14 (VERDICT r13 #4): the LSH index BUILD as its own timed row —
+    # dedup_incremental_index (above) keeps its per-sf_dir fixture and
+    # measures the PROBE; this row rebuilds into a fresh directory on
+    # every invocation so the build cost is bench-visible instead of
+    # riding the probe row's first pass. Oracle: each indexed doc
+    # writes exactly one signature row and bands(=16) bucket rows
+    # (posexplode of the fixed-width band array), so the written-table
+    # cardinalities are pure functions of the corpus slice.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * 16 AS BIGINT) AS n_bucket_rows
+    FROM documents WHERE doc_id % 10 < 8
+    """,
+    description="MinHash-LSH dedup index build, timed end-to-end into "
+    "a fresh Delta dir (one signature pass feeding the band-partitioned "
+    "bucket table + the signatures table) — the build half of the "
+    "incremental-dedup serving shape; returns written-table "
+    "cardinalities",
+)
+def dedup_incremental_index_build(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+
+    from ..core.tmp import session_tmp
+    from ..functions.dedup_index import build_dedup_index
+    from ..tables.delta_table import DeltalakeTable
+
+    base = session_tmp("datarepo_dedup_index_build_")
+    uri = _os.path.join(base, "documents_lsh")
+    corpus = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 < 8
+    )
+    build_dedup_index(spark, corpus, uri)
+    sigs = DeltalakeTable(
+        "lsh_sigs_build", _os.path.join(uri, "signatures")
+    )(spark=spark)
+    buckets = DeltalakeTable(
+        "lsh_buckets_build", _os.path.join(uri, "buckets")
+    )(spark=spark)
+    return sigs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        buckets.agg(
+            F.count(F.lit(1)).cast("long").alias("n_bucket_rows")
+        )
     )
 
 

@@ -501,3 +501,60 @@ class TestLabelPropagation:
             ).collect()
         )
         assert a == b
+
+
+class TestLpaLexKey:
+    """Pins the r14 long-key encoding of graph_label_propagation's
+    labels: the key must be order-ISOMORPHIC to the lexicographic
+    order of the 'c<k>'/'s<k>' strings (LPA's tie-break is label
+    string order, so any order-breaking injection changes winners)
+    and exactly invertible for the final display decode."""
+
+    # digit-length boundaries, prefix cases ('1' vs '10'), interleaved
+    # magnitudes, and the 10-digit bound
+    KEYS = [
+        1, 2, 9, 10, 11, 19, 20, 99, 100, 101, 123, 199, 200, 1000,
+        9999, 10000, 14999, 15000, 99999, 1234567, 999999999,
+        1000000000, 9999999999,
+    ]
+
+    def _frame(self, spark):
+        from datarepo_spark.queries.analysis import (
+            _lpa_lex_decode,
+            _lpa_lex_key,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(k,) for k in self.KEYS], ["k"]
+        ).select(
+            F.col("k"),
+            _lpa_lex_key(F.col("k"), supplier=False).alias("ck"),
+            _lpa_lex_key(F.col("k"), supplier=True).alias("sk"),
+        )
+        return df.select(
+            "k",
+            "ck",
+            "sk",
+            _lpa_lex_decode("ck").alias("cdec"),
+            _lpa_lex_decode("sk").alias("sdec"),
+        ).collect()
+
+    def test_order_isomorphic_to_string_sort(self, spark):
+        rows = self._frame(spark)
+        pairs = [(r.ck, f"c{r.k}") for r in rows] + [
+            (r.sk, f"s{r.k}") for r in rows
+        ]
+        by_key = [s for _, s in sorted(pairs)]
+        by_str = sorted(s for _, s in pairs)
+        assert by_key == by_str
+
+    def test_decode_inverts_encode(self, spark):
+        for r in self._frame(spark):
+            assert r.cdec == f"c{r.k}"
+            assert r.sdec == f"s{r.k}"
+
+    def test_injective(self, spark):
+        rows = self._frame(spark)
+        keys = [r.ck for r in rows] + [r.sk for r in rows]
+        assert len(set(keys)) == len(keys)

@@ -167,14 +167,15 @@ class TestContamination:
         assert got[1][1] == 0  # novel doc: zero contamination
 
     def test_shuffles_grams_not_documents(self, spark, sf_dir):
-        """No gram/join exchange may carry document text. The ONE
-        exception (r13): on a degenerate single-task scan,
-        spread_input repartitions each input frame once, projected to
-        exactly (id, text), to unlock tokenize/hash parallelism — a
-        no-op on any healthy scan (see TestSpreadInput /
-        test_phash_is_pure_map for that half of the contract). So: at
-        most one narrow 2-column text exchange per input frame, and
-        every OTHER exchange in the plan stays text-free."""
+        """NO exchange may carry document text in this plan (tightened
+        r14 per the r13 advice): contamination_check passes
+        spread=False on BOTH gram streams — its first post-tokenize
+        operator is already an exchange — so not even the narrow
+        (id, text) spread repartition may appear; text stays inside
+        one map stage per input. The spread=True half of the contract
+        (at most one 2-column (id, text) exchange on a degenerate
+        scan) is pinned by TestSpreadInput / test_phash_is_pure_map
+        on paths that DO hash per gram."""
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         df = SP.contamination_check(
             docs.filter(F.col("doc_id") >= 50),
@@ -191,11 +192,7 @@ class TestContamination:
         ):
             if "text#" in cols:
                 text_exchanges.append(cols)
-        assert len(text_exchanges) <= 2, text_exchanges
-        for cols in text_exchanges:
-            # the spread repartition ships only (id, text) — never a
-            # wide document row
-            assert len(cols.split(",")) == 2, cols
+        assert len(text_exchanges) == 0, text_exchanges
 
 
 class TestSamplingProperties:
