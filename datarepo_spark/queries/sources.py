@@ -11,6 +11,7 @@ pure function of it.
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -144,9 +145,56 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 import contextlib
 
 
+def _stream_partitions(
+    spark: SparkSession,
+    input_path: Optional[str] = None,
+    python_stateful: bool = False,
+) -> int:
+    """State-partition count for a bounded stream run, derived from the
+    DATA, not the core count (r14, VERDICT r13 #2; guide §2.2
+    fewer-larger partitions): every shuffle partition is a state-store
+    instance with a fixed per-micro-batch open/load/commit cost, so at
+    gate scale (KB-per-trigger) extra stores are pure overhead — a
+    paired interleaved probe measured the JVM session_window twin at
+    1.90 s with 8 stores vs 4.37 s with 32 on identical data
+    (bit-identical output; keyed stateful operators are
+    partition-count-invariant by contract). Rule: ceil(per-trigger
+    bytes / 32 MB), floored at 8 and capped at 4× the cluster
+    parallelism, so a production-sized trigger scales its store count
+    with state volume while the bounded gate replay stops paying for
+    near-empty stores. ``python_stateful`` operators
+    (applyInPandasWithState) additionally floor at parallelism/2:
+    their dominant cost is the per-group Arrow/state protocol, which
+    parallelizes with cores (same probe: EWMA twin min 4.45 s at 16
+    stores vs 5.18/5.23 at 8/32 on local[32]).
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` overrides everything for
+    deployments that know better."""
+    override = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if override:
+        return max(1, int(override))
+    cores = max(spark.sparkContext.defaultParallelism, 1)
+    trigger_bytes = 0
+    if input_path and os.path.isdir(input_path):
+        sizes = [
+            e.stat().st_size
+            for e in os.scandir(input_path)
+            if e.is_file()
+        ]
+        # maxFilesPerTrigger=1 in every gate twin: one file per trigger
+        trigger_bytes = max(sizes, default=0)
+    par = max(8, min((trigger_bytes >> 25) + 1, 4 * cores))
+    if python_stateful:
+        par = max(par, cores // 2)
+    return par
+
+
 @contextlib.contextmanager
-def _stream_shuffle_partitions(spark: SparkSession):
-    """Pin spark.sql.shuffle.partitions to the cluster's parallelism
+def _stream_shuffle_partitions(
+    spark: SparkSession,
+    input_path: Optional[str] = None,
+    python_stateful: bool = False,
+):
+    """Pin spark.sql.shuffle.partitions to :func:`_stream_partitions`
     for the duration of a bounded stream run, restoring the caller's
     value afterwards. Stateful streaming launches state-store tasks =
     shuffle partitions PER micro-batch PER stateful operator; under a
@@ -156,7 +204,7 @@ def _stream_shuffle_partitions(spark: SparkSession):
     keyed stateful operator's output, only its task count."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key, None)
-    par = max(spark.sparkContext.defaultParallelism, 8)
+    par = _stream_partitions(spark, input_path, python_stateful)
     spark.conf.set(key, str(par))
     try:
         yield
@@ -247,7 +295,7 @@ def streaming_ewma_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique memory-sink name: the driver runs many queries in ONE
     # session and memory tables are session-global
     _STREAM_SEQ[0] += 1
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path, python_stateful=True):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         result = stateful_ewma(stream, horizon=16, decay=0.8)
         return run_stream_to_memory(
@@ -289,7 +337,7 @@ def streaming_window_counts_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _sliced_events_fixture(sf_dir)
     _STREAM_SEQ[0] += 1
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         result = windowed_aggregation(
             stream, window="1 hour", watermark="2 hours"
@@ -346,7 +394,7 @@ def streaming_debounce_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _sliced_events_fixture(sf_dir)
     _STREAM_SEQ[0] += 1
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path, python_stateful=True):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         # watermark far beyond the data span: the event-time timeout
         # never fires, so ONLY data-closed bursts emit (oracle comment)
@@ -406,7 +454,7 @@ def streaming_sessionize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _sliced_events_fixture(sf_dir)
     _STREAM_SEQ[0] += 1
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         result = session_aggregation(
             stream, gap="30 minutes", watermark="36500 days"
@@ -457,7 +505,7 @@ def streaming_interval_join_twin(
 
     path = _sliced_events_fixture(sf_dir)
     _STREAM_SEQ[0] += 1
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path):
         purchases = (
             read_events_stream(spark, path, max_files_per_trigger=1)
             .filter(F.col("event_type") == "purchase")
@@ -530,7 +578,7 @@ def streaming_dedup_first_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _sliced_events_fixture(sf_dir)
     _STREAM_SEQ[0] += 1
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         result = first_event_per_key(stream, key_col="user_id")
         return run_stream_to_memory(
@@ -576,7 +624,7 @@ def streaming_stream_static_twin(
         "c_custkey", "c_mktsegment"
     )
     _STREAM_SEQ[0] += 1
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         enriched = stream.join(
             F.broadcast(dim),
@@ -653,7 +701,7 @@ def streaming_delta_sink_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_interval=None,
         )
 
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         query = stream.writeStream.foreachBatch(sink).start()
         try:
@@ -719,7 +767,7 @@ def streaming_running_total_twin(
             checkpoint_interval=None,
         )
 
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         query = stream.writeStream.foreachBatch(sink).start()
         try:
@@ -826,7 +874,7 @@ def streaming_quantile_sketch_twin(
             checkpoint_interval=None,
         )
 
-    with _stream_shuffle_partitions(spark):
+    with _stream_shuffle_partitions(spark, path):
         stream = read_events_stream(spark, path, max_files_per_trigger=1)
         query = stream.writeStream.foreachBatch(sink).start()
         try:
