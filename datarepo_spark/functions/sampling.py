@@ -296,10 +296,22 @@ def token_budget_select(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    base = df.select(
-        F.col(id_col),
-        F.col(score_col).alias("__score"),
-        F.col(token_col).cast("long").alias("__tokens"),
+    from .dedup import _scoped_persist
+
+    # Persist the narrow (id, score, tokens) projection: the plan below
+    # reads it THREE times (bucket-mass aggregate, whole-bucket
+    # semi-join, boundary slice), and without a persist each reference
+    # re-executes the caller's whole upstream pipeline — for the
+    # curation composites that is a corpus-sized scoring job ×3 (r14,
+    # guide §5; the analogous persist in nucleus_select measured
+    # curate_v3 5.1 s → 2.0 s at sf0.1). Scope-released like every
+    # dedup-pipeline intermediate.
+    base = _scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.col(score_col).alias("__score"),
+            F.col(token_col).cast("long").alias("__tokens"),
+        )
     )
     # NULL/NaN scores sort LAST (after every scored row, by id) — a
     # dedicated final bucket plus the __bad sort key keeps the bucket
@@ -427,15 +439,29 @@ def nucleus_select(
             f"first (e.g. round(score * 1e6) cast to long)"
         )
     groups = [F.col(g) for g in group_cols]
-    base = df.select(
-        F.col(id_col), *groups, F.col(score_col).cast("long").alias("__s")
-    )
     from .dedup import _scoped_persist
 
-    # the |groups|-row envelope is persisted (scope-released like every
-    # dedup-pipeline intermediate): the eager negative-mass validation
-    # below materializes it once and the broadcast join reuses the
-    # cache — validation costs no second corpus scan
+    # Persist the narrow (id, groups, score) projection: the two-level
+    # plan reads it FOUR times (group envelope, bucket-mass aggregate,
+    # whole-bucket semi-join, boundary slice), and without a persist
+    # each reference re-executes the caller's whole upstream pipeline.
+    # pipeline_curate_v3 feeds this the fused gram-scorer pipeline
+    # (~1.2 s/pass at sf0.1): the un-persisted form measured 5.14 s
+    # for the full query vs 1.21 s for the scorers alone — the
+    # two-level machinery was re-running the scoring job per reference
+    # (r14, guide §5). Scope-released like every dedup-pipeline
+    # intermediate.
+    base = _scoped_persist(
+        df.select(
+            F.col(id_col),
+            *groups,
+            F.col(score_col).cast("long").alias("__s"),
+        )
+    )
+    # the |groups|-row envelope is persisted too: the eager
+    # negative-mass validation below materializes it once and the
+    # broadcast join reuses the cache — validation costs no second
+    # corpus pass
     env = _scoped_persist(
         base.groupBy(*group_cols).agg(
             F.min("__s").alias("__lo"),
