@@ -137,8 +137,15 @@ def build_dedup_index(
             df, text_col, id_col, n, num_hashes, bands, with_sig=True
         ).coalesce(_parallelism(df))
     )
+    # Cluster bucket rows by their partition value before the
+    # partitioned write (guide §6 small files / §3.3 write
+    # distribution): without this every input task writes a sliver
+    # into EVERY band directory — bands × tasks files (128 at the
+    # gate's 8×16) — where one narrow exchange yields one file per
+    # band, cutting both the write's file-commit count and every
+    # probe's file-open count by 8×.
     write_delta(
-        _bucket_rows(banded, id_col),
+        _bucket_rows(banded, id_col).repartition(bands, F.col("band")),
         os.path.join(uri.rstrip("/"), "buckets"),
         partition_by=["band"],
         checkpoint_interval=None,
@@ -195,8 +202,12 @@ def append_to_dedup_index(
         if txn_app_id is not None
         else {}
     )
+    # same band-clustered write as build_dedup_index (guide §6): one
+    # file per band per append instead of bands × tasks
     write_delta(
-        _bucket_rows(banded, meta["id_col"]),
+        _bucket_rows(banded, meta["id_col"]).repartition(
+            meta["bands"], F.col("band")
+        ),
         os.path.join(uri.rstrip("/"), "buckets"),
         partition_by=["band"],
         checkpoint_interval=None,
