@@ -392,21 +392,16 @@ def pagerank(
     )
 
 
-def _oriented_adjacency(
-    edges: DataFrame,
-    src: str,
-    dst: str,
-    broadcast_adjacency_bytes: int,
+def _canonical_undirected(
+    edges: DataFrame, src: str, dst: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared core of the edge-iterator triangle family: canonical
-    undirected edges → full degrees → degree-ordered orientation
-    (Schank & Wagner 2005; out-degree ≤ √(2m), hub-safe) → sorted
-    out-neighbor adjacency joined onto both endpoints of every
-    oriented edge. Returns (deg, with_nbrs) where ``deg`` is
-    (node, d) full undirected degrees and ``with_nbrs`` is
-    (s, t, nbrs_s, nbrs_t) with null-free (coalesced-empty) neighbor
-    arrays — ``array_intersect(nbrs_s, nbrs_t)`` enumerates exactly
-    the triangles whose orientation-minimum vertex is s."""
+    """Canonical undirected edge list + full degrees, both
+    ``_scoped_persist``-pinned: every triangle-family consumer re-reads
+    each of them several times (orientation joins, adjacency builds,
+    degree summaries), and both are small relative to the edge
+    GENERATION subtree they sever (e is O(m), deg is node-sized).
+    Returns (e, deg) with e = (x, y), x < y, distinct, and
+    deg = (node, d) full undirected degrees."""
     from .dedup import _scoped_persist
 
     e = _scoped_persist(
@@ -417,12 +412,30 @@ def _oriented_adjacency(
         .filter(F.col("x") != F.col("y"))
         .distinct()
     )
-    deg = (
+    deg = _scoped_persist(
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    return e, deg
+
+
+def _oriented_adjacency(
+    e: DataFrame,
+    deg: DataFrame,
+    broadcast_adjacency_bytes: int,
+) -> DataFrame:
+    """Shared core of the edge-iterator triangle family: canonical
+    undirected edges (from :func:`_canonical_undirected`) →
+    degree-ordered orientation (Schank & Wagner 2005; out-degree ≤
+    √(2m), hub-safe) → sorted out-neighbor adjacency joined onto both
+    endpoints of every oriented edge. Returns ``with_nbrs`` =
+    (s, t, nbrs_s, nbrs_t) with null-free (coalesced-empty) neighbor
+    arrays — ``array_intersect(nbrs_s, nbrs_t)`` enumerates exactly
+    the triangles whose orientation-minimum vertex is s."""
+    from .dedup import _scoped_persist
+
     dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
     ed = e.join(dx, "x").join(dy, "y")
@@ -464,7 +477,83 @@ def _oriented_adjacency(
             F.coalesce(F.col("nbrs_t"), empty).alias("nbrs_t"),
         )
     )
-    return deg, with_nbrs
+    return with_nbrs
+
+
+def _bitmap_edge_triangles(
+    e: DataFrame,
+    deg: DataFrame,
+    n: int,
+    broadcast_adjacency_bytes: int,
+) -> DataFrame:
+    """Per-edge triangle counts on a DENSE graph via neighborhood
+    BITMAPS: (x, y, __c) for every canonical edge, where __c =
+    |N(x) ∩ N(y)| over full neighborhoods — the number of triangles
+    containing that edge. Nodes get compact bit positions 0..n-1
+    (row_number over the node set — a single-partition window, fine
+    because a graph past any density gate has n ≤ √(2m/ρ) nodes);
+    each node's neighborhood is a ⌈n/64⌉-word long-array bitmap built
+    with one codegen'd (node, word) aggregate (set bits are distinct,
+    so SUM of the per-bit words equals their OR), and the per-edge
+    count is zip_with + bit_count + aggregate — all JVM built-ins,
+    integer-exact, no Python boundary. The bitmap table is n rows ×
+    ⌈n/64⌉ longs = n²/8 bytes total — broadcast when it fits (at any
+    density ≥ 1/32 it is SMALLER than the equivalent long-array
+    adjacency), shuffle-joined otherwise."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _scoped_persist
+
+    nwords = (n + 63) // 64
+    rank = deg.select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1).alias("__r"),
+    )
+    sym = e.select(
+        F.col("x").alias("node"), F.col("y").alias("nbr")
+    ).unionAll(
+        e.select(F.col("y").alias("node"), F.col("x").alias("nbr"))
+    )
+    symr = sym.join(
+        F.broadcast(rank.select(F.col("node").alias("nbr"), "__r")),
+        "nbr",
+    )
+    words = symr.groupBy(
+        "node", F.expr("CAST(__r DIV 64 AS INT)").alias("__w")
+    ).agg(
+        F.sum(F.expr("shiftleft(1L, CAST(__r % 64 AS INT))")).alias("__v")
+    )
+    bm = _scoped_persist(
+        words.groupBy("node")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__w", "__v"))
+            ).alias("__mw")
+        )
+        .select(
+            "node",
+            F.expr(
+                f"transform(sequence(0, {nwords - 1}),"
+                " w -> coalesce(element_at(__mw, w), 0L))"
+            ).alias("bm"),
+        )
+    )
+    if n * (nwords * 8 + 24) <= broadcast_adjacency_bytes:
+        bm = F.broadcast(bm)
+    bm_x = bm.select(F.col("node").alias("x"), F.col("bm").alias("bx"))
+    bm_y = bm.select(F.col("node").alias("y"), F.col("bm").alias("by"))
+    return (
+        e.join(bm_x, "x")
+        .join(bm_y, "y")
+        .select(
+            "x",
+            "y",
+            F.expr(
+                "aggregate(zip_with(bx, by, (a, b) -> bit_count(a & b)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("__c"),
+        )
+    )
 
 
 def local_triangle_counts(
@@ -472,14 +561,14 @@ def local_triangle_counts(
     src: str = "src",
     dst: str = "dst",
     broadcast_adjacency_bytes: int = 64 * 1024 * 1024,
+    dense_threshold: float = 0.25,
 ) -> tuple[DataFrame, DataFrame]:
-    """Per-node triangle counts via the same degree-ordered
-    edge-iterator as :func:`triangle_count`, with the neighbor
-    intersection EXPLODED so every triangle (s, t, w) credits all
-    three vertices. Output is triangle-enumeration-sized — inherent to
-    any per-node attribution (LOCAL clustering needs to know where
-    each triangle lands), and each triangle is emitted exactly once
-    (by its orientation-minimum vertex), never three times.
+    """Per-node triangle counts. SPARSE graphs use the same
+    degree-ordered edge-iterator as :func:`triangle_count`, with the
+    neighbor intersection EXPLODED so every triangle (s, t, w) credits
+    all three vertices — each triangle emitted exactly once (by its
+    orientation-minimum vertex), never three times. DENSE graphs skip
+    the enumeration entirely (see the dense-path paragraph below).
 
     Returns (deg, per_node): ``deg`` = (node, d) full undirected
     degrees for every node, ``per_node`` = (node, n_tri) for nodes in
@@ -505,12 +594,57 @@ def local_triangle_counts(
     ``_scoped_persist``-pinned: they are node-sized (≤ |V| rows), and
     callers fan out over each more than once (summary + per-node
     join), which would otherwise re-execute the enumeration per
-    reference."""
+    reference.
+
+    DENSE fast path (r14, guide §2.4 "remove shuffles outright" /
+    §1.2 "the distributed algorithm"): when the graph's edge density
+    2m/(n(n-1)) reaches ``dense_threshold``, the enumeration
+    disappears entirely. Per canonical edge, |N(x) ∩ N(y)| over FULL
+    (unoriented) neighborhoods is the number of triangles CONTAINING
+    that edge, and every node's triangle count is half the sum over
+    its incident edges (each triangle is seen at v through exactly its
+    2 incident edges — an even sum, so the integer halving is exact):
+    no explode, no triangle-sized aggregate — one counting pass over
+    the edges and one edge-sized (2m-row) sum, vs. the oriented form's
+    TWO intersect passes plus a T-row explode + hash aggregate
+    (T = 1.24×10⁸ at sf0.1). The intersection itself runs on BITMAPS
+    (see :func:`_bitmap_edge_triangles`): on a dense graph the
+    neighborhoods are Θ(n)-sized, so hash-set intersection pays
+    Σ_v d(v)² hashed element ops (7.6×10⁸ at sf0.1 — a probed
+    ``array_intersect`` spelling of this same path measured SLOWER
+    than the explode form, 10.1 vs 7.7 s), while ⌈n/64⌉-word bitmaps
+    pay m·n/64 word AND+popcounts (7×10⁶) — a ≥ 1/(128ρ) ≈ 32×
+    element-op reduction at any density past the gate. The gate
+    matters for the at-scale story: on a sparse hub-heavy graph
+    (where orientation's √(2m) out-degree cap is the whole point, and
+    T is small) the n-bit-per-node bitmaps would be mostly zeros and
+    the m·n/64 work unbounded relative to m^1.5 — so sparse graphs
+    keep the explode form. Density is computed from the
+    already-persisted edge and degree frames (two tiny counts), so
+    the gate is data-derived, not tuned to any scale.
+
+    Measured at sf0.1 (1000 nodes, ρ = 0.87, 1.24×10⁸ triangles):
+    dense-bitmap 3.0-3.8 s vs oriented-explode 6.2-9.5 s in the same
+    interleaved session, bit-identical per-node map."""
     from .dedup import _scoped_persist
 
-    deg, with_nbrs = _oriented_adjacency(
-        edges, src, dst, broadcast_adjacency_bytes
-    )
+    e, deg = _canonical_undirected(edges, src, dst)
+    m = e.count()
+    n = deg.count()
+    if n >= 3 and 2 * m >= dense_threshold * n * (n - 1):
+        c = _bitmap_edge_triangles(
+            e, deg, n, broadcast_adjacency_bytes
+        )
+        per_node = _scoped_persist(
+            c.select(F.col("x").alias("node"), "__c")
+            .unionAll(c.select(F.col("y").alias("node"), "__c"))
+            .groupBy("node")
+            .agg(F.expr("CAST(SUM(__c) DIV 2 AS BIGINT)").alias("n_tri"))
+            .filter(F.col("n_tri") > 0)
+        )
+        return deg, per_node
+
+    with_nbrs = _oriented_adjacency(e, deg, broadcast_adjacency_bytes)
     sized = with_nbrs.select(
         "s",
         "t",
@@ -546,7 +680,7 @@ def local_triangle_counts(
         )
         .filter(F.col("n_tri") > 0)
     )
-    return _scoped_persist(deg), per_node
+    return deg, per_node
 
 
 def triangle_count(
@@ -554,6 +688,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     broadcast_adjacency_bytes: int = 64 * 1024 * 1024,
+    dense_threshold: float = 0.25,
 ) -> DataFrame:
     """Exact triangle count + wedge count + global clustering
     coefficient of an undirected graph, as one row
@@ -589,22 +724,43 @@ def triangle_count(
     empty-array coalesce keep those edges counted with 0
     intersections. The single BroadcastNestedLoopJoin in the plan is
     the deliberate 1-row × 1-row scalar cross at the end.
+
+    DENSE graphs (edge density ≥ ``dense_threshold``) take the
+    bitmap counting pass instead (:func:`_bitmap_edge_triangles`, r14
+    — see :func:`local_triangle_counts` for the gate's cost argument):
+    Σ per-edge |N(x) ∩ N(y)| counts every triangle exactly 3 times
+    (once per containing edge), so n_triangles = Σ __c DIV 3,
+    integer-exact.
     """
-    deg, with_nbrs = _oriented_adjacency(
-        edges, src, dst, broadcast_adjacency_bytes
-    )
-    tri = (
-        with_nbrs.select(
-            F.size(
-                F.array_intersect(F.col("nbrs_s"), F.col("nbrs_t"))
-            ).alias("closed")
-        )
-        .agg(
-            F.coalesce(F.sum("closed"), F.lit(0))
+    e, deg = _canonical_undirected(edges, src, dst)
+    m = e.count()
+    n = deg.count()
+    if n >= 3 and 2 * m >= dense_threshold * n * (n - 1):
+        tri = _bitmap_edge_triangles(
+            e, deg, n, broadcast_adjacency_bytes
+        ).agg(
+            F.coalesce(
+                F.expr("CAST(SUM(__c) DIV 3 AS BIGINT)"), F.lit(0)
+            )
             .cast("long")
             .alias("n_triangles")
         )
-    )
+    else:
+        with_nbrs = _oriented_adjacency(
+            e, deg, broadcast_adjacency_bytes
+        )
+        tri = (
+            with_nbrs.select(
+                F.size(
+                    F.array_intersect(F.col("nbrs_s"), F.col("nbrs_t"))
+                ).alias("closed")
+            )
+            .agg(
+                F.coalesce(F.sum("closed"), F.lit(0))
+                .cast("long")
+                .alias("n_triangles")
+            )
+        )
     wed = deg.agg(
         F.sum(
             (F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)).cast("long")

@@ -392,6 +392,54 @@ class TestLocalTriangleCounts:
         _, per = self._per_node(spark, edges)
         assert per == want
 
+    def test_dense_and_sparse_paths_agree(self, spark):
+        """The r14 dense fast path (per-edge full-neighborhood
+        intersection, halved incident sum — no explode) must produce
+        the exact per-node map of the oriented explode form on the
+        same graph, whichever side of the density gate it sits on."""
+        import itertools
+        import random
+
+        from datarepo_spark.functions.graph import local_triangle_counts
+
+        for seed, p in [(7, 0.6), (8, 0.15)]:
+            rng = random.Random(seed)
+            edges = [
+                (a, b)
+                for a, b in itertools.combinations(range(28), 2)
+                if rng.random() < p
+            ]
+            df = spark.createDataFrame(edges, ["src", "dst"])
+            results = []
+            for thresh in (0.0, 2.0):  # 0.0 forces dense, 2.0 sparse
+                deg, per = local_triangle_counts(
+                    df, dense_threshold=thresh
+                )
+                results.append(
+                    (
+                        {r.node: r.d for r in deg.collect()},
+                        {r.node: r.n_tri for r in per.collect()},
+                    )
+                )
+            assert results[0] == results[1]
+
+    def test_dense_path_has_no_explode(self, spark):
+        """The density gate's point: the dense plan carries NO
+        Generate/explode (credits come from bitmap popcount sums),
+        while the sparse plan keeps the w-side explode."""
+        import itertools
+
+        from datarepo_spark.functions.graph import local_triangle_counts
+
+        edges = list(itertools.combinations(range(10), 2))
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        _, per_dense = local_triangle_counts(df, dense_threshold=0.0)
+        dense_plan = per_dense._jdf.queryExecution().toString()
+        assert "explode" not in dense_plan.lower()
+        _, per_sparse = local_triangle_counts(df, dense_threshold=2.0)
+        sparse_plan = per_sparse._jdf.queryExecution().toString()
+        assert "explode" in sparse_plan.lower()
+
 
 class TestPersonalizedPageRank:
     def test_teleport_mass_concentrates_on_seeds(self, spark):
