@@ -72,6 +72,42 @@ def _pin(df: DataFrame, checkpoint_dir: Optional[str]) -> DataFrame:
     return df.checkpoint()
 
 
+def _pin_keyed(
+    df: DataFrame, key: str, checkpoint_dir: Optional[str]
+) -> DataFrame:
+    """Pin a loop-INVARIANT edge frame pre-partitioned (and pre-sorted)
+    by the per-iteration join key. Two layers, each doing the one thing
+    the other cannot (r14, guide §2.4 "two operations keyed the same
+    way can share one exchange"):
+
+    - :func:`_pin` severs the (possibly expensive) edge-GENERATION
+      lineage and materializes it once — but a checkpointed RDD scan
+      reports UnknownPartitioning (measured on Spark 4.1 with AQE), so
+      every iteration's join would still exchange+sort the edge side.
+    - a ``_scoped_persist`` of ``repartition(key) + sortWithinPartitions``
+      ON TOP of the pin: cached-plan output partitioning/ordering IS
+      visible to EnsureRequirements, so the per-iteration sort-merge
+      join sees a satisfied distribution on the big side and the
+      edge-sized exchange+sort runs once per QUERY instead of once per
+      ITERATION. If the cache is ever evicted, the rebuild re-reads the
+      pinned leaf — never the generation subtree.
+
+    Partition count comes from :func:`dedup._parallelism` (min(cores,
+    shuffle setting)) so the node-sized probe side exchanges to the
+    same count. Known trade-off: a hash partitioning fixed at pin time
+    cannot be skew-split by AQE per iteration — on hub-heavy graphs the
+    hot partition persists; callers' degree-based orientations or
+    salting remain the remedy (edge lists here are near-uniform hash
+    keys)."""
+    from .dedup import _parallelism, _scoped_persist
+
+    pinned = _pin(df, checkpoint_dir)
+    return _scoped_persist(
+        pinned.repartition(_parallelism(df), F.col(key))
+        .sortWithinPartitions(key)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -106,6 +142,11 @@ def connected_components(
         # otherwise run 200 near-empty tasks on a graph of dup pairs
         .coalesce(par)
     )
+    # plain pin, NOT _pin_keyed (r14, probed): the dup-pair graph is
+    # tiny by construction (≪ corpus — only docs with a near-dup), so
+    # the per-round join exchange is trivia while the keyed pin's extra
+    # build exchange + lost runtime broadcast conversion measured a
+    # consistent LOSS here (2.3/2.9 s → 4.5/3.3 s paired at sf0.1)
     sym = _pin(sym, checkpoint_dir)
     labels = sym.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
@@ -227,9 +268,11 @@ def pagerank(
     # the localCheckpoint-vs-persist rationale)
     sc = edges.sparkSession.sparkContext
     par = max(sc.defaultParallelism, 1)
-    base = _pin(
+    # pinned pre-partitioned by __from — the per-iteration rank-join key
+    base = _pin_keyed(
         edges.select(F.col(src).alias("__from"), F.col(dst).alias("__to"))
         .coalesce(par),
+        "__from",
         checkpoint_dir,
     )
     degrees = _pin(
@@ -795,9 +838,16 @@ def label_propagation(
     ``iterations`` rounds.
 
     Relational shape per iteration: ONE edges×labels equi-join, one
-    (node, label) count aggregate, one per-node argmax window — all
+    (node, label) count aggregate, one per-node argmax AGGREGATE — all
     keyed on node ids; the graph never collects and label state is
     pinned per round (same loop discipline as :func:`pagerank`).
+    The argmax is ``min(struct(-count, label))`` rather than a
+    row_number window (r14, guide §2.3 "aggregate before you
+    shuffle"): struct ordering is field-lexicographic, so the minimum
+    is exactly the (count DESC, label ASC) winner for ANY orderable
+    label type, and spelling it as an aggregate drops the window's
+    per-round sort and lets the partial aggregate shrink the vote
+    cells to one candidate per node BEFORE the exchange.
     Synchronous LPA can oscillate on bipartite structures (the known
     LPA property); a fixed iteration budget keeps that bounded and
     deterministic rather than hiding it.
@@ -806,10 +856,12 @@ def label_propagation(
     this is the Catalyst spelling of it."""
     sc = edges.sparkSession.sparkContext
     par = max(sc.defaultParallelism, 1)
-    e = _pin(
+    # pinned pre-partitioned by __from — the per-iteration votes-join key
+    e = _pin_keyed(
         edges.select(
             F.col(src).alias("__from"), F.col(dst).alias("__to")
         ).coalesce(par),
+        "__from",
         checkpoint_dir,
     )
     # one pinned seed frame: (node, label=node) over the distinct node
@@ -824,8 +876,6 @@ def label_propagation(
         .coalesce(par),
         checkpoint_dir,
     )
-    from pyspark.sql.window import Window
-
     for _ in range(iterations):
         votes = (
             e.select(F.col("__from").alias("node"), "__to")
@@ -833,13 +883,22 @@ def label_propagation(
             .groupBy(F.col("__to").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        w = Window.partitionBy("node").orderBy(
-            F.desc("__c"), F.asc("label")
-        )
+        # argmax by (count DESC, label ASC) as one aggregate: negate
+        # the count (always a long — label stays its own type) so the
+        # struct MIN picks the highest count, ties broken by the
+        # smallest label. (count, label) pairs are unique per node, so
+        # the winner is exactly the old row_number-over-window pick.
         winner = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", F.col("label").alias("__new"))
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("__m")
+            )
+            .select("node", F.col("__m.l").alias("__new"))
         )
         # labels LEFT JOIN winner ≡ the textbook nodes ⋈ labels ⋈ winner
         # re-completion: labels' key set IS the node set (invariant
