@@ -626,11 +626,13 @@ class TestRound9Plans:
         # the persisted edge/oriented frames feed every join via
         # InMemoryTableScan (broadcast conversion breaks ReusedExchange)
         assert "InMemoryTableScan" in plan
-        # edge-iterator form: neighbor intersection happens in a
-        # projection (array_intersect), NOT by materializing the
-        # wedge set through a shuffle join — the adjacency table is
-        # small here, so both attach-joins must be broadcast
-        assert "array_intersect" in plan
+        # neighbor intersection happens in a PROJECTION, never by
+        # materializing the wedge set through a shuffle join. Two
+        # legal spellings (r14): the dense-gated bitmap path
+        # (zip_with + bit_count word AND+popcounts — what the sf0.1
+        # supplier graph takes) or the sparse oriented-adjacency path
+        # (array_intersect over out-neighbor arrays)
+        assert "bit_count" in plan or "array_intersect" in plan
 
 
 class TestRoundTenAnalysis:
